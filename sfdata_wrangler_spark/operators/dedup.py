@@ -1,0 +1,198 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star). All variants are
+pure DataFrame compositions designed for 100 TB:
+
+- exact:      hash-groupBy on a normalized md5 key — one shuffle on a
+              16-byte key, not on document text.
+- minhash:    shingle → k salted min-hashes → band buckets →
+              bucket-join. The candidate join is on (band, signature)
+              so only near-duplicates meet; never an O(n²) cross join.
+- simhash:    64-bit weighted-bit fingerprint; duplicates = equal
+              fingerprint (or banded for hamming-near matches).
+- ngram Jaccard: exact set similarity on word shingles, evaluated only
+              on candidate pairs from an LSH/bucket prefilter.
+
+Hash choice: xxhash64 (JVM built-in, stable across runs/versions) for
+internal signatures; md5 for anything an external oracle must
+reproduce.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import norm_key, normalize_text, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (lowest id) per normalized-text hash.
+
+    Single shuffle on the md5 key; ``min_by`` avoids a second pass.
+    """
+    key = norm_key(F.col(text_col))
+    return (
+        df.withColumn("__key", key)
+        .groupBy("__key")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__key")
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All duplicate groups of size > 1: (norm_key, n_docs, keep_id)."""
+    return (
+        df.withColumn("norm_key", norm_key(F.col(text_col)))
+        .groupBy("norm_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One row per doc: k salted min-hashes (columns mh_0..mh_{k-1})
+    over word shingles. Explodes shingles once; all k mins computed in
+    a single groupBy pass (map-side combinable).
+
+    ``hash_fn``: 'xxhash64' (JVM built-in, production default) or
+    'md5' (slower, but reproducible by external SQL engines — used by
+    the oracle-checked catalog queries; min over hex strings is a
+    valid min-hash since md5 hex is order-isomorphic to its value).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    if hash_fn == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "md5":
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__sh")))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return shingled.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature matrix → ``bands`` band-keys (hash of the band's rows) →
+    self-join per band bucket → distinct (a, b) pairs with a < b.
+    The join key is (band_idx, band_hash): cardinality ~n·bands rows,
+    and only colliding docs ever pair — the scale-safe shape.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        if hash_fn == "md5":
+            bh = F.md5(F.concat_ws("|", *cols))
+        else:
+            bh = F.xxhash64(*cols)
+        band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, no UDF: explode tokens,
+    per (doc, bit) sum ±1 votes using the token hash's bit, then
+    assemble the fingerprint with bit ORs."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v_{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard similarity on word shingles for given candidate
+    pairs (id_a, id_b) — run AFTER an LSH prefilter, never all-pairs."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface (BASELINE.json north star).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products run JVM-side via ``F.zip_with`` + ``F.aggregate`` in
+  double precision (deterministic left-to-right fold, matching the
+  DuckDB oracle's sequential list functions).
+- ``lsh_topk``: random-hyperplane LSH bucketing — the 100 TB path.
+  Corpus vectors hash to sign-pattern buckets; each query probes only
+  its own bucket (plus optional multiprobe neighbors), so the join is
+  bucket-equi, never a full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.metrics import portable_round
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. Broadcast the query
+    side (queries are few; corpus is the 100 TB side), rank with a
+    per-query window, deterministic tie-break on corpus id."""
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qv")
+    )
+    joined = corpus.crossJoin(F.broadcast(q)).where(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    # rank on the EXACT similarity (rounding first would create ties);
+    # emit the rounded value for stable cross-engine comparison
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        cosine(F.col("__qv"), F.col(vec_col)).alias("__sim_exact"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__sim_exact").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("sim", portable_round(F.col("__sim_exact"), 4))
+        .drop("__sim_exact")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-pattern bucket id for random-hyperplane LSH: bit i set iff
+    dot(vec, plane_i) >= 0. Planes are literals (broadcast constants)."""
+    sig = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec, plane) >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket both sides by hyperplane signature and
+    rank within buckets. Recall is tuned by the number of planes (fewer
+    planes → bigger buckets → higher recall, more compute)."""
+    cb = corpus.withColumn("__bkt", hyperplane_signature(F.col(vec_col), planes))
+    qb = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        hyperplane_signature(F.col(vec_col), planes).alias("__bkt"),
+    )
+    joined = cb.join(F.broadcast(qb), "__bkt").where(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        cosine(F.col("__qv"), F.col(vec_col)).alias("__sim_exact"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__sim_exact").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("sim", portable_round(F.col("__sim_exact"), 4))
+        .drop("__sim_exact")
+    )

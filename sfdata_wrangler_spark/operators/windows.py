@@ -1,0 +1,205 @@
+"""Window-operator library (SURVEY.md §2.5 W1–W14).
+
+Every sorted-``iterrows`` / ``groupby().apply()`` sequential pass in
+the reference becomes a Spark window function here. Windows shuffle
+once on their partition keys and then run sorted within partitions —
+the scale-correct shape for per-entity sequential logic (per card, per
+cab, per route-direction), since entity counts are huge but per-entity
+sequences are short.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _w(partition: Sequence[str], order: Sequence[str | Column]) -> WindowSpec:
+    return Window.partitionBy(*partition).orderBy(*order)
+
+
+def lag_delta_minutes(
+    ts_col: str, partition: Sequence[str], order: Sequence[str]
+) -> Column:
+    """Minutes since the previous row's ``ts_col`` within the
+    partition; null on the first row. The kernel under headways (W1)
+    and Clipper tag-time diffs (W4). Microsecond-exact (integer epoch
+    micros), so the comparison against a gap threshold is
+    deterministic across engines."""
+    w = _w(partition, order)
+    us = F.unix_micros(F.col(ts_col))
+    return (us - F.lag(us).over(w)) / 60000000.0
+
+
+def headway_minutes(
+    df: DataFrame,
+    departure_col: str,
+    partition: Sequence[str],
+    out: str = "HEADWAY_S",
+) -> DataFrame:
+    """Scheduled headway (W1, ``GTFSHelper.py:87-104``): gap in minutes
+    to the previous departure within (route, dir, headsign, stop)."""
+    return df.withColumn(
+        out, lag_delta_minutes(departure_col, partition, [departure_col])
+    )
+
+
+def observed_runtime(
+    df: DataFrame,
+    arrival_col: str,
+    departure_col: str,
+    partition: Sequence[str],
+    order: Sequence[str],
+    out: str = "RUNTIME",
+) -> DataFrame:
+    """Observed runtime (W2, ``SFMuniDataExpander.py:35-53``):
+    max(0, arrival − previous stop's departure) minutes; 0 at the
+    first stop."""
+    w = _w(partition, order)
+    prev_dep = F.lag(departure_col).over(w)
+    delta = (F.unix_timestamp(F.col(arrival_col)) - F.unix_timestamp(prev_dep)) / 60.0
+    return df.withColumn(
+        out, F.coalesce(F.greatest(F.lit(0.0), F.round(delta, 2)), F.lit(0.0))
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    gap_minutes: float = 90.0,
+    extra_break: Column | None = None,
+    session_col: str = "SESSION_ID",
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Cumsum-of-breaks sessionization — the shared kernel of Clipper
+    linked trips (W4, ``ClipperHelper.py:204-246``) and taxi trip
+    segmentation (W6, ``TaxiDataHelper.py:205-309``).
+
+    A new session starts when the gap since the previous event exceeds
+    ``gap_minutes`` OR ``extra_break`` (an arbitrary boolean Column,
+    e.g. meter-status flip / position jump) is true. Session ids are
+    1-based and contiguous per entity: the canonical
+    ``1 + sum(is_break) over (unbounded preceding → current)``.
+
+    ``order_cols`` should include a unique tie-breaker (event id) —
+    timestamp ties would otherwise make the lag nondeterministic.
+    """
+    order = list(order_cols) if order_cols else [ts_col]
+    gap = lag_delta_minutes(ts_col, entity_cols, order)
+    is_break = gap > gap_minutes
+    if extra_break is not None:
+        is_break = is_break | extra_break
+    wcum = _w(entity_cols, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        session_col,
+        (F.lit(1) + F.sum(F.when(is_break, 1).otherwise(0)).over(wcum)).cast("bigint"),
+    )
+
+
+def running_sum(
+    df: DataFrame,
+    col: Column,
+    partition: Sequence[str],
+    order: Sequence[str],
+    out: str,
+) -> DataFrame:
+    """Running cumulative sum (W8 running load,
+    ``TransitReporter.py:993-1008``), null-skipping like pandas."""
+    w = _w(partition, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out, F.sum(col).over(w))
+
+
+def ffill(
+    df: DataFrame, col: str, partition: Sequence[str], order: Sequence[str], out: str | None = None
+) -> DataFrame:
+    """Forward-fill (W10, ``MultiModalHelper.py:151-156``):
+    last non-null value at or before the current row."""
+    w = _w(partition, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out or col, F.last(col, ignorenulls=True).over(w))
+
+
+def bfill(
+    df: DataFrame, col: str, partition: Sequence[str], order: Sequence[str], out: str | None = None
+) -> DataFrame:
+    """Backward-fill: first non-null value at or after the current row."""
+    w = _w(partition, order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return df.withColumn(out or col, F.first(col, ignorenulls=True).over(w))
+
+
+def dedup_by_order(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column | str]
+) -> DataFrame:
+    """Deterministic ``drop_duplicates`` (P5): keep the first row per
+    key under an EXPLICIT ordering. The reference's pandas dedup keeps
+    whatever the prior sort left first (``SFMuniDataHelper.py:524``);
+    distributed execution has no ambient order, so the ordering is part
+    of the operator's signature here."""
+    w = _w(keys, order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def trend_diff(
+    df: DataFrame,
+    col: str,
+    partition: Sequence[str],
+    order: Sequence[str],
+    periods: int = 12,
+) -> DataFrame:
+    """12-period difference / ratio trends (W14,
+    ``TransitReporter.py:637-941`` Excel formulas brought into the
+    engine): ``<col>_DIFF{p}`` and ``<col>_PCT{p}``."""
+    w = _w(partition, order)
+    prev = F.lag(col, periods).over(w)
+    return df.withColumn(f"{col}_DIFF{periods}", F.col(col) - prev).withColumn(
+        f"{col}_PCT{periods}",
+        F.when(prev != 0, F.col(col) / prev - 1.0),
+    )
+
+
+def interpolate_monthly(
+    df: DataFrame,
+    month_col: str,
+    value_col: str,
+    partition: Sequence[str] = (),
+    out: str | None = None,
+) -> DataFrame:
+    """Linear interpolation over an (already joined) month spine (W11,
+    ``DemandHelper.py:1559-1619``): for null months between two
+    observed values, interpolate linearly on month index; endpoints
+    are left as-is (the reference's trend extrapolation is a separate,
+    explicit step).
+
+    Pure window composition: bracketing values via
+    ``last(ignorenulls)`` looking back and ``first(ignorenulls)``
+    looking forward — one shuffle on ``partition``.
+    """
+    out = out or value_col
+    idx = F.year(month_col) * 12 + F.month(month_col)
+    back = _w(partition, [month_col]).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = _w(partition, [month_col]).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    with_idx = df.withColumn("__midx", idx)
+    prev_val = F.last(value_col, ignorenulls=True).over(back)
+    next_val = F.first(value_col, ignorenulls=True).over(fwd)
+    prev_idx = F.last(
+        F.when(F.col(value_col).isNotNull(), F.col("__midx")), ignorenulls=True
+    ).over(back)
+    next_idx = F.first(
+        F.when(F.col(value_col).isNotNull(), F.col("__midx")), ignorenulls=True
+    ).over(fwd)
+
+    frac = (F.col("__midx") - prev_idx) / (next_idx - prev_idx)
+    interp = prev_val + (next_val - prev_val) * frac
+    return with_idx.withColumn(
+        out,
+        F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+            F.when(prev_idx.isNotNull() & next_idx.isNotNull(), interp)
+        ),
+    ).drop("__midx")

@@ -1,0 +1,985 @@
+"""Query catalog: the engine's declared operator surface.
+
+One entry per operator family from SURVEY.md §2 (names carry the
+survey ids: j2_, w4_, f5_, ...), each with an idiomatic-Spark
+implementation built from the operator library and — where
+SQL-expressible — an equivalent DuckDB oracle query. The driver
+hash-compares both at sf=0.01 (see __spark_entry__.py).
+
+Cross-engine determinism rules used throughout:
+- every window/first/last/dedup has a TOTAL ordering (ties broken by a
+  unique key) — distributed execution has no ambient row order;
+- double aggregates whose value depends on accumulation order are
+  rounded (2dp money, 4dp ratios); per-row float arithmetic is left
+  exact (IEEE ops are bitwise-identical across engines);
+- integer aggregates are CAST to BIGINT on the oracle side (DuckDB
+  sums to HUGEINT);
+- timestamps → epoch microseconds (Spark ``unix_micros`` ≡ DuckDB
+  ``epoch_us``) before arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.datetime_fns import dow_class, service_date_rollover, tod_period
+from ..functions.metrics import portable_round as _pr
+from ..functions.metrics import sql_portable_round
+from ..functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    doc_fingerprint,
+    lang_id,
+    lang_score,
+    norm_key,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_shingles,
+)
+from ..operators.aggregate import AggRule, aggregate_records
+from ..operators.crosstab import crosstab_with_margins
+from ..operators.imputation import impute_from_prior_month
+from ..operators.similarity import cosine_topk
+from ..operators.weighting import calc_weights
+from ..operators.windows import (
+    bfill,
+    dedup_by_order,
+    ffill,
+    interpolate_monthly,
+    sessionize,
+)
+
+# registry: name -> {"fn": callable(spark, sf_dir) -> DataFrame,
+#                    "oracle": SQL str | None, "bench": bool}
+QUERIES: dict[str, dict] = {}
+
+
+def _register(name: str, oracle: str | None, bench: bool = False):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = {
+            "fn": fn,
+            "oracle": sql_portable_round(oracle) if oracle else None,
+            "bench": bench,
+        }
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` as a proper TimestampType.
+
+    The driver writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as raw int64 nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microseconds — exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+    does, so epoch-microsecond arithmetic agrees across engines.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec["fn"] for name, spec in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {
+        name: spec["oracle"] for name, spec in QUERIES.items() if spec["oracle"]
+    }
+
+
+def _month():
+    """Month key as a formatted string (pandas-safe cross-engine type)."""
+    return F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd")
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's core expand → weight → aggregate semantic
+# (SFMuniDataExpander.py:322-436 + SFMuniDataAggregator cascade) modeled
+# on orders⨝lineitem: line 1-2 of each order play the "observed APC
+# sample"; expansion weights scale them up to the full schedule.
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+WITH ts AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         o_orderpriority,
+         l_extendedprice * (1 - l_discount) AS revenue,
+         l_quantity,
+         CASE WHEN l_linenumber <= 2 THEN 1 ELSE 0 END AS observed
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), w AS (
+  SELECT *,
+         (CASE WHEN observed = 1 THEN 1.0 END)
+           * (sum(1.0) OVER cell
+              / sum((CASE WHEN observed = 1 THEN 1.0 END) * 1.0) OVER cell)
+           AS weight
+  FROM ts
+  WINDOW cell AS (PARTITION BY month, o_orderpriority)
+)
+SELECT month, o_orderpriority,
+       CAST(round(sum(revenue * weight), 2) AS DOUBLE) AS est_revenue,
+       CAST(round(sum(l_quantity * weight)
+            / sum(CASE WHEN l_quantity IS NOT NULL THEN weight END), 4) AS DOUBLE)
+         AS avg_qty,
+       CAST(sum(observed) AS BIGINT) AS obs_rows,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM w GROUP BY month, o_orderpriority
+"""
+
+
+@_register("flagship_expand_weight_cascade", _FLAGSHIP_ORACLE, bench=True)
+def flagship_expand_weight_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 expand join + W7 expansion weighting + §2.4 weighted cascade."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("month", _month())
+        .withColumn(
+            "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        .withColumn(
+            "observed", F.when(F.col("l_linenumber") <= 2, 1).otherwise(0)
+        )
+        .withColumn("trip_weight", F.when(F.col("observed") == 1, F.lit(1.0)))
+        .withColumn("trip_stops", F.lit(1.0))
+    )
+    weighted = calc_weights(
+        ts, ["month", "o_orderpriority"], "trip_weight", "trip_stops", "weight"
+    )
+    agg = aggregate_records(
+        weighted,
+        ["month", "o_orderpriority"],
+        [
+            AggRule("est_revenue", "revenue", "wgtSum"),
+            AggRule("avg_qty", "l_quantity", "wgtAvg"),
+            AggRule("obs_rows", "observed", "sum", dtype="bigint"),
+            AggRule("n_rows", "observed", "count", dtype="bigint"),
+        ],
+        weight="weight",
+    )
+    return agg.select(
+        "month",
+        "o_orderpriority",
+        _pr("est_revenue", 2).alias("est_revenue"),
+        _pr("avg_qty", 4).alias("avg_qty"),
+        "obs_rows",
+        "n_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a0_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+           CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def a0_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter pushdown + one-shuffle agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _pr(F.sum("l_quantity"), 2).alias("sum_qty"),
+        _pr(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        _pr(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        _pr(F.avg("l_quantity"), 4).alias("avg_qty"),
+        _pr(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_register(
+    "a1_rule_driven_agg_engine",
+    f"""
+    SELECT l_returnflag,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base,
+           CAST(round(sum(l_extendedprice * l_quantity), 2) AS DOUBLE) AS wgt_price,
+           CAST(round(sum(l_discount * l_quantity)
+                / sum(CASE WHEN l_discount IS NOT NULL THEN l_quantity END), 6)
+                AS DOUBLE) AS wgt_avg_disc,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(CASE WHEN l_tax <> 0 THEN 1 END) AS BIGINT) AS n_taxed,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a1_rule_driven_agg_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.4 rule-table engine: wgtSum/wgtAvg/countUnique/countNonZero
+    compile to one groupBy (SFMuniDataAggregator.py:1018-1214 parity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = aggregate_records(
+        li,
+        ["l_returnflag"],
+        [
+            AggRule("sum_base", "l_extendedprice", "sum"),
+            AggRule("wgt_price", "l_extendedprice", "wgtSum"),
+            AggRule("wgt_avg_disc", "l_discount", "wgtAvg"),
+            AggRule("n_parts", "l_partkey", "countUnique", dtype="bigint"),
+            AggRule("n_taxed", "l_tax", "countNonZero", dtype="bigint"),
+            AggRule("n_rows", "l_quantity", "count", dtype="bigint"),
+            AggRule("min_qty", "l_quantity", "min", dtype="double"),
+            AggRule("max_qty", "l_quantity", "max", dtype="double"),
+        ],
+        weight="l_quantity",
+    )
+    return agg.select(
+        "l_returnflag",
+        _pr("sum_base", 2).alias("sum_base"),
+        _pr("wgt_price", 2).alias("wgt_price"),
+        _pr("wgt_avg_disc", 6).alias("wgt_avg_disc"),
+        "n_parts",
+        "n_taxed",
+        "n_rows",
+        "min_qty",
+        "max_qty",
+    )
+
+
+@_register(
+    "a2_first_last_by_order",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_totalprice, o_orderpriority,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn_a,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+      FROM orders
+    )
+    SELECT o_custkey,
+           max(CASE WHEN rn_a = 1 THEN o_totalprice END) AS first_price,
+           max(CASE WHEN rn_d = 1 THEN o_orderpriority END) AS last_priority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM ranked GROUP BY o_custkey
+    """,
+)
+def a2_first_last_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'first'/'last' agg rules: pandas depends on prior
+    sort order; here min_by/max_by over an explicit ordering struct."""
+    orders = _t(spark, sf_dir, "orders")
+    return aggregate_records(
+        orders,
+        ["o_custkey"],
+        [
+            AggRule("first_price", "o_totalprice", "first"),
+            AggRule("last_priority", "o_orderpriority", "last"),
+            AggRule("n_orders", "o_orderkey", "count", dtype="bigint"),
+        ],
+        order_by=["o_orderdate", "o_orderkey"],
+    )
+
+
+@_register(
+    "a6_crosstab_margins",
+    """
+    WITH body AS (
+      SELECT o_orderstatus,
+             {cells},
+             sum(o_totalprice) AS "Total"
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'Total',
+             {cells},
+             sum(o_totalprice) AS "Total"
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           {rounded}
+    FROM body
+    """.format(
+        cells=", ".join(
+            f"sum(CASE WHEN o_orderpriority = '{p}' THEN o_totalprice ELSE 0 END) AS \"{p}\""
+            for p in PRIORITIES
+        ),
+        rounded=", ".join(
+            f'CAST(round("{c}", 2) AS DOUBLE) AS "{c}"'
+            for c in PRIORITIES + ["Total"]
+        ),
+    ),
+)
+def a6_crosstab_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cleanCrosstab with margins (Utils.py:23-46): pivot with explicit
+    value domain + totals row/column, empty cells 0 not null."""
+    orders = _t(spark, sf_dir, "orders")
+    ct = crosstab_with_margins(
+        orders, "o_orderstatus", "o_orderpriority", "o_totalprice", PRIORITIES
+    )
+    return ct.select(
+        "o_orderstatus",
+        *[_pr(F.col(c), 2).alias(c) for c in PRIORITIES + ["Total"]],
+    )
+
+
+@_register(
+    "a7_pivot_matrix",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           {cells}
+    FROM orders GROUP BY 1
+    """.format(
+        cells=", ".join(
+            f"CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS \"{p}\""
+            for p in PRIORITIES
+        )
+    ),
+)
+def a7_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route×month matrix shape (TransitReporter.py:283-285): pivot with
+    an explicit value list (no discovery scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.withColumn("month", _month())
+        .groupBy("month")
+        .pivot("o_orderpriority", PRIORITIES)
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "month", *[F.col(p).cast("bigint").alias(p) for p in PRIORITIES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j1_observed_left_join",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN n_items IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS observed,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(coalesce(revenue, 0)), 2) AS DOUBLE) AS revenue
+    FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    bench=True,
+)
+def j1_observed_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GTFS⨝AVL 'expand' shape (SFMuniDataExpander.py:481-534):
+    schedule LEFT JOIN observations + OBSERVED flag."""
+    orders = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            _pr(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("n_items").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("observed"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _pr(F.sum(F.coalesce(F.col("revenue"), F.lit(0.0))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@_register(
+    "j2_interval_join",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_in_window,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+    bench=True,
+)
+def j2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-interval join (route-equiv lookup shape,
+    SFMuniDataHelper.py:587): equi key + validity-range predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate)
+        & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            _pr(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "j10_anti_join",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers_no_orders
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    """,
+)
+def j10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-key detection (SFMuniDataHelper.py:593-596) as left_anti:
+    customers with no pending ('P') orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+    )
+
+
+@_register(
+    "j10_semi_join",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers_with_urgent
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def j10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-membership filtering (SFMuniDataExpander.py:363) as left_semi."""
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        customer.join(
+            urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_urgent"))
+    )
+
+
+@_register(
+    "u1_union_distinct",
+    """
+    SELECT n_name, CAST(nationkey AS BIGINT) AS nationkey
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey FROM supplier
+    ) u JOIN nation ON nationkey = n_nationkey
+    """,
+)
+def u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + distinct + broadcast dim join (U1/U2)."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    u = (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+    return u.join(
+        F.broadcast(nation), u.nationkey == nation.n_nationkey
+    ).select("n_name", F.col("nationkey").cast("bigint").alias("nationkey"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / §2.6 order-sensitive operators
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "w1_headway",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) / 60000000.0
+               AS headway_min
+      FROM events
+    )
+    SELECT event_type,
+           CAST(round(avg(headway_min), 4) AS DOUBLE) AS avg_headway_min,
+           CAST(count(headway_min) AS BIGINT) AS n_gaps
+    FROM gaps GROUP BY event_type
+    """,
+)
+def w1_headway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headway computation (GTFSHelper.py:87-104): lag over an ordered
+    per-entity window, minutes between consecutive events."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "headway_min",
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w))
+        / 60000000.0,
+    )
+    return gaps.groupBy("event_type").agg(
+        _pr(F.avg("headway_min"), 4).alias("avg_headway_min"),
+        F.count("headway_min").alias("n_gaps"),
+    )
+
+
+_SESSION_ORACLE_BODY = """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 60000000.0 AS gap_min
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts, value,
+             1 + sum(CASE WHEN gap_min > 30 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+"""
+
+
+@_register(
+    "w4_sessionize",
+    _SESSION_ORACLE_BODY
+    + """
+    SELECT user_id,
+           CAST(max(session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+    bench=True,
+)
+def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumsum-of-breaks sessionization — the Clipper linked-trip /
+    taxi trip-segmentation kernel (ClipperHelper.py:204-246,
+    TaxiDataHelper.py:205-309) — 30-min gap rule over events."""
+    ev = _events(spark, sf_dir)
+    s = sessionize(
+        ev,
+        ["user_id"],
+        "ts",
+        gap_minutes=30.0,
+        order_cols=["ts", "event_id"],
+    )
+    return s.groupBy("user_id").agg(
+        F.max("SESSION_ID").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register(
+    "w6_session_stats",
+    _SESSION_ORACLE_BODY
+    + """
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((max(epoch_us(ts)) - min(epoch_us(ts))) / 60000000.0 AS DOUBLE)
+             AS duration_min,
+           CAST(round(sum(value), 2) AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def w6_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup (trip-level stats, TaxiDataHelper.py:312-317)."""
+    ev = _events(spark, sf_dir)
+    s = sessionize(
+        ev, ["user_id"], "ts", gap_minutes=30.0, order_cols=["ts", "event_id"]
+    )
+    return s.groupBy("user_id", F.col("SESSION_ID").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            / 60000000.0
+        ).alias("duration_min"),
+        _pr(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@_register(
+    "w8_running_total",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_value_cents
+    FROM events
+    """,
+)
+def w8_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running load recomputation (TransitReporter.py:993-1008):
+    cumulative sum over an ordered per-entity window (exact integer
+    cents so the result is order-of-accumulation independent)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = _pr(F.col("value") * 100, 0).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).cast("bigint").alias("cum_value_cents"),
+    )
+
+
+@_register(
+    "w10_ffill",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_filled
+    FROM events
+    """,
+)
+def w10_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (MultiModalHelper.py:151-156): clicks' values are
+    nulled then forward-filled from the entity's history."""
+    ev = _events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_type") != "click", F.col("value"))
+    )
+    filled = ffill(ev, "v", ["user_id"], ["ts", "event_id"], out="value_filled")
+    return filled.select("event_id", "user_id", "value_filled")
+
+
+@_register(
+    "w11_interpolate_monthly",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM orders GROUP BY 1
+    ), mm AS (
+      SELECT month,
+             CASE WHEN month(CAST(month AS DATE)) IN (3, 7) THEN NULL ELSE n END AS v,
+             year(CAST(month AS DATE)) * 12 + month(CAST(month AS DATE)) AS midx
+      FROM m
+    ), b AS (
+      SELECT month, v, midx,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN midx END IGNORE NULLS)
+               OVER wb AS pi,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN midx END IGNORE NULLS)
+               OVER wf AS ni
+      FROM mm
+      WINDOW wb AS (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (ORDER BY month ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT month,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pi IS NOT NULL AND ni IS NOT NULL
+                  THEN pv + (nv - pv) * ((midx - pi) / (ni - pi))
+           END AS n_filled
+    FROM b
+    """,
+)
+def w11_interpolate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the month spine (DemandHelper.py:
+    1559-1619): March/July order counts masked, then reconstructed."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(_month().alias("month")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    masked = m.withColumn(
+        "v", F.when(~F.month("month").isin(3, 7), F.col("n"))
+    )
+    out = interpolate_monthly(masked, "month", "v", out="n_filled")
+    return out.select("month", "n_filled")
+
+
+@_register(
+    "w12_impute_prior_month",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2
+    ), masked AS (
+      SELECT o_orderpriority, month,
+             CASE WHEN month(CAST(month AS DATE)) IN (3, 7) THEN 0 ELSE n END AS obs_n,
+             rev
+      FROM cells
+    )
+    SELECT o_orderpriority, month, obs_n,
+           CASE WHEN obs_n > 0 THEN rev
+                ELSE last_value(CASE WHEN obs_n > 0 THEN rev END IGNORE NULLS)
+                  OVER w
+           END AS rev,
+           CASE WHEN obs_n > 0 THEN 0
+                ELSE coalesce(last_value(CASE WHEN obs_n > 0 THEN obs_n END
+                                         IGNORE NULLS) OVER w, 0)
+           END AS imp_n
+    FROM masked
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w12_impute_prior_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prior-month imputation (SFMuniDataAggregator.py:371-464): the
+    sequential month chain reformulated as one ordered window pass."""
+    orders = _t(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        "o_orderpriority", _month().alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _pr(F.sum("o_totalprice"), 2).alias("rev"),
+    )
+    masked = cells.withColumn(
+        "obs_n",
+        F.when(F.month("month").isin(3, 7), F.lit(0)).otherwise(F.col("n")),
+    ).drop("n")
+    out = impute_from_prior_month(
+        masked,
+        ["o_orderpriority"],
+        "month",
+        ["rev"],
+        observed_count_col="obs_n",
+        provenance_col="imp_n",
+    )
+    return out.select("o_orderpriority", "month", "obs_n", "rev", "imp_n")
+
+
+@_register(
+    "w14_trend_12mo",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n,
+           CAST(n - lag(n, 12) OVER (ORDER BY month) AS BIGINT) AS diff12,
+           CAST(n AS DOUBLE) / lag(n, 12) OVER (ORDER BY month) - 1.0 AS pct12
+    FROM m
+    """,
+)
+def w14_trend_12mo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-month difference trends (TransitReporter.py:637-941)."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(_month().alias("month")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("n", 12).over(w)
+    return m.select(
+        "month",
+        "n",
+        (F.col("n") - prev).cast("bigint").alias("diff12"),
+        (F.col("n").cast("double") / prev - 1.0).alias("pct12"),
+    )
+
+
+@_register(
+    "p5_dedup_by_order",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def p5_dedup_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic drop_duplicates (SFMuniDataHelper.py:524): keep the
+    latest order per customer under an explicit total ordering."""
+    orders = _t(spark, sf_dir, "orders")
+    latest = dedup_by_order(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return latest.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@_register(
+    "o3_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                AS INT) AS rank
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def o3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group (HwyNetwork.py:314-367 nearest-N shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@_register(
+    "w7_expansion_weights",
+    """
+    SELECT l_orderkey, l_linenumber,
+           (CASE WHEN l_linenumber <= 2 THEN 1.0 END)
+             * (sum(1.0) OVER cell
+                / sum((CASE WHEN l_linenumber <= 2 THEN 1.0 END) * 1.0) OVER cell)
+             AS weight
+    FROM lineitem
+    WINDOW cell AS (PARTITION BY l_orderkey)
+    """,
+)
+def w7_expansion_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expansion weighting (SFMuniDataExpander.py:122-166) row-level:
+    within each order, lines 1-2 are 'observed' and weighted up to
+    represent all lines; Σ(weight·stops) = Σ(stops) per cell."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn(
+            "trip_weight",
+            F.when(F.col("l_linenumber") <= 2, F.lit(1.0)),
+        )
+        .withColumn("trip_stops", F.lit(1.0))
+    )
+    w = calc_weights(li, ["l_orderkey"], "trip_weight", "trip_stops", "weight")
+    return w.select("l_orderkey", "l_linenumber", "weight")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions (service-day semantics)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "f5_service_day",
+    """
+    WITH e AS (
+      SELECT CASE WHEN hour(ts) < 3 THEN CAST(ts AS DATE) - 1
+                  ELSE CAST(ts AS DATE) END AS service_date,
+             hour(ts) * 100 + minute(ts) AS hhmm,
+             user_id
+      FROM events
+    ), c AS (
+      SELECT strftime(service_date, '%Y-%m-%d') AS service_date_s,
+             CASE WHEN dayofweek(strptime(service_date_s, '%Y-%m-%d')) = 0 THEN 3
+                  WHEN dayofweek(strptime(service_date_s, '%Y-%m-%d')) = 6 THEN 2
+                  ELSE 1 END AS dow_class,
+             CASE WHEN hhmm BETWEEN 300 AND 559 THEN '0300-0559'
+                  WHEN hhmm BETWEEN 600 AND 859 THEN '0600-0859'
+                  WHEN hhmm BETWEEN 900 AND 1359 THEN '0900-1359'
+                  WHEN hhmm BETWEEN 1400 AND 1559 THEN '1400-1559'
+                  WHEN hhmm BETWEEN 1600 AND 1859 THEN '1600-1859'
+                  WHEN hhmm BETWEEN 1900 AND 2159 THEN '1900-2159'
+                  ELSE '2200-0259' END AS tod,
+             user_id
+      FROM e
+    )
+    SELECT service_date_s AS service_date, dow_class, tod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2, 3
+    """,
+)
+def f5_service_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-day wraparound (F5, SFMuniDataHelper.py:622-649 /
+    ClipperHelper.py:31-42) + DOW class (F15) + TEP time-of-day
+    bucketing (F14) — the centralized domain-semantic column functions."""
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        service_date_rollover(F.col("ts")).alias("service_date_d"),
+        (F.hour("ts") * 100 + F.minute("ts")).alias("hhmm"),
+        "user_id",
+    )
+    c = e.select(
+        F.date_format("service_date_d", "yyyy-MM-dd").alias("service_date"),
+        dow_class(F.col("service_date_d")).alias("dow_class"),
+        tod_period(F.col("hhmm")).alias("tod"),
+        "user_id",
+    )
+    return c.groupBy("service_date", "dow_class", "tod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_register(
+    "f11_derived_metrics",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           CASE WHEN l_quantity > 0
+                THEN round(l_extendedprice / l_quantity, 2)
+                ELSE 0.0 END AS unit_price
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def f11_derived_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level derived metrics (F11, SFMuniDataExpander.py:553-590)
+    with the guarded-ratio convention (safe_ratio)."""
+    from ..functions.metrics import safe_ratio
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "disc_price"
+        ),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        safe_ratio(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+    )

@@ -1,0 +1,303 @@
+"""Training-data operator queries: text analysis, dedup, similarity.
+
+The beyond-reference surface (BASELINE.json north star) declared over
+the driver's ``documents`` and ``embeddings`` tables. Oracle SQL is
+built programmatically from the SAME constant sets as the Spark
+column functions so both engines compute literally identical
+expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    doc_fingerprint,
+    lang_id,
+    lang_score,
+    norm_key,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from ..operators.dedup import minhash_lsh_pairs, minhash_signatures, ngram_jaccard
+from ..operators.similarity import cosine_topk
+from .catalog import _register, _t
+
+# --- SQL fragment builders (mirror functions/text.py exactly) -------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_PADDED = f"(' ' || {_NORM} || ' ')"
+_TOKCNT = (
+    f"CAST(CASE WHEN length({_NORM}) = 0 THEN 0 "
+    f"ELSE len(string_split({_NORM}, ' ')) END AS BIGINT)"
+)
+
+
+def _occ_sql(needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (
+        f"CAST((length({_PADDED}) - length(replace({_PADDED}, '{esc}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+_STOPHITS = " + ".join(_occ_sql(f" {w} ") for w in EN_STOPWORDS)
+_PUNCT = (
+    "CASE WHEN length(text) > 0 THEN "
+    "(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+    " / length(text) ELSE 0.0 END"
+)
+_STOPRATIO = f"CASE WHEN {_TOKCNT} > 0 THEN ({_STOPHITS}) / {_TOKCNT} ELSE 0.0 END"
+_QUALITY = (
+    "round(("
+    f"(CASE WHEN {_TOKCNT} BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)"
+    f" + (CASE WHEN {_PUNCT} <= 0.2 THEN 1.0 ELSE 0.0 END)"
+    f" + (CASE WHEN {_STOPRATIO} >= 0.05 THEN 1.0 ELSE 0.0 END)"
+    ") / 3.0, 4)"
+)
+
+_LANG_SCORE_SQL = {
+    lang: " + ".join(_occ_sql(m) for m in markers)
+    for lang, markers in LANG_MARKERS.items()
+}
+_GM = "greatest({})".format(", ".join(f"s_{lang}" for lang in LANG_MARKERS))
+_PRED = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = __gm AND __gm > 0 THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+
+_TOKS = f"string_split({_NORM}, ' ')"
+_SHINGLES = (
+    f"list_transform(range(1, greatest(len({_TOKS}) - 2, 0) + 1), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))"
+)
+_N_MINHASH = 8
+_SIG_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}|' || s)) AS mh_{i}" for i in range(_N_MINHASH)
+    )
+    + f" FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents) GROUP BY doc_id"
+)
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS bh FROM sig"
+    for b in range(_N_MINHASH // 2)
+)
+
+
+@_register(
+    "txt_stats",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {_TOKCNT} AS n_tokens,
+           {_PUNCT} AS punct_ratio,
+           {_STOPRATIO} AS stopword_ratio,
+           CAST({_QUALITY} AS DOUBLE) AS quality
+    FROM documents
+    """,
+    bench=True,
+)
+def txt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length/punct/stopword ratios)
+    — pure codegen'd column expressions, no UDF, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        token_count(c).alias("n_tokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+    )
+
+
+@_register(
+    "txt_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+             {", ".join(f"{sql} AS s_{lang}" for lang, sql in _LANG_SCORE_SQL.items())}
+      FROM documents
+    ), g AS (
+      SELECT *, {_GM} AS __gm FROM scored
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           {", ".join(f"s_{lang}" for lang in LANG_MARKERS)},
+           {_PRED} AS pred_lang
+    FROM g
+    """,
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker n-gram heuristic."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("lang").alias("labeled_lang"),
+        *[lang_score(c, lang).alias(f"s_{lang}") for lang in LANG_MARKERS],
+        lang_id(c).alias("pred_lang"),
+    )
+
+
+@_register(
+    "dd_exact_groups",
+    f"""
+    SELECT md5({_NORM}) AS norm_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+    bench=True,
+)
+def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized md5 — the shuffle moves
+    16-byte keys, never document text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn("norm_key", norm_key(F.col("text"))).groupBy(
+        "norm_key"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+    )
+
+
+@_register(
+    "dd_fingerprint",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(array_to_string(list_slice({_TOKS}, 1, 32), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def dd_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix fingerprint (32 normalized tokens → md5): catches
+    shared-boilerplate duplicates without pairwise comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        doc_fingerprint(F.col("text"), 32).alias("fingerprint"),
+    )
+
+
+@_register(
+    "dd_minhash_signatures",
+    _SIG_SQL,
+)
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-salted variant so the oracle can
+    reproduce them; production path uses xxhash64 — see
+    operators/dedup.py): shingle → k salted min-hashes, one explode +
+    one combinable groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        docs, num_hashes=_N_MINHASH, shingle_n=3, hash_fn="md5"
+    )
+    return sig.withColumn("doc_id", F.col("doc_id").cast("bigint"))
+
+
+@_register(
+    "dd_minhash_lsh_pairs",
+    f"""
+    WITH sig AS ({_SIG_SQL}),
+    bands AS ({_BANDS_SQL})
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+                    CAST(b.doc_id AS BIGINT) AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+    bench=True,
+)
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH candidate pairs: join key is (band,
+    band-hash) so only colliding docs ever meet — no cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_N_MINHASH, bands=_N_MINHASH // 2, shingle_n=3,
+        hash_fn="md5",
+    )
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
+@_register(
+    "dd_ngram_jaccard",
+    f"""
+    WITH sig AS ({_SIG_SQL}),
+    bands AS ({_BANDS_SQL}),
+    pairs AS (
+      SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+                      CAST(b.doc_id AS BIGINT) AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents)
+    SELECT id_a, id_b,
+           CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+                THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / len(list_distinct(sa.sh || sb.sh))
+                ELSE 0.0 END AS jaccard
+    FROM pairs JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification over LSH candidate pairs —
+    the verify stage of the near-dup pipeline (never all-pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_N_MINHASH, bands=_N_MINHASH // 2, shingle_n=3,
+        hash_fn="md5",
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+    return ngram_jaccard(docs, pairs, shingle_n=3)
+
+
+@_register(
+    "emb_cosine_topk",
+    """
+    SELECT CAST(q.vec_id AS BIGINT) AS query_id,
+           CAST(c.vec_id AS BIGINT) AS vec_id,
+           CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])), 4)
+                AS DOUBLE) AS sim,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id) AS INT) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) DESC,
+               c.vec_id) <= 5
+    """,
+    bench=True,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN correctness baseline):
+    JVM-side zip_with/aggregate dot products in double precision,
+    broadcast query side, per-query window rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(queries, emb, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
