@@ -1,0 +1,75 @@
+"""Dedup operators: exact, MinHash LSH, SimHash, n-gram Jaccard."""
+
+from pyspark.sql import Row
+
+from sfdata_wrangler_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill every single afternoon"
+)
+NEAR = DOC.replace("warm", "cold")  # one token differs
+OTHER = (
+    "completely different content about spark query engines and "
+    "distributed columnar storage formats for analytics workloads"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=DOC),
+            Row(doc_id=2, text="  The  QUICK brown fox jumps over the lazy dog "
+                               "while the cat watches from the warm windowsill "
+                               "every single afternoon "),  # exact dup modulo norm
+            Row(doc_id=3, text=NEAR),
+            Row(doc_id=4, text=OTHER),
+        ]
+    )
+
+
+def test_exact_dedup_normalized(spark):
+    docs = _docs(spark)
+    kept = exact_dedup(docs).collect()
+    ids = sorted(r.doc_id for r in kept)
+    assert ids == [1, 3, 4]  # 2 collapses into 1
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].keep_id == 1 and groups[0].n_docs == 2
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    docs = _docs(spark)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs  # near dup collides in ≥1 of 8 bands
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_values(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=1, id_b=3), Row(id_a=1, id_b=4)]
+    )
+    j = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard(docs, pairs).collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 < j[(1, 3)] < 1.0  # one word changed → most shingles shared
+    assert j[(1, 4)] == 0.0
+
+
+def test_simhash_equal_for_dups_and_near_for_neighbors(spark):
+    docs = _docs(spark)
+    fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert fp[1] == fp[2]
+    ham_near = bin(fp[1] ^ fp[3]).count("1")
+    ham_far = bin(fp[1] ^ fp[4]).count("1")
+    assert ham_near < ham_far

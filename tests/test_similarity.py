@@ -1,0 +1,62 @@
+"""Similarity search: brute-force cosine top-k and hyperplane LSH."""
+
+from pyspark.sql import Row
+
+from sfdata_wrangler_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+def _corpus(spark):
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.9, 0.1, 0.0],   # closest to 1
+        3: [0.0, 1.0, 0.0],
+        4: [-1.0, 0.0, 0.0],  # opposite of 1
+        5: [0.5, 0.5, 0.0],
+    }
+    return spark.createDataFrame(
+        [Row(vec_id=k, embedding=v) for k, v in vecs.items()]
+    )
+
+
+def test_cosine_topk_ordering(spark):
+    corpus = _corpus(spark)
+    queries = corpus.where("vec_id = 1").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = cosine_topk(queries, corpus, k=2).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [2, 5]
+    assert out[0].sim > 0.99
+    assert out[0].rank == 1
+
+
+def test_lsh_single_bucket_equals_bruteforce(spark):
+    """With zero hyperplanes everything lands in one bucket — LSH must
+    reduce exactly to the brute-force ranking."""
+    corpus = _corpus(spark)
+    queries = corpus.where("vec_id = 1").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    brute = [
+        (r.vec_id, r.rank)
+        for r in cosine_topk(queries, corpus, k=3).orderBy("rank").collect()
+    ]
+    approx = [
+        (r.vec_id, r.rank)
+        for r in lsh_topk(queries, corpus, planes=[], k=3).orderBy("rank").collect()
+    ]
+    assert brute == approx
+
+
+def test_lsh_buckets_partition_space(spark):
+    """One hyperplane on the x-axis separates vec 4 (negative x) from
+    the query's bucket."""
+    corpus = _corpus(spark)
+    queries = corpus.where("vec_id = 1").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = lsh_topk(
+        queries, corpus, planes=[[1.0, 0.0, 0.0]], k=5
+    ).collect()
+    ids = {r.vec_id for r in out}
+    assert 4 not in ids  # opposite hemisphere
+    assert 2 in ids
