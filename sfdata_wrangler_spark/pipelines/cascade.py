@@ -1,0 +1,110 @@
+"""The aggregation cascade (SURVEY.md §2.4,
+``SFMuniDataAggregator.py:110-1015``).
+
+A materialized rollup lattice: trip-stops → trips → daily route-stops
+→ monthly route-stops → route → system, each stage ONE
+``groupBy().agg()`` with stage-specific rules and weights (deliberate
+explicit materialization — each level applies *different* weights, so
+``rollup()``/grouping-sets cannot express it). Stages write Parquet
+between levels in production; here they compose lazily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import AggRule, aggregate_records, update_speeds
+
+# Rules modeled on the reference's tables (``SFMuniDataAggregator.py:
+# 119-166`` for trips, ``:198-251`` for rs_tod). Columns here use the
+# engine's canonical trip-stop schema (see pipelines/expansion.py).
+TRIP_RULES = [
+    AggRule("FIRST_SEQ", "SEQ", "min"),
+    AggRule("LAST_SEQ", "SEQ", "max"),
+    AggRule("NUMSTOPS", "SEQ", "countUnique", dtype="bigint"),
+    AggRule("OBSERVED", "OBSERVED", "max"),
+    AggRule("ON", "ON", "sum"),
+    AggRule("OFF", "OFF", "sum"),
+    AggRule("SERVMILES", "SERVMILES_S", "sum"),
+    AggRule("RUNTIME", "RUNTIME", "sum"),
+    AggRule("TRIP_STOPS", "TRIP_STOPS", "sum"),
+]
+TRIP_KEYS = ["DATE", "DOW", "TOD", "AGENCY_ID", "ROUTE_SHORT_NAME", "DIR", "TRIP"]
+
+RS_TOD_RULES = [
+    AggRule("TRIPS", "TRIP", "countUnique", dtype="bigint"),
+    AggRule("OBS_TRIP_STOPS", "OBSERVED", "sum"),
+    AggRule("TRIP_STOPS", "TRIP_STOPS", "wgtSum"),
+    AggRule("ON", "ON", "wgtSum"),
+    AggRule("OFF", "OFF", "wgtSum"),
+    AggRule("SERVMILES", "SERVMILES_S", "wgtSum"),
+    AggRule("RUNTIME", "RUNTIME", "wgtSum"),
+]
+RS_TOD_KEYS = ["DATE", "DOW", "TOD", "AGENCY_ID", "ROUTE_SHORT_NAME", "DIR", "SEQ"]
+
+MONTHLY_RULES = [
+    AggRule("TRIPS", "TRIPS", "mean"),
+    AggRule("NUMDAYS", "DATE", "countUnique", dtype="bigint"),
+    AggRule("OBSDAYS", "OBS_TRIP_STOPS", "countNonZero", dtype="bigint"),
+    AggRule("OBS_TRIP_STOPS", "OBS_TRIP_STOPS", "sum"),
+    AggRule("TRIP_STOPS", "TRIP_STOPS", "mean"),
+    AggRule("ON", "ON", "mean"),
+    AggRule("OFF", "OFF", "mean"),
+    AggRule("SERVMILES", "SERVMILES", "mean"),
+    AggRule("RUNTIME", "RUNTIME", "mean"),
+]
+MONTHLY_KEYS = ["MONTH", "DOW", "TOD", "AGENCY_ID", "ROUTE_SHORT_NAME", "DIR", "SEQ"]
+
+ROUTE_RULES = [
+    AggRule("TRIPS", "TRIPS", "mean"),
+    AggRule("TRIP_STOPS", "TRIP_STOPS", "sum"),
+    AggRule("ON", "ON", "sum"),
+    AggRule("OFF", "OFF", "sum"),
+    AggRule("SERVMILES", "SERVMILES", "sum"),
+    AggRule("RUNTIME", "RUNTIME", "sum"),
+]
+ROUTE_KEYS = ["MONTH", "DOW", "TOD", "AGENCY_ID", "ROUTE_SHORT_NAME", "DIR"]
+
+SYSTEM_KEYS = ["MONTH", "DOW", "TOD", "AGENCY_ID"]
+
+
+def run_cascade(trip_stops: DataFrame) -> dict[str, DataFrame]:
+    """trip-stop fact (expanded + weighted, with MONTH column) →
+    every cascade level. Each value is a lazy DataFrame; production
+    materializes each to Parquet (partitioned by MONTH) before the
+    next consumes it, so a level is computed once, not once per
+    downstream level."""
+    trips = aggregate_records(trip_stops, TRIP_KEYS, TRIP_RULES)
+    rs_tod = aggregate_records(
+        trip_stops, RS_TOD_KEYS, RS_TOD_RULES, weight="TOD_WEIGHT"
+    )
+    monthly = aggregate_records(
+        rs_tod.withColumn("MONTH", F.date_trunc("month", "DATE").cast("date")),
+        MONTHLY_KEYS,
+        MONTHLY_RULES,
+    )
+    route_tod = aggregate_records(monthly, ROUTE_KEYS, ROUTE_RULES)
+    system_tod = update_speeds(
+        aggregate_records(route_tod, SYSTEM_KEYS, ROUTE_RULES),
+        tottime_col=None,
+    )
+    # *_day variants: same rules, TOD dropped from the keys
+    route_day = aggregate_records(
+        monthly, [k for k in ROUTE_KEYS if k != "TOD"], ROUTE_RULES
+    )
+    system_day = update_speeds(
+        aggregate_records(
+            route_tod, [k for k in SYSTEM_KEYS if k != "TOD"], ROUTE_RULES
+        ),
+        tottime_col=None,
+    )
+    return {
+        "trips": trips,
+        "rs_tod": rs_tod,
+        "monthly_rs_tod": monthly,
+        "route_dir_tod": route_tod,
+        "route_dir_day": route_day,
+        "system_tod": system_tod,
+        "system_day": system_day,
+    }

@@ -1,0 +1,39 @@
+"""Parquet-lake layout helpers (S8, SURVEY.md §2.1).
+
+The reference's HDF5 stores (one file per year, one table key per
+month, ``data_columns`` indexes; ``SFMuniDataHelper.py:28-39,535``)
+become a partitioned Parquet lake: ``partitionBy("YEAR","MONTH")``
+gives partition pruning, and Parquet min/max stats give the
+predicate pushdown its ``store.select(where=...)`` relied on.
+Idempotent re-runs use dynamic partition overwrite (the reference's
+append+dedup dance)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = ("YEAR", "MONTH"),
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Write a table partitioned for pruning. ``dynamic=True`` +
+    mode=overwrite replaces only the partitions present in ``df`` —
+    the scale-safe idempotent incremental load."""
+    writer = df.write.mode(mode)
+    if dynamic and mode == "overwrite":
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
+def with_year_month(df: DataFrame, date_col: str) -> DataFrame:
+    """Derive the standard partition columns from a date/timestamp."""
+    return df.withColumn("YEAR", F.year(date_col)).withColumn(
+        "MONTH", F.month(date_col)
+    )
