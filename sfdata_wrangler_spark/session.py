@@ -53,6 +53,12 @@ def get_spark(
         # at ~128MB regardless of file layout.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Executor python workers need the repo importable for
+        # pandas-UDF stages regardless of the driver's cwd.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
         # The driver's synthetic events table uses parquet
         # TIMESTAMP(NANOS); read as int64 nanos and convert (see
         # plans.catalog._events).

@@ -1,0 +1,111 @@
+"""Streaming sessionization ≡ batch kernel; multimodal plumbing."""
+
+import datetime
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sfdata_wrangler_spark.multimodal import (
+    decode_images,
+    extract_image_features,
+    sample_video_frames,
+)
+from sfdata_wrangler_spark.operators.windows import sessionize
+from sfdata_wrangler_spark.streaming import stream_session_stats
+
+
+def _events(spark):
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    rows = []
+    mins = [0, 5, 10, 50, 55, 120]  # sessions: {0,5,10}, {50,55}, {120}
+    for i, m in enumerate(mins):
+        rows.append(
+            Row(
+                event_id=i,
+                user_id=1,
+                ts=t0 + datetime.timedelta(minutes=m),
+                value=1.0,
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_session_window_matches_batch_kernel(spark):
+    ev = _events(spark)
+    batch = sessionize(
+        ev, ["user_id"], "ts", gap_minutes=30.0, order_cols=["ts", "event_id"]
+    )
+    n_batch = batch.agg(F.max("SESSION_ID")).collect()[0][0]
+    agg = stream_session_stats(ev, gap="30 minutes")  # batch-mode call
+    assert agg.count() == n_batch == 3
+    sizes = sorted(r.n_events for r in agg.collect())
+    assert sizes == [1, 2, 3]
+
+
+def test_streaming_sessionize_availablenow(spark, tmp_path):
+    """Same aggregation through a real readStream → writeStream cycle."""
+    ev = _events(spark)
+    src = os.path.join(tmp_path, "src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stream_session_stats(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM sess_test").collect()
+    assert len(got) == 3
+    assert sorted(r.n_events for r in got) == [1, 2, 3]
+
+
+def _media(spark):
+    return spark.createDataFrame(
+        [
+            Row(media_id=1, content=b"img-bytes-1", media_type="image",
+                duration_ms=None),
+            Row(media_id=2, content=b"img-bytes-2", media_type="image",
+                duration_ms=None),
+            Row(media_id=3, content=b"vid-bytes", media_type="video",
+                duration_ms=3500),
+        ],
+        "media_id: bigint, content: binary, media_type: string, "
+        "duration_ms: bigint",
+    )
+
+
+def test_decode_images_deterministic(spark):
+    out1 = {r.media_id: r for r in decode_images(_media(spark)).collect()}
+    out2 = {r.media_id: r for r in decode_images(_media(spark)).collect()}
+    assert out1.keys() == out2.keys() == {1, 2, 3}
+    assert out1[1].checksum == out2[1].checksum
+    assert out1[1].checksum != out1[2].checksum
+    assert out1[1].n_bytes == len(b"img-bytes-1")
+    assert 64 <= out1[1].width < 576
+
+
+def test_feature_extraction_shape(spark):
+    out = extract_image_features(_media(spark), dim=8).collect()
+    assert all(len(r.features) == 8 for r in out)
+    assert all(0.0 <= v < 1.0 for r in out for v in r.features)
+
+
+def test_video_frame_sampling_one_to_many(spark):
+    frames = sample_video_frames(
+        _media(spark).where("media_type = 'video'"), every_ms=1000
+    ).collect()
+    assert len(frames) == 3  # 3500ms at 1fps
+    assert [f.frame_ms for f in sorted(frames, key=lambda r: r.frame_idx)] == [
+        0, 1000, 2000,
+    ]
+
+
+def test_real_codecs_stubbed(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_images(_media(spark), fake=False)
