@@ -57,11 +57,14 @@ def observed_runtime(
     """Observed runtime (W2, ``SFMuniDataExpander.py:35-53``):
     max(0, arrival − previous stop's departure) minutes; 0 at the
     first stop."""
+    from ..functions.metrics import portable_round
+
     w = _w(partition, order)
-    prev_dep = F.lag(departure_col).over(w)
-    delta = (F.unix_timestamp(F.col(arrival_col)) - F.unix_timestamp(prev_dep)) / 60.0
+    prev_dep = F.lag(F.unix_micros(F.col(departure_col))).over(w)
+    delta = (F.unix_micros(F.col(arrival_col)) - prev_dep) / 60000000.0
     return df.withColumn(
-        out, F.coalesce(F.greatest(F.lit(0.0), F.round(delta, 2)), F.lit(0.0))
+        out,
+        F.coalesce(F.greatest(F.lit(0.0), portable_round(delta, 2)), F.lit(0.0)),
     )
 
 

@@ -1,0 +1,377 @@
+"""Catalog wave 2: remaining SURVEY §2 families + multimodal/LSH.
+
+Registered into the same QUERIES registry as catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.datetime_fns import fiscal_year
+from ..functions.metrics import portable_round as _pr
+from ..multimodal.binary_ops import decode_images, sample_video_frames
+from ..operators.dedup import minhash_lsh_pairs, simhash
+from ..operators.similarity import lsh_topk
+from ..operators.windows import bfill, observed_runtime, sessionize
+from .catalog import _events, _register, _t
+
+# ---------------------------------------------------------------------------
+# windows / scalar functions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "w2_runtime_clamp",
+    """
+    WITH legs AS (
+      SELECT user_id, event_id, ts,
+             ts + to_microseconds(CAST(value * 1000000 AS BIGINT)) AS dep
+      FROM events
+    )
+    SELECT user_id, event_id,
+           coalesce(greatest(0.0,
+             round((epoch_us(ts) - lag(epoch_us(dep)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) / 60000000.0, 2)
+           ), 0.0) AS runtime_min
+    FROM legs
+    """,
+)
+def w2_runtime_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed runtime (W2, SFMuniDataExpander.py:35-53): max(0,
+    arrival − previous departure), 0 at the first stop. 'Departure' is
+    synthesized as ts + value seconds."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.timestamp_micros(
+                F.unix_micros("ts") + (F.col("value") * 1000000).cast("bigint")
+            )
+        ).alias("dep"),
+    )
+    out = observed_runtime(
+        ev, "ts", "dep", ["user_id"], ["ts", "event_id"], out="runtime_min"
+    )
+    return out.select("user_id", "event_id", "runtime_min")
+
+
+_SESS2 = """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 60000000.0 AS gap_min
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id,
+             1 + sum(CASE WHEN gap_min > 30 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+"""
+
+
+@_register(
+    "w5_linked_weights",
+    _SESS2
+    + """
+    SELECT user_id, event_id,
+           7.5 / count(*) OVER (PARTITION BY user_id, session_id)
+             AS linked_weight
+    FROM s
+    """,
+)
+def w5_linked_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linked-trip weights (W5, ClipperHelper.py:254-258): the card-day
+    weight split across the legs of each linked trip."""
+    ev = _events(spark, sf_dir)
+    s = sessionize(
+        ev, ["user_id"], "ts", gap_minutes=30.0, order_cols=["ts", "event_id"]
+    )
+    wl = Window.partitionBy("user_id", "SESSION_ID")
+    return s.select(
+        "user_id",
+        "event_id",
+        (F.lit(7.5) / F.count(F.lit(1)).over(wl)).alias("linked_weight"),
+    )
+
+
+@_register(
+    "w10_bfill",
+    """
+    SELECT event_id, user_id,
+           first_value(CASE WHEN event_type <> 'view' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS value_backfilled
+    FROM events
+    """,
+)
+def w10_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-fill (W10 mirror of ffill, MultiModalHelper.py:151-156)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_type") != "view", F.col("value"))
+    )
+    out = bfill(ev, "v", ["user_id"], ["ts", "event_id"], out="value_backfilled")
+    return out.select("event_id", "user_id", "value_backfilled")
+
+
+@_register(
+    "f6_fiscal_year_means",
+    """
+    SELECT year(o_orderdate + INTERVAL 6 MONTH) AS fiscal_year,
+           CAST(round(avg(o_totalprice), 4) AS DOUBLE) AS avg_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def f6_fiscal_year_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """July-start fiscal year (F6, MultiModalHelper.py:31-38) + FY
+    means (A4, TransitReporter.py:1585)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        fiscal_year(F.col("o_orderdate")).alias("fiscal_year")
+    ).agg(
+        _pr(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_register(
+    "a1_link_time_rollup",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS observations,
+           CAST(round(avg(o_totalprice), 4) AS DOUBLE) AS tt_mean,
+           CAST(round(stddev(o_totalprice), 4) AS DOUBLE) AS tt_std,
+           CAST(round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95), 4)
+                AS DOUBLE) AS tt_95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a1_link_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 taxi link-time rollup shape (TaxiDataHelper.py:515-531):
+    count/mean/stddev/exact-p95 in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("observations"),
+        _pr(F.avg("o_totalprice"), 4).alias("tt_mean"),
+        _pr(F.stddev("o_totalprice"), 4).alias("tt_std"),
+        _pr(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("tt_95"),
+    )
+
+
+@_register(
+    "j6_month_panel",
+    """
+    WITH spine AS (
+      SELECT DISTINCT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+        AS month FROM orders
+    ), o AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    ), li AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(round(sum(l_quantity), 2) AS DOUBLE) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
+    ), c AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      FROM orders GROUP BY 1
+    )
+    SELECT spine.month, n_orders, revenue, qty, n_customers,
+           revenue / n_orders AS revenue_per_order,
+           qty / n_customers AS qty_per_customer
+    FROM spine
+    LEFT JOIN o ON spine.month = o.month
+    LEFT JOIN li ON spine.month = li.month
+    LEFT JOIN c ON spine.month = c.month
+    """,
+)
+def j6_month_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-spine assembly joins + derived ratios (J6, the
+    TransitReporter demand-panel shape: TransitReporter.py:1105-1181)
+    — chained broadcast-left-joins on the month dimension."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    month = F.date_format(
+        F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd"
+    )
+    spine = orders.select(month.alias("month")).distinct()
+    o = orders.groupBy(month.alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _pr(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    liq = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(month.alias("month"))
+        .agg(_pr(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    c = orders.groupBy(month.alias("month")).agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+    panel = (
+        spine.join(o, "month", "left")
+        .join(liq, "month", "left")
+        .join(c, "month", "left")
+    )
+    return panel.select(
+        "month",
+        "n_orders",
+        "revenue",
+        "qty",
+        "n_customers",
+        (F.col("revenue") / F.col("n_orders")).alias("revenue_per_order"),
+        (F.col("qty") / F.col("n_customers")).alias("qty_per_customer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing — oracle-checked via deterministic fake codecs
+# (content is synthesized from documents.text so DuckDB can reproduce
+# the md5-derived outputs)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mm_decode",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: documents.text bytes as the opaque
+    media payload → Arrow-batched mapInPandas decode (fake codec).
+    Checksum/byte-count are md5/length of the payload, so the oracle
+    verifies the full batch path."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("bigint").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    out = decode_images(media)
+    return out.select("media_id", "n_bytes", "checksum")
+
+
+@_register(
+    "mm_video_frames",
+    """
+    WITH media AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             md5(text) AS base,
+             greatest(CAST(n_chars * 10 AS BIGINT) // 1000, 1) AS n_frames
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ms,
+           md5(base || ':' || CAST(i AS VARCHAR)) AS frame_checksum
+    FROM (SELECT media_id, base, unnest(range(0, n_frames)) AS i FROM media)
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1→N mapInPandas): synthetic duration
+    n_chars×10 ms, one frame per second."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("bigint").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+        (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
+    )
+    return sample_video_frames(media, every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# similarity: hyperplane-LSH bucketed ANN (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+# fixed pseudo-random hyperplanes (deterministic literals, 64-dim);
+# 2 planes → 4 buckets, enough recall on the 500-vector corpus
+_PLANES = [
+    [((i * 37 + p * 17) % 19 - 9) / 10.0 for i in range(64)]
+    for p in range(2)
+]
+
+
+def _planes_sql() -> list[str]:
+    return [
+        "[" + ", ".join(f"{x:.1f}" for x in plane) + "]" for plane in _PLANES
+    ]
+
+
+@_register(
+    "emb_lsh_topk",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]),
+                    CAST({_planes_sql()[0]} AS DOUBLE[])) >= 0
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]),
+                    CAST({_planes_sql()[1]} AS DOUBLE[])) >= 0
+                   THEN 2 ELSE 0 END) AS bkt
+      FROM embeddings
+    )
+    SELECT CAST(q.vec_id AS BIGINT) AS query_id,
+           CAST(c.vec_id AS BIGINT) AS vec_id,
+           CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])), 4)
+                AS DOUBLE) AS sim,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id) AS INT) AS rank
+    FROM sig q JOIN sig c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 3
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) DESC,
+               c.vec_id) <= 5
+    """,
+    bench=True,
+)
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the scale path): bucket both sides
+    by sign pattern, rank within buckets only — bucket-equi join, no
+    cross product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(queries, emb, planes=_PLANES, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# production-hash variants (xxhash64 — no SQL oracle; the driver
+# records the weaker rows-only check, md5 twins above are hash-checked)
+# ---------------------------------------------------------------------------
+
+
+@_register("dd_simhash", None)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (xxhash64 token votes, no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs).withColumn("doc_id", F.col("doc_id").cast("bigint"))
+
+
+@_register("dd_minhash_lsh_pairs_fast", None, bench=True)
+def dd_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash LSH (xxhash64, JVM-side): same plan shape as
+    the md5 oracle twin, ~an order of magnitude cheaper per hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=8, shingle_n=3)

@@ -213,7 +213,6 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     """,
-    bench=True,
 )
 def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH candidate pairs: join key is (band,
