@@ -28,6 +28,21 @@ from pyspark.sql import functions as F
 from ..functions.text import norm_key, normalize_text, word_shingles
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure explode-heavy work is spread across the cluster.
+
+    Document corpora often arrive as few large-ish files; a shingle
+    explode multiplies rows ~100× AFTER the scan, so file-size-based
+    partitioning under-parallelizes (one 5k-doc file = one task doing
+    all the hashing). Round-robin to the default parallelism when the
+    input has fewer partitions — one cheap narrow-ish shuffle of raw
+    text buys full-cluster hashing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -78,7 +93,7 @@ def minhash_signatures(
     the oracle-checked catalog queries; min over hex strings is a
     valid min-hash since md5 hex is order-isomorphic to its value).
     """
-    shingled = df.select(
+    shingled = _spread(df).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
@@ -150,7 +165,7 @@ def simhash(
     """64-bit SimHash over whitespace tokens, no UDF: explode tokens,
     per (doc, bit) sum ±1 votes using the token hash's bit, then
     assemble the fingerprint with bit ORs."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__tok"),
     ).withColumn("__h", F.xxhash64("__tok"))
