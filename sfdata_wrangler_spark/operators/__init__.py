@@ -12,6 +12,7 @@ from .windows import (
 )
 from .weighting import calc_weights
 from .imputation import impute_from_prior_month
+from .interval_lookup import interval_lookup, missing_keys
 from .crosstab import crosstab_with_margins
 
 __all__ = [
@@ -29,5 +30,7 @@ __all__ = [
     "trend_diff",
     "calc_weights",
     "impute_from_prior_month",
+    "interval_lookup",
+    "missing_keys",
     "crosstab_with_margins",
 ]

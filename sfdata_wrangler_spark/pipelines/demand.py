@@ -1,0 +1,108 @@
+"""Demand-driver series transforms (SURVEY.md §2 J5/J8/W13/F11-CPI;
+``DemandHelper.py:518-1619``).
+
+Monthly county-level socioeconomic series: CPI deflation to constant
+dollars, annual→monthly step expansion over a generated month spine,
+QCEW↔LODES scaling-factor joins, and census-block→county crosswalk
+rollups. All month-spine joins are broadcast (the spine is ≤ a few
+thousand rows for decades of months × counties).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.windows import ffill
+
+
+def cpi_deflate(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    cpi_col: str = "CPI",
+    base_cpi: float | None = None,
+    suffix: str = "_2010USD",
+) -> DataFrame:
+    """Deflate nominal dollars to constant dollars:
+    ``value · base/CPI`` (``DemandHelper.py:1528-1556``). If
+    ``base_cpi`` is None the maximum CPI in the frame is used (the
+    reference pins base-year 2010's CPI; pass it explicitly there)."""
+    if base_cpi is not None:
+        base = F.lit(base_cpi)
+    else:
+        base = F.max(cpi_col).over(Window.partitionBy())
+    out = df.withColumn("__factor", base / F.col(cpi_col))
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(c) * F.col("__factor"))
+    return out.drop("__factor")
+
+
+def annual_to_monthly_step(
+    annual: DataFrame,
+    spine: DataFrame,
+    keys: Sequence[str],
+    year_col: str = "YEAR",
+    month_col: str = "MONTH",
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Annual values replicated to months (W13 step expansion,
+    ``MultiModalHelper.py:122-178``): join each spine month to its
+    year's value, then forward-fill across years with missing data."""
+    value_cols = value_cols or [
+        c for c in annual.columns if c not in (*keys, year_col)
+    ]
+    joined = spine.withColumn(year_col, F.year(month_col)).join(
+        F.broadcast(annual), [*keys, year_col], "left"
+    )
+    out = joined
+    for c in value_cols:
+        out = ffill(out, c, list(keys), [month_col])
+    return out.drop(year_col)
+
+
+def scaling_factor_join(
+    monthly: DataFrame,
+    truth: DataFrame,
+    keys: Sequence[str],
+    monthly_col: str,
+    truth_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """QCEW↔WAC pattern (J8, ``DemandHelper.py:1280-1330``): compute a
+    per-key scaling factor truth/monthly, then apply it to value
+    columns — two broadcast left joins + column arithmetic."""
+    factors = (
+        monthly.join(F.broadcast(truth), list(keys))
+        .select(
+            *keys,
+            (F.col(truth_col) / F.col(monthly_col)).alias("__factor"),
+        )
+    )
+    out = monthly.join(F.broadcast(factors), list(keys), "left")
+    for c in value_cols:
+        out = out.withColumn(c, F.col(c) * F.coalesce("__factor", F.lit(1.0)))
+    return out.drop("__factor")
+
+
+def crosswalk_rollup(
+    blocks: DataFrame,
+    xwalk: DataFrame,
+    block_col: str,
+    xwalk_block_col: str = "tabblk2010",
+    group_col: str = "COUNTY_FIPS",
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """LODES block→county rollup (J5, ``DemandHelper.py:1201-1224``):
+    broadcast the crosswalk, sum value columns per county."""
+    value_cols = value_cols or [
+        c for c in blocks.columns if c != block_col
+    ]
+    joined = blocks.join(
+        F.broadcast(xwalk.select(xwalk_block_col, group_col)),
+        blocks[block_col] == xwalk[xwalk_block_col],
+    )
+    return joined.groupBy(group_col).agg(
+        *[F.sum(c).alias(c) for c in value_cols]
+    )
