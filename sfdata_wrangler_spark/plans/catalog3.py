@@ -1,0 +1,170 @@
+"""Catalog wave 3: scalar-function families (F1-F8), W3 trip-id
+disambiguation, A2 grouped transform, and a rows-only map-matching
+query on an in-query toy network."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.metrics import portable_round as _pr
+from .catalog import _events, _register, _t
+
+
+@_register(
+    "f1_string_normalize",
+    """
+    SELECT p_partkey,
+           upper(trim(p_name)) AS name_norm,
+           upper(trim(p_brand)) AS brand_norm,
+           CAST(length(p_name) - length(replace(p_name, 'o', '')) AS BIGINT)
+             AS o_count,
+           replace(p_type, ' ', '_') AS type_key
+    FROM part
+    """,
+)
+def f1_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 upper/trim normalization (SFMuniDataHelper.py:372-377), F2
+    substring occurrence counting (:508), F3 replace (:500)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.trim("p_name")).alias("name_norm"),
+        F.upper(F.trim("p_brand")).alias("brand_norm"),
+        (
+            (F.length("p_name")
+             - F.length(F.replace(F.col("p_name"), F.lit("o"), F.lit(""))))
+        ).cast("bigint").alias("o_count"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_key"),
+    )
+
+
+@_register(
+    "f4_pack_parse_roundtrip",
+    """
+    SELECT event_id,
+           strftime(ts, '%m%d%y') || ' ' ||
+             lpad(CAST(hour(ts) * 10000 + minute(ts) * 100
+                       + CAST(second(ts) AS INT) AS VARCHAR), 6, '0')
+             AS packed,
+           strftime(strptime(strftime(ts, '%m%d%y') || ' ' ||
+             lpad(CAST(hour(ts) * 10000 + minute(ts) * 100
+                       + CAST(second(ts) AS INT) AS VARCHAR), 6, '0'),
+             '%m%d%y %H%M%S'), '%Y-%m-%d %H:%M:%S') AS roundtrip
+    FROM events
+    """,
+)
+def f4_pack_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 zero-pad + concat + parse (SFMuniDataHelper.py:632-658):
+    HHMMSS packing, '%m%d%y %H%M%S' parse, round-trip to the second."""
+    ev = _events(spark, sf_dir)
+    hhmmss = F.hour("ts") * 10000 + F.minute("ts") * 100 + F.second("ts")
+    packed = F.concat_ws(
+        " ",
+        F.date_format("ts", "MMddyy"),
+        F.lpad(hhmmss.cast("int").cast("string"), 6, "0"),
+    )
+    return ev.select(
+        "event_id",
+        packed.alias("packed"),
+        F.date_format(
+            F.to_timestamp(packed, "MMddyy HHmmss"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("roundtrip"),
+    )
+
+
+@_register(
+    "f8_date_int_packing",
+    """
+    SELECT o_orderkey,
+           CAST(month(o_orderdate) * 10000 + day(o_orderdate) * 100
+                + year(o_orderdate) % 100 AS BIGINT) AS date_int
+    FROM orders
+    """,
+)
+def f8_date_int_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 integer date packing MMDDYY (SFMuniDataHelper.py:456-471)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        (
+            F.month("o_orderdate") * 10000
+            + F.dayofmonth("o_orderdate") * 100
+            + F.year("o_orderdate") % 100
+        ).cast("bigint").alias("date_int"),
+    )
+
+
+@_register(
+    "w3_trip_id_disambiguation",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey AS VARCHAR) || '_' ||
+             CAST(min(l_linenumber) OVER (PARTITION BY l_orderkey) AS VARCHAR)
+             AS trip_key
+    FROM lineitem
+    """,
+)
+def w3_trip_id_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (SFMuniDataExpander.py:55-63): id := id + '_' + min(SEQ)
+    over the pattern group — concat with a window min."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(
+            "_",
+            F.col("l_orderkey").cast("string"),
+            F.min("l_linenumber").over(w).cast("string"),
+        ).alias("trip_key"),
+    )
+
+
+@_register(
+    "a2_grouped_transform",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice
+                      / sum(l_extendedprice) OVER (PARTITION BY l_orderkey),
+                      8) AS DOUBLE) AS price_share
+    FROM lineitem
+    """,
+)
+def a2_grouped_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 grouped transform (ClipperHelper.py:250-252): a group total
+    broadcast back to every row — window aggregate, no join."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _pr(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w), 8)
+        .alias("price_share"),
+    )
+
+
+@_register("g5_mapmatch_toy", None)
+def g5_mapmatch_toy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-G6 map-matching on a deterministic in-query toy network
+    (rows-only check: the Viterbi/applyInPandas path is not
+    SQL-expressible; unit tests assert exact link sequences)."""
+    from ..pipelines.mapmatch import Link, Network, match_trips
+
+    links = {
+        i + 1: Link(i + 1, i * 1000.0, 0.0, (i + 1) * 1000.0, 0.0, 60.0)
+        for i in range(4)
+    }
+    net = Network(links).build()
+    t0 = datetime.datetime(2024, 1, 1, 9, 0)
+    pings = spark.createDataFrame(
+        [
+            (cab, 1, t0 + datetime.timedelta(seconds=65 * i), 150.0 + 950.0 * i, 25.0)
+            for cab in (1, 2)
+            for i in range(4)
+        ],
+        "cab_id: bigint, trip_id: bigint, time: timestamp, x: double, y: double",
+    )
+    return match_trips(pings, net)
