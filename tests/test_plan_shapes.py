@@ -1,0 +1,41 @@
+"""Physical-plan regression tests — the 100 TB properties SURVEY §4
+promises must survive refactors: filter pushdown into the parquet
+scan, broadcast joins for dimensions, and no redundant exchange
+between the weight window and the cascade aggregation."""
+
+from sfdata_wrangler_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name]["fn"](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown(spark):
+    plan = _plan(spark, "a0_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_flagship_single_exchange_before_agg(spark):
+    """The weight window and the cascade groupBy share partition keys:
+    exactly one Exchange feeds both (Window → HashAggregate reuses the
+    hash partitioning)."""
+    plan = _plan(spark, "flagship_expand_weight_cascade")
+    assert "BroadcastHashJoin" in plan  # orders side broadcasts
+    # exchanges: one broadcast + one hash for the window; none between
+    # Window and the aggregates
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, f"expected 1 hash exchange, plan:\n{plan}"
+
+
+def test_union_distinct_broadcasts_dim(spark):
+    plan = _plan(spark, "u1_union_distinct")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_pushes_nonnull(spark):
+    plan = _plan(spark, "j2_interval_join")
+    assert "PushedFilters" in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
