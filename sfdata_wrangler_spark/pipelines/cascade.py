@@ -108,3 +108,30 @@ def run_cascade(trip_stops: DataFrame) -> dict[str, DataFrame]:
         "system_tod": system_tod,
         "system_day": system_day,
     }
+
+
+def fold_master_routes(
+    route_level: DataFrame, equiv: DataFrame
+) -> DataFrame:
+    """Master-route folding (``SFMuniDataAggregator.py:807-933``):
+    routes renamed mid-period are re-keyed to their MASTER_ROUTE_NAME
+    via the (broadcast) equivalency dimension, then the route level is
+    re-aggregated so both eras of a renamed route roll into one
+    series. (The reference's hardcoded 8X/9X Dec-2009 patch is a data
+    fix, not an operator — out of scope.)"""
+    mapped = route_level.join(
+        F.broadcast(
+            equiv.select("ROUTE_SHORT_NAME", "MASTER_ROUTE_NAME").distinct()
+        ),
+        "ROUTE_SHORT_NAME",
+        "left",
+    ).withColumn(
+        "MASTER_ROUTE_NAME",
+        F.coalesce("MASTER_ROUTE_NAME", "ROUTE_SHORT_NAME"),
+    )
+    keys = [
+        c
+        for c in ("MONTH", "DOW", "TOD", "AGENCY_ID", "MASTER_ROUTE_NAME")
+        if c in mapped.columns
+    ]
+    return aggregate_records(mapped, keys, ROUTE_RULES)
