@@ -375,3 +375,36 @@ def dd_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 oracle twin, ~an order of magnitude cheaper per hash."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, num_hashes=16, bands=8, shingle_n=3)
+
+
+@_register(
+    "w4b_session_window_agg",
+    _SESS2
+    + """
+    SELECT s.user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(e.value), 2) AS DOUBLE) AS session_value,
+           CAST(min(epoch_us(e.ts)) AS BIGINT) AS start_us,
+           CAST(max(epoch_us(e.ts)) AS BIGINT) AS end_us
+    FROM s JOIN events e ON s.event_id = e.event_id
+    GROUP BY s.user_id, s.session_id
+    """,
+)
+def w4b_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window aggregation in batch mode — the same operator
+    that runs under Structured Streaming (streaming/sessionize_stream)
+    — verified against the cumsum-of-breaks SQL reconstruction.
+
+    Spark's session_window closes at gap ≥ 30 min vs the kernel's
+    strict >; with microsecond timestamps the boundary is
+    measure-zero (and absent from the synthetic data)."""
+    from ..streaming.sessionize_stream import stream_session_stats
+
+    ev = _events(spark, sf_dir)
+    agg = stream_session_stats(ev, gap="30 minutes")
+    return agg.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        _pr(F.col("session_value"), 2).alias("session_value"),
+        F.unix_micros("session_start").cast("bigint").alias("start_us"),
+        F.unix_micros("session_end").cast("bigint").alias("end_us"),
+    )

@@ -32,6 +32,24 @@ def write_partitioned(
     writer.partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Bucketed managed table for co-located joins: two tables
+    bucketed the same way join WITHOUT a shuffle (verified in
+    tests/test_skew_bucketing.py by plan inspection). This is the
+    100 TB answer for repeated fact⨝fact joins on the same key
+    (schedule⨝observation on trip-stop keys)."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def with_year_month(df: DataFrame, date_col: str) -> DataFrame:
     """Derive the standard partition columns from a date/timestamp."""
     return df.withColumn("YEAR", F.year(date_col)).withColumn(

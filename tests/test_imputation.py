@@ -33,3 +33,34 @@ def test_impute_chains_through_gaps(spark):
     assert got[("r1", 4)] == (200.0, 0)
     assert got[("r1", 5)] == (200.0, 3)
     assert got[("r2", 1)] == (None, 0)  # nothing to inherit
+
+
+def test_window_impute_equals_sequential_loop(spark):
+    """The one-pass window formulation must equal the reference's
+    sequential month-by-month chain on an arbitrary pattern."""
+    import random
+
+    rng = random.Random(42)
+    months = [datetime.date(2013, m, 1) for m in range(1, 13)]
+    rows, naive = [], {}
+    for cell in ("a", "b", "c"):
+        carry = None
+        carry_obs = 0
+        for mo in months:
+            obs = rng.randint(0, 3)
+            val = round(rng.uniform(10, 99), 2) if obs else None
+            rows.append(Row(cell=cell, MONTH=mo, OBS=obs, VAL=val))
+            if obs:
+                carry, carry_obs = val, obs
+                naive[(cell, mo)] = (val, 0)
+            else:
+                naive[(cell, mo)] = (carry, carry_obs if carry is not None else 0)
+    df = spark.createDataFrame(
+        rows, "cell: string, MONTH: date, OBS: int, VAL: double"
+    )
+    out = impute_from_prior_month(
+        df, ["cell"], "MONTH", ["VAL"], observed_count_col="OBS",
+        provenance_col="IMP",
+    )
+    got = {(r.cell, r.MONTH): (r.VAL, r.IMP) for r in out.collect()}
+    assert got == naive
