@@ -168,3 +168,51 @@ def g5_mapmatch_toy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cab_id: bigint, trip_id: bigint, time: timestamp, x: double, y: double",
     )
     return match_trips(pings, net)
+
+
+@_register(
+    "r1_estimation_extract",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           CASE WHEN month >= '1997-01-01' AND month < '1997-07-01'
+                THEN 1 ELSE 0 END AS event_dummy,
+           CASE WHEN month(CAST(month AS DATE)) = 12 THEN 1 ELSE 0 END
+             AS december_dummy,
+           (CASE WHEN month >= '1997-01-01' AND month < '1997-07-01'
+                 THEN 1 ELSE 0 END) * revenue AS event_x_revenue
+    FROM m
+    """,
+)
+def r1_estimation_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimation extract (§2.10, TransitReporter.py:2059-2288):
+    monthly panel + event dummies (the BART-strike/casual-carpool
+    pattern) + interaction terms, ready for model estimation."""
+    from ..functions.metrics import portable_round as _pr2
+
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_format(
+        F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd"
+    )
+    m = orders.groupBy(month.alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _pr2(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    event = (
+        (F.col("month") >= "1997-01-01") & (F.col("month") < "1997-07-01")
+    ).cast("int")
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        event.alias("event_dummy"),
+        (F.month(F.col("month").cast("date")) == 12).cast("int").alias(
+            "december_dummy"
+        ),
+        (event * F.col("revenue")).alias("event_x_revenue"),
+    )
