@@ -75,6 +75,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _msum2(expr):
+    """Exact 2-decimal rounding of a sum whose addends have <= 4
+    decimal digits (money x discount products). Plain float rounding
+    of such sums is knife-edged: the TRUE sum often lands exactly on a
+    half-cent boundary, and cross-engine ulp differences in the
+    accumulation flip floor/round either way. Summing integer
+    ten-thousandths instead is exact in both engines."""
+    tt = F.floor(expr * 10000 + 0.5).cast("long")
+    return F.floor((F.sum(tt) + 50) / 100.0) / 100.0
+
+
+def _msum2_sql(expr: str) -> str:
+    return (
+        f"(floor((sum(CAST(floor(({expr}) * 10000 + 0.5) AS BIGINT)) + 50)"
+        " / 100.0) / 100.0)"
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts`` as a proper TimestampType.
 
@@ -194,7 +212,7 @@ def flagship_expand_weight_cascade(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT l_returnflag, l_linestatus,
            CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
            CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST((floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0) AS DOUBLE) AS sum_disc_price,
            CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
            CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
            CAST(count(*) AS BIGINT) AS count_order
@@ -212,9 +230,9 @@ def a0_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _pr(F.sum("l_quantity"), 2).alias("sum_qty"),
         _pr(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        _pr(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("sum_disc_price"),
+        _msum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "sum_disc_price"
+        ),
         _pr(F.avg("l_quantity"), 4).alias("avg_qty"),
         _pr(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.count(F.lit(1)).alias("count_order"),
@@ -226,7 +244,7 @@ def a0_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT l_returnflag,
            CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base,
-           CAST(round(sum(l_extendedprice * l_quantity), 2) AS DOUBLE) AS wgt_price,
+           CAST((floor((sum(CAST(floor((l_extendedprice * l_quantity) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0) AS DOUBLE) AS wgt_price,
            CAST(round(sum(l_discount * l_quantity)
                 / sum(CASE WHEN l_discount IS NOT NULL THEN l_quantity END), 6)
                 AS DOUBLE) AS wgt_avg_disc,
@@ -242,6 +260,9 @@ def a1_rule_driven_agg_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The §2.4 rule-table engine: wgtSum/wgtAvg/countUnique/countNonZero
     compile to one groupBy (SFMuniDataAggregator.py:1018-1214 parity)."""
     li = _t(spark, sf_dir, "lineitem")
+    li = li.withColumn(
+        "__pq", F.col("l_extendedprice") * F.col("l_quantity")
+    )
     agg = aggregate_records(
         li,
         ["l_returnflag"],
@@ -257,10 +278,14 @@ def a1_rule_driven_agg_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         weight="l_quantity",
     )
+    exact_wgt = li.groupBy("l_returnflag").agg(
+        _msum2(F.col("__pq")).alias("wgt_price_exact")
+    )
+    agg = agg.join(exact_wgt, "l_returnflag")
     return agg.select(
         "l_returnflag",
         _pr("sum_base", 2).alias("sum_base"),
-        _pr("wgt_price", 2).alias("wgt_price"),
+        F.col("wgt_price_exact").alias("wgt_price"),
         _pr("wgt_avg_disc", 6).alias("wgt_avg_disc"),
         "n_parts",
         "n_taxed",

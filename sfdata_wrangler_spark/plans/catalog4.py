@@ -1,0 +1,220 @@
+"""Catalog wave 4: multi-way-join / subquery relational shapes
+(TPC-H-style) over the synthetic star schema.
+
+These demonstrate the general query surface a user of the reference
+gets for free by moving to this engine — join reordering, semi-join
+rewrites of EXISTS/IN, correlated-aggregate decorrelation (expressed
+as windows), and having-clauses — all Catalyst-optimized, UDF-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.metrics import portable_round as _pr
+from .catalog import _msum2, _msum2_sql, _register, _t
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST((floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filters on both sides + grouped
+    revenue. Catalyst pushes both date filters into the scans."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _msum2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@_register(
+    "q4_exists_semijoin",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join (orders with
+    at least one line shipped within 30 days)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+             AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through two dimension chains with
+    the same-nation colocation predicate; dims broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _pr(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             (floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0) AS total_rev
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_rev AS DOUBLE) AS total_rev
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate 'view' + scalar-subquery max —
+    expressed as a rank window over the aggregate (no second scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _msum2(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_rev")
+    )
+    top = (
+        rev.withColumn(
+            "__rk", F.rank().over(Window.orderBy(F.col("total_rev").desc()))
+        )
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_rev"
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(sum(l_extendedprice) / 7.0, 2) AS DOUBLE)
+             AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM lineitem JOIN pa ON lineitem.l_partkey = pa.l_partkey
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average → window rewrite
+    (one pass over lineitem, no self-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("__avg_qty", F.avg("l_quantity").over(w)).where(
+        F.col("l_quantity") < 0.5 * F.col("__avg_qty")
+    )
+    return flagged.agg(
+        _pr(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+@_register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_type
+    HAVING count(DISTINCT l_suppkey) > 1
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: dim filter + distinct-count + HAVING."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(p)
+        .join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .where(F.col("supplier_cnt") > 1)
+    )
