@@ -28,26 +28,11 @@ from pyspark.sql import functions as F
 from ..functions.datetime_fns import dow_class, service_date_rollover, tod_period
 from ..functions.metrics import portable_round as _pr
 from ..functions.metrics import sql_portable_round
-from ..functions.text import (
-    EN_STOPWORDS,
-    LANG_MARKERS,
-    doc_fingerprint,
-    lang_id,
-    lang_score,
-    norm_key,
-    punct_ratio,
-    quality_score,
-    stopword_ratio,
-    token_count,
-    word_shingles,
-)
 from ..operators.aggregate import AggRule, aggregate_records
 from ..operators.crosstab import crosstab_with_margins
 from ..operators.imputation import impute_from_prior_month
-from ..operators.similarity import cosine_topk
 from ..operators.weighting import calc_weights
 from ..operators.windows import (
-    bfill,
     dedup_by_order,
     ffill,
     interpolate_monthly,

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.metrics import portable_round as _pr
-from .catalog import _msum2, _msum2_sql, _register, _t
+from .catalog import _msum2, _register, _t
 
 
 @_register(
@@ -100,6 +100,7 @@ def q4_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r_name = 'ASIA'
     GROUP BY n_name
     """,
+    bench=True,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join through two dimension chains with
