@@ -1,0 +1,85 @@
+"""Declarative runtime data-quality checks (SURVEY.md §5).
+
+The reference embeds QC as scattered filters, asserts, and printouts
+(count bounds ``SFMuniDataHelper.py:491-497``, negative-service-mile
+assertion ``GTFSHelper.py:516-519``, missing-route reports
+``:593-615``, report-level error metrics ``TransitReporter.py:
+152-153``). Here: one declarative check runner — each check is a
+boolean Column; ALL checks evaluate in a single pass over the data
+(one job, conditional-count aggregation), producing a violations
+summary DataFrame you can gate a pipeline on or sink to a QC table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    predicate: Column  # True = row PASSES
+    severity: str = "error"  # error | warn
+
+
+def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """One aggregation pass → (check, severity, n_rows, n_violations,
+    violation_rate)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in checks:
+        aggs.append(
+            F.sum(F.when(~c.predicate, 1).otherwise(0)).alias(f"__v_{c.name}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (
+            c.name,
+            c.severity,
+            int(row["__n"]),
+            int(row[f"__v_{c.name}"]),
+            float(row[f"__v_{c.name}"]) / row["__n"] if row["__n"] else 0.0,
+        )
+        for c in checks
+    ]
+    return spark.createDataFrame(
+        out, "check: string, severity: string, n_rows: bigint, "
+        "n_violations: bigint, violation_rate: double"
+    )
+
+
+def assert_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Raise if any error-severity check has violations; returns the
+    summary either way (the reference's assert-with-print pattern,
+    GTFSHelper.py:516-519)."""
+    summary = run_checks(df, checks)
+    bad = [
+        r
+        for r in summary.collect()
+        if r.severity == "error" and r.n_violations > 0
+    ]
+    if bad:
+        details = "; ".join(
+            f"{r.check}: {r.n_violations}/{r.n_rows}" for r in bad
+        )
+        raise AssertionError(f"data-quality violations: {details}")
+    return summary
+
+
+# canonical transit checks (reference parity)
+def avl_checks() -> list[Check]:
+    return [
+        Check("revenue_service_dir", F.col("DIR") < 2),
+        Check("qc_count_bound", F.col("QC201") <= 20),
+        Check("route_positive", F.col("ROUTE_AVL") > 0),
+        Check("servmiles_nonnegative", F.col("SERVMILES") >= 0),
+        Check(
+            "load_identity",
+            F.col("LOAD_ARR") == F.col("LOAD_DEP") - F.col("ON") + F.col("OFF"),
+        ),
+        Check("on_nonnegative", F.col("ON") >= 0, severity="warn"),
+    ]
