@@ -211,3 +211,57 @@ def ngram_jaccard(
         "id_b",
         F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
     )
+
+
+def cluster_duplicates(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id,
+    cluster_id) with cluster_id = min doc id in the component.
+
+    Distributed min-label propagation: each node repeatedly adopts the
+    smallest label among itself and its neighbors until fixpoint.
+    Iterations ≈ graph diameter; duplicate clusters are shallow
+    (near-dup graphs are dense cliques), so this converges in a few
+    rounds even at corpus scale. The final keep-one-per-cluster step
+    is then ``dedup_by_order`` on cluster_id.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

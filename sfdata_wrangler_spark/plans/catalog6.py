@@ -1,0 +1,73 @@
+"""Catalog wave 6: BPE-ish tokenization and embedding array
+analytics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.metrics import portable_round as _pr
+from .catalog import _register, _t
+
+# word runs | digit runs | single other-symbols — identical semantics
+# in Java regex (Spark) and RE2 (DuckDB); space excluded
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@_register(
+    "txt_bpe_tokens",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                END AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (letter runs / digit runs / symbols) vs
+    whitespace tokens — the tokenizer-budget estimator for training-
+    data pipelines; pure regexp, codegen'd."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.when(F.length(ws) == 0, F.lit(0))
+        .otherwise(F.size(F.split(ws, " ")))
+        .cast("bigint")
+        .alias("n_ws_tokens"),
+    )
+
+
+@_register(
+    "emb_label_centroids",
+    """
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(dim AS INT) AS dim,
+           CAST(round(avg(x), 6) AS DOUBLE) AS centroid
+    FROM (
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: posexplode → (label, dim) mean.
+    The building block for IVF-style coarse quantization (assign to
+    nearest centroid → bucketed ANN) and for class-prototype dedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    return exploded.groupBy(
+        "label", (F.col("pos") + 1).cast("int").alias("dim")
+    ).agg(_pr(F.avg(F.col("x").cast("double")), 6).alias("centroid"))

@@ -73,3 +73,14 @@ def test_simhash_equal_for_dups_and_near_for_neighbors(spark):
     ham_near = bin(fp[1] ^ fp[3]).count("1")
     ham_far = bin(fp[1] ^ fp[4]).count("1")
     assert ham_near < ham_far
+
+
+def test_cluster_duplicates_components(spark):
+    """Chain 1-2, 2-3 plus pair 5-6 → components {1,2,3} and {5,6}."""
+    from sfdata_wrangler_spark.operators.dedup import cluster_duplicates
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6)]
+    )
+    got = {r.doc_id: r.cluster_id for r in cluster_duplicates(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
