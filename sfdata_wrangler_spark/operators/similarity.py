@@ -125,3 +125,131 @@ def lsh_topk(
         .withColumn("sim", portable_round(F.col("__sim_exact"), 4))
         .drop("__sim_exact")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iterations: int = 5,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means in pure DataFrame ops → (centroid_id,
+    centroid array<double>). Seeds deterministically from the k
+    lowest-id vectors; each iteration = one broadcast assign + one
+    posexplode/groupBy mean. Iterations are few and each is one
+    shuffle — the standard coarse-quantizer training shape."""
+    seeds = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.select(corpus_id, vec_col)
+        .orderBy(corpus_id)
+        .limit(k)
+        .collect()
+    ]
+    centroids = [(i, vec) for i, (_, vec) in enumerate(seeds)]
+    spark = corpus.sparkSession
+    for _ in range(iterations):
+        cdf = spark.createDataFrame(
+            centroids, "centroid_id: int, centroid: array<double>"
+        )
+        assigned = assign_to_centroids(corpus, cdf, corpus_id, vec_col)
+        new = (
+            assigned.join(corpus, corpus_id)
+            .select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+            )
+        )
+        centroids = [
+            (int(r.centroid_id), [float(x) for x in r.centroid])
+            for r in new.collect()
+        ]
+    return spark.createDataFrame(
+        centroids, "centroid_id: int, centroid: array<double>"
+    )
+
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id): nearest centroid by cosine — broadcast the
+    (tiny) centroid table, rank per vector. One pass, no shuffle of
+    the corpus beyond the rank window's partial."""
+    joined = corpus.crossJoin(F.broadcast(centroids))
+    scored = joined.select(
+        corpus_id,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("centroid")).alias("__sim"),
+    )
+    w = Window.partitionBy(corpus_id).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(corpus_id, "centroid_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's cell; each query probes its ``n_probe`` nearest cells
+    only. The candidate join is cell-equi (like LSH buckets) — the
+    inverted-file ANN the brief's scale path calls for."""
+    cells = assign_to_centroids(corpus, centroids, corpus_id, vec_col)
+    indexed = corpus.join(cells, corpus_id)
+
+    qjoined = queries.crossJoin(F.broadcast(centroids))
+    qscored = qjoined.select(
+        query_id,
+        F.col(vec_col).alias("__qv"),
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("centroid")).alias("__sim"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= n_probe)
+        .select(query_id, "__qv", "centroid_id")
+    )
+
+    cand = indexed.join(F.broadcast(probes), "centroid_id").where(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    scored = cand.select(
+        query_id,
+        corpus_id,
+        cosine(F.col("__qv"), F.col(vec_col)).alias("__sim_exact"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__sim_exact").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("sim", portable_round(F.col("__sim_exact"), 4))
+        .drop("__sim_exact")
+    )

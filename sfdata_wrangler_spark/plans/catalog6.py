@@ -71,3 +71,25 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy(
         "label", (F.col("pos") + 1).cast("int").alias("dim")
     ).agg(_pr(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+
+
+@_register("emb_ivf_topk", None)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only: k-means training is iterative, not
+    SQL-expressible): deterministic centroids (fixed seeds/iteration
+    count) → cell-equi candidate join → per-query rank. Recall vs
+    brute force asserted in tests/test_similarity.py."""
+    from ..operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(emb, k=8, iterations=3)
+    out = ivf_topk(queries, emb, cents, k=5, n_probe=2)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "sim",
+        F.col("rank").cast("int").alias("rank"),
+    )

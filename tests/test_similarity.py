@@ -60,3 +60,28 @@ def test_lsh_buckets_partition_space(spark):
     ids = {r.vec_id for r in out}
     assert 4 not in ids  # opposite hemisphere
     assert 2 in ids
+
+
+def test_ivf_recall_on_real_embeddings(spark):
+    """IVF with k-means cells: recall@5 vs brute force ≥ 0.6 with
+    2-of-8 cells probed (and exact when probing all cells)."""
+    from sfdata_wrangler_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, k=8, iterations=3)
+    brute = cosine_topk(queries, emb, k=5)
+    approx = ivf_topk(queries, emb, cents, k=5, n_probe=2)
+    b = {(r.query_id, r.vec_id) for r in brute.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.6, f"recall {recall}"
+
+    full = ivf_topk(queries, emb, cents, k=5, n_probe=8)
+    f = {(r.query_id, r.vec_id) for r in full.collect()}
+    assert f == b  # probing every cell == brute force
