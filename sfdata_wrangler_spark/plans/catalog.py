@@ -135,7 +135,7 @@ WITH ts AS (
   WINDOW cell AS (PARTITION BY month, o_orderpriority)
 )
 SELECT month, o_orderpriority,
-       CAST(round(sum(revenue * weight), 2) AS DOUBLE) AS est_revenue,
+       CAST(round((sum(CAST(floor(CASE WHEN observed = 1 THEN revenue END * 10000 + 0.5) AS BIGINT)) / 10000.0) * max(weight), 2) AS DOUBLE) AS est_revenue,
        CAST(round(sum(l_quantity * weight)
             / sum(CASE WHEN l_quantity IS NOT NULL THEN weight END), 4) AS DOUBLE)
          AS avg_qty,
@@ -165,16 +165,29 @@ def flagship_expand_weight_cascade(spark: SparkSession, sf_dir: str) -> DataFram
     weighted = calc_weights(
         ts, ["month", "o_orderpriority"], "trip_weight", "trip_stops", "weight"
     )
+    # est_revenue = (exact integer sum of observed revenue) x the
+    # cell's constant expansion factor: a single arithmetic path, so
+    # the double is bitwise-identical across engines (an
+    # order-dependent sum(revenue*weight) lands on half-cent rounding
+    # boundaries whenever the factor is dyadic, e.g. 7/2).
+    obs_rev_tt = F.floor(
+        F.when(F.col("observed") == 1, F.col("revenue")) * 10000 + 0.5
+    ).cast("long")
+    weighted = weighted.withColumn("__rev_tt", obs_rev_tt)
     agg = aggregate_records(
         weighted,
         ["month", "o_orderpriority"],
         [
-            AggRule("est_revenue", "revenue", "wgtSum"),
             AggRule("avg_qty", "l_quantity", "wgtAvg"),
             AggRule("obs_rows", "observed", "sum", dtype="bigint"),
             AggRule("n_rows", "observed", "count", dtype="bigint"),
+            AggRule("__rev_tt_sum", "__rev_tt", "sum"),
+            AggRule("__factor", "weight", "max"),
         ],
         weight="weight",
+    ).withColumn(
+        "est_revenue",
+        (F.col("__rev_tt_sum") / 10000.0) * F.col("__factor"),
     )
     return agg.select(
         "month",
