@@ -38,11 +38,17 @@ def headway_minutes(
     departure_col: str,
     partition: Sequence[str],
     out: str = "HEADWAY_S",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Scheduled headway (W1, ``GTFSHelper.py:87-104``): gap in minutes
-    to the previous departure within (route, dir, headsign, stop)."""
+    to the previous departure within (route, dir, headsign, stop).
+    Pass a unique ``tiebreak`` column (trip id) — simultaneous
+    departures are real in dense schedules."""
     return df.withColumn(
-        out, lag_delta_minutes(departure_col, partition, [departure_col])
+        out,
+        lag_delta_minutes(
+            departure_col, partition, [departure_col, *tiebreak]
+        ),
     )
 
 

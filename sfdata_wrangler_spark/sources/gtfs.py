@@ -180,7 +180,7 @@ def build_trip_stops(feeds: dict[str, DataFrame]) -> DataFrame:
     # previous trip's departure at the same stop of the same service
     whead = Window.partitionBy(
         "ROUTE_SHORT_NAME", "DIR", "TRIP_HEADSIGN", "SEQ", "DOW"
-    ).orderBy("DEPARTURE_SEC")
+    ).orderBy("DEPARTURE_SEC", "trip_id")
     ts = ts.withColumn(
         "HEADWAY_S",
         (F.col("DEPARTURE_SEC") - F.lag("DEPARTURE_SEC").over(whead)) / 60.0,

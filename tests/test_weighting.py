@@ -37,3 +37,30 @@ def test_weight_invariant(spark):
     per_row = {(r.cell, r.trip): r.WEIGHT for r in w.collect()}
     assert per_row[("A", 0)] == 2.0
     assert per_row[("A", 2)] is None
+
+
+def test_two_stage_weight_chaining(spark):
+    """The reference chains weights (TRIP_WEIGHT within TOD cells,
+    then TOD_WEIGHT across the day, SFMuniDataExpander.py:600-619):
+    calc_weights composes — stage 2 takes stage 1's output as its
+    old weight, and the invariant holds at the coarser cell."""
+    rows = []
+    # day cell with two TOD cells; observation rates differ
+    for tod, obs_pattern in [("AM", [1, 0]), ("PM", [1, 1, 0, 0])]:
+        for i, obs in enumerate(obs_pattern):
+            rows.append(
+                Row(day="d1", tod=tod, trip=f"{tod}{i}",
+                    OBSERVED=obs, TRIP_STOPS=1.0)
+            )
+    df = seed_trip_weight(spark.createDataFrame(rows))
+    s1 = calc_weights(df, ["day", "tod"], "TRIP_WEIGHT", "TRIP_STOPS", "W1")
+    s2 = calc_weights(s1, ["day"], "W1", "TRIP_STOPS", "W2")
+    out = s2.collect()
+    # stage 1: AM observed trip weight 2.0, PM observed trips 2.0 each
+    w1 = {r.trip: r.W1 for r in out}
+    assert w1["AM0"] == 2.0 and w1["PM0"] == 2.0
+    # stage 2 re-normalizes over the day: sum(W2*stops) == total stops
+    import math
+
+    tot = sum((r.W2 or 0.0) * r.TRIP_STOPS for r in out)
+    assert math.isclose(tot, 6.0)
