@@ -93,3 +93,50 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@_register(
+    "qc_lineitem_checks",
+    """
+    SELECT 'qty_positive' AS check, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_range', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.5)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'ship_after_order', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN NOT (l_shipdate >= o_orderdate) THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def qc_lineitem_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime data-quality checks (SURVEY §5 embedded-QC parity) as a
+    driver-visible query: single-pass conditional-count framework
+    (operators/quality.run_checks) over fact + referential rules."""
+    from ..operators.quality import Check, run_checks
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = run_checks(
+        li,
+        [
+            Check("qty_positive", F.col("l_quantity") > 0),
+            Check(
+                "discount_range",
+                (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.5),
+            ),
+        ],
+    ).select("check", "n_rows", "n_violations")
+    joined = li.join(
+        _t(spark, sf_dir, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    ref = run_checks(
+        joined,
+        [Check("ship_after_order", F.col("l_shipdate") >= F.col("o_orderdate"))],
+    ).select("check", "n_rows", "n_violations")
+    return base.unionByName(ref)

@@ -82,7 +82,13 @@ def stateful_sessionize(
             return
 
         rows = pd.concat(list(pdfs)).sort_values([ts_col, "event_id"])
-        ts_us = (rows[ts_col].astype("int64") // 1000).to_list()
+        # normalize to ns first: pandas may deliver datetime64[ns] or
+        # [us] depending on the Arrow path, and int64-casting them
+        # differs by 1000x
+        ts_us = (
+            pd.to_datetime(rows[ts_col]).astype("datetime64[ns]").astype("int64")
+            // 1000
+        ).to_list()
         vals = rows[value_col].to_list()
 
         cur = list(state.get) if state.exists else None
