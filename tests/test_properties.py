@@ -95,3 +95,91 @@ def test_weight_invariant_property(spark, observed):
         assert abs(tot.w - tot.t) < 1e-9
     else:
         assert tot.w is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_parts=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=100),
+)
+def test_dedup_and_firstlast_partition_invariant(spark, n_parts, seed):
+    """Deterministic dedup and ordering-pinned first/last must return
+    IDENTICAL results regardless of physical partitioning — the core
+    distributed-determinism claim."""
+    import random
+
+    from sfdata_wrangler_spark.operators.aggregate import (
+        AggRule,
+        aggregate_records,
+    )
+    from sfdata_wrangler_spark.operators.windows import dedup_by_order
+
+    rng = random.Random(seed)
+    rows = [
+        Row(k=rng.randint(1, 5), ord=i, v=rng.randint(0, 99))
+        for i in range(40)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows).repartition(n_parts)
+
+    dd = {
+        r.k: (r.ord, r.v)
+        for r in dedup_by_order(
+            df, ["k"], [F.col("ord").desc()]
+        ).collect()
+    }
+    fl = {
+        r.k: (r.first_v, r.last_v)
+        for r in aggregate_records(
+            df,
+            ["k"],
+            [AggRule("first_v", "v", "first"), AggRule("last_v", "v", "last")],
+            order_by=["ord"],
+        ).collect()
+    }
+    # reference: single-threaded computation
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, []).append((r.ord, r.v))
+    for k, items in by_k.items():
+        items.sort()
+        assert dd[k] == items[-1]
+        assert fl[k] == (items[0][1], items[-1][1])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mask=st.lists(st.booleans(), min_size=4, max_size=12),
+)
+def test_interpolation_bounds_property(spark, mask):
+    """Interpolated values always lie between their bracketing
+    observed values; observed values pass through untouched."""
+    import datetime as dt
+
+    from sfdata_wrangler_spark.operators.windows import interpolate_monthly
+
+    rows = [
+        Row(
+            m=dt.date(2020, 1, 1) + dt.timedelta(days=31 * i),
+            v=float(10 + 7 * i) if obs else None,
+        )
+        for i, obs in enumerate(mask)
+    ]
+    rows = [Row(m=dt.date(2020, 1 + i, 1), v=r.v) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(rows, "m: date, v: double")
+    out = interpolate_monthly(df, "m", "v", out="f").collect()
+    obs_vals = [r.v for r in rows if r.v is not None]
+    for r in sorted(out, key=lambda x: x.m):
+        orig = next(x.v for x in rows if x.m == r.m)
+        if orig is not None:
+            assert r.f == orig
+        elif r.f is not None:
+            assert min(obs_vals) <= r.f <= max(obs_vals)
