@@ -167,3 +167,41 @@ def sample_video_frames(
     return df.select("media_id", "content", "duration_ms").mapInPandas(
         kernel, FRAME_SCHEMA
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_checksum", StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 256, fake: bool = True
+) -> DataFrame:
+    """Aspect-preserving resize to max_side (stub: output dims are the
+    real resize arithmetic over the fake-decoded dims; the pixel
+    transform is a checksum derivation). Arrow-batched mapInPandas."""
+    if not fake:
+        raise NotImplementedError("real resize needs PIL")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "resized_checksum": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, chk = _fake_decode(content)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                out["media_id"].append(mid)
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["resized_checksum"].append(
+                    hashlib.md5(f"{chk}:{nw}x{nh}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(kernel, RESIZED_SCHEMA)

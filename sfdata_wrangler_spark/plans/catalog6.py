@@ -140,3 +140,43 @@ def qc_lineitem_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         [Check("ship_after_order", F.col("l_shipdate") >= F.col("o_orderdate"))],
     ).select("check", "n_rows", "n_violations")
     return base.unionByName(ref)
+
+
+@_register(
+    "dd_embedding_neardup",
+    """
+    SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+           CAST(b.vec_id AS BIGINT) AS id_b,
+           CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 4)
+                AS DOUBLE) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.9
+    """,
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup
+    complement to MinHash): exact all-pairs at verification scale;
+    the 100 TB path swaps the self-join for the LSH/IVF bucket join
+    (emb_lsh_topk / emb_ivf_topk) with identical scoring."""
+    from ..operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            sim.alias("__sim"),
+        )
+        .where(F.col("__sim") >= 0.9)
+        .select("id_a", "id_b", _pr(F.col("__sim"), 4).alias("sim"))
+    )

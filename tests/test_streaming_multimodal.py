@@ -109,3 +109,21 @@ def test_real_codecs_stubbed(spark):
 
     with pytest.raises(NotImplementedError):
         decode_images(_media(spark), fake=False)
+
+
+def test_resize_images_aspect_preserving(spark):
+    from sfdata_wrangler_spark.multimodal.binary_ops import (
+        _fake_decode,
+        resize_images,
+    )
+
+    media = _media(spark)
+    out = {r.media_id: r for r in resize_images(media, max_side=128).collect()}
+    for mid, content in [(1, b"img-bytes-1"), (2, b"img-bytes-2")]:
+        w, h, _ = _fake_decode(content)
+        scale = min(1.0, 128 / max(w, h))
+        assert max(out[mid].width, out[mid].height) <= 128
+        assert (out[mid].width, out[mid].height) == (
+            max(1, int(w * scale)),
+            max(1, int(h * scale)),
+        )
