@@ -180,3 +180,35 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__sim") >= 0.9)
         .select("id_a", "id_b", _pr(F.col("__sim"), 4).alias("sim"))
     )
+
+
+@_register(
+    "o4_ranking_distributions",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def o4_ranking_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-distribution windows (ntile/percent_rank/cume_dist) —
+    the quantile-bucketing primitives for stratified sampling and
+    quality-score binning of training corpora. Total ordering via the
+    unique key tie-break keeps them cross-engine deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
