@@ -28,27 +28,36 @@ class Check:
 
 def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     """One aggregation pass → (check, severity, n_rows, n_violations,
-    violation_rate)."""
+    violation_rate). Fully lazy: a single agg over the data unpivoted
+    with ``stack`` — no action runs until the caller executes the
+    returned DataFrame, so it composes into larger plans for free."""
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in checks:
+    for i, c in enumerate(checks):
         aggs.append(
-            F.sum(F.when(~c.predicate, 1).otherwise(0)).alias(f"__v_{c.name}")
+            F.coalesce(
+                F.sum(F.when(~c.predicate, 1).otherwise(0)), F.lit(0)
+            ).alias(f"__v_{i}")
         )
-    row = df.agg(*aggs).collect()[0]
-    spark = df.sparkSession
-    out = [
-        (
-            c.name,
-            c.severity,
-            int(row["__n"]),
-            int(row[f"__v_{c.name}"]),
-            float(row[f"__v_{c.name}"]) / row["__n"] if row["__n"] else 0.0,
-        )
-        for c in checks
-    ]
-    return spark.createDataFrame(
-        out, "check: string, severity: string, n_rows: bigint, "
-        "n_violations: bigint, violation_rate: double"
+    summary = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c.name}', '{c.severity}', `__v_{i}`"
+        for i, c in enumerate(checks)
+    )
+    return summary.select(
+        F.expr(
+            f"stack({len(checks)}, {stack_args}) "
+            "as (check, severity, n_violations)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "check",
+        "severity",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.when(F.col("n_rows") == 0, F.lit(0.0))
+        .otherwise(F.col("n_violations") / F.col("n_rows"))
+        .cast("double")
+        .alias("violation_rate"),
     )
 
 

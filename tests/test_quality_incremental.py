@@ -33,6 +33,19 @@ def test_run_checks_single_pass(spark):
     assert got["route_positive"] == 0
 
 
+def test_run_checks_is_lazy(spark):
+    """run_checks must not trigger a job at construction time: a
+    predicate over a column that raises on evaluation constructs fine,
+    and only fails when the caller actually executes the summary."""
+    df = spark.range(3).withColumn(
+        "boom", F.expr("CASE WHEN id >= 0 THEN raise_error('evaluated') END")
+    )
+    summary = run_checks(df, [Check("no_nulls", F.col("boom").isNull())])
+    summary.explain()  # plan construction + explain: still no job
+    with pytest.raises(Exception, match="evaluated"):
+        summary.collect()
+
+
 def test_assert_checks_raises(spark):
     df = spark.createDataFrame([Row(x=-1.0)])
     with pytest.raises(AssertionError, match="nonneg"):
