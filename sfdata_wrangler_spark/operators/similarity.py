@@ -127,6 +127,48 @@ def lsh_topk(
     )
 
 
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.9,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, LSH-prefiltered: the
+    scale path for semantic dedup. Both sides bucket by hyperplane
+    sign-signature; the candidate join is bucket-equi (never a cross
+    product / BNL join), then candidates are exactly re-scored and
+    filtered at ``threshold``. Returns (id_a, id_b, __sim_exact) with
+    id_a < id_b; recall is tuned by the number of planes (fewer planes
+    → bigger buckets → higher recall). Candidate count per bucket is
+    quadratic in bucket size, so at 100 TB pick enough planes that
+    buckets stay executor-sized."""
+    sig = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), planes).alias("__bkt"),
+    )
+    a = sig.select(
+        F.col(corpus_id).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        "__bkt",
+    )
+    b = sig.select(
+        F.col(corpus_id).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        "__bkt",
+    )
+    pairs = a.join(b, ["__bkt"]).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("__sim_exact"),
+        )
+        .where(F.col("__sim_exact") >= threshold)
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -139,43 +181,54 @@ def kmeans_centroids(
     lowest-id vectors; each iteration = one broadcast assign + one
     posexplode/groupBy mean. Iterations are few and each is one
     shuffle — the standard coarse-quantizer training shape."""
-    seeds = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.select(corpus_id, vec_col)
-        .orderBy(corpus_id)
-        .limit(k)
-        .collect()
-    ]
-    centroids = [(i, vec) for i, (_, vec) in enumerate(seeds)]
-    spark = corpus.sparkSession
-    for _ in range(iterations):
-        cdf = spark.createDataFrame(
+    # the corpus is scanned twice per iteration (assign + mean);
+    # persist it across the loop so each iteration reads cached blocks
+    # instead of re-scanning the source (at 100 TB: one scan, not 2k)
+    corpus = corpus.persist()
+    try:
+        seeds = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in corpus.select(corpus_id, vec_col)
+            .orderBy(corpus_id)
+            .limit(k)
+            .collect()
+        ]
+        centroids = [(i, vec) for i, (_, vec) in enumerate(seeds)]
+        spark = corpus.sparkSession
+        for _ in range(iterations):
+            cdf = spark.createDataFrame(
+                centroids, "centroid_id: int, centroid: array<double>"
+            )
+            assigned = assign_to_centroids(corpus, cdf, corpus_id, vec_col)
+            new = (
+                assigned.join(corpus, corpus_id)
+                .select(
+                    "centroid_id", F.posexplode(vec_col).alias("pos", "x")
+                )
+                .groupBy("centroid_id", "pos")
+                .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                .groupBy("centroid_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ).alias("pm")
+                )
+                .select(
+                    "centroid_id",
+                    F.transform(F.col("pm"), lambda s: s["m"]).alias(
+                        "centroid"
+                    ),
+                )
+            )
+            centroids = [
+                (int(r.centroid_id), [float(x) for x in r.centroid])
+                for r in new.collect()
+            ]
+        return spark.createDataFrame(
             centroids, "centroid_id: int, centroid: array<double>"
         )
-        assigned = assign_to_centroids(corpus, cdf, corpus_id, vec_col)
-        new = (
-            assigned.join(corpus, corpus_id)
-            .select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select(
-                "centroid_id",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
-            )
-        )
-        centroids = [
-            (int(r.centroid_id), [float(x) for x in r.centroid])
-            for r in new.collect()
-        ]
-    return spark.createDataFrame(
-        centroids, "centroid_id: int, centroid: array<double>"
-    )
+    finally:
+        corpus.unpersist()
 
 
 def assign_to_centroids(

@@ -142,43 +142,99 @@ def qc_lineitem_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(ref)
 
 
+# fixed pseudo-random hyperplanes for the near-dup LSH prefilter
+# (4 planes → 16 buckets; same deterministic family as catalog2's
+# emb_lsh_topk so the DuckDB oracle reproduces the signatures exactly)
+_ND_PLANES = [
+    [((i * 37 + p * 17) % 19 - 9) / 10.0 for i in range(64)]
+    for p in range(4)
+]
+
+
+def _nd_planes_sql() -> list[str]:
+    return [
+        "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        for plane in _ND_PLANES
+    ]
+
+
+def _nd_bkt_sql(alias: str = "v") -> str:
+    terms = [
+        f"(CASE WHEN list_inner_product({alias}, CAST({plane} AS DOUBLE[]))"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(_nd_planes_sql())
+    ]
+    return " + ".join(terms)
+
+
 @_register(
     "dd_embedding_neardup",
-    """
+    f"""
+    WITH base AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    twins AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, len(v) + 1),
+                            i -> v[CAST(i AS INT)]
+                                 + 0.01 * ((vec_id + i - 1) % 7 - 3)) AS v
+      FROM base WHERE vec_id % 5 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM twins
+    ),
+    sig AS (
+      SELECT vec_id, v, {_nd_bkt_sql("v")} AS bkt FROM corpus
+    )
     SELECT CAST(a.vec_id AS BIGINT) AS id_a,
            CAST(b.vec_id AS BIGINT) AS id_b,
-           CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                             CAST(b.embedding AS DOUBLE[])), 4)
-                AS DOUBLE) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.9
+           CAST(round(list_cosine_similarity(a.v, b.v), 4) AS DOUBLE) AS sim
+    FROM sig a JOIN sig b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
     """,
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic-dedup
-    complement to MinHash): exact all-pairs at verification scale;
-    the 100 TB path swaps the self-join for the LSH/IVF bucket join
-    (emb_lsh_topk / emb_ivf_topk) with identical scoring."""
-    from ..operators.similarity import cosine
+    complement to MinHash), LSH-prefiltered: hyperplane sign-signature
+    buckets → bucket-equi candidate self-join → exact cosine re-score
+    at >= 0.9. Never materializes all pairs, so the same plan holds at
+    100 TB (no CartesianProduct/BNL — plan-shape asserted in tests).
+
+    The raw synthetic corpus has no >= 0.9 pairs, so the query seeds
+    deterministic near-dup twins (every 5th vector, perturbed by
+    0.01 * ((vec_id + dim) % 7 - 3) per coordinate — exact IEEE
+    arithmetic both engines reproduce bit-for-bit), making the oracle
+    check non-vacuous at every sf."""
+    from ..operators.similarity import lsh_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("__va"), F.col("__vb"))
-    return (
-        pairs.select(
-            F.col("id_a").cast("bigint").alias("id_a"),
-            F.col("id_b").cast("bigint").alias("id_b"),
-            sim.alias("__sim"),
+    # perturb first, re-key second: a single select would resolve the
+    # lambda's vec_id against the aliased output (vec_id + 1000000)
+    twins = (
+        base.where(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.lit(0.01)
+                * ((F.col("vec_id") + i) % 7 - 3).cast("double"),
+            ).alias("embedding"),
         )
-        .where(F.col("__sim") >= 0.9)
-        .select("id_a", "id_b", _pr(F.col("__sim"), 4).alias("sim"))
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    corpus = base.unionByName(twins)
+    pairs = lsh_neardup_pairs(corpus, planes=_ND_PLANES, threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", _pr(F.col("__sim_exact"), 4).alias("sim")
     )
 
 

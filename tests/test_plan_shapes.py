@@ -39,3 +39,15 @@ def test_interval_join_pushes_nonnull(spark):
     plan = _plan(spark, "j2_interval_join")
     assert "PushedFilters" in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embedding_neardup_is_bucket_equi(spark):
+    """The near-dup candidate join must be equi on the LSH bucket —
+    an all-pairs CartesianProduct/BroadcastNestedLoopJoin here is the
+    one plan shape that cannot survive a 100 TB corpus."""
+    plan = _plan(spark, "dd_embedding_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
