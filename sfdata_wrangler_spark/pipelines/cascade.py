@@ -68,6 +68,104 @@ ROUTE_KEYS = ["MONTH", "DOW", "TOD", "AGENCY_ID", "ROUTE_SHORT_NAME", "DIR"]
 
 SYSTEM_KEYS = ["MONTH", "DOW", "TOD", "AGENCY_ID"]
 
+# ---------------------------------------------------------------------------
+# Full-width rule table at reference breadth: every output column of
+# the reference's STOP_RULES (``SFMuniDataAggregator.py:198-251``),
+# with its level gate mapped onto the LEVELS lattice. The *_S twins
+# are schedule-side (unweighted sums/means); the unsuffixed twins are
+# observed-side (TOD_WEIGHT-weighted). first/last rules compile to
+# min_by/max_by over an explicit order_by (pandas' implicit-sort
+# 'first' is not reproducible distributed).
+# ---------------------------------------------------------------------------
+FULL_STOP_RULES = [
+    AggRule("MONTH", "MONTH", "first"),
+    AggRule("SCHED_DATES", "SCHED_DATES", "first"),
+    AggRule("NUMDAYS", "DATE", "countUnique", dtype="bigint"),
+    AggRule("TRIP_STOPS", "TRIP_STOPS", "sum", dtype="bigint"),
+    AggRule("OBS_TRIP_STOPS", "OBSERVED", "sum", dtype="bigint"),
+    AggRule("WGT_TRIP_STOPS", "TRIP_STOPS", "wgtSum", dtype="double"),
+    AggRule("STOP_ID", "STOP_ID", "first", maxlevel="route_stop", dtype="bigint"),
+    AggRule("ROUTE_LONG_NAME", "ROUTE_LONG_NAME", "first", maxlevel="route_stop"),
+    AggRule("ROUTE_TYPE", "ROUTE_TYPE", "first", maxlevel="route_stop", dtype="bigint"),
+    AggRule("TRIP_HEADSIGN", "TRIP_HEADSIGN", "first", maxlevel="route_stop"),
+    AggRule("HEADWAY_S", "HEADWAY_S", "mean", dtype="double"),
+    AggRule("FARE", "FARE", "mean", dtype="double"),
+    AggRule("STOPNAME", "STOPNAME", "first", maxlevel="stop"),
+    AggRule("STOPNAME_AVL", "STOPNAME_AVL", "first", maxlevel="stop"),
+    AggRule("STOP_LAT", "STOP_LAT", "first", maxlevel="stop", dtype="double"),
+    AggRule("STOP_LON", "STOP_LON", "first", maxlevel="stop", dtype="double"),
+    AggRule("EOL", "EOL", "first", maxlevel="stop", dtype="bigint"),
+    AggRule("SOL", "SOL", "first", maxlevel="stop", dtype="bigint"),
+    AggRule("TIMEPOINT", "TIMEPOINT", "first", maxlevel="stop", dtype="bigint"),
+    AggRule("ARRIVAL_TIME_DEV", "ARRIVAL_TIME_DEV", "wgtAvg", maxlevel="stop", dtype="double"),
+    AggRule("DEPARTURE_TIME_DEV", "DEPARTURE_TIME_DEV", "wgtAvg", maxlevel="stop", dtype="double"),
+    AggRule("DWELL_S", "DWELL_S", "sum", dtype="double"),
+    AggRule("DWELL", "DWELL", "wgtSum", dtype="double"),
+    AggRule("RUNTIME_S", "RUNTIME_S", "sum", dtype="double"),
+    AggRule("RUNTIME", "RUNTIME", "wgtSum", dtype="double"),
+    AggRule("TOTTIME_S", "TOTTIME_S", "sum", dtype="double"),
+    AggRule("TOTTIME", "TOTTIME", "wgtSum", dtype="double"),
+    AggRule("SERVMILES_S", "SERVMILES_S", "sum", dtype="double"),
+    AggRule("SERVMILES", "SERVMILES", "wgtSum", dtype="double"),
+    AggRule("RUNSPEED_S", "RUNSPEED_S", "mean", dtype="double"),
+    AggRule("RUNSPEED", "RUNSPEED", "wgtAvg", dtype="double"),
+    AggRule("TOTSPEED_S", "TOTSPEED_S", "mean", dtype="double"),
+    AggRule("TOTSPEED", "TOTSPEED", "wgtAvg", dtype="double"),
+    AggRule("ONTIME5", "ONTIME5", "wgtAvg", dtype="double"),
+    AggRule("ON", "ON", "wgtSum", dtype="double"),
+    AggRule("OFF", "OFF", "wgtSum", dtype="double"),
+    AggRule("LOAD_ARR", "LOAD_ARR", "wgtSum", maxlevel="stop", dtype="double"),
+    AggRule("LOAD_DEP", "LOAD_DEP", "wgtSum", maxlevel="stop", dtype="double"),
+    AggRule("PASSMILES", "PASSMILES", "wgtSum", dtype="double"),
+    AggRule("PASSHOURS", "PASSHOURS", "wgtSum", dtype="double"),
+    AggRule("WAITHOURS", "WAITHOURS", "wgtSum", dtype="double"),
+    AggRule("FULLFARE_REV", "FULLFARE_REV", "wgtSum", dtype="double"),
+    AggRule("PASSDELAY_DEP", "PASSDELAY_DEP", "wgtSum", dtype="double"),
+    AggRule("PASSDELAY_ARR", "PASSDELAY_ARR", "wgtSum", dtype="double"),
+    AggRule("RDBRDNGS", "RDBRDNGS", "wgtSum", dtype="double"),
+    AggRule("DOORCYCLES", "DOORCYCLES", "wgtSum", dtype="double"),
+    AggRule("WHEELCHAIR", "WHEELCHAIR", "wgtSum", dtype="double"),
+    AggRule("BIKERACK", "BIKERACK", "wgtSum", dtype="double"),
+    AggRule("CAPACITY", "CAPACITY", "sum", maxlevel="stop", dtype="double"),
+    AggRule("VC", "VC", "wgtAvg", dtype="double"),
+    AggRule("CROWDED", "CROWDED", "wgtAvg", dtype="double"),
+    AggRule("CROWDHOURS", "CROWDHOURS", "wgtSum", dtype="double"),
+]
+
+#: The reference's monthly impute set (``SFMuniDataAggregator.py:
+#: 388-417``): columns whose zero-observation months inherit the prior
+#: month via operators.imputation.impute_from_prior_month.
+IMPUTE_COLS = [
+    "TIMEPOINT",
+    "ARRIVAL_TIME_DEV",
+    "DEPARTURE_TIME_DEV",
+    "DWELL",
+    "RUNTIME",
+    "TOTTIME",
+    "SERVMILES",
+    "RUNSPEED",
+    "TOTSPEED",
+    "ONTIME5",
+    "ON",
+    "OFF",
+    "LOAD_ARR",
+    "LOAD_DEP",
+    "PASSMILES",
+    "PASSHOURS",
+    "WAITHOURS",
+    "FULLFARE_REV",
+    "PASSDELAY_DEP",
+    "PASSDELAY_ARR",
+    "RDBRDNGS",
+    "DOORCYCLES",
+    "WHEELCHAIR",
+    "BIKERACK",
+    "CAPACITY",
+    "VC",
+    "CROWDED",
+    "CROWDHOURS",
+]
+
 
 def run_cascade(trip_stops: DataFrame) -> dict[str, DataFrame]:
     """trip-stop fact (expanded + weighted, with MONTH column) →

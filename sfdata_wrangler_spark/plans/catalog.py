@@ -813,6 +813,86 @@ def w12_impute_prior_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w12b_impute_chain_strict",
+    """
+    WITH cells AS (
+      SELECT CAST(o_custkey % 50 AS BIGINT) AS cell,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS obs_n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v_price,
+             CAST(count(*) AS BIGINT) AS v_orders
+      FROM orders GROUP BY 1, 2
+    ), isl AS (
+      SELECT *,
+             dense_rank() OVER (ORDER BY month) AS gidx,
+             dense_rank() OVER (ORDER BY month)
+               - row_number() OVER (PARTITION BY cell ORDER BY month) AS island
+      FROM cells
+    )
+    SELECT cell, month, obs_n,
+           CAST(CASE WHEN obs_n > 0 OR gidx = 1 THEN v_price
+                ELSE last_value(CASE WHEN obs_n > 0 OR gidx = 1 THEN v_price END
+                                IGNORE NULLS) OVER w
+                END AS BIGINT) AS v_price,
+           CAST(CASE WHEN obs_n > 0 OR gidx = 1 THEN v_orders
+                ELSE last_value(CASE WHEN obs_n > 0 OR gidx = 1 THEN v_orders END
+                                IGNORE NULLS) OVER w
+                END AS BIGINT) AS v_orders,
+           CAST(CASE WHEN obs_n > 0 OR gidx = 1 THEN 0
+                ELSE last_value(CASE WHEN obs_n > 0 OR gidx = 1 THEN obs_n END
+                                IGNORE NULLS) OVER w
+                END AS BIGINT) AS imp_n
+    FROM isl
+    WINDOW w AS (PARTITION BY cell, island ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w12b_impute_chain_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT month-chain imputation (SFMuniDataAggregator.py:424-462
+    at full fidelity): unlike w12's converged carry-forward, the chain
+    BREAKS when a cell has no row in an intermediate present month
+    (the reference's per-month left merge finds nothing), and the
+    first present month passes through unimputed. Gaps-and-islands
+    windows replace the sequential loop; the sparse custkey%50 panel
+    exercises real islands at every sf. All-integer outputs for
+    cross-engine hash stability."""
+    orders = _t(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        (F.col("o_custkey") % 50).cast("bigint").alias("cell"),
+        _month().alias("month"),
+    ).agg(
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("obs_n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("bigint")
+        .alias("v_price"),
+        F.count(F.lit(1)).cast("bigint").alias("v_orders"),
+    )
+    out = impute_from_prior_month(
+        cells,
+        ["cell"],
+        "month",
+        ["v_price", "v_orders"],
+        observed_count_col="obs_n",
+        provenance_col="imp_n",
+        strict_chain=True,
+    )
+    return out.select(
+        "cell",
+        "month",
+        "obs_n",
+        F.col("v_price").cast("bigint").alias("v_price"),
+        F.col("v_orders").cast("bigint").alias("v_orders"),
+        F.col("imp_n").cast("bigint").alias("imp_n"),
+    )
+
+
+@_register(
     "w14_trend_12mo",
     """
     WITH m AS (

@@ -1,0 +1,309 @@
+"""Full-width cascade fidelity (VERDICT round-1 item 4).
+
+Exercises the rule-driven aggregation engine at the reference's FULL
+rule-table breadth (all ~52 output columns of
+``SFMuniDataAggregator.py:198-251``) against an independent pandas
+mirror, and the strict month-chained imputation (all 28 impute columns
+of ``:371-464``) against a sequential single-threaded reimplementation
+of the reference's month loop — including its chain-break (key absent
+in an intermediate month) and first-month-passthrough edge cases.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sfdata_wrangler_spark.operators.aggregate import aggregate_records
+from sfdata_wrangler_spark.operators.imputation import impute_from_prior_month
+from sfdata_wrangler_spark.pipelines.cascade import (
+    FULL_STOP_RULES,
+    IMPUTE_COLS,
+    RS_TOD_KEYS,
+)
+
+# ---------------------------------------------------------------------------
+# fixture builders
+# ---------------------------------------------------------------------------
+
+_STR_COLS = {
+    "SCHED_DATES": lambda i: f"sched_{i % 3}",
+    "ROUTE_LONG_NAME": lambda i: f"LONG_{i % 4}",
+    "TRIP_HEADSIGN": lambda i: f"HEAD_{i % 5}",
+    "STOPNAME": lambda i: f"STOP NAME {i % 6}",
+    "STOPNAME_AVL": lambda i: f"SN{i % 6}",
+}
+_INT_COLS = ["STOP_ID", "ROUTE_TYPE", "EOL", "SOL", "TIMEPOINT", "TRIP_STOPS",
+             "OBSERVED"]
+_FLOAT_COLS = [
+    "HEADWAY_S", "FARE", "STOP_LAT", "STOP_LON", "ARRIVAL_TIME_DEV",
+    "DEPARTURE_TIME_DEV", "DWELL_S", "DWELL", "RUNTIME_S", "RUNTIME",
+    "TOTTIME_S", "TOTTIME", "SERVMILES_S", "SERVMILES", "RUNSPEED_S",
+    "RUNSPEED", "TOTSPEED_S", "TOTSPEED", "ONTIME5", "ON", "OFF",
+    "LOAD_ARR", "LOAD_DEP", "PASSMILES", "PASSHOURS", "WAITHOURS",
+    "FULLFARE_REV", "PASSDELAY_DEP", "PASSDELAY_ARR", "RDBRDNGS",
+    "DOORCYCLES", "WHEELCHAIR", "BIKERACK", "CAPACITY", "VC", "CROWDED",
+    "CROWDHOURS",
+]
+
+
+def _wide_trip_stops() -> pd.DataFrame:
+    """Deterministic wide trip-stop fixture: 2 dates x 2 routes x
+    2 dirs x 3 seqs x 3 trips = 144 rows, every input column of
+    FULL_STOP_RULES populated, a few NaNs in wgtAvg inputs."""
+    rows = []
+    i = 0
+    for date in ("2023-01-03", "2023-01-04"):
+        for route in ("1", "14"):
+            for direction in (0, 1):
+                for seq in (1, 2, 3):
+                    for trip in (100, 200, 300):
+                        r = {
+                            "DATE": date,
+                            "DOW": 1,
+                            "TOD": "AM PEAK",
+                            "AGENCY_ID": "SFMTA",
+                            "ROUTE_SHORT_NAME": route,
+                            "DIR": direction,
+                            "SEQ": seq,
+                            "TRIP": trip,
+                            "MONTH": "2023-01",
+                            "TOD_WEIGHT": 1.0 + (i % 4) * 0.25,
+                            "__ord": i,
+                        }
+                        for c, f_ in _STR_COLS.items():
+                            r[c] = f_(i)
+                        for j, c in enumerate(_INT_COLS):
+                            r[c] = (i * 7 + j * 13) % 5
+                        for j, c in enumerate(_FLOAT_COLS):
+                            r[c] = round(
+                                math.sin(i * 0.37 + j) * 10 + j, 6
+                            )
+                        # NaN injection into wgtAvg inputs
+                        if i % 11 == 0:
+                            r["ARRIVAL_TIME_DEV"] = None
+                        if i % 13 == 0:
+                            r["VC"] = None
+                        rows.append(r)
+                        i += 1
+    pdf = pd.DataFrame(rows)
+    pdf["OBSERVED"] = (pdf["__ord"] % 3 == 0).astype(int)
+    pdf["TRIP_STOPS"] = 1
+    return pdf
+
+
+def _pandas_aggregate(pdf: pd.DataFrame, keys, rules, weight) -> pd.DataFrame:
+    """Independent mirror of one cascade stage: straightforward pandas
+    groupby-apply per rule (no engine code reused)."""
+    out = {}
+    g = pdf.sort_values("__ord").groupby(keys, sort=True)
+    for rule in rules:
+        src = rule.src
+        if rule.method == "first":
+            out[rule.out] = g[src].agg(lambda s: s.iloc[0])
+        elif rule.method == "last":
+            out[rule.out] = g[src].agg(lambda s: s.iloc[-1])
+        elif rule.method == "sum":
+            out[rule.out] = g[src].sum()
+        elif rule.method == "mean":
+            out[rule.out] = g[src].mean()
+        elif rule.method == "min":
+            out[rule.out] = g[src].min()
+        elif rule.method == "max":
+            out[rule.out] = g[src].max()
+        elif rule.method == "countUnique":
+            out[rule.out] = g[src].nunique()
+        elif rule.method == "countNonZero":
+            out[rule.out] = g[src].agg(lambda s: int((s != 0).sum()))
+        elif rule.method == "wgtSum":
+            out[rule.out] = g.apply(
+                lambda d: (d[src] * d[weight]).sum()
+            )
+        elif rule.method == "wgtAvg":
+            out[rule.out] = g.apply(
+                lambda d: (d[src] * d[weight]).sum()
+                / d.loc[d[src].notna(), weight].sum()
+            )
+        else:  # pragma: no cover
+            raise AssertionError(rule.method)
+    return pd.DataFrame(out).reset_index()
+
+
+def test_full_width_route_stop_aggregation(spark):
+    pdf = _wide_trip_stops()
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        aggregate_records(
+            sdf,
+            RS_TOD_KEYS,
+            FULL_STOP_RULES,
+            level="route_stop",
+            weight="TOD_WEIGHT",
+            order_by=["__ord"],
+        )
+        .toPandas()
+        .sort_values(RS_TOD_KEYS)
+        .reset_index(drop=True)
+    )
+    want = (
+        _pandas_aggregate(pdf, RS_TOD_KEYS, FULL_STOP_RULES, "TOD_WEIGHT")
+        .sort_values(RS_TOD_KEYS)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 24  # 2 dates x 2 routes x 2 dirs x 3 seqs
+    assert set(r.out for r in FULL_STOP_RULES) <= set(got.columns)
+    for rule in FULL_STOP_RULES:
+        g, w = got[rule.out], want[rule.out]
+        if g.dtype == object:
+            assert list(g) == list(w), rule.out
+        else:
+            assert np.allclose(
+                g.astype(float), w.astype(float), rtol=1e-12, atol=1e-12
+            ), f"{rule.out}: {list(g)[:4]} vs {list(w)[:4]}"
+
+
+def test_full_width_level_gating(spark):
+    """system-level aggregation drops every route_stop/stop-gated rule
+    (the reference's maxlevel semantics)."""
+    pdf = _wide_trip_stops()
+    sdf = spark.createDataFrame(pdf)
+    sys_df = aggregate_records(
+        sdf,
+        ["MONTH", "DOW", "TOD", "AGENCY_ID"],
+        FULL_STOP_RULES,
+        level="system",
+        weight="TOD_WEIGHT",
+        order_by=["__ord"],
+    )
+    gated_out = {
+        r.out for r in FULL_STOP_RULES if r.maxlevel in ("route_stop", "stop")
+    }
+    assert gated_out, "fixture should exercise gating"
+    assert gated_out.isdisjoint(sys_df.columns)
+    kept = {r.out for r in FULL_STOP_RULES if r.maxlevel == "system"}
+    assert kept <= set(sys_df.columns)
+
+
+# ---------------------------------------------------------------------------
+# strict month-chain imputation vs the sequential reference loop
+# ---------------------------------------------------------------------------
+
+_CELL_KEYS = ["DOW", "TOD", "AGENCY_ID", "ROUTE_SHORT_NAME", "DIR", "SEQ"]
+
+
+def _monthly_panel() -> pd.DataFrame:
+    """5 months x 5 cells covering every edge case:
+    A: observed every month; B: observed Jan, unobserved Feb+Mar
+    (multi-month propagation), observed Apr (reset); C: row ABSENT in
+    Feb, unobserved Mar..May (broken chain -> NULLs); D: unobserved in
+    Jan (first-month passthrough) and Feb (inherits Jan's RAW values);
+    E: observed with a NULL value column (null donor shadows)."""
+    months = ["2023-01-01", "2023-02-01", "2023-03-01", "2023-04-01",
+              "2023-05-01"]
+    obs = {
+        "A": [5, 6, 7, 8, 9],
+        "B": [4, 0, 0, 3, 0],
+        "C": [2, None, 0, 0, 0],  # None = row absent that month
+        "D": [0, 0, 5, 0, 2],
+        "E": [3, 0, 3, 0, 3],
+    }
+    rows = []
+    for route, series in obs.items():
+        for mi, o in enumerate(series):
+            if o is None:
+                continue
+            r = {
+                "MONTH": months[mi],
+                "DOW": 1,
+                "TOD": "AM PEAK",
+                "AGENCY_ID": "SFMTA",
+                "ROUTE_SHORT_NAME": route,
+                "DIR": 0,
+                "SEQ": 1,
+                "OBS_TRIP_STOPS": o,
+            }
+            for j, c in enumerate(IMPUTE_COLS):
+                r[c] = round((ord(route) * 100 + mi * 10 + j) * 0.5, 3)
+            if route == "E" and o > 0:
+                r["ON"] = None  # null value in an observed (donor) month
+            rows.append(r)
+    return pd.DataFrame(rows)
+
+
+def _sequential_impute(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Single-threaded mirror of the reference's month-by-month loop
+    (``SFMuniDataAggregator.py:424-462``): each month left-merges the
+    PREVIOUS month's already-imputed frame and fills zero-observation
+    cells from it, so values chain and provenance accumulates."""
+    months = sorted(pdf["MONTH"].unique())
+    prev = None
+    out = []
+    for m in months:
+        df = pdf[pdf["MONTH"] == m].copy()
+        df["IMP_TRIP_STOPS"] = 0.0
+        cols = list(df.columns)
+        if prev is not None:
+            df = df.merge(
+                prev, how="left", on=_CELL_KEYS, suffixes=["", "_PREV"],
+                sort=True,
+            )
+            for col in IMPUTE_COLS:
+                df[col] = np.where(
+                    df["OBS_TRIP_STOPS"] == 0, df[col + "_PREV"], df[col]
+                )
+            df["IMP_TRIP_STOPS"] = np.where(
+                df["OBS_TRIP_STOPS"] == 0,
+                df["OBS_TRIP_STOPS_PREV"] + df["IMP_TRIP_STOPS_PREV"],
+                0,
+            )
+            df = df[cols]
+        out.append(df)
+        prev = df
+    return pd.concat(out, ignore_index=True)
+
+
+def test_strict_chain_imputation_matches_sequential_reference(spark):
+    pdf = _monthly_panel()
+    want = _sequential_impute(pdf)
+    got = (
+        impute_from_prior_month(
+            spark.createDataFrame(pdf),
+            cell_keys=_CELL_KEYS,
+            month_col="MONTH",
+            value_cols=IMPUTE_COLS,
+            strict_chain=True,
+        )
+        .toPandas()
+    )
+    key = _CELL_KEYS + ["MONTH"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in IMPUTE_COLS + ["IMP_TRIP_STOPS"]:
+        g = got[col].astype(float).to_numpy()
+        w = want[col].astype(float).to_numpy()
+        same = (np.isnan(g) & np.isnan(w)) | np.isclose(
+            g, w, rtol=0, atol=0, equal_nan=False
+        )
+        assert same.all(), (
+            f"{col}:\n{got.loc[~same, key + [col]]}\n"
+            f"vs\n{want.loc[~same, key + [col]]}"
+        )
+
+    # spot-check the semantics the fixture encodes
+    m = got.set_index(["ROUTE_SHORT_NAME", "MONTH"])
+    # B Feb+Mar inherit B Jan's values, provenance = Jan's OBS count
+    assert m.loc[("B", "2023-02-01"), "DWELL"] == m.loc[("B", "2023-01-01"), "DWELL"]
+    assert m.loc[("B", "2023-03-01"), "DWELL"] == m.loc[("B", "2023-01-01"), "DWELL"]
+    assert m.loc[("B", "2023-02-01"), "IMP_TRIP_STOPS"] == 4
+    assert m.loc[("B", "2023-03-01"), "IMP_TRIP_STOPS"] == 4
+    # C's chain broke (absent Feb): Mar..May imputed NULL
+    assert np.isnan(m.loc[("C", "2023-03-01"), "DWELL"])
+    assert np.isnan(m.loc[("C", "2023-05-01"), "DWELL"])
+    # D Jan passes through raw (first month), Feb inherits those raw
+    # values with provenance 0
+    assert m.loc[("D", "2023-02-01"), "DWELL"] == m.loc[("D", "2023-01-01"), "DWELL"]
+    assert m.loc[("D", "2023-02-01"), "IMP_TRIP_STOPS"] == 0
+    # E Feb inherits Jan's NULL ON (null donor value shadows)
+    assert np.isnan(m.loc[("E", "2023-02-01"), "ON"])
