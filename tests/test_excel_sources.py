@@ -1,0 +1,129 @@
+"""Excel-matrix source logic (S4) against CSV-exported fixtures —
+the container has no Excel engine, so the grid->table normalization
+(footer detection, CPI stack, fuel-price month alignment) is exercised
+through the same code path an .xlsx would take after parsing."""
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sfdata_wrangler_spark.sources.excel import (
+    bart_matrix_to_long,
+    bart_weekday_frame,
+    cpi_factors,
+    fuel_price_frame,
+    fuel_prices,
+    read_sheet_grid,
+)
+
+STATIONS = ["RM", "EN", "EP"]
+
+
+def _bart_grid(footer_rows: int) -> pd.DataFrame:
+    """Sheet grid as parsed with header applied and index_col=0:
+    3x3 station matrix + Exits total column + Entries total row +
+    a dynamic number of footnote rows."""
+    data = {
+        "RM": [10.0, 20.0, 30.0, 60.0],
+        "EN": [1.0, 2.0, 3.0, 6.0],
+        "EP": [4.0, 5.0, 6.0, 15.0],
+        "Exits": [15.0, 27.0, 39.0, 81.0],
+        "Extra": [np.nan] * 4,  # junk column right of the matrix
+    }
+    grid = pd.DataFrame(data, index=STATIONS + ["Entries"])
+    for i in range(footer_rows):
+        grid.loc[f"Note {i}: source BART"] = np.nan
+    return grid
+
+
+@pytest.mark.parametrize("footer_rows", [0, 2, 5])
+def test_bart_footer_detection(footer_rows):
+    month = datetime.date(2013, 4, 1)
+    long = bart_matrix_to_long(_bart_grid(footer_rows), month)
+    # footer rows and the junk column never leak into the long form
+    assert not long["FROM"].str.startswith("Note").any()
+    assert "Extra" not in set(long["TO"])
+    assert (long["STATIONS"] == 3).all()
+    # (3 stations + Entries row) x (3 stations + Exits col), no NaNs
+    assert len(long) == 16
+    got = long.set_index(["FROM", "TO"])["RIDERS"]
+    assert got[("RM", "EN")] == 1.0
+    assert got[("EN", "EP")] == 5.0
+    assert got[("Entries", "Exits")] == 81.0
+    assert (long["MONTH"] == pd.Timestamp(month)).all()
+
+
+def test_bart_matrix_requires_marker():
+    grid = _bart_grid(1).drop(columns=["Exits"])
+    with pytest.raises(ValueError, match="Exits"):
+        bart_matrix_to_long(grid, datetime.date(2013, 4, 1))
+
+
+def test_bart_csv_roundtrip(tmp_path, spark):
+    """CSV-exported sheet goes through read_sheet_grid to the same
+    long form, and stacks into a Spark frame."""
+    p = tmp_path / "bart_2013_April.csv"
+    _bart_grid(3).to_csv(p)
+    grid = read_sheet_grid(str(p), header=0, index_col=0)
+    long = bart_matrix_to_long(grid, datetime.date(2013, 4, 1))
+    assert len(long) == 16
+    sdf = bart_weekday_frame(
+        spark,
+        [
+            (grid, datetime.date(2013, 4, 1)),
+            (_bart_grid(0), datetime.date(2013, 5, 1)),
+        ],
+    )
+    assert sdf.count() == 32
+    assert {"FROM", "TO", "RIDERS", "MONTH", "STATIONS"} <= set(sdf.columns)
+
+
+def _cpi_grid() -> pd.DataFrame:
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    rows = {}
+    for year, base in ((2009, 210.0), (2010, 218.0), (2011, 224.0)):
+        rows[year] = [base + i * 0.5 for i in range(12)] + [
+            base + 1.0,  # HALF1
+            base + 4.0,  # HALF2
+        ]
+    return pd.DataFrame.from_dict(
+        rows, orient="index", columns=months + ["HALF1", "HALF2"]
+    )
+
+
+def test_cpi_factors_base_and_stack():
+    out = cpi_factors(_cpi_grid())
+    assert len(out) == 36
+    assert {"MONTH", "CPI", "CPI_FACTOR"} == set(out.columns)
+    base = 219.0  # 2010 HALF1
+    jan2010 = out[out.MONTH == pd.Timestamp("2010-01-01")].iloc[0]
+    assert jan2010.CPI == 218.0
+    assert jan2010.CPI_FACTOR == base / 218.0
+    # deflating a 2009 dollar inflates it toward 2010
+    dec2009 = out[out.MONTH == pd.Timestamp("2009-12-01")].iloc[0]
+    assert dec2009.CPI_FACTOR == base / 215.5
+
+
+def test_fuel_prices_midmonth_normalization(spark):
+    fuel = pd.DataFrame(
+        {
+            "Date": [pd.Timestamp("2010-01-15"), pd.Timestamp("2010-02-15")],
+            "San Francisco All Grades All Formulations Retail Gasoline "
+            "Prices (Dollars per Gallon)": [3.0, 3.5],
+        }
+    )
+    out = fuel_prices(fuel, cpi_factors(_cpi_grid()))
+    assert list(out.MONTH) == [
+        pd.Timestamp("2010-01-01"),
+        pd.Timestamp("2010-02-01"),
+    ]
+    jan_factor = 219.0 / 218.0
+    assert np.isclose(out.FUEL_PRICE_2010USD.iloc[0], 3.0 * jan_factor)
+    sdf = fuel_price_frame(spark, fuel, _cpi_grid())
+    assert sdf.count() == 2
+    assert {"MONTH", "FUEL_PRICE", "FUEL_PRICE_2010USD", "CPI"} <= set(
+        sdf.columns
+    )
