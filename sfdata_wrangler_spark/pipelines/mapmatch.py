@@ -13,7 +13,10 @@ free-flow time (``HwyNetwork.py:569-610``).
 
 Scoring reimplements ``Trajectory.py:37-86``: point score = −distance
 from GPS to the candidate projection; path score = −(free-flow time +
-excess-over-expected penalty), weights Θ = [1.0, 0.5].
+excess-over-expected penalty), weights Θ = [1.0, 0.5]. Link-to-link
+skim transitions carry turn penalties (left 30 s / right 10 s /
+U-turn 60 s, ``HwyNetwork.py:126-131``), classified geometrically
+from the heading change.
 """
 
 from __future__ import annotations
@@ -37,6 +40,9 @@ MAX_CANDIDATE_FEET = 150.0  # HwyNetwork.py:314-367 distance limit
 MAX_CANDIDATES = 5
 THETA_POINT = 1.0  # Trajectory.py:97
 THETA_PATH = 0.5
+LEFT_TURN_PENALTY = 30.0  # seconds, HwyNetwork.py:129-131
+RIGHT_TURN_PENALTY = 10.0
+U_TURN_PENALTY = 60.0
 
 
 @dataclass
@@ -130,7 +136,14 @@ class Network:
                 if d > dist.get(u, math.inf):
                     continue
                 for v in adj[u]:
-                    nd = d + self.links[v].fftt
+                    # movement cost = downstream link tt + turn penalty
+                    # (HwyNetwork.py:255-274: link-to-link paths carry
+                    # turn penalties; node paths don't)
+                    nd = (
+                        d
+                        + self.links[v].fftt
+                        + turn_penalty(self.links[u], self.links[v])
+                    )
                     if nd < dist.get(v, math.inf):
                         dist[v] = nd
                         prev[v] = u
@@ -150,6 +163,29 @@ class Network:
 
     def fftt_between(self, a: int, b: int) -> float | None:
         return self._skim.get(a, {}).get(b)
+
+
+def turn_penalty(u: Link, v: Link) -> float:
+    """Turn penalty for the movement u -> v, classified geometrically
+    from the heading change (the reference delegates to the dta
+    Movement's isLeftTurn/isRightTurn/isUTurn; same discouragement of
+    zig-zag grid paths, HwyNetwork.py:126-131): counterclockwise
+    45..135 deg = left (+30 s), clockwise = right (+10 s), reversal
+    beyond 135 deg = U-turn (+60 s), else straight (free)."""
+    hu = math.atan2(u.by - u.ay, u.bx - u.ax)
+    hv = math.atan2(v.by - v.ay, v.bx - v.ax)
+    d = math.degrees(hv - hu)
+    while d > 180.0:
+        d -= 360.0
+    while d <= -180.0:
+        d += 360.0
+    if abs(d) >= 135.0:
+        return U_TURN_PENALTY
+    if d >= 45.0:
+        return LEFT_TURN_PENALTY
+    if d <= -45.0:
+        return RIGHT_TURN_PENALTY
+    return 0.0
 
 
 def _project(x: float, y: float, link: Link) -> tuple[float, float]:

@@ -171,6 +171,54 @@ def g5_mapmatch_toy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "g6_time_allocation",
+    """
+    SELECT CAST(range AS BIGINT) AS trip_id,
+           CAST(9 AS BIGINT) AS n_segments,
+           CAST(135.0 AS DOUBLE) AS total_sec
+    FROM range(6)
+    """,
+)
+def g6_time_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 travel-time allocation invariant as a hash-checked query:
+    on a deterministic fixture (6 trips x 10 pings, 15 s apart, on an
+    8-link road), every observed inter-ping Δt must be allocated to
+    traversed links EXACTLY — so each trip's matched output sums to
+    (10-1) x 15 = 135 s over 9 segments, which the oracle states in
+    closed form (HwyNetwork.py:569-610 allocation semantics). The
+    Viterbi itself is not SQL-expressible, but its conservation law
+    is."""
+    from ..pipelines.mapmatch import Link, Network, match_trips
+
+    links = {
+        i + 1: Link(i + 1, i * 500.0, 0.0, (i + 1) * 500.0, 0.0, 30.0)
+        for i in range(8)
+    }
+    net = Network(links).build()
+    t0 = datetime.datetime(2024, 1, 1, 6, 0)
+    pings = spark.createDataFrame(
+        [
+            (
+                t,
+                t,
+                t0 + datetime.timedelta(seconds=3600 * t + 15 * i),
+                50.0 + 400.0 * i,
+                10.0,
+            )
+            for t in range(6)
+            for i in range(10)
+        ],
+        "cab_id: bigint, trip_id: bigint, time: timestamp, x: double, "
+        "y: double",
+    )
+    matched = match_trips(pings, net)
+    return matched.groupBy("trip_id").agg(
+        F.countDistinct("start_time").cast("bigint").alias("n_segments"),
+        _pr(F.sum("travel_time"), 6).alias("total_sec"),
+    )
+
+
+@_register(
     "r1_estimation_extract",
     """
     WITH m AS (
