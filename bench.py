@@ -54,18 +54,43 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
+    def _sf_of(d: str):
+        raw = os.path.basename(d.rstrip("/")).replace("sf", "")
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": sf_val,
+        "sf": _sf_of(sf_dir),
     }
+
+    # Secondary scale point (VERDICT r1 item 7): same query set at a
+    # second sf so per-query regressions are attributable to plan
+    # changes vs data-volume scaling. Extra keys only — the primary
+    # metric/value contract is untouched.
+    sf_dir2 = os.environ.get("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
+    if sf_dir2 and sf_dir2 != sf_dir and os.path.isdir(sf_dir2):
+        timings2: dict[str, float] = {}
+        for name, fn in bench_queries.items():
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir2).count()
+                runs.append(time.time() - t0)
+            timings2[name] = round(min(runs), 3)
+            print(
+                f"# [sf2] {name}: best={timings2[name]:.3f}s",
+                file=sys.stderr,
+            )
+        result["sf2"] = _sf_of(sf_dir2)
+        result["value_sf2"] = round(sum(timings2.values()), 3)
+        result["queries_sf2"] = timings2
+
     print(json.dumps(result))
 
 

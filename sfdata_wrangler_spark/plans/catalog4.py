@@ -104,7 +104,11 @@ def q4_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join through two dimension chains with
-    the same-nation colocation predicate; dims broadcast."""
+    the same-nation colocation predicate; dims broadcast. Join order
+    is pinned FACT-FIRST (orders⨝lineitem before customer): the
+    fact-fact join fixes the intermediate row count at |lineitem|
+    either way, but joining customer last keeps its columns out of
+    the widest intermediate — the ordering that matters at 100×."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -112,8 +116,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey)

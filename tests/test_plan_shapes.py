@@ -41,6 +41,25 @@ def test_interval_join_pushes_nonnull(spark):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_q5_fact_first_join_order(spark):
+    """q5 must join orders⨝lineitem (fact-fact) BEFORE customer: the
+    lineitem join line sits deeper in the printed tree (larger string
+    offset) than the customer join line."""
+    import re
+
+    plan = _plan(spark, "q5_local_supplier_volume")
+    join_lines = [
+        (m.start(), m.group(0))
+        for m in re.finditer(r".*Join .*", plan)
+    ]
+    fact = [o for o, line in join_lines if "l_orderkey" in line]
+    cust = [o for o, line in join_lines if "c_custkey" in line]
+    assert fact and cust, plan
+    assert min(fact) > min(cust), (
+        f"lineitem join should be innermost:\n{plan[:2000]}"
+    )
+
+
 def test_embedding_neardup_is_bucket_equi(spark):
     """The near-dup candidate join must be equi on the LSH bucket —
     an all-pairs CartesianProduct/BroadcastNestedLoopJoin here is the
