@@ -213,6 +213,47 @@ def ngram_jaccard(
     )
 
 
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Train/eval contamination: per eval doc, how many of its DISTINCT
+    word n-grams occur anywhere in the train corpus.
+
+    The scale shape is an equi-join on the shingle string against the
+    train side's distinct-shingle set (map-side combinable distinct,
+    one shuffle keyed by shingle) — never a doc-pair join. Eval docs
+    shorter than ``shingle_n`` tokens have no shingles and drop out
+    (mirrored by the SQL oracle's unnest semantics). Returns
+    (id, n_ngrams, n_contaminated)."""
+    train_sh = (
+        _spread(train)
+        .select(
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+            ).alias("sh")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    eval_sh = _spread(eval_df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    )
+    joined = eval_sh.join(train_sh, "sh", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_contaminated"),
+    )
+
+
 def cluster_duplicates(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     max_iterations: int = 20,

@@ -300,3 +300,114 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@_register(
+    "txt_contamination",
+    f"""
+    WITH train AS (
+      SELECT DISTINCT unnest(list_distinct({_SHINGLES})) AS sh
+      FROM documents WHERE doc_id % 10 <> 0
+    ), ev AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS sh
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT CAST(ev.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(round(CAST(sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 4) AS DOUBLE)
+             AS contamination
+    FROM ev LEFT JOIN train t ON ev.sh = t.sh
+    GROUP BY ev.doc_id
+    """,
+)
+def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check (the benchmark-leakage audit a
+    training-data pipeline must run): eval split = every 10th doc;
+    per eval doc, the share of its distinct 3-gram shingles that
+    appear anywhere in the train split. Equi-join on the shingle
+    against the train side's distinct set — one shuffle keyed by
+    shingle, never a doc-pair join."""
+    from ..operators.dedup import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    out = contamination_check(train, ev, shingle_n=3)
+    from ..functions.metrics import portable_round as _pr
+
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_ngrams",
+        "n_contaminated",
+        _pr(
+            F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 4
+        ).alias("contamination"),
+    )
+
+
+@_register(
+    "txt_vocab_topk",
+    f"""
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 50
+    """,
+)
+def txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 token frequencies (the
+    tokenizer-training / stopword-discovery primitive). Explode →
+    combinable count → distributed TakeOrdered with a total ordering
+    (count desc, token asc) so the cut is deterministic."""
+    from ..functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )
+
+
+# deterministic per-stratum sampling rates: md5-hex prefix thresholds
+# (two hex chars = 256 buckets; '40' keeps 64/256 = 25%, '80' = 50%)
+_SAMPLE_RATES = {"en": "40", "zh": "80"}
+_DEFAULT_RATE = "20"  # 32/256 = 12.5% for every other language
+
+
+@_register(
+    "txt_stratified_sample",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           substring(md5(text), 1, 2) AS bucket
+    FROM documents
+    WHERE substring(md5(text), 1, 2) <
+          (CASE {" ".join(f"WHEN lang = '{lang}' THEN '{thr}'" for lang, thr in _SAMPLE_RATES.items())}
+                ELSE '{_DEFAULT_RATE}' END)
+    """,
+)
+def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates applied
+    via an md5-hex-prefix threshold — reproducible across engines,
+    runs, and partitionings (no RNG state), the scale-safe way to cut
+    a training mix. en 25%, zh 50%, default 12.5%."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("text")), 1, 2)
+    # when-chain in declaration order mirrors the SQL CASE
+    thr = F.lit(_DEFAULT_RATE)
+    for lang, t in reversed(list(_SAMPLE_RATES.items())):
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    return docs.where(bucket < thr).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        bucket.alias("bucket"),
+    )

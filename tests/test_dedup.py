@@ -84,3 +84,34 @@ def test_cluster_duplicates_components(spark):
     )
     got = {r.doc_id: r.cluster_id for r in cluster_duplicates(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_contamination_check(spark):
+    """Eval doc fully inside train -> ratio 1; disjoint -> 0; a doc
+    sharing half its shingles -> the exact fraction; short docs (< n
+    tokens) drop out like the oracle's unnest."""
+    from sfdata_wrangler_spark.operators.dedup import contamination_check
+
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="pack my box with five dozen liquor jugs"),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps"),  # contained
+            Row(doc_id=11, text="completely novel eval sentence here"),
+            # first shingle shared with train doc 1, second is novel
+            Row(doc_id=12, text="over the lazy dog barks"),
+            Row(doc_id=13, text="too short"),  # < 3 tokens: no shingles
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_contaminated)
+        for r in contamination_check(train, ev, shingle_n=3).collect()
+    }
+    assert got[10] == (3, 3)
+    assert got[11] == (3, 0)
+    assert got[12] == (3, 2)
+    assert 13 not in got
