@@ -1,0 +1,74 @@
+"""Token-budget packing (beyond-reference training-data surface).
+
+The pretraining "concat-and-chunk" primitive: documents are laid out
+in a deterministic order, token counts accumulate, and the stream is
+cut into fixed-budget context windows — each doc is assigned the
+window its FIRST token lands in (window_id = prefix_tokens_before //
+budget), plus its offset inside that window.
+
+Scale shape: a naive global ``Window.orderBy(...)`` prefix sum is a
+single-partition sort — the one shape that cannot survive a 100 TB
+corpus. Instead the classic two-level scan: docs fall into coarse
+ORDERED buckets (contiguous id ranges of ``bucket_width``), per-bucket
+token subtotals form a tiny cumulative-offset dim (broadcast), and the
+per-doc prefix sum runs in a window PARTITIONED BY bucket — parallel
+across buckets — plus the broadcast bucket offset. Equivalent to the
+global scan, executes as one shuffle keyed by bucket, and stays fully
+lazy (no driver action at construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_context_windows(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """(id, n_tokens) -> (id, n_tokens, window_id, window_offset).
+
+    Layout order is ascending ``id_col`` (deterministic — rerunning on
+    the same corpus reproduces identical windows). ``budget`` is the
+    context length in tokens. ``bucket_width`` sets the id-range size
+    per bucket: pick it so corpus_id_span / bucket_width stays in the
+    thousands (the offset dim must broadcast) while each bucket holds
+    enough docs to parallelize."""
+    docs = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("bigint").alias(tokens_col),
+        F.floor(F.col(id_col) / bucket_width).cast("bigint").alias("__bkt"),
+    )
+
+    # level 1: per-bucket subtotals -> exclusive cumulative offsets.
+    # The unpartitioned window is safe here: it runs over one row per
+    # bucket (thousands), not one row per doc.
+    wb = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        docs.groupBy("__bkt")
+        .agg(F.sum(tokens_col).alias("__sub"))
+        .withColumn("__cum", F.sum("__sub").over(wb))
+        .select("__bkt", (F.col("__cum") - F.col("__sub")).alias("__offset"))
+    )
+
+    # level 2: per-doc prefix inside its bucket, parallel across buckets
+    wd = (
+        Window.partitionBy("__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = (
+        F.col("__offset") + F.sum(tokens_col).over(wd) - F.col(tokens_col)
+    )
+    return docs.join(F.broadcast(offsets), "__bkt").select(
+        id_col,
+        tokens_col,
+        F.floor(before / budget).cast("bigint").alias("window_id"),
+        (before % budget).cast("bigint").alias("window_offset"),
+    )

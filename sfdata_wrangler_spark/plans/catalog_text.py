@@ -411,3 +411,41 @@ def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         bucket.alias("bucket"),
     )
+
+
+@_register(
+    "txt_pack_windows",
+    f"""
+    WITH t AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKCNT} AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(before / 512) AS BIGINT) AS window_id,
+           CAST(before % 512 AS BIGINT) AS window_offset
+    FROM p
+    """,
+)
+def txt_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk context packing (512-token windows): each doc
+    gets the window its first token lands in plus its in-window
+    offset. The Spark plan is the scalable two-level prefix sum
+    (bucket subtotals + broadcast offsets, parallel per-bucket
+    windows); the oracle states the same assignment with a global
+    window — equal by construction, which is exactly what the check
+    proves."""
+    from ..functions.text import token_count
+    from ..operators.packing import pack_context_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return pack_context_windows(t, budget=512, bucket_width=64)

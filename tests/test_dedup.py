@@ -115,3 +115,29 @@ def test_contamination_check(spark):
     assert got[11] == (3, 0)
     assert got[12] == (3, 2)
     assert 13 not in got
+
+
+def test_pack_context_windows_equals_global_scan(spark):
+    """The two-level prefix sum must equal a single global cumsum, for
+    budgets/bucket widths that do and don't divide each other; windows
+    cut mid-bucket and docs larger than a whole budget both occur."""
+    import pandas as pd
+
+    from sfdata_wrangler_spark.operators.packing import pack_context_windows
+
+    rows = [(i, (i * 37) % 97 + 1) for i in range(0, 500, 3)]  # gappy ids
+    pdf = pd.DataFrame(rows, columns=["doc_id", "n_tokens"])
+    pdf["before"] = pdf["n_tokens"].cumsum() - pdf["n_tokens"]
+    for budget, width in ((128, 16), (100, 7)):
+        got = (
+            pack_context_windows(
+                spark.createDataFrame(pdf[["doc_id", "n_tokens"]]),
+                budget=budget,
+                bucket_width=width,
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.window_id) == list(pdf.before // budget)
+        assert list(got.window_offset) == list(pdf.before % budget)
