@@ -93,22 +93,38 @@ def minhash_signatures(
     the oracle-checked catalog queries; min over hex strings is a
     valid min-hash since md5 hex is order-isomorphic to its value).
     """
+    if hash_fn == "xxhash64":
+        # fast path: hash the shingle string ONCE per row, then derive
+        # the k per-permutation hashes from the 8-byte base — k
+        # fixed-width hashes instead of k string hashes at explode
+        # scale (docs × shingles × k). (A fully string-free variant
+        # via per-token hash arrays measured SLOWER: nested
+        # higher-order lambdas leave codegen.)
+        shingled = (
+            _spread(df)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    word_shingles(F.col(text_col), shingle_n)
+                ).alias("__sh"),
+            )
+            .select(id_col, F.xxhash64(F.col("__sh")).alias("__h"))
+        )
+        mins = [
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+        return shingled.groupBy(id_col).agg(*mins)
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     shingled = _spread(df).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
-    if hash_fn == "xxhash64":
-        mins = [
-            F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
-    elif hash_fn == "md5":
-        mins = [
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__sh")))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__sh")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
     return shingled.groupBy(id_col).agg(*mins)
 
 
