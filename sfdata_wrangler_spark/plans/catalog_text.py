@@ -449,3 +449,102 @@ def txt_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
     )
     return pack_context_windows(t, budget=512, bucket_width=64)
+
+
+# --- md5-SimHash twin: oracle-reproducible bit votes ----------------------
+# (the production path uses xxhash64 over 64 bits — operators/dedup.simhash,
+# rows-only; this twin runs the SAME algorithm over the first 16 bits of
+# md5 so DuckDB can verify the vote/assemble semantics hash-exactly)
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _hexval_sql(expr: str) -> str:
+    cases = " ".join(
+        f"WHEN '{c}' THEN {v}" for v, c in enumerate(_HEXDIGITS)
+    )
+    return f"(CASE {expr} {cases} END)"
+
+
+def _simhash16_sql() -> str:
+    digs = ", ".join(
+        f"{_hexval_sql(f'substring(md5(tok), {j + 1}, 1)')} AS v{j}"
+        for j in range(4)
+    )
+    votes = ", ".join(
+        f"CAST(sum(CASE WHEN (v{i // 4} >> {3 - i % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS BIGINT) AS b{i}"
+        for i in range(16)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents
+    ), digs AS (
+      SELECT doc_id, {digs} FROM toks
+    ), votes AS (
+      SELECT doc_id, {votes} FROM digs GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST({fp} AS BIGINT) AS simhash16
+    FROM votes
+    """
+
+
+def _hexval_spark(col):
+    expr = None
+    for v, c in enumerate(_HEXDIGITS):
+        cond = F.when(col == c, F.lit(v))
+        expr = cond if expr is None else expr.when(col == c, F.lit(v))
+    return expr
+
+
+@_register("dd_simhash_md5", _simhash16_sql())
+def dd_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with oracle-reproducible bits: per-token md5, first 16
+    bits vote +1/-1 per (doc, bit), fingerprint assembled from the
+    vote signs — the exact algorithm of operators/dedup.simhash
+    (which uses 64-bit xxhash64 in production), made hash-checkable.
+    One explode + one combinable groupBy; bit decode is a constant
+    16-way CASE per hex digit, codegen'd."""
+    from ..functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    md5 = F.md5(F.col("tok"))
+    digs = toks.select(
+        "doc_id",
+        *[
+            _hexval_spark(F.substring(md5, j + 1, 1)).alias(f"v{j}")
+            for j in range(4)
+        ],
+    )
+    votes = digs.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"v{i // 4}"), 3 - i % 4)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            )
+            .cast("bigint")
+            .alias(f"b{i}")
+            for i in range(16)
+        ]
+    )
+    fp = None
+    for i in range(16):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        fp.cast("bigint").alias("simhash16"),
+    )
