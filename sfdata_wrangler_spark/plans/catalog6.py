@@ -268,3 +268,95 @@ def o4_ranking_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@_register(
+    "emb_ivf_labels_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), comp AS (
+      SELECT label, dim, round(avg(x), 6) AS m
+      FROM (
+        SELECT label,
+               unnest(v) AS x,
+               unnest(generate_series(1, len(v))) AS dim
+        FROM e
+      )
+      GROUP BY label, dim
+    ), cent AS (
+      SELECT label AS cid, list(m ORDER BY dim) AS c FROM comp GROUP BY label
+    ), assign AS (
+      SELECT vec_id, cid
+      FROM (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, cent.c) DESC, cent.cid
+               ) AS rn
+        FROM e, cent
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid
+      FROM (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, cent.c) DESC, cent.cid
+               ) AS rn
+        FROM e, cent
+        WHERE e.vec_id < 3
+      ) WHERE rn <= 2
+    )
+    SELECT CAST(q.query_id AS BIGINT) AS query_id,
+           CAST(c.vec_id AS BIGINT) AS vec_id,
+           CAST(round(list_cosine_similarity(qe.v, c.v), 4) AS DOUBLE) AS sim,
+           CAST(row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(qe.v, c.v) DESC, c.vec_id
+           ) AS INT) AS rank
+    FROM probes q
+      JOIN assign a ON a.cid = q.cid
+      JOIN e c ON c.vec_id = a.vec_id AND c.vec_id <> q.query_id
+      JOIN e qe ON qe.vec_id = q.query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(qe.v, c.v) DESC, c.vec_id
+    ) <= 5
+    """,
+)
+def emb_ivf_labels_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC coarse quantizer: per-label mean
+    vectors (rounded to 6 dp so both engines share bit-identical
+    centroids) play the cell centroids, making the full IVF shape —
+    assign / probe n_probe cells / cell-equi candidate join / exact
+    re-rank — oracle-checkable end to end. The k-means-trained variant
+    (emb_ivf_topk) keeps the same plan with learned centroids."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    comp = corpus.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).groupBy("label", "pos").agg(_pr(F.avg("x"), 6).alias("m"))
+    cents = (
+        comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("centroid_id"),
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(queries, corpus, cents, k=5, n_probe=2)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
