@@ -183,3 +183,67 @@ def test_interpolation_bounds_property(spark, mask):
             assert r.f == orig
         elif r.f is not None:
             assert min(obs_vals) <= r.f <= max(obs_vals)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_parts=st.integers(min_value=1, max_value=12),
+    budget=st.integers(min_value=7, max_value=300),
+    width=st.integers(min_value=1, max_value=40),
+)
+def test_pack_windows_partition_invariant(spark, n_parts, budget, width):
+    """Packing invariants under ANY partitioning / bucket width:
+    equals the global cumsum; offsets stay inside the budget; window
+    ids are monotone in layout order."""
+    import pandas as pd
+
+    from sfdata_wrangler_spark.operators.packing import pack_context_windows
+
+    rows = [(i, (i * 53) % 211 + 1) for i in range(0, 240, 2)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "n_tokens"])
+    before = pdf["n_tokens"].cumsum() - pdf["n_tokens"]
+    sdf = spark.createDataFrame(pdf).repartition(n_parts)
+    got = (
+        pack_context_windows(sdf, budget=budget, bucket_width=width)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.window_id) == list(before // budget)
+    assert list(got.window_offset) == list(before % budget)
+    assert (got.window_offset < budget).all()
+    assert got.window_id.is_monotonic_increasing
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n_parts=st.integers(min_value=1, max_value=8))
+def test_strict_chain_partition_invariant(spark, n_parts):
+    """strict_chain imputation is partition-invariant, and on a panel
+    with NO missing cell-months it agrees with the converged window
+    form except at the first month (which strict passes through)."""
+    import pandas as pd
+
+    from sfdata_wrangler_spark.operators.imputation import (
+        impute_from_prior_month,
+    )
+
+    months = [f"2023-{m:02d}-01" for m in range(1, 7)]
+    rows = []
+    for cell in range(5):
+        for mi, month in enumerate(months):
+            obs = (cell + mi) % 3  # every cell has some obs-0 months
+            rows.append(
+                {"cell": cell, "MONTH": month, "OBS_TRIP_STOPS": obs,
+                 "V": float(cell * 100 + mi)}
+            )
+    pdf = pd.DataFrame(rows)
+    outs = []
+    for parts in (1, n_parts):
+        sdf = spark.createDataFrame(pdf).repartition(parts)
+        out = impute_from_prior_month(
+            sdf, ["cell"], "MONTH", ["V"], strict_chain=True
+        ).toPandas().sort_values(["cell", "MONTH"]).reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
