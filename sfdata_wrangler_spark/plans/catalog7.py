@@ -1,0 +1,217 @@
+"""Catalog wave 7: driver-visible oracle coverage for previously
+test-only SURVEY items — S1 fixed-width ingest, J5 crosswalk rollup,
+J8 scaling-factor join, W13 annual→monthly step expansion."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.metrics import portable_round as _pr
+from .catalog import _register, _t
+
+_FIXED_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "avl_fixed.txt",
+)
+
+
+@_register(
+    "s1_fixed_width_scan",
+    f"""
+    SELECT seq, route, on_cnt, off_cnt, load, svc_date
+    FROM (
+      SELECT TRY_CAST(trim(substring(line, 1, 4)) AS INTEGER) AS seq,
+             trim(substring(line, 5, 5)) AS route,
+             TRY_CAST(trim(substring(line, 10, 3)) AS INTEGER) AS on_cnt,
+             TRY_CAST(trim(substring(line, 13, 3)) AS INTEGER) AS off_cnt,
+             TRY_CAST(trim(substring(line, 16, 6)) AS DOUBLE) AS load,
+             trim(substring(line, 22, 8)) AS svc_date
+      FROM read_csv('{_FIXED_PATH}',
+                    delim='|', header=false, quote='', escape='',
+                    columns={{'line': 'VARCHAR'}})
+    )
+    WHERE seq IS NOT NULL
+    """,
+)
+def s1_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 fixed-width AVL ingest (SFMuniDataHelper.py:422-443) as a
+    hash-checked query: splittable spark.read.text + substring/
+    try_cast projections; the committed fixture includes a mid-file
+    header row and a truncated line, both dropped structurally by the
+    required-column null filter — the oracle reproduces the byte
+    ranges with the same TRY_CAST semantics."""
+    from ..sources.fixed_width import ColSpec, read_fixed_width
+
+    specs = [
+        ColSpec("seq", 0, 4, "int"),
+        ColSpec("route", 4, 9),
+        ColSpec("on_cnt", 9, 12, "int"),
+        ColSpec("off_cnt", 12, 15, "int"),
+        ColSpec("load", 15, 21, "double"),
+        ColSpec("svc_date", 21, 29),
+    ]
+    return read_fixed_width(
+        spark, _FIXED_PATH, specs, required=["seq"]
+    )
+
+
+@_register(
+    "j5_crosswalk_rollup",
+    """
+    WITH blocks AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS region_key,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+    FROM blocks JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def j5_crosswalk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 crosswalk rollup (DemandHelper.py:1201-1224): fine-grain
+    units (per-customer order stats, standing in for census blocks)
+    roll up through a broadcast crosswalk dim (customer→nation) to
+    coarse regions — the LODES block→county shape on the star
+    schema."""
+    from ..pipelines.demand import crosswalk_rollup
+
+    orders = _t(spark, sf_dir, "orders")
+    blocks = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    xwalk = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("bigint").alias("region_key")
+    )
+    out = crosswalk_rollup(
+        blocks,
+        xwalk,
+        block_col="o_custkey",
+        xwalk_block_col="c_custkey",
+        group_col="region_key",
+        value_cols=["n_orders", "rev_cents"],
+    )
+    return out.select(
+        "region_key",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+    )
+
+
+@_register(
+    "j8_scaling_factor_join",
+    """
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ), truth AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1
+    )
+    SELECT m.month, m.n_orders,
+           CAST(round(m.rev_cents * (CAST(t.n_lines AS DOUBLE) / m.n_orders),
+                      4) AS DOUBLE) AS scaled_rev_cents
+    FROM monthly m JOIN truth t ON m.month = t.month
+    """,
+)
+def j8_scaling_factor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 scaling-factor join (DemandHelper.py:1280-1330): per-key
+    factor = truth/observed, applied to value columns — the QCEW↔WAC
+    employment-control pattern, keyed by month on the star schema."""
+    from ..pipelines.demand import scaling_factor_join
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+    monthly = orders.groupBy(month.alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    truth = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(month.alias("month"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+    out = scaling_factor_join(
+        monthly.withColumn(
+            "rev_scaled", F.col("rev_cents").cast("double")
+        ).drop("rev_cents"),
+        truth,
+        keys=["month"],
+        monthly_col="n_orders",
+        truth_col="n_lines",
+        value_cols=["rev_scaled"],
+    )
+    # recompute against the unscaled frame for exact oracle parity
+    return out.select(
+        "month",
+        "n_orders",
+        _pr(F.col("rev_scaled"), 4).alias("scaled_rev_cents"),
+    )
+
+
+@_register(
+    "w13_annual_to_monthly",
+    """
+    WITH annual AS (
+      SELECT year(o_orderdate) AS yr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders
+      WHERE year(o_orderdate) <> 1995
+      GROUP BY 1
+    ), spine AS (
+      SELECT strftime(m, '%Y-%m-%d') AS month, year(m) AS yr
+      FROM (
+        SELECT unnest(generate_series(DATE '1992-01-01',
+                                      DATE '1998-12-01',
+                                      INTERVAL 1 MONTH))::DATE AS m
+      )
+    )
+    SELECT month,
+           CAST(last_value(a.n IGNORE NULLS) OVER (
+             ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n
+    FROM spine s LEFT JOIN annual a ON s.yr = a.yr
+    """,
+)
+def w13_annual_to_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13 annual→monthly step expansion (MultiModalHelper.py:122-178):
+    annual totals replicate to each month of the year over a generated
+    spine; a masked year (1995) exercises the forward-fill across the
+    gap."""
+    from ..pipelines.demand import annual_to_monthly_step
+
+    orders = _t(spark, sf_dir, "orders")
+    annual = (
+        orders.where(F.year("o_orderdate") != 1995)
+        .groupBy(F.year("o_orderdate").alias("YEAR"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spine = spark.sql(
+        "SELECT date_format(m, 'yyyy-MM-dd') AS month "
+        "FROM (SELECT explode(sequence(DATE'1992-01-01', DATE'1998-12-01', "
+        "INTERVAL 1 MONTH)) AS m)"
+    )
+    out = annual_to_monthly_step(
+        annual, spine, keys=[], year_col="YEAR", month_col="month",
+        value_cols=["n"],
+    )
+    return out.select("month", F.col("n").cast("bigint").alias("n"))
