@@ -215,3 +215,127 @@ def w13_annual_to_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["n"],
     )
     return out.select("month", F.col("n").cast("bigint").alias("n"))
+
+
+_GTFS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "gtfs",
+)
+
+_TOD_CASE = (
+    "CASE WHEN hhmm >= 300 AND hhmm <= 559 THEN '0300-0559' "
+    "WHEN hhmm >= 600 AND hhmm <= 859 THEN '0600-0859' "
+    "WHEN hhmm >= 900 AND hhmm <= 1359 THEN '0900-1359' "
+    "WHEN hhmm >= 1400 AND hhmm <= 1559 THEN '1400-1559' "
+    "WHEN hhmm >= 1600 AND hhmm <= 1859 THEN '1600-1859' "
+    "WHEN hhmm >= 1900 AND hhmm <= 2159 THEN '1900-2159' "
+    "ELSE '2200-0259' END"
+)
+
+
+def _gtfs_csv(name: str) -> str:
+    return (
+        f"read_csv('{_GTFS_DIR}/{name}.txt', header=true, "
+        "all_varchar=true)"
+    )
+
+
+@_register(
+    "j7_gtfs_denormalize",
+    f"""
+    WITH st AS (
+      SELECT trip_id, stop_id,
+             CAST(stop_sequence AS INT) AS SEQ,
+             CAST(string_split(arrival_time, ':')[1] AS INT) * 3600
+               + CAST(string_split(arrival_time, ':')[2] AS INT) * 60
+               + CAST(string_split(arrival_time, ':')[3] AS INT)
+               AS arrival_sec,
+             CAST(string_split(departure_time, ':')[1] AS INT) * 3600
+               + CAST(string_split(departure_time, ':')[2] AS INT) * 60
+               + CAST(string_split(departure_time, ':')[3] AS INT)
+               AS departure_sec
+      FROM {_gtfs_csv("stop_times")}
+    ), dowm AS (
+      SELECT service_id,
+             CASE WHEN monday = '1' THEN 1
+                  WHEN saturday = '1' THEN 2 ELSE 3 END AS DOW
+      FROM {_gtfs_csv("calendar")}
+    ), trip_dim AS (
+      SELECT t.trip_id, t.route_id, d.DOW,
+             upper(trim(r.route_short_name)) AS ROUTE_SHORT_NAME,
+             CAST(r.route_type AS INT) AS ROUTE_TYPE,
+             CAST(t.direction_id AS INT) AS DIR,
+             coalesce(t.trip_headsign, '') AS TRIP_HEADSIGN
+      FROM {_gtfs_csv("trips")} t
+        JOIN {_gtfs_csv("routes")} r ON t.route_id = r.route_id
+        JOIN dowm d ON t.service_id = d.service_id
+    ), fares AS (
+      SELECT fr.route_id, CAST(fa.price AS DOUBLE) AS FARE
+      FROM {_gtfs_csv("fare_rules")} fr
+        JOIN {_gtfs_csv("fare_attributes")} fa ON fr.fare_id = fa.fare_id
+    ), base AS (
+      SELECT st.trip_id, st.SEQ, st.arrival_sec, st.departure_sec,
+             td.DOW, td.ROUTE_SHORT_NAME, td.ROUTE_TYPE, td.DIR,
+             td.TRIP_HEADSIGN, f.FARE,
+             upper(trim(s.stop_name)) AS STOPNAME
+      FROM st
+        JOIN trip_dim td ON st.trip_id = td.trip_id
+        LEFT JOIN fares f ON td.route_id = f.route_id
+        LEFT JOIN {_gtfs_csv("stops")} s ON st.stop_id = s.stop_id
+    ), w AS (
+      SELECT *,
+             min(SEQ) OVER wt AS minseq,
+             max(SEQ) OVER wt AS maxseq,
+             CAST(floor(min(departure_sec) OVER wt / 3600) * 100
+                  + floor((min(departure_sec) OVER wt % 3600) / 60)
+                  AS INT) AS hhmm,
+             lag(departure_sec) OVER (
+               PARTITION BY trip_id ORDER BY SEQ
+             ) AS prevdep
+      FROM base
+      WINDOW wt AS (PARTITION BY trip_id)
+    )
+    SELECT trip_id, SEQ, ROUTE_SHORT_NAME, ROUTE_TYPE, DIR, DOW,
+           TRIP_HEADSIGN, FARE, STOPNAME,
+           CAST(SEQ = minseq AS INT) AS SOL,
+           CAST(SEQ = maxseq AS INT) AS EOL,
+           {_TOD_CASE} AS TOD,
+           lpad(CAST(hhmm AS VARCHAR), 4, '0') || '_'
+             || CAST(minseq AS VARCHAR) AS TRIP,
+           (departure_sec - arrival_sec) / 60.0 AS DWELL_S,
+           coalesce((arrival_sec - prevdep) / 60.0, 0.0) AS RUNTIME_S,
+           (departure_sec - lag(departure_sec) OVER (
+              PARTITION BY ROUTE_SHORT_NAME, DIR, TRIP_HEADSIGN, SEQ, DOW
+              ORDER BY departure_sec, trip_id)) / 60.0 AS HEADWAY_S
+    FROM w
+    """,
+)
+def j7_gtfs_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 GTFS denormalization (GTFSHelper.py:324-527) as a
+    hash-checked query over a committed feed fixture: the reference's
+    record-at-a-time transitfeed walk re-expressed as broadcast joins
+    + windows (service-day wrap times past 24:00, TOD banding, SOL/
+    EOL, scheduled dwell/runtime, same-stop headways, fare lookup
+    with a fare-less route)."""
+    from ..sources.gtfs import build_trip_stops, read_gtfs_feed
+
+    feeds = read_gtfs_feed(spark, _GTFS_DIR)
+    ts = build_trip_stops(feeds)
+    return ts.select(
+        "trip_id",
+        F.col("SEQ").cast("int").alias("SEQ"),
+        "ROUTE_SHORT_NAME",
+        "ROUTE_TYPE",
+        "DIR",
+        F.col("DOW").cast("int").alias("DOW"),
+        "TRIP_HEADSIGN",
+        "FARE",
+        "STOPNAME",
+        "SOL",
+        "EOL",
+        "TOD",
+        "TRIP",
+        "DWELL_S",
+        "RUNTIME_S",
+        "HEADWAY_S",
+    )
