@@ -339,3 +339,71 @@ def j7_gtfs_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RUNTIME_S",
         "HEADWAY_S",
     )
+
+
+@_register(
+    "f16_json_props_extract",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+                THEN 1 ELSE 0 END AS INT) AS k_high
+    FROM events
+    """,
+)
+def f16_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction over the events
+    stream (the raw-log shape every training-data pipeline ingests):
+    get_json_object runs JVM-side inside codegen — no parse UDF."""
+    from .catalog import _events
+
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        k.alias("k"),
+        F.when(k >= 50, 1).otherwise(0).cast("int").alias("k_high"),
+    )
+
+
+@_register(
+    "p6_geofence_ratio",
+    """
+    WITH pts AS (
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+             -122.60 + (event_id * 37 % 3000) / 10000.0 AS lon,
+             37.65 + (event_id * 53 % 2500) / 10000.0 AS lat,
+             value
+      FROM events
+    )
+    SELECT event_id, lon, lat
+    FROM pts
+    WHERE lon > -122.53 AND lon < -122.35
+      AND lat > 37.70 AND lat < 37.83
+      AND value / 10.0 < 2.0
+    """,
+)
+def p6_geofence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 geofence + P7 ratio filter (HwyNetwork.py:79-92 bbox,
+    TaxiDataHelper ratio guard) as one declared query: deterministic
+    synthetic coordinates derived from event ids, bounding-box and
+    ratio predicates both pushed into the scan filter."""
+    from ..pipelines.taxi import geofence
+    from .catalog import _events
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        (
+            F.lit(-122.60)
+            + (F.col("event_id") * 37 % 3000) / F.lit(10000.0)
+        ).alias("lon"),
+        (
+            F.lit(37.65) + (F.col("event_id") * 53 % 2500) / F.lit(10000.0)
+        ).alias("lat"),
+        "value",
+    )
+    fenced = geofence(pts, lon="lon", lat="lat")
+    return fenced.where(F.col("value") / 10.0 < 2.0).select(
+        "event_id", "lon", "lat"
+    )
