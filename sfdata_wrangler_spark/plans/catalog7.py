@@ -407,3 +407,44 @@ def p6_geofence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fenced.where(F.col("value") / 10.0 < 2.0).select(
         "event_id", "lon", "lat"
     )
+
+
+_TAB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "avl_tab.txt",
+)
+
+
+@_register(
+    "s2_tab_hhmmss_pack",
+    f"""
+    SELECT route,
+           CAST(dir AS INT) AS dir,
+           CAST(hr * 10000 + mn * 100 + sc AS INT) AS hhmmss,
+           CAST(on_cnt AS INT) AS on_cnt
+    FROM read_csv('{_TAB_PATH}', delim='\\t', header=true,
+                  nullstr='NA',
+                  columns={{'route': 'VARCHAR', 'dir': 'INTEGER',
+                            'hr': 'INTEGER', 'mn': 'INTEGER',
+                            'sc': 'INTEGER', 'on_cnt': 'INTEGER'}})
+    """,
+)
+def s2_tab_hhmmss_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 tab-delimited scan + HHMMSS recombination
+    (SFMuniDataHelper.py:414-473): schema'd CSV reader with NA
+    sentinels + the packed time-int projection, over a committed
+    fixture that includes NA cells and a midnight-adjacent time."""
+    from ..sources.fixed_width import pack_hhmmss, read_tab_delimited
+
+    df = read_tab_delimited(
+        spark,
+        _TAB_PATH,
+        schema="route string, dir int, hr int, mn int, sc int, on_cnt int",
+        header=True,
+    )
+    return df.select(
+        "route",
+        "dir",
+        pack_hhmmss(F.col("hr"), F.col("mn"), F.col("sc")).alias("hhmmss"),
+        F.col("on_cnt"),
+    )

@@ -70,11 +70,13 @@ def read_tab_delimited(
     path: str,
     schema: str,
     na_values: str = "NA",
+    header: bool = False,
 ) -> DataFrame:
     """Tab-delimited scan (S2, ``SFMuniDataHelper.py:414-420``)."""
     return (
         spark.read.option("sep", "\t")
         .option("nullValue", na_values)
+        .option("header", str(header).lower())
         .schema(schema)
         .csv(path)
     )
