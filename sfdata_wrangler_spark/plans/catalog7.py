@@ -448,3 +448,61 @@ def s2_tab_hhmmss_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_hhmmss(F.col("hr"), F.col("mn"), F.col("sc")).alias("hhmmss"),
         F.col("on_cnt"),
     )
+
+
+def _lcc_sql() -> str:
+    from ..functions.geo import (
+        _A_M, _BIG_F, _E, _FE_M, _FN_M, _LON0, _M_TO_USFT, _N, _RHO0,
+    )
+
+    D = lambda v: f"CAST({v!r} AS DOUBLE)"  # noqa: E731
+    tcol = (
+        f"tan(pi()/4 - radians(lat)/2) / pow((1 - {D(_E)}*sin(radians(lat)))"
+        f" / (1 + {D(_E)}*sin(radians(lat))), {D(_E / 2)})"
+    )
+    rho = f"{D(_A_M)} * {D(_BIG_F)} * pow({tcol}, {D(_N)})"
+    theta = f"{D(_N)} * (radians(lon) - ({D(_LON0)}))"
+    return f"""
+    WITH pts AS (
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+             -122.60 + (event_id * 37 % 3000) / 10000.0 AS lon,
+             37.65 + (event_id * 53 % 2500) / 10000.0 AS lat
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id,
+           CAST(round(({rho} * sin({theta}) + {D(_FE_M)}) * {D(_M_TO_USFT)},
+                      3) AS DOUBLE) AS x_ft,
+           CAST(round(({D(_RHO0)} - {rho} * cos({theta}) + {D(_FN_M)})
+                      * {D(_M_TO_USFT)}, 3) AS DOUBLE) AS y_ft
+    FROM pts
+    """
+
+
+@_register("f12_lcc_stateplane", _lcc_sql())
+def f12_lcc_stateplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 Lambert-conformal-conic state-plane projection
+    (GTFSHelper.py:38-61 / HwyNetwork.py:54-77, pyproj replaced by
+    closed-form Snyder eqs as pure codegen'd column trig). JVM and
+    DuckDB libm disagree by <=1e-8 ft on this grid; rounding to
+    millifeet (verified >=12x boundary margin on the fixed input set)
+    makes the check hash-exact."""
+    from ..functions.geo import lonlat_to_ca_stateplane
+    from .catalog import _events
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") < 500)
+    pts = ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        (
+            F.lit(-122.60)
+            + (F.col("event_id") * 37 % 3000) / F.lit(10000.0)
+        ).alias("lon"),
+        (
+            F.lit(37.65) + (F.col("event_id") * 53 % 2500) / F.lit(10000.0)
+        ).alias("lat"),
+    )
+    x, y = lonlat_to_ca_stateplane(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "event_id",
+        _pr(x, 3).alias("x_ft"),
+        _pr(y, 3).alias("y_ft"),
+    )
