@@ -548,3 +548,77 @@ def dd_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         fp.cast("bigint").alias("simhash16"),
     )
+
+
+@_register(
+    "pipe_curation",
+    f"""
+    WITH stats AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text,
+             {_TOKCNT} AS n_tokens,
+             CAST({_QUALITY} AS DOUBLE) AS quality
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM stats
+      WHERE quality >= 0.66 AND n_tokens >= 5 AND lang IN ('en', 'zh')
+    ), deduped AS (
+      SELECT min(doc_id) AS doc_id,
+             min(n_tokens) AS n_tokens
+      FROM (
+        SELECT doc_id, n_tokens, md5({_NORM}) AS nk FROM filtered
+      ) GROUP BY nk
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 256) AS BIGINT) AS window_id
+      FROM deduped
+    )
+    SELECT window_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY window_id
+    """,
+)
+def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the canonical training-data
+    pipeline composed from this engine's operators in one lazy plan:
+    quality scoring (codegen'd text stats) → threshold + language
+    filter → exact dedup on the normalized md5 key → 256-token
+    concat-and-chunk packing (two-level prefix sum) → per-window
+    summary. The oracle restates every stage in SQL (global-cumsum
+    packing), so the whole composition is value-checked, not just the
+    pieces."""
+    from ..operators.packing import pack_context_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    stats = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        c.alias("text"),
+        token_count(c).alias("n_tokens"),
+        quality_score(c).alias("quality"),
+    )
+    filtered = stats.where(
+        (F.col("quality") >= 0.66)
+        & (F.col("n_tokens") >= 5)
+        & F.col("lang").isin("en", "zh")
+    )
+    deduped = (
+        filtered.withColumn("nk", norm_key(F.col("text")))
+        .groupBy("nk")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .drop("nk")
+    )
+    packed = pack_context_windows(
+        deduped, budget=256, bucket_width=64
+    )
+    return packed.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
