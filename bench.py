@@ -42,7 +42,7 @@ def main() -> None:
     for name, fn in bench_queries.items():
         runs = []
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()

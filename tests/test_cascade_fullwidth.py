@@ -307,3 +307,93 @@ def test_strict_chain_imputation_matches_sequential_reference(spark):
     assert m.loc[("D", "2023-02-01"), "IMP_TRIP_STOPS"] == 0
     # E Feb inherits Jan's NULL ON (null donor value shadows)
     assert np.isnan(m.loc[("E", "2023-02-01"), "ON"])
+
+
+def test_end_to_end_fullwidth_cascade_with_impute(spark):
+    """The literal VERDICT ask: one chained run at reference breadth —
+    full-width rs_tod aggregation -> monthly rollup -> strict
+    month-chain imputation across 4 months with unobserved cells —
+    against a sequential pandas mirror of the whole flow."""
+    frames = []
+    for mi in range(4):
+        pdf = _wide_trip_stops()
+        month = f"2023-{mi + 1:02d}"
+        pdf["MONTH"] = month
+        pdf["DATE"] = pdf["DATE"].str.replace("2023-01", month)
+        # route '14' is entirely unobserved in months 2 and 3
+        if mi in (1, 2):
+            pdf.loc[pdf.ROUTE_SHORT_NAME == "14", "OBSERVED"] = 0
+        # month-specific values so imputation provably carries month-1
+        for c in ("DWELL", "ON", "OFF"):
+            pdf[c] = pdf[c] + mi * 1000.0
+        frames.append(pdf)
+    pdf_all = pd.concat(frames, ignore_index=True)
+    sdf = spark.createDataFrame(pdf_all)
+
+    monthly_keys = ["MONTH", "DOW", "TOD", "AGENCY_ID",
+                    "ROUTE_SHORT_NAME", "DIR", "SEQ"]
+    agg_rules = [r for r in FULL_STOP_RULES
+                 if r.out in ("OBS_TRIP_STOPS", "DWELL", "ON", "OFF",
+                              "RUNTIME", "SERVMILES", "TRIP_STOPS")]
+    monthly = aggregate_records(
+        sdf, monthly_keys, agg_rules, level="route_stop",
+        weight="TOD_WEIGHT", order_by=["__ord"],
+    )
+    impute_cols = ["DWELL", "ON", "OFF", "RUNTIME", "SERVMILES"]
+    got = (
+        impute_from_prior_month(
+            monthly,
+            cell_keys=[k for k in monthly_keys if k != "MONTH"],
+            month_col="MONTH",
+            value_cols=impute_cols,
+            strict_chain=True,
+        )
+        .toPandas()
+        .sort_values(monthly_keys)
+        .reset_index(drop=True)
+    )
+
+    # sequential mirror: pandas aggregate per month, then the
+    # reference's month loop over the aggregated panel
+    want_monthly = _pandas_aggregate(
+        pdf_all, monthly_keys, agg_rules, "TOD_WEIGHT"
+    )
+    months = sorted(want_monthly["MONTH"].unique())
+    prev = None
+    outs = []
+    cell = [k for k in monthly_keys if k != "MONTH"]
+    for m in months:
+        df = want_monthly[want_monthly["MONTH"] == m].copy()
+        df["IMP_TRIP_STOPS"] = 0.0
+        cols = list(df.columns)
+        if prev is not None:
+            df = df.merge(prev, how="left", on=cell, suffixes=["", "_PREV"])
+            for c in impute_cols:
+                df[c] = np.where(
+                    df["OBS_TRIP_STOPS"] == 0, df[c + "_PREV"], df[c]
+                )
+            df["IMP_TRIP_STOPS"] = np.where(
+                df["OBS_TRIP_STOPS"] == 0,
+                df["OBS_TRIP_STOPS_PREV"] + df["IMP_TRIP_STOPS_PREV"],
+                0,
+            )
+            df = df[cols]
+        outs.append(df)
+        prev = df
+    want = (
+        pd.concat(outs, ignore_index=True)
+        .sort_values(monthly_keys)
+        .reset_index(drop=True)
+    )
+
+    assert len(got) == len(want) == 48  # 12 cells x 4 months
+    for c in impute_cols + ["IMP_TRIP_STOPS"]:
+        g = got[c].astype(float).to_numpy()
+        w = want[c].astype(float).to_numpy()
+        ok = (np.isnan(g) & np.isnan(w)) | np.isclose(g, w, rtol=1e-9)
+        assert ok.all(), f"{c}: {got.loc[~ok, monthly_keys + [c]]}"
+    # route 14's unobserved months carried month-1 values forward
+    r14 = got[(got.ROUTE_SHORT_NAME == "14")].set_index("MONTH")
+    m1 = r14.loc["2023-01"].reset_index(drop=True)
+    m2 = r14.loc["2023-02"].reset_index(drop=True)
+    assert (m2["DWELL"].to_numpy() == m1["DWELL"].to_numpy()).all()
