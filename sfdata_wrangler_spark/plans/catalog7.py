@@ -506,3 +506,131 @@ def f12_lcc_stateplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pr(x, 3).alias("x_ft"),
         _pr(y, 3).alias("y_ft"),
     )
+
+
+@_register(
+    "r2_demand_panel",
+    """
+    WITH m_orders AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      FROM orders GROUP BY 1
+    ), m_lines AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1
+    ), m_urgent AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(*) AS BIGINT) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    )
+    SELECT o.month, o.n_orders, o.n_customers,
+           coalesce(l.n_lines, 0) AS n_lines,
+           coalesce(u.n_urgent, 0) AS n_urgent,
+           CAST(round(CAST(coalesce(u.n_urgent, 0) AS DOUBLE) / o.n_orders,
+                      6) AS DOUBLE) AS urgent_share,
+           CAST(round(CAST(o.rev_cents AS DOUBLE) / o.n_customers, 4)
+                AS DOUBLE) AS rev_per_customer_cents
+    FROM m_orders o
+      LEFT JOIN m_lines l ON o.month = l.month
+      LEFT JOIN m_urgent u ON o.month = u.month
+    """,
+)
+def r2_demand_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand panel (TransitReporter.py:1105-1181 shape): several
+    independently-aggregated monthly series aligned on the month key
+    with outer joins, plus share/ratio fields — each series is one
+    combinable aggregation, the alignment joins are on the tiny month
+    dim."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+    m_orders = orders.groupBy(month.alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+    )
+    m_lines = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(month.alias("month"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+    m_urgent = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(month.alias("month"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_urgent"))
+    )
+    panel = (
+        m_orders.join(m_lines, "month", "left")
+        .join(m_urgent, "month", "left")
+        .select(
+            "month",
+            "n_orders",
+            "n_customers",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_urgent", F.lit(0)).cast("bigint").alias("n_urgent"),
+            _pr(
+                F.coalesce("n_urgent", F.lit(0)).cast("double")
+                / F.col("n_orders"),
+                6,
+            ).alias("urgent_share"),
+            _pr(
+                F.col("rev_cents").cast("double") / F.col("n_customers"), 4
+            ).alias("rev_per_customer_cents"),
+        )
+    )
+    return panel
+
+
+@_register(
+    "r3_bart_od_totals",
+    """
+    SELECT * FROM (VALUES
+      ('2013-04-01', CAST(81.0 AS DOUBLE), CAST(3 AS BIGINT)),
+      ('2013-05-01', CAST(162.0 AS DOUBLE), CAST(3 AS BIGINT))
+    ) AS t(month, system_total, n_stations_sq)
+    """,
+)
+def r3_bart_od_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BART OD system totals (TransitReporter.py:1566-1659:
+    FROM='Entries' AND TO='Exits' slice of the monthly matrices):
+    drives the full Excel-matrix ingestion path — footer detection,
+    stack to long, multi-month concat — on deterministic grids; the
+    oracle states the expected Entries/Exits totals in closed form."""
+    import datetime as _dt
+
+    import pandas as _pd
+
+    from ..sources.excel import bart_weekday_frame
+
+    def grid(scale: float) -> _pd.DataFrame:
+        data = {
+            "RM": [10.0 * scale, 20.0 * scale, 30.0 * scale, 60.0 * scale],
+            "EN": [1.0 * scale, 2.0 * scale, 3.0 * scale, 6.0 * scale],
+            "EP": [4.0 * scale, 5.0 * scale, 6.0 * scale, 15.0 * scale],
+            "Exits": [15.0 * scale, 27.0 * scale, 39.0 * scale, 81.0 * scale],
+        }
+        g = _pd.DataFrame(data, index=["RM", "EN", "EP", "Entries"])
+        g.loc["Note: source BART"] = float("nan")
+        return g
+
+    frame = bart_weekday_frame(
+        spark,
+        [
+            (grid(1.0), _dt.date(2013, 4, 1)),
+            (grid(2.0), _dt.date(2013, 5, 1)),
+        ],
+    )
+    return (
+        frame.where((F.col("FROM") == "Entries") & (F.col("TO") == "Exits"))
+        .groupBy(F.date_format("MONTH", "yyyy-MM-dd").alias("month"))
+        .agg(
+            F.sum("RIDERS").alias("system_total"),
+            F.max("STATIONS").cast("bigint").alias("n_stations_sq"),
+        )
+    )
