@@ -1,0 +1,124 @@
+"""REAL audio decode for binary media columns (beyond-reference
+multimodal surface).
+
+Unlike the image/video kernels (deterministic fakes — no codec libs in
+this environment), WAV is decodable with the standard library: the
+``wave`` module parses actual RIFF/WAVE headers and PCM frames. These
+kernels run a genuine encode → decode round trip through the real file
+format, Arrow-batched via ``mapInPandas`` — the same plumbing shape
+the fake codecs use, now with a real codec behind it.
+
+Outputs are all integers (frame counts, rates, exact sum of squared
+samples) so a SQL oracle can state them in closed form when the PCM
+payload is deterministic.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import sys
+import wave
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+WAV_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_width", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+WAV_BLOB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def encode_pcm16_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM samples -> real WAV bytes (RIFF container)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """(media_id, content: binary WAV) -> per-file metadata + exact
+    PCM energy. Real parse: wave.open on the bytes; sum of squared
+    samples computed from the decoded frames."""
+    try:
+        import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in WAV_META_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    rate = w.getframerate()
+                    nch = w.getnchannels()
+                    width = w.getsampwidth()
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                n = nf * nch
+                samples = struct.unpack(f"<{n}h", raw)
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(nch)
+                out["sample_width"].append(width)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(nf * 1000 // rate)
+                out["sum_sq"].append(sum(s * s for s in samples))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, WAV_META_SCHEMA
+    )
+
+
+def synth_wav_corpus(ids: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """(media_id) -> (media_id, content): deterministic PCM per id
+    (sample i = ((id*7 + i*13) % 2001) - 1000, n = 800 + id%5 * 80),
+    encoded through the REAL wave writer — so a decode oracle can
+    state every output in closed form."""
+    try:
+        import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                n = 800 + (m % 5) * 80
+                samples = [((m * 7 + i * 13) % 2001) - 1000 for i in range(n)]
+                out["media_id"].append(m)
+                out["content"].append(encode_pcm16_wav(samples, sample_rate))
+            yield pd.DataFrame(out)
+
+    return ids.select("media_id").mapInPandas(kernel, WAV_BLOB_SCHEMA)

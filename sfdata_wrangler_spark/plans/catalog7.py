@@ -634,3 +634,44 @@ def r3_bart_od_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("STATIONS").cast("bigint").alias("n_stations_sq"),
         )
     )
+
+
+@_register(
+    "mm_audio_wav",
+    """
+    WITH ids AS (
+      SELECT CAST(event_id AS BIGINT) AS m
+      FROM events WHERE event_id < 200
+    ), sized AS (
+      SELECT m, 800 + (m % 5) * 80 AS nf FROM ids
+    ), s AS (
+      SELECT m, nf, unnest(range(0, nf)) AS i FROM sized
+    )
+    SELECT m AS media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(2 AS BIGINT) AS sample_width,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(sum(((m * 7 + i * 13) % 2001 - 1000)
+                    * ((m * 7 + i * 13) % 2001 - 1000)) AS BIGINT) AS sum_sq
+    FROM s GROUP BY m, nf
+    """,
+)
+def mm_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal audio decode (no fake codec): deterministic
+    16-bit PCM is encoded through the stdlib wave writer into genuine
+    RIFF/WAVE blobs, then decoded back (header parse + frame unpack +
+    exact PCM energy) in an Arrow-batched mapInPandas kernel. The
+    oracle states every decoded value in closed form from the PCM
+    formula — the full encode/decode round trip is value-checked."""
+    from ..multimodal.audio_wav import decode_wav, synth_wav_corpus
+    from .catalog import _events
+
+    ids = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") < 200)
+        .select(F.col("event_id").cast("bigint").alias("media_id"))
+    )
+    blobs = synth_wav_corpus(ids)
+    return decode_wav(blobs)
