@@ -104,8 +104,10 @@ def main():
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
         if name not in omap:
-            print(f"---- {name}: no oracle (rows-only) rows={len(sdf)} "
-                  f"[{time.time()-t0:.1f}s]")
+            status = "rows-only OK" if len(sdf) > 0 else "rows-only EMPTY"
+            (passes if len(sdf) > 0 else failures).append((name, status))
+            print(f"{'ok  ' if len(sdf) > 0 else 'FAIL'} {name}: {status} "
+                  f"rows={len(sdf)} [{time.time()-t0:.1f}s]")
             continue
         try:
             odf = con.sql(omap[name]).df()
