@@ -675,3 +675,42 @@ def mm_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blobs = synth_wav_corpus(ids)
     return decode_wav(blobs)
+
+
+@_register(
+    "w15_tumbling_window_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w15_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation via streaming/windowed.py running
+    in batch mode (the same function powers the watermarked stream —
+    batch≡stream modulo dropped-late rows, proven in
+    test_streaming_watermark). 10-minute windows keyed by a user
+    bucket."""
+    from ..streaming.windowed import windowed_event_counts
+    from .catalog import _events
+
+    ev = _events(spark, sf_dir).select(
+        "ts", (F.col("user_id") % 10).cast("bigint").alias("user_bucket"),
+        "value",
+    )
+    out = windowed_event_counts(
+        ev, ts_col="ts", key_col="user_bucket", window="10 minutes",
+        value_col="value",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "user_bucket",
+        "n_events",
+        _pr(F.col("total_value"), 2).alias("total_value"),
+    )
