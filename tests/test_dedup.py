@@ -141,3 +141,29 @@ def test_pack_context_windows_equals_global_scan(spark):
         )
         assert list(got.window_id) == list(pdf.before // budget)
         assert list(got.window_offset) == list(pdf.before % budget)
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Degenerate inputs must not crash or mislabel: empty corpora,
+    empty train side, zero-token docs."""
+    from sfdata_wrangler_spark.operators.dedup import contamination_check
+    from sfdata_wrangler_spark.operators.packing import pack_context_windows
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    empty_toks = spark.createDataFrame([], "doc_id bigint, n_tokens bigint")
+
+    assert pack_context_windows(empty_toks, budget=10).count() == 0
+    # empty eval -> no rows; empty train -> nothing contaminated
+    some = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e")],
+    )
+    assert contamination_check(some, empty_docs).count() == 0
+    got = contamination_check(empty_docs, some).collect()
+    assert len(got) == 1 and got[0].n_contaminated == 0
+    # doc with zero tokens packs as a zero-width entry, not a crash
+    z = spark.createDataFrame([Row(doc_id=1, n_tokens=0),
+                               Row(doc_id=2, n_tokens=7)])
+    rows = {r.doc_id: r for r in
+            pack_context_windows(z, budget=5).collect()}
+    assert rows[1].window_id == 0 and rows[1].window_offset == 0
+    assert rows[2].window_id == 0
