@@ -45,7 +45,6 @@ def test_q5_fact_first_join_order(spark):
     """q5 must join orders⨝lineitem (fact-fact) BEFORE customer: the
     lineitem join line sits deeper in the printed tree (larger string
     offset) than the customer join line."""
-    import re
 
     plan = _plan(spark, "q5_local_supplier_volume")
     join_lines = [
@@ -70,3 +69,25 @@ def test_embedding_neardup_is_bucket_equi(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_pack_windows_no_global_doc_sort(spark):
+    """txt_pack_windows' per-doc prefix sum must run in bucket-
+    partitioned windows; the only unpartitioned window is over the
+    tiny per-bucket offset dim (one row per bucket), never the docs."""
+    plan = _plan(spark, "txt_pack_windows")
+
+    # every Window over doc-level columns must carry a partition spec
+    doc_windows = [
+        line for line in plan.splitlines()
+        if "Window" in line and "n_tokens" in line
+    ]
+    assert doc_windows, plan
+    for line in doc_windows:
+        assert "__bkt" in line, f"doc window not bucket-partitioned: {line}"
+
+
+def test_strict_chain_no_cartesian(spark):
+    plan = _plan(spark, "w12b_impute_chain_strict")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
