@@ -3,6 +3,8 @@ promises must survive refactors: filter pushdown into the parquet
 scan, broadcast joins for dimensions, and no redundant exchange
 between the weight window and the cascade aggregation."""
 
+import re
+
 from sfdata_wrangler_spark.plans import QUERIES
 
 SF = "/root/testdata/sf0.001"
