@@ -714,3 +714,46 @@ def w15_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         _pr(F.col("total_value"), 2).alias("total_value"),
     )
+
+
+@_register(
+    "a9_grouping_sets",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(strftime(date_trunc('month', o_orderdate), '%Y-%m-%d'),
+                    'ALL') AS month,
+           CAST(GROUPING(o_orderpriority) * 2
+                + GROUPING(date_trunc('month', o_orderdate)) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, date_trunc('month', o_orderdate)),
+                            (o_orderpriority), (date_trunc('month', o_orderdate)),
+                            ())
+    """,
+)
+def a9_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation in ONE pass via GROUPING SETS — the
+    lattice the cascade would use if its levels shared weights
+    (SFMuniDataAggregator's levels each reweight, so the cascade
+    stays explicit; this covers the shared-weight case): detail,
+    two marginals, and the grand total with grouping provenance,
+    one shuffle with partial aggregation."""
+    return spark.sql(
+        f"""
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(date_format(date_trunc('month', o_orderdate),
+                                    'yyyy-MM-dd'), 'ALL') AS month,
+               CAST(GROUPING(o_orderpriority) * 2
+                    + GROUPING(date_trunc('month', o_orderdate)) AS INT)
+                 AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM parquet.`{sf_dir}/orders.parquet`
+        GROUP BY GROUPING SETS (
+          (o_orderpriority, date_trunc('month', o_orderdate)),
+          (o_orderpriority), (date_trunc('month', o_orderdate)), ())
+        """
+    )
