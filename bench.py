@@ -26,9 +26,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from sfdata_wrangler_spark.pipelines.workloads import BENCH_WORKLOADS
+
     bench_queries = {
         name: spec["fn"] for name, spec in QUERIES.items() if spec["bench"]
     }
+    # reference-domain pipelines at sf volume (bench-only: correctness
+    # is pinned by the hash-exact fixture queries; this pins wall-time)
+    bench_queries.update(BENCH_WORKLOADS)
 
     # Warm up the JVM/codegen path once with the smallest table so the
     # first measured query doesn't pay session startup.

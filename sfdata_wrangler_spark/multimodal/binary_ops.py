@@ -6,11 +6,13 @@ feature-extract / frame-sample run as Arrow-batched ``mapInPandas``
 stages so bytes stream through in columnar batches and never
 materialize on the driver.
 
-The actual codecs (PIL/ffmpeg) are NOT in this container, so the
-decode kernels are STUBBED: ``fake=True`` produces a deterministic
-synthetic decode (so the Spark-side plumbing — schema, batching,
-partitioning, UDF signatures — is real and tested); ``fake=False``
-raises ``NotImplementedError`` until a codec library is present.
+Real codecs: BMP images (stdlib-parseable, see :mod:`.image_bmp`) and
+RIFF/WAVE audio (:mod:`.audio_wav`) decode for real — ``fake=False``
+(the default) parses actual file bytes. JPEG/PNG/MP4 need codec
+libraries absent from this container, so non-BMP payloads raise
+``ValueError`` on the real path; ``fake=True`` keeps the
+deterministic synthetic decode for plumbing tests over arbitrary
+bytes (schema, batching, partitioning, UDF signatures).
 """
 
 from __future__ import annotations
@@ -90,20 +92,35 @@ def _fake_decode(content: bytes) -> tuple[int, int, str]:
     return w, ht, h
 
 
-def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
+def _real_decode(content: bytes) -> tuple[int, int, str]:
+    """Real image decode (BMP): parse the actual bytes; checksum is
+    md5 of the decoded top-down RGB pixel array — a content hash of
+    the *image*, not the container."""
+    from .image_bmp import decode_bmp24
+
+    if (content or b"")[:2] != b"BM":
+        raise ValueError(
+            "unsupported image codec (only BMP decodes without external "
+            "libraries); pass fake=True for the synthetic plumbing path"
+        )
+    img = decode_bmp24(bytes(content))
+    h, w = img.shape[:2]
+    return w, h, hashlib.md5(img.tobytes()).hexdigest()
+
+
+def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     """binary content → (media_id, width, height, n_bytes, checksum).
 
+    Default is the REAL path: BMP bytes are parsed (header + pixel
+    array) and the checksum hashes the decoded pixels. ``fake=True``
+    keeps the md5-derived synthetic decode for arbitrary payloads.
     ``mapInPandas``: one Arrow batch in, one out; nothing driver-side.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real image decode needs PIL/turbojpeg (not in this container); "
-            "run with fake=True for the deterministic synthetic decode"
-        )
+    decode = _fake_decode if fake else _real_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(c) for c in pdf["content"]]
+            decoded = [decode(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -118,19 +135,39 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def extract_image_features(
-    df: DataFrame, dim: int = 8, fake: bool = True
+    df: DataFrame, dim: int = 8, fake: bool = False
 ) -> DataFrame:
-    """binary content → fixed-dim float feature vector (stub: bytes of
-    the md5 digest scaled to [0,1) — deterministic, shape-correct)."""
-    if not fake:
-        raise NotImplementedError("real feature extraction needs a vision model")
+    """binary content → fixed-dim float feature vector.
+
+    Real path (default, BMP): average-pool the decoded image into
+    ``dim`` vertical strips and emit each strip's mean intensity in
+    [0, 1) — a genuine (if simple) visual descriptor computed from
+    real pixels. ``fake=True``: md5-digest bytes scaled to [0, 1)
+    (deterministic, shape-correct) for arbitrary payloads."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .image_bmp import decode_bmp24
+
         for pdf in batches:
             feats = []
             for c in pdf["content"]:
-                digest = hashlib.md5(c or b"").digest()
-                feats.append([digest[i % 16] / 256.0 for i in range(dim)])
+                if fake:
+                    digest = hashlib.md5(c or b"").digest()
+                    feats.append([digest[i % 16] / 256.0 for i in range(dim)])
+                    continue
+                img = decode_bmp24(bytes(c)).astype(np.float64)
+                gray = img.mean(axis=2)  # H x W intensity
+                w = gray.shape[1]
+                bounds = [(i * w) // dim for i in range(dim + 1)]
+                feats.append(
+                    [
+                        float(gray[:, bounds[i] : max(bounds[i + 1], bounds[i] + 1)].mean())
+                        / 256.0
+                        for i in range(dim)
+                    ]
+                )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "features": feats}
             )
@@ -180,28 +217,44 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(
-    df: DataFrame, max_side: int = 256, fake: bool = True
+    df: DataFrame, max_side: int = 256, fake: bool = False
 ) -> DataFrame:
-    """Aspect-preserving resize to max_side (stub: output dims are the
-    real resize arithmetic over the fake-decoded dims; the pixel
-    transform is a checksum derivation). Arrow-batched mapInPandas."""
-    if not fake:
-        raise NotImplementedError("real resize needs PIL")
+    """Aspect-preserving shrink to ``max_side``, Arrow-batched.
+
+    Real path (default, BMP): decode actual pixels, nearest-neighbor
+    resize with integer source indexing (``image_bmp.nn_resize``),
+    checksum the resized pixel array. ``fake=True``: dims are the
+    same resize arithmetic over fake-decoded dims; the pixel
+    transform is a checksum derivation."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .image_bmp import decode_bmp24, nn_resize
+
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [],
                    "resized_checksum": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, chk = _fake_decode(content)
-                scale = min(1.0, max_side / max(w, h))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                if fake:
+                    w, h, chk = _fake_decode(content)
+                else:
+                    img = decode_bmp24(bytes(content))
+                    h, w = img.shape[:2]
+                side = max(w, h)
+                if side > max_side:
+                    nw = max(1, (w * max_side) // side)
+                    nh = max(1, (h * max_side) // side)
+                else:
+                    nw, nh = w, h
+                if fake:
+                    checksum = hashlib.md5(f"{chk}:{nw}x{nh}".encode()).hexdigest()
+                else:
+                    checksum = hashlib.md5(
+                        nn_resize(img, nw, nh).tobytes()
+                    ).hexdigest()
                 out["media_id"].append(mid)
                 out["width"].append(nw)
                 out["height"].append(nh)
-                out["resized_checksum"].append(
-                    hashlib.md5(f"{chk}:{nw}x{nh}".encode()).hexdigest()
-                )
+                out["resized_checksum"].append(checksum)
             yield pd.DataFrame(out)
 
     return df.select("media_id", "content").mapInPandas(kernel, RESIZED_SCHEMA)

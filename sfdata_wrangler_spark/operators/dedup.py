@@ -28,19 +28,20 @@ from pyspark.sql import functions as F
 from ..functions.text import norm_key, normalize_text, word_shingles
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Ensure explode-heavy work is spread across the cluster.
 
     Document corpora often arrive as few large-ish files; a shingle
     explode multiplies rows ~100× AFTER the scan, so file-size-based
     partitioning under-parallelizes (one 5k-doc file = one task doing
-    all the hashing). Round-robin to the default parallelism when the
-    input has fewer partitions — one cheap narrow-ish shuffle of raw
-    text buys full-cluster hashing."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    all the hashing). Round-robin the raw text to ``num_partitions``
+    (default: the cluster's default parallelism) — one cheap narrow
+    shuffle of raw text buys full-cluster hashing. Unconditional by
+    design: probing the current partition count would materialize the
+    RDD lineage on the driver, and rebalancing before a 100× explode
+    is the right call at scale regardless of the incoming layout."""
+    target = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
 
 
 def exact_dedup(
@@ -270,9 +271,57 @@ def contamination_check(
     )
 
 
+def exact_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """ALL pairs sharing ≥ 1 word shingle, with exact intersection /
+    union counts: (id_a, id_b, inter, union_sz).
+
+    The ground-truth generator for LSH recall telemetry. Shape is a
+    shingle inverted index (explode distinct shingles → self-equi-join
+    on the shingle key → per-pair count), so pairs only materialize
+    where documents actually overlap — never an O(n²) cross join.
+    Disjoint documents (Jaccard 0) are absent by construction. At
+    100 TB the hot shingles are the skew risk; prefilter stop-shingles
+    or salt if a shingle's posting list explodes."""
+    sh = _spread(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return inter.join(na, "id_a").join(nb, "id_b").select(
+        "id_a",
+        "id_b",
+        "inter",
+        (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_sz"),
+    )
+
+
 def cluster_duplicates(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 20, check_every: int = 3,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (doc_id,
     cluster_id) with cluster_id = min doc id in the component.
@@ -283,7 +332,14 @@ def cluster_duplicates(
     (near-dup graphs are dense cliques), so this converges in a few
     rounds even at corpus scale. The final keep-one-per-cluster step
     is then ``dedup_by_order`` on cluster_id.
-    """
+
+    Convergence is probed only every ``check_every`` rounds: each probe
+    is a driver-side action (job launch), and labels are monotonically
+    non-increasing per node, so "unchanged across k rounds" ⟺
+    "unchanged each round" — batching the probe trades a few cheap
+    extra propagation rounds for k× fewer serialized job launches.
+    ``cluster_duplicates.last_n_checks`` records the probe count for
+    tests."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -294,7 +350,10 @@ def cluster_duplicates(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_iterations):
+    checked = labels.localCheckpoint(eager=True)
+    labels = checked
+    n_checks = 0
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -309,16 +368,20 @@ def cluster_duplicates(
                 ).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels.localCheckpoint(eager=True)
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0 or it == max_iterations - 1:
+            n_checks += 1
+            changed = (
+                labels.alias("n")
+                .join(checked.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+            checked = labels
+    cluster_duplicates.last_n_checks = n_checks
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -28,21 +28,49 @@ def pack_context_windows(
     budget: int,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
-    bucket_width: int = 100_000,
+    bucket_width: int | None = 100_000,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """(id, n_tokens) -> (id, n_tokens, window_id, window_offset).
 
     Layout order is ascending ``id_col`` (deterministic — rerunning on
     the same corpus reproduces identical windows). ``budget`` is the
-    context length in tokens. ``bucket_width`` sets the id-range size
-    per bucket: pick it so corpus_id_span / bucket_width stays in the
-    thousands (the offset dim must broadcast) while each bucket holds
-    enough docs to parallelize."""
-    docs = df.select(
-        F.col(id_col),
-        F.col(tokens_col).cast("bigint").alias(tokens_col),
-        F.floor(F.col(id_col) / bucket_width).cast("bigint").alias("__bkt"),
-    )
+    context length in tokens.
+
+    Bucketing (any non-decreasing function of id keeps the two-level
+    scan ≡ the global scan):
+
+    - ``bucket_width`` (dense integer ids): bucket = id // width. Pick
+      it so corpus_id_span / width stays in the thousands (the offset
+      dim must broadcast) while each bucket holds enough docs to
+      parallelize.
+    - ``n_buckets`` (sparse / skewed id spaces — UUID-hash ids span
+      2^63, so a fixed width degenerates to one doc per bucket):
+      bucket = ``width_bucket(id, min, max, n_buckets)`` with the
+      min/max bounds computed as a 1-row broadcast dim, so the plan
+      stays fully lazy (no driver action). Hash-derived ids are
+      uniform over their span, so equal-width range buckets balance.
+    """
+    if n_buckets is not None:
+        bounds = F.broadcast(
+            df.agg(
+                F.min(id_col).cast("double").alias("__lo"),
+                (F.max(id_col) + 1).cast("double").alias("__hi"),
+            )
+        )
+        docs = df.crossJoin(bounds).select(
+            F.col(id_col),
+            F.col(tokens_col).cast("bigint").alias(tokens_col),
+            F.width_bucket(F.col(id_col), "__lo", "__hi", F.lit(n_buckets))
+            .cast("bigint")
+            .alias("__bkt"),
+        )
+    else:
+        docs = df.select(
+            F.col(id_col),
+            F.col(tokens_col).cast("bigint").alias(tokens_col),
+            F.floor(F.col(id_col) / bucket_width).cast("bigint").alias("__bkt"),
+        )
 
     # level 1: per-bucket subtotals -> exclusive cumulative offsets.
     # The unpartitioned window is safe here: it runs over one row per

@@ -256,7 +256,7 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
     )
-    out = decode_images(media)
+    out = decode_images(media, fake=True)  # payload is text bytes, not BMP
     return out.select("media_id", "n_bytes", "checksum")
 
 

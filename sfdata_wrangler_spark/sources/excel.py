@@ -39,11 +39,22 @@ def read_sheet_grid(
     skiprows: int | None = None,
 ) -> pd.DataFrame:
     """Parse one sheet into a raw grid. ``.csv`` paths (exported
-    fixtures) parse everywhere; ``.xls(x)`` needs an Excel engine and
-    raises a clear error when the container has none."""
+    fixtures) go through pandas; ``.xlsx`` parses for REAL via the
+    stdlib SpreadsheetML codec (:mod:`.xlsx` — zipfile + ElementTree,
+    no openpyxl needed); legacy binary ``.xls`` still needs xlrd."""
     if path.endswith(".csv"):
         return pd.read_csv(
             path, header=header, index_col=index_col, skiprows=skiprows
+        )
+    if path.endswith(".xlsx"):
+        from .xlsx import read_xlsx_grid
+
+        return read_xlsx_grid(
+            path,
+            sheet=sheet,
+            header=header,
+            index_col=index_col,
+            skiprows=skiprows,
         )
     try:
         return pd.read_excel(
@@ -53,10 +64,10 @@ def read_sheet_grid(
             index_col=index_col,
             skiprows=skiprows,
         )
-    except ImportError as e:  # no xlrd/openpyxl in this environment
+    except ImportError as e:  # no xlrd in this environment
         raise ImportError(
-            "no Excel engine available; export the sheet to CSV and pass "
-            f"that path instead ({e})"
+            "no legacy .xls engine available; convert to .xlsx (stdlib "
+            f"codec) or export to CSV ({e})"
         ) from e
 
 

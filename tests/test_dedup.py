@@ -167,3 +167,87 @@ def test_operators_handle_empty_inputs(spark):
             pack_context_windows(z, budget=5).collect()}
     assert rows[1].window_id == 0 and rows[1].window_offset == 0
     assert rows[2].window_id == 0
+
+
+def test_cluster_duplicates_chain_batched_convergence(spark):
+    """A 10-node chain (diameter 9 — worst case for label
+    propagation) still resolves to one component, and the batched
+    convergence probe fires ~iterations/check_every times instead of
+    every round."""
+    from sfdata_wrangler_spark.operators.dedup import cluster_duplicates
+
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(9)]
+    )
+    out = cluster_duplicates(chain, max_iterations=20, check_every=3)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r.cluster_id == 0 for r in rows)
+    # chain of 9 edges converges within ~9 rounds; probes every 3rd
+    # round → far fewer driver actions than one-per-iteration
+    assert 1 <= cluster_duplicates.last_n_checks <= 5
+
+
+def test_exact_jaccard_pairs_ground_truth(spark):
+    """Inverted-index truth pairs: exact inter/union vs hand-computed
+    shingle sets; disjoint docs produce no pair at all."""
+    from sfdata_wrangler_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e"),        # shingles: abc bcd cde
+            Row(doc_id=2, text="a b c d x"),        # abc bcd cdx
+            Row(doc_id=3, text="q r s t u"),        # disjoint
+            Row(doc_id=4, text="a b c"),            # abc
+        ]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.union_sz)
+        for r in exact_jaccard_pairs(docs, shingle_n=3).collect()
+    }
+    assert got == {
+        (1, 2): (2, 4),   # {abc,bcd} / {abc,bcd,cde,cdx}
+        (1, 4): (1, 3),
+        (2, 4): (1, 3),
+    }
+
+
+def test_pack_windows_sparse_hash_ids(spark):
+    """UUID-hash-style sparse ids (63-bit span): range bucketing via
+    n_buckets keeps the two-level scan ≡ the global prefix sum, and no
+    per-doc window runs unpartitioned."""
+    import hashlib
+
+    from sfdata_wrangler_spark.operators.packing import pack_context_windows
+
+    ids = sorted(
+        int.from_bytes(hashlib.md5(f"doc{i}".encode()).digest()[:8], "big") >> 1
+        for i in range(400)
+    )
+    rows = [Row(doc_id=i, n_tokens=(i % 37) + 1) for i in ids]
+    df = spark.createDataFrame(rows)
+    got = (
+        pack_context_windows(df, budget=256, n_buckets=16)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # global-order reference
+    before = 0
+    for i, r in got.iterrows():
+        assert r.window_id == before // 256, (i, r.doc_id)
+        assert r.window_offset == before % 256
+        before += r.n_tokens
+
+    plan = pack_context_windows(
+        df, budget=256, n_buckets=16
+    )._jdf.queryExecution().executedPlan().toString()
+    # every Window over doc rows must be partitioned by the bucket;
+    # the only allowed global-order window is the per-bucket offsets
+    # (one row per bucket)
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        spec = m.group(0)
+        if "__bkt" not in spec:
+            raise AssertionError(f"unpartitioned per-doc window: {spec}")

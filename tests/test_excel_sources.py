@@ -127,3 +127,59 @@ def test_fuel_prices_midmonth_normalization(spark):
     assert {"MONTH", "FUEL_PRICE", "FUEL_PRICE_2010USD", "CPI"} <= set(
         sdf.columns
     )
+
+
+def test_real_xlsx_roundtrip_and_bart_parse(tmp_path):
+    """The stdlib .xlsx codec: write a genuine workbook (zip +
+    SpreadsheetML), read it back, and check it parses identically to
+    the same grid fed through the CSV path."""
+    import datetime
+
+    from sfdata_wrangler_spark.sources.excel import (
+        bart_matrix_to_long,
+        read_sheet_grid,
+    )
+    from sfdata_wrangler_spark.sources.xlsx import write_xlsx
+
+    grid_rows = [
+        [None, "A", "B", "Exits"],
+        ["A", 1.0, 2.0, 3.0],
+        ["B", 4.0, 5.5, 9.5],
+        ["Entries", 5.0, 7.5, 12.5],
+        ["Note: junk footer", None, None, None],
+    ]
+    xlsx_path = str(tmp_path / "m.xlsx")
+    write_xlsx(xlsx_path, {"Sheet1": grid_rows})
+    csv_path = str(tmp_path / "m.csv")
+    with open(csv_path, "w") as f:
+        for row in grid_rows:
+            f.write(",".join("" if v is None else str(v) for v in row) + "\n")
+
+    from_xlsx = read_sheet_grid(xlsx_path, sheet=0)
+    from_csv = read_sheet_grid(csv_path)
+    month = datetime.date(2013, 4, 1)
+    lx = bart_matrix_to_long(from_xlsx, month).sort_values(["FROM", "TO"])
+    lc = bart_matrix_to_long(from_csv, month).sort_values(["FROM", "TO"])
+    pd.testing.assert_frame_equal(
+        lx.reset_index(drop=True), lc.reset_index(drop=True)
+    )
+    assert lx.RIDERS.sum() == 50.0
+
+
+def test_real_xlsx_committed_fixture_and_sheet_names():
+    """The committed bart_od.xlsx fixture parses with real zip magic,
+    sheet selection by index and by name, and mixed types."""
+    import os
+
+    from sfdata_wrangler_spark.sources.excel import read_sheet_grid
+    from sfdata_wrangler_spark.sources.xlsx import read_xlsx_grid
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "bart_od.xlsx")
+    with open(path, "rb") as f:
+        assert f.read(2) == b"PK"  # genuine zip container
+    bart = read_sheet_grid(path, sheet=0)
+    assert list(bart.columns) == ["S1", "S2", "S3", "Exits"]
+    assert bart.at["S2", "S3"] == 23.0
+    cpi = read_xlsx_grid(path, sheet="CPI")
+    assert cpi.at[2010, "HALF1"] == 218.0
+    assert cpi.at[2011, "Dec"] == 226.5
