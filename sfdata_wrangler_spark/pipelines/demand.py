@@ -72,9 +72,17 @@ def scaling_factor_join(
 ) -> DataFrame:
     """QCEW↔WAC pattern (J8, ``DemandHelper.py:1280-1330``): compute a
     per-key scaling factor truth/monthly, then apply it to value
-    columns — two broadcast left joins + column arithmetic."""
+    columns — two broadcast left joins + column arithmetic.
+
+    ``monthly_col`` must be constant within each key (it is a per-key
+    control total); the factor frame is built from the DISTINCT
+    (keys, monthly_col) projection so callers may pass a frame with
+    many rows per key (e.g. county-months keyed by county-year)
+    without the apply join fanning out."""
     factors = (
-        monthly.join(F.broadcast(truth), list(keys))
+        monthly.select(*keys, monthly_col)
+        .distinct()
+        .join(F.broadcast(truth), list(keys))
         .select(
             *keys,
             (F.col(truth_col) / F.col(monthly_col)).alias("__factor"),

@@ -403,3 +403,282 @@ def s8_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         (F.floor((F.sum(tt) + 50) / 100.0) / 100.0).alias("revenue"),
     )
+
+
+@_register(
+    "s10_excel_report",
+    """
+    WITH om AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST((floor((sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                          + 50) / 100.0) / 100.0) AS DOUBLE) AS revenue
+      FROM orders WHERE o_orderdate < DATE '1996-01-01'
+      GROUP BY 1
+    ), lm AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(count(*) AS DOUBLE) AS n_items,
+             CAST(sum(l_quantity) AS DOUBLE) AS quantity
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate < DATE '1996-01-01'
+      GROUP BY 1
+    ), panel AS (
+      SELECT om.month, n_customers, n_orders, n_items, revenue, quantity
+      FROM om JOIN lm ON om.month = lm.month
+    )
+    SELECT section, metric, month, value FROM (
+      SELECT 'Drivers of Demand' AS section, 'Customers' AS metric,
+             month, n_customers AS value FROM panel
+      UNION ALL
+      SELECT 'Service Provided', 'Orders', month, n_orders FROM panel
+      UNION ALL
+      SELECT 'Service Provided', 'Line Items', month, n_items FROM panel
+      UNION ALL
+      SELECT 'Ridership', 'Revenue', month, revenue FROM panel
+      UNION ALL
+      SELECT 'Ridership', 'Quantity', month, quantity FROM panel
+    )
+    """,
+)
+def s10_excel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 Excel report sink (ref TransitReporter.py:178-941), REAL
+    and round-tripped: the monthly system panel aggregates in Spark;
+    the sink writes a genuine .xlsx via the stdlib SpreadsheetML
+    writer — Values sheet in the reference's layout (section title
+    rows, metric labels, months across columns, inline trend
+    micro-chart) plus a Differences sheet of real Excel formulas
+    (writeSystemDifferenceFormulas semantic). The query then re-reads
+    the workbook through the stdlib parser and returns the long
+    (section, metric, month, value) frame; the oracle recomputes the
+    panel straight from the tables — so layout, writer, and parser
+    are all value-checked."""
+    import os
+    import tempfile
+
+    from ..sources.report_xlsx import read_system_report, write_system_report
+
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    month = F.date_format(
+        F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd"
+    ).alias("month")
+    tt = F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")
+    om = orders.groupBy(month).agg(
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        (F.floor((F.sum(tt) + 50) / 100.0) / 100.0).alias("revenue"),
+    )
+    lm = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(month)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_items"),
+            F.sum("l_quantity").cast("double").alias("quantity"),
+        )
+    )
+    panel = om.join(lm, "month")
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "sfdata_excel_report",
+        os.path.basename(os.path.normpath(sf_dir)) + ".xlsx",
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_system_report(panel, path)
+    rows = read_system_report(path)
+    return spark.createDataFrame(
+        rows, "section string, metric string, month string, value double"
+    ).select("section", "metric", "month", "value")
+
+
+@_register(
+    "pipe_demand",
+    """
+    WITH counties(c, county) AS (VALUES (0, '06001'), (1, '06075')),
+    months AS (
+      SELECT unnest(generate_series(DATE '2013-01-01', DATE '2014-12-01',
+                                    INTERVAL 1 MONTH)) AS month
+    ),
+    mi AS (
+      SELECT month,
+             (year(month) - 2013) * 12 + month(month) - 1 AS mi
+      FROM months
+    ),
+    blocks AS (
+      SELECT b, y
+      FROM (SELECT unnest(range(0, 40)) AS b)
+      CROSS JOIN (SELECT unnest([2013, 2014]) AS y)
+    ),
+    lodes AS (
+      SELECT CASE WHEN b % 2 = 0 THEN '06001' ELSE '06075' END AS county,
+             y, sum(100 + b * 7 + (y - 2013) * 13) AS jobs
+      FROM blocks GROUP BY 1, 2
+    ),
+    qcew AS (
+      SELECT county, c, month, mi, CAST(5000 + c * 1000 + mi * 10 AS DOUBLE)
+               AS emp
+      FROM counties CROSS JOIN mi
+    ),
+    ann AS (
+      SELECT county, year(month) AS y, avg(emp) AS ann_avg
+      FROM qcew GROUP BY 1, 2
+    ),
+    scaled AS (
+      SELECT q.county, q.month,
+             q.emp * (CAST(l.jobs AS DOUBLE) / a.ann_avg) AS totemp
+      FROM qcew q
+      JOIN ann a ON q.county = a.county AND year(q.month) = a.y
+      JOIN lodes l ON l.county = q.county AND l.y = a.y
+    ),
+    pop AS (
+      SELECT county, month,
+             CAST(800000 + c * 100000 + (year(month) - 2013) * 5000 AS DOUBLE)
+               AS pop
+      FROM counties CROSS JOIN mi
+    ),
+    fuel AS (
+      SELECT month,
+             (3.0 + mi * 0.05) * (220.0 / (230.0 + mi * 0.5)) AS fuel_2010usd
+      FROM mi
+    )
+    SELECT s.county,
+           strftime(s.month, '%Y-%m-%d') AS month,
+           CAST(round(s.totemp, 4) AS DOUBLE) AS totemp,
+           p.pop,
+           CAST(round(f.fuel_2010usd, 4) AS DOUBLE) AS fuel_price_2010usd
+    FROM scaled s
+    JOIN pop p ON s.county = p.county AND s.month = p.month
+    JOIN fuel f ON s.month = f.month
+    """,
+)
+def pipe_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end demand pipeline (DemandHelper.py:518-1619 composed):
+    LODES block-level jobs roll up through the census crosswalk (J5) to
+    county-year truth; QCEW-shaped monthly employment is scaled to
+    that truth (J8); annual ACS population steps to months over the
+    spine (W13); fuel prices deflate to constant dollars by CPI (F11).
+    The assembled county-month panel is exactly the reporter's
+    "Drivers of Demand" block. Every input is a deterministic
+    closed-form series so the oracle restates the whole composition."""
+    from ..pipelines.demand import (
+        annual_to_monthly_step,
+        cpi_deflate,
+        crosswalk_rollup,
+        scaling_factor_join,
+    )
+
+    county = F.when(F.col("b") % 2 == 0, "06001").otherwise("06075")
+
+    # month spine: 24 months x 2 counties
+    months = spark.sql(
+        "SELECT explode(sequence(to_date('2013-01-01'), "
+        "to_date('2014-12-01'), interval 1 month)) AS MONTH"
+    ).withColumn(
+        "mi",
+        (F.year("MONTH") - 2013) * 12 + F.month("MONTH") - 1,
+    )
+    # VALUES -> JVM LocalRelation: a Python-list createDataFrame is an
+    # RDD scan that spins up a Python runner per partition (seconds of
+    # overhead for a 2-row dim)
+    counties = spark.sql(
+        "SELECT c, county FROM VALUES (0, '06001'), (1, '06075') "
+        "AS t(c, county)"
+    )
+    spine = counties.crossJoin(months)
+
+    # J5: LODES blocks -> county-year truth via the crosswalk
+    blocks = (
+        spark.range(0, 40, 1, 1)
+        .withColumnRenamed("id", "b")
+        .crossJoin(spark.sql("SELECT y FROM VALUES (2013), (2014) AS t(y)"))
+        .select(
+            F.col("b").alias("block_id"),
+            "y",
+            (100 + F.col("b") * 7 + (F.col("y") - 2013) * 13)
+            .cast("bigint")
+            .alias("jobs"),
+        )
+    )
+    xwalk = spark.range(0, 40, 1, 1).select(
+        F.col("id").alias("tabblk2010"),
+        F.when(F.col("id") % 2 == 0, "06001").otherwise("06075")
+        .alias("county"),
+    )
+    lodes = None
+    for y in (2013, 2014):
+        part = crosswalk_rollup(
+            blocks.where(F.col("y") == y).select("block_id", "jobs"),
+            xwalk,
+            block_col="block_id",
+            group_col="county",
+            value_cols=["jobs"],
+        ).withColumn("Y", F.lit(y))
+        lodes = part if lodes is None else lodes.unionByName(part)
+
+    # J8: QCEW monthly employment scaled to the LODES annual truth
+    qcew = spine.select(
+        "county",
+        "MONTH",
+        (5000 + F.col("c") * 1000 + F.col("mi") * 10)
+        .cast("double")
+        .alias("EMP"),
+    ).withColumn("Y", F.year("MONTH"))
+    from pyspark.sql import Window as W
+
+    qcew = qcew.withColumn(
+        "ANNUAL_AVG", F.avg("EMP").over(W.partitionBy("county", "Y"))
+    )
+    scaled = scaling_factor_join(
+        qcew,
+        lodes,
+        keys=["county", "Y"],
+        monthly_col="ANNUAL_AVG",
+        truth_col="jobs",
+        value_cols=["EMP"],
+    ).withColumnRenamed("EMP", "TOTEMP")
+
+    # W13: annual ACS population stepped to months
+    pop_annual = counties.crossJoin(
+        spark.sql("SELECT YEAR FROM VALUES (2013), (2014) AS t(YEAR)")
+    ).select(
+        "county",
+        "YEAR",
+        (800000 + F.col("c") * 100000 + (F.col("YEAR") - 2013) * 5000)
+        .cast("double")
+        .alias("POP"),
+    )
+    pop_monthly = annual_to_monthly_step(
+        pop_annual,
+        spine.select("county", "MONTH"),
+        keys=["county"],
+        month_col="MONTH",
+        value_cols=["POP"],
+    )
+
+    # F11/CPI: fuel deflation to constant dollars
+    fuel = cpi_deflate(
+        months.select(
+            "MONTH",
+            (3.0 + F.col("mi") * 0.05).alias("FUEL_PRICE"),
+            (230.0 + F.col("mi") * 0.5).alias("CPI"),
+        ),
+        value_cols=["FUEL_PRICE"],
+        base_cpi=220.0,
+    )
+
+    from ..functions.metrics import portable_round as _pr
+
+    panel = (
+        scaled.join(pop_monthly, ["county", "MONTH"])
+        .join(F.broadcast(fuel), "MONTH")
+    )
+    return panel.select(
+        "county",
+        F.date_format("MONTH", "yyyy-MM-dd").alias("month"),
+        _pr(F.col("TOTEMP"), 4).alias("totemp"),
+        F.col("POP").alias("pop"),
+        _pr(F.col("FUEL_PRICE_2010USD"), 4).alias("fuel_price_2010usd"),
+    )

@@ -27,6 +27,12 @@ import pandas as pd
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 
 
+class Formula(str):
+    """Marks a cell value as an Excel formula (written as ``<f>`` —
+    spreadsheet apps calculate it on open). Example:
+    ``Formula("E14-F14")``."""
+
+
 def _col_index(letters: str) -> int:
     """'A' -> 0, 'Z' -> 25, 'AA' -> 26, ..."""
     n = 0
@@ -217,7 +223,9 @@ def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
                 if val is None or (isinstance(val, float) and val != val):
                     continue
                 ref = f"{_col_letters(ci)}{ri + 1}"
-                if isinstance(val, bool):
+                if isinstance(val, Formula):
+                    cells.append(f'<c r="{ref}"><f>{escape(val)}</f></c>')
+                elif isinstance(val, bool):
                     cells.append(f'<c r="{ref}" t="b"><v>{int(val)}</v></c>')
                 elif isinstance(val, (int, float)):
                     cells.append(f'<c r="{ref}"><v>{val!r}</v></c>')

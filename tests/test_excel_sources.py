@@ -183,3 +183,43 @@ def test_real_xlsx_committed_fixture_and_sheet_names():
     cpi = read_xlsx_grid(path, sheet="CPI")
     assert cpi.at[2010, "HALF1"] == 218.0
     assert cpi.at[2011, "Dec"] == 226.5
+
+
+def test_system_report_sink_roundtrip(spark):
+    """S10 report sink: Values layout + Differences formulas write as
+    a genuine workbook; the inverse reader recovers every value; the
+    Differences sheet holds real <f> formula cells."""
+    import zipfile
+
+    from sfdata_wrangler_spark.sources.report_xlsx import (
+        read_system_report,
+        write_system_report,
+    )
+
+    panel = spark.createDataFrame(
+        [
+            {"month": "1995-01-01", "n_customers": 10.0, "n_orders": 20.0,
+             "n_items": 80.0, "revenue": 1234.56, "quantity": 400.0},
+            {"month": "1995-02-01", "n_customers": 12.0, "n_orders": 25.0,
+             "n_items": 90.0, "revenue": 2234.56, "quantity": 410.0},
+            {"month": "1995-03-01", "n_customers": 9.0, "n_orders": 18.0,
+             "n_items": 70.0, "revenue": 1034.26, "quantity": 380.0},
+        ]
+    )
+    path = "/tmp/sfdata_test_report.xlsx"
+    months = write_system_report(panel, path)
+    assert months == ["1995-01-01", "1995-02-01", "1995-03-01"]
+
+    rows = read_system_report(path)
+    by = {(r["metric"], r["month"]): r["value"] for r in rows}
+    assert by[("Revenue", "1995-02-01")] == 2234.56
+    assert by[("Customers", "1995-03-01")] == 9.0
+    assert {r["section"] for r in rows} == {
+        "Drivers of Demand", "Service Provided", "Ridership"
+    }
+    assert len(rows) == 5 * 3  # 5 metrics x 3 months
+
+    # the Differences sheet carries genuine formula cells
+    with zipfile.ZipFile(path) as zf:
+        sheet2 = zf.read("xl/worksheets/sheet2.xml").decode()
+    assert "<f>Values!F5-Values!E5</f>" in sheet2  # first metric row
