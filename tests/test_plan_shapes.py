@@ -93,3 +93,21 @@ def test_strict_chain_no_cartesian(spark):
     plan = _plan(spark, "w12b_impute_chain_strict")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lake_roundtrip_partition_pruning(spark):
+    """s8_lake_roundtrip's read-back filter on the partition column
+    must prune directories (PartitionFilters), not scan-and-filter."""
+    plan = _plan(spark, "s8_lake_roundtrip")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in plan:\n{plan}"
+    assert "YEAR" in m.group(1) and "1995" in m.group(1), m.group(0)
+
+
+def test_minhash_recall_no_cartesian(spark):
+    """The exact-Jaccard ground truth must come from the shingle
+    inverted index (equi-join on the shingle key), never a cartesian
+    doc-pair product."""
+    plan = _plan(spark, "dd_minhash_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
