@@ -276,6 +276,7 @@ def exact_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """ALL pairs sharing ≥ 1 word shingle, with exact intersection /
     union counts: (id_a, id_b, inter, union_sz).
@@ -284,15 +285,27 @@ def exact_jaccard_pairs(
     shingle inverted index (explode distinct shingles → self-equi-join
     on the shingle key → per-pair count), so pairs only materialize
     where documents actually overlap — never an O(n²) cross join.
-    Disjoint documents (Jaccard 0) are absent by construction. At
-    100 TB the hot shingles are the skew risk; prefilter stop-shingles
-    or salt if a shingle's posting list explodes."""
+    Disjoint documents (Jaccard 0) are absent by construction.
+
+    ``max_doc_freq`` is the skew guard for corpus scale: a
+    boilerplate shingle appearing in k documents contributes k² join
+    rows, so one hot posting list can dominate the whole job. Setting
+    a cap drops shingles whose document frequency exceeds it
+    (stop-shingle filtering — the standard near-dup trade: such
+    shingles carry ~no similarity signal anyway). Intersections and
+    union sizes are then computed over the SURVIVING shingle sets, so
+    the Jaccard stays internally consistent."""
     sh = _spread(df).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(word_shingles(F.col(text_col), shingle_n))
         ).alias("sh"),
     )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            freq.where(F.col("__df") <= max_doc_freq).select("sh"), "sh"
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -251,3 +251,33 @@ def test_pack_windows_sparse_hash_ids(spark):
         spec = m.group(0)
         if "__bkt" not in spec:
             raise AssertionError(f"unpartitioned per-doc window: {spec}")
+
+
+def test_exact_jaccard_pairs_stop_shingle_cap(spark):
+    """max_doc_freq drops boilerplate shingles: a shingle present in
+    every doc stops generating k^2 join rows, and inter/union shrink
+    consistently (computed over surviving shingles only)."""
+    from sfdata_wrangler_spark.operators.dedup import exact_jaccard_pairs
+
+    # 'x y z' is boilerplate in all four docs; each doc also has a
+    # unique tail shared with no one except doc 1/2's common 'a b c'
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y z a b c p1 p2"),
+            Row(doc_id=2, text="x y z a b c q1 q2"),
+            Row(doc_id=3, text="x y z r1 r2 r3"),
+            Row(doc_id=4, text="x y z s1 s2 s3"),
+        ]
+    )
+    uncapped = exact_jaccard_pairs(docs, shingle_n=3).collect()
+    assert len(uncapped) == 6  # boilerplate links every pair
+    capped = {
+        (r.id_a, r.id_b): (r.inter, r.union_sz)
+        for r in exact_jaccard_pairs(
+            docs, shingle_n=3, max_doc_freq=2
+        ).collect()
+    }
+    # only pairs sharing a sub-cap shingle survive
+    assert set(capped) == {(1, 2)}
+    inter, union = capped[(1, 2)]
+    assert inter >= 1 and union > inter
