@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.metrics import portable_round as _pr
 from .catalog import _events, _register, _t
+from .fixtures import values_df
 
 
 @_register(
@@ -159,13 +160,14 @@ def g5_mapmatch_toy(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     net = Network(links).build()
     t0 = datetime.datetime(2024, 1, 1, 9, 0)
-    pings = spark.createDataFrame(
+    pings = values_df(
+        spark,
+        "cab_id: bigint, trip_id: bigint, time: timestamp, x: double, y: double",
         [
             (cab, 1, t0 + datetime.timedelta(seconds=65 * i), 150.0 + 950.0 * i, 25.0)
             for cab in (1, 2)
             for i in range(4)
         ],
-        "cab_id: bigint, trip_id: bigint, time: timestamp, x: double, y: double",
     )
     return match_trips(pings, net)
 
@@ -196,7 +198,10 @@ def g6_time_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     net = Network(links).build()
     t0 = datetime.datetime(2024, 1, 1, 6, 0)
-    pings = spark.createDataFrame(
+    pings = values_df(
+        spark,
+        "cab_id: bigint, trip_id: bigint, time: timestamp, x: double, "
+        "y: double",
         [
             (
                 t,
@@ -208,8 +213,6 @@ def g6_time_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in range(6)
             for i in range(10)
         ],
-        "cab_id: bigint, trip_id: bigint, time: timestamp, x: double, "
-        "y: double",
     )
     matched = match_trips(pings, net)
     return matched.groupBy("trip_id").agg(

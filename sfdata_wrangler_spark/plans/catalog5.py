@@ -8,28 +8,38 @@ from __future__ import annotations
 
 import datetime
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipelines.clipper import infer_linked_trips
 from ..pipelines.expansion import expand_and_weight
 from ..pipelines.taxi import identify_gps_trips
 from .catalog import _register
+from .fixtures import values_df
 
 _D = datetime.date(2013, 3, 4)
 _T = datetime.datetime(2013, 3, 4, 8, 0)
 
+_SCHED_SCHEMA = (
+    "DATE: date, DOW: bigint, TOD: string, AGENCY_ID: string, "
+    "ROUTE_SHORT_NAME: string, DIR: bigint, TRIP: string, SEQ: bigint, "
+    "SERVMILES_S: double, RUNTIME_S: double, TRIP_STOPS: bigint"
+)
+
+_AVL_SCHEMA = (
+    "DATE: date, AGENCY_ID: string, ROUTE_SHORT_NAME: string, "
+    "DIR: bigint, TRIP: string, SEQ: bigint, ARRIVAL_TIME: timestamp, "
+    "DEPARTURE_TIME: timestamp, ON: bigint, OFF: bigint, "
+    "LOAD_DEP: bigint, SERVMILES: double"
+)
+
 
 def _sched_rows():
-    rows = []
-    for trip in ("0800_1", "0830_1"):
-        for seq in (1, 2, 3):
-            rows.append(
-                Row(DATE=_D, DOW=1, TOD="0600-0859", AGENCY_ID="SFMTA",
-                    ROUTE_SHORT_NAME="1", DIR=0, TRIP=trip, SEQ=seq,
-                    SERVMILES_S=0.3, RUNTIME_S=2.0, TRIP_STOPS=1)
-            )
-    return rows
+    return [
+        (_D, 1, "0600-0859", "SFMTA", "1", 0, trip, seq, 0.3, 2.0, 1)
+        for trip in ("0800_1", "0830_1")
+        for seq in (1, 2, 3)
+    ]
 
 
 def _avl_rows():
@@ -37,11 +47,10 @@ def _avl_rows():
     for seq in (1, 2, 3):
         arr = _T + datetime.timedelta(minutes=3 * (seq - 1))
         rows.append(
-            Row(DATE=_D, AGENCY_ID="SFMTA", ROUTE_SHORT_NAME="1", DIR=0,
-                TRIP="0800_1", SEQ=seq, ARRIVAL_TIME=arr,
-                DEPARTURE_TIME=arr + datetime.timedelta(seconds=30),
-                ON=5 if seq < 3 else 0, OFF=0 if seq == 1 else 5,
-                LOAD_DEP=5 if seq < 3 else 0, SERVMILES=0.3)
+            (_D, "SFMTA", "1", 0, "0800_1", seq, arr,
+             arr + datetime.timedelta(seconds=30),
+             5 if seq < 3 else 0, 0 if seq == 1 else 5,
+             5 if seq < 3 else 0, 0.3)
         )
     return rows
 
@@ -84,7 +93,8 @@ def pipe_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fixture, hash-checked against a SQL reimplementation
     of the join/runtime/weight semantics."""
     ts = expand_and_weight(
-        spark.createDataFrame(_sched_rows()), spark.createDataFrame(_avl_rows())
+        values_df(spark, _SCHED_SCHEMA, _sched_rows()),
+        values_df(spark, _AVL_SCHEMA, _avl_rows()),
     )
     return ts.select(
         F.col("TRIP").alias("trip"),
@@ -139,13 +149,18 @@ def pipe_clipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     attributes, weight splitting)."""
     t0 = datetime.datetime(2024, 1, 3, 8, 0)  # Wednesday
     rows = [
-        Row(ClipperCardID="c1", TripSequenceID=1, TagOnTime=t0, AgencyName="SF Muni", RouteName="1"),
-        Row(ClipperCardID="c1", TripSequenceID=2, TagOnTime=t0 + datetime.timedelta(minutes=30), AgencyName="BART", RouteName="1"),
-        Row(ClipperCardID="c1", TripSequenceID=3, TagOnTime=t0 + datetime.timedelta(minutes=60), AgencyName="SF Muni", RouteName="1"),
-        Row(ClipperCardID="c1", TripSequenceID=4, TagOnTime=t0 + datetime.timedelta(minutes=300), AgencyName="SF Muni", RouteName="1"),
-        Row(ClipperCardID="c2", TripSequenceID=1, TagOnTime=t0, AgencyName="BART", RouteName="1"),
+        ("c1", 1, t0, "SF Muni", "1"),
+        ("c1", 2, t0 + datetime.timedelta(minutes=30), "BART", "1"),
+        ("c1", 3, t0 + datetime.timedelta(minutes=60), "SF Muni", "1"),
+        ("c1", 4, t0 + datetime.timedelta(minutes=300), "SF Muni", "1"),
+        ("c2", 1, t0, "BART", "1"),
     ]
-    out = infer_linked_trips(spark.createDataFrame(rows))
+    out = infer_linked_trips(values_df(
+        spark,
+        "ClipperCardID: string, TripSequenceID: bigint, "
+        "TagOnTime: timestamp, AgencyName: string, RouteName: string",
+        rows,
+    ))
     return out.select(
         F.col("ClipperCardID").alias("card"),
         F.col("TripSequenceID").cast("bigint").alias("seq"),
@@ -199,15 +214,19 @@ def pipe_taxi(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the SQL reconstruction."""
     t0 = datetime.datetime(2024, 1, 1, 10, 0)
     rows = [
-        Row(cab_id=1, time=t0 + datetime.timedelta(seconds=s), x=float(x),
-            y=0.0, status=st)
+        (1, t0 + datetime.timedelta(seconds=s), float(x), 0.0, st)
         for s, x, st in [
             (0, 0, "M"), (60, 2000, "M"), (120, 4000, "M"),
             (180, 6000, "E"), (240, 8000, "E"),
             (900, 10000, "E"), (960, 12000, "E"),
         ]
     ]
-    out = identify_gps_trips(spark.createDataFrame(rows))
+    out = identify_gps_trips(values_df(
+        spark,
+        "cab_id: bigint, time: timestamp, x: double, y: double, "
+        "status: string",
+        rows,
+    ))
     from ..functions.metrics import portable_round
 
     return out.select(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import _events, _register, _t
+from .fixtures import values_df
 
 # deterministic media ids drawn from the events table, same idiom as
 # mm_audio_wav (catalog7)
@@ -489,8 +490,10 @@ def s10_excel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     write_system_report(panel, path)
     rows = read_system_report(path)
-    return spark.createDataFrame(
-        rows, "section string, metric string, month string, value double"
+    return values_df(
+        spark,
+        "section: string, metric: string, month: string, value: double",
+        rows,
     ).select("section", "metric", "month", "value")
 
 
