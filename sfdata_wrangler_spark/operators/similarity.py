@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.metrics import portable_round
+from ..sources.inline import values_df
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -196,8 +197,11 @@ def kmeans_centroids(
         centroids = [(i, vec) for i, (_, vec) in enumerate(seeds)]
         spark = corpus.sparkSession
         for _ in range(iterations):
-            cdf = spark.createDataFrame(
-                centroids, "centroid_id: int, centroid: array<double>"
+            # VALUES LocalRelation, not createDataFrame: a Python-list
+            # RDD costs a Python-runner spin-up on every action that
+            # touches it — per Lloyd iteration, that dominates
+            cdf = values_df(
+                spark, "centroid_id: int, centroid: array<double>", centroids
             )
             assigned = assign_to_centroids(corpus, cdf, corpus_id, vec_col)
             new = (
@@ -224,8 +228,8 @@ def kmeans_centroids(
                 (int(r.centroid_id), [float(x) for x in r.centroid])
                 for r in new.collect()
             ]
-        return spark.createDataFrame(
-            centroids, "centroid_id: int, centroid: array<double>"
+        return values_df(
+            spark, "centroid_id: int, centroid: array<double>", centroids
         )
     finally:
         corpus.unpersist()

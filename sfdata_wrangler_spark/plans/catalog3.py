@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.metrics import portable_round as _pr
 from .catalog import _events, _register, _t
-from .fixtures import values_df
+from ..sources.inline import values_df
 
 
 @_register(

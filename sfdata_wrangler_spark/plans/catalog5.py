@@ -15,7 +15,7 @@ from ..pipelines.clipper import infer_linked_trips
 from ..pipelines.expansion import expand_and_weight
 from ..pipelines.taxi import identify_gps_trips
 from .catalog import _register
-from .fixtures import values_df
+from ..sources.inline import values_df
 
 _D = datetime.date(2013, 3, 4)
 _T = datetime.datetime(2013, 3, 4, 8, 0)

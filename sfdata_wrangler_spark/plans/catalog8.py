@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import _events, _register, _t
-from .fixtures import values_df
+from ..sources.inline import values_df
 
 # deterministic media ids drawn from the events table, same idiom as
 # mm_audio_wav (catalog7)

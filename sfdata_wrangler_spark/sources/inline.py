@@ -36,6 +36,8 @@ def _sql_literal(v) -> str:
         return repr(v)
     if isinstance(v, int):
         return str(v)
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_sql_literal(x) for x in v) + ")"
     raise TypeError(f"values_df cannot render {type(v).__name__}: {v!r}")
 
 

@@ -6,7 +6,7 @@ import datetime
 
 import pytest
 
-from sfdata_wrangler_spark.plans.fixtures import values_df
+from sfdata_wrangler_spark.sources.inline import values_df
 
 
 def test_values_df_types_and_escaping(spark):
@@ -35,6 +35,14 @@ def test_values_df_dict_rows(spark):
     )
     assert df.columns == ["b", "a"]
     assert [tuple(r) for r in df.sort("b").collect()] == [(1, "x"), (2, "y")]
+
+
+def test_values_df_array_columns(spark):
+    rows = [(0, [1.0, 2.5, -3.0]), (1, [0.0, 1e-05, 4.0])]
+    df = values_df(spark, "centroid_id: int, centroid: array<double>", rows)
+    assert df.schema["centroid"].dataType.simpleString() == "array<double>"
+    got = [(r[0], list(r[1])) for r in df.sort("centroid_id").collect()]
+    assert got == [(0, [1.0, 2.5, -3.0]), (1, [0.0, 1e-05, 4.0])]
 
 
 def test_values_df_is_local_relation(spark):
