@@ -10,6 +10,8 @@ append+dedup dance)."""
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -43,7 +45,20 @@ def write_bucketed_table(
     bucketed the same way join WITHOUT a shuffle (verified in
     tests/test_skew_bucketing.py by plan inspection). This is the
     100 TB answer for repeated fact⨝fact joins on the same key
-    (schedule⨝observation on trip-stop keys)."""
+    (schedule⨝observation on trip-stop keys).
+
+    Idempotent across sessions: a warehouse directory left by a
+    previous Spark session (whose in-memory catalog is gone) would
+    make ``saveAsTable`` raise LOCATION_ALREADY_EXISTS, so any
+    orphaned location is cleared first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    orphan = os.path.join(warehouse, table.lower())
+    if os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -1,24 +1,44 @@
 """Driver-sweep ordering: the driver verifies only the first 50
-entries of ``queries()``, so every name never swept in round 2 (plus
-any newly registered query) must precede the already-green backlog."""
+entries of ``queries()``, so every name without a green row in a
+committed CORRECTNESS_r*.json (plus any newly registered query) must
+precede the already-green backlog. The green set is read from the
+driver's own reports, so the rotation is automatic across rounds."""
+
+import json
+import os
 
 from sfdata_wrangler_spark.plans.catalog import (
     QUERIES,
-    SWEPT_R02,
+    driver_green,
     oracle_sql_map,
     query_map,
     sweep_order,
 )
 
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_green_set_reflects_committed_reports():
+    green = driver_green()
+    r02 = json.load(open(os.path.join(_ROOT, "CORRECTNESS_r02.json")))
+    hash_green = {
+        n for n, row in r02.items()
+        if row.get("err") is None and row.get("hash_match")
+    }
+    assert hash_green <= green
+    # the rows-only entries count as swept too (can't be upgraded)
+    assert "g5_mapmatch_toy" in green
+
 
 def test_unswept_names_lead_the_sweep():
     order = sweep_order()
-    front = [n for n in order if n not in SWEPT_R02]
+    swept = driver_green()
+    front = [n for n in order if n not in swept]
     assert order[: len(front)] == front
     # every never-swept / new query fits inside the driver's 50-row cap
     assert len(front) <= 50, (
-        f"{len(front)} unswept queries exceed the driver's 50-row sweep cap; "
-        "rotate some into SWEPT_R02 after they go green"
+        f"{len(front)} unswept queries exceed the driver's 50-row sweep "
+        "cap; some will miss their driver-verified row this round"
     )
 
 
