@@ -310,3 +310,52 @@ def ivf_topk(
         .withColumn("sim", portable_round(F.col("__sim_exact"), 4))
         .drop("__sim_exact")
     )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    cluster_col: str = "label",
+    threshold: float = 0.9,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup-style per-cluster semantic pruning: within each
+    cluster, a vector is dropped when an earlier (lower-id) cluster
+    member sits above the cosine ``threshold`` — the deterministic
+    edge rule (drop the max id of every hot pair), so the kept set is
+    a pure function of the data, reproducible across engines and
+    re-runs.
+
+    Returns the corpus with an ``int`` ``dropped`` flag (1 = prune
+    before training).
+
+    Scale shape: the pair join is cluster-equi, so cost is
+    Σ cluster_size² — the standard SemDedup regime where the cluster
+    count grows with the corpus and clusters stay executor-sized. For
+    fat clusters swap the inner pairing for ``lsh_neardup_pairs``
+    (bucket-prefiltered) inside each cluster; the drop rule is
+    unchanged.
+    """
+    a = corpus.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(corpus_id).alias("__id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = corpus.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(corpus_id).alias("__id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    dup_ids = (
+        a.join(b, "__cl")
+        .where(F.col("__id_a") < F.col("__id_b"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__id_b").alias(corpus_id))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        corpus.join(dup_ids, corpus_id, "left")
+        .withColumn("dropped", F.coalesce("__dropped", F.lit(0)).cast("int"))
+        .drop("__dropped")
+    )

@@ -234,3 +234,84 @@ def s12_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("int").alias("shard"),
         "n_docs", "min_id", "max_id", "n_tokens",
     )
+
+
+@_register(
+    "emb_semdedup",
+    """
+    WITH base AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(label AS BIGINT) AS label,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    twins AS (
+      SELECT vec_id + 1000000 AS vec_id, label,
+             list_transform(range(1, len(v) + 1),
+                            i -> v[CAST(i AS INT)]
+                                 + 0.01 * ((vec_id + i - 1) % 7 - 3)) AS v
+      FROM base WHERE vec_id % 5 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, label, v FROM base
+      UNION ALL SELECT vec_id, label, v FROM twins
+    ),
+    dup AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM corpus a JOIN corpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    )
+    SELECT c.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN c.vec_id ELSE 0 END)
+                AS BIGINT) AS dropped_id_sum
+    FROM corpus c LEFT JOIN dup d ON c.vec_id = d.vec_id
+    GROUP BY c.label
+    """,
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style per-cluster pruning (operators/similarity.py:
+    semdedup_prune): within each label cluster, drop every vector with
+    an earlier above-0.9-cosine neighbor. The raw synthetic corpus has
+    no >= 0.9 pairs, so deterministic twins are seeded exactly as in
+    dd_embedding_neardup (0.01 * ((vec_id + dim) % 7 - 3) per
+    coordinate — IEEE-exact in both engines); the per-label rollup
+    carries a dropped-id checksum so the oracle hash pins the exact
+    kept set, not just counts."""
+    from ..operators.similarity import semdedup_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("label").cast("bigint").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    twins = (
+        base.where(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.lit(0.01)
+                * ((F.col("vec_id") + i) % 7 - 3).cast("double"),
+            ).alias("embedding"),
+        )
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "label",
+                "embedding")
+    )
+    corpus = base.unionByName(twins)
+    flagged = semdedup_prune(corpus, cluster_col="label", threshold=0.9)
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("dropped").cast("bigint").alias("n_dropped"),
+        F.sum(F.col("dropped") * F.col("vec_id")).cast("bigint").alias(
+            "dropped_id_sum"
+        ),
+    )

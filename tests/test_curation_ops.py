@@ -120,3 +120,23 @@ def test_shard_export_roundtrip(spark):
     man = {r["shard"]: r for r in shard_manifest(back, token_col="n_chars").collect()}
     assert sum(r["n_docs"] for r in man.values()) == 100
     assert sum(r["n_tokens"] for r in man.values()) == sum(10 * i for i in range(100))
+
+
+def test_semdedup_prune_edge_rule(spark):
+    from sfdata_wrangler_spark.operators.similarity import semdedup_prune
+
+    # cluster 1: v1 ~ v2 ~ v3 (identical) -> keep min id, drop 2 and 3;
+    # cluster 2: orthogonal pair -> keep both
+    df = values_df(
+        spark,
+        "vec_id: bigint, label: bigint, embedding: array<double>",
+        [
+            (1, 1, [1.0, 0.0]),
+            (2, 1, [1.0, 0.0]),
+            (3, 1, [1.0, 0.0]),
+            (4, 2, [0.0, 1.0]),
+            (5, 2, [1.0, 0.0]),
+        ],
+    )
+    out = {r["vec_id"]: r["dropped"] for r in semdedup_prune(df).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 0, 5: 0}
