@@ -24,10 +24,13 @@ from ..functions.pii import (
 from ..operators.repetition import domain_cap, repetition_stats
 from ..sources.shards import shard_id_sql, shard_manifest, write_shards
 from .catalog import _register, _t
-from .catalog_text import _NORM
+from .catalog_text import _NORM, norm_sql, tokcnt_sql
 
 
-_REPETITION_ORACLE = f"""
+# Shared CTE chain ending in ``m`` (per-doc rounded repetition
+# metrics); reused verbatim by the end-to-end pipeline oracle so both
+# queries restate literally the same stage.
+_REPETITION_M_CTES = f"""
 WITH base AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS t
   FROM documents
@@ -64,12 +67,20 @@ WITH base AS (
                     ELSE 0.0 END, 6) AS dup_bigram_frac
   FROM td LEFT JOIN gd ON td.doc_id = gd.doc_id
 )
+"""
+
+_KEEP_SQL = (
+    "CAST(CASE WHEN top_token_frac <= 0.2"
+    " AND distinct_token_ratio >= 0.3"
+    " AND dup_bigram_frac <= 0.4"
+    " THEN 1 ELSE 0 END AS INTEGER)"
+)
+
+_REPETITION_ORACLE = f"""
+{_REPETITION_M_CTES}
 SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
        distinct_token_ratio, top_token_frac, dup_bigram_frac,
-       CAST(CASE WHEN top_token_frac <= 0.2
-                  AND distinct_token_ratio >= 0.3
-                  AND dup_bigram_frac <= 0.4
-             THEN 1 ELSE 0 END AS INTEGER) AS keep
+       {_KEEP_SQL} AS keep
 FROM m
 """
 
@@ -140,16 +151,22 @@ _PII_TEXT_SQL = """(text
                || CAST((doc_id * 7) % 256 AS VARCHAR)
           ELSE '' END)"""
 
+def _scrub_sql(col: str) -> str:
+    """Oracle twin of functions/pii.scrub_pii (same patterns, same
+    order, global flag)."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(" + col + ","
+        " '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),"
+        " '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g'),"
+        " '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')"
+    )
+
+
 _PII_ORACLE = f"""
 WITH injected AS (
   SELECT doc_id, source, {_PII_TEXT_SQL} AS raw FROM documents
 ), scrubbed AS (
-  SELECT doc_id, source, raw,
-         regexp_replace(regexp_replace(regexp_replace(raw,
-           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
-           '\\+?[0-9]{{1,3}}[- ][0-9]{{3}}[- ][0-9]{{3,4}}[- ]?[0-9]{{0,4}}', '<PHONE>', 'g'),
-           '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '<IP>', 'g')
-         AS clean
+  SELECT doc_id, source, raw, {_scrub_sql("raw")} AS clean
   FROM injected
 )
 SELECT source,
@@ -314,4 +331,109 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dropped") * F.col("vec_id")).cast("bigint").alias(
             "dropped_id_sum"
         ),
+    )
+
+
+_V2_ORACLE = f"""
+{_REPETITION_M_CTES},
+kept AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM m JOIN documents d USING (doc_id)
+  WHERE {_KEEP_SQL} = 1
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, source, text,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM kept
+  ) WHERE rk <= 12
+),
+scrubbed AS (
+  SELECT doc_id, source, text,
+         {_scrub_sql(_PII_TEXT_SQL)} AS clean
+  FROM capped
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT doc_id, clean,
+           row_number() OVER (
+             PARTITION BY md5({norm_sql('text')}) ORDER BY doc_id) AS rn
+    FROM scrubbed
+  ) WHERE rn = 1
+)
+SELECT {shard_id_sql('doc_id', 8)} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({tokcnt_sql('clean')}) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM deduped
+GROUP BY 1
+"""
+
+
+@_register("pipe_curation_v2", _V2_ORACLE)
+def pipe_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation with the round-3 operator set, one lazy
+    plan: repetition keep-filter (explode + combinable groupBys) →
+    per-domain cap of 12 (md5-order window) → PII scrub over the
+    deterministic injected text (codegen regex chain) → exact dedup on
+    the normalized raw-text key (min-id row per group) → md5-prefix
+    shard manifest with an id checksum. The oracle restates all five
+    stages, so the composition — filter interplay, cap-after-filter
+    ranks, scrub-before-dedup ordering — is value-checked end to
+    end."""
+    from ..functions.text import norm_key, token_count
+    from ..operators.repetition import domain_cap, repetition_stats
+    from ..sources.shards import shard_id
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    keep_ids = (
+        repetition_stats(docs)
+        .where(F.col("keep") == 1)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    )
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "text"
+    )
+    kept = base.join(keep_ids, "doc_id")
+    capped = domain_cap(kept, max_per_domain=12)
+
+    did = F.col("doc_id")
+
+    def _opt(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    raw = F.concat(
+        F.col("text"),
+        _opt(did % 3 == 0, F.lit(" reach user"), did.cast("string"),
+             F.lit("@example.com")),
+        _opt(did % 7 == 0, F.lit(" cc admin"), (did % 100).cast("string"),
+             F.lit("@mail.test.org")),
+        _opt(did % 5 <= 1, F.lit(" call +1 415-555-"),
+             F.lpad((did % 10000).cast("string"), 4, "0")),
+        _opt(did % 4 == 0, F.lit(" from 10."), (did % 256).cast("string"),
+             F.lit(".0."), ((did * 7) % 256).cast("string")),
+    )
+    scrubbed = capped.select(
+        "doc_id", "source", "text", scrub_pii(raw).alias("clean")
+    )
+    wdup = Window.partitionBy(norm_key(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        scrubbed.withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        deduped.select(
+            shard_id(F.col("doc_id"), 8).alias("shard"),
+            "doc_id",
+            token_count(F.col("clean")).alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
     )

@@ -30,12 +30,24 @@ from .catalog import _register, _t
 
 # --- SQL fragment builders (mirror functions/text.py exactly) -------------
 
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+def norm_sql(col: str = "text") -> str:
+    """Oracle twin of functions/text.normalize_text over any column."""
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def tokcnt_sql(col: str = "text") -> str:
+    """Oracle twin of functions/text.token_count over any column."""
+    n = norm_sql(col)
+    return (
+        f"CAST(CASE WHEN length({n}) = 0 THEN 0 "
+        f"ELSE len(string_split({n}, ' ')) END AS BIGINT)"
+    )
+
+
+_NORM = norm_sql()
 _PADDED = f"(' ' || {_NORM} || ' ')"
-_TOKCNT = (
-    f"CAST(CASE WHEN length({_NORM}) = 0 THEN 0 "
-    f"ELSE len(string_split({_NORM}, ' ')) END AS BIGINT)"
-)
+_TOKCNT = tokcnt_sql()
 
 
 def _occ_sql(needle: str) -> str:
