@@ -3,9 +3,27 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice: a warm-up of the session/JIT happens
-implicitly via the first (cheapest) query; timings count the full
-plan → execute → collect-count path.
+Each query is executed multiple times; the best run is reported.
+
+Two timed actions per query:
+
+- ``count()`` — the BENCH_r01/r02 methodology. This is the primary
+  ``value``/``queries`` so totals stay comparable across rounds, and
+  it doubles as the rows vacuity guard.
+- a ``noop``-sink write (``queries_noop_sink``) — stricter: under
+  count() Catalyst prunes unused aggregate expressions and eliminates
+  provably-unique left joins, so count-based timings can skip part of
+  the declared work (measured: j1_observed_left_join 0.34s by count
+  vs 0.64s noop — the runtime/observed computations were optimized
+  away). The noop sink forces every output column while writing
+  nothing; it is the honest full-plan cost.
+
+The headline set grew 11 -> 17 queries in round 3 (repetition stats,
+SemDedup, curation v2, and three reference-domain pipeline workloads
+per VERDICT r2 item 5), so ``value`` is not directly comparable to
+BENCH_r02's 6.489s; ``value_comparable_r2`` is the same-methodology
+subtotal over exactly the round-2 query set — compare THAT across
+rounds.
 """
 
 from __future__ import annotations
@@ -16,6 +34,22 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The 11 headline queries benched in rounds 1-2 (BENCH_r02.json):
+# value_comparable_r2 sums these under the same count() methodology.
+R2_HEADLINE = [
+    "flagship_expand_weight_cascade",
+    "a0_pricing_summary",
+    "j1_observed_left_join",
+    "j2_interval_join",
+    "w4_sessionize",
+    "emb_lsh_topk",
+    "dd_minhash_lsh_pairs_fast",
+    "q5_local_supplier_volume",
+    "txt_stats",
+    "dd_exact_groups",
+    "emb_cosine_topk",
+]
 
 
 def main() -> None:
@@ -39,23 +73,30 @@ def main() -> None:
     # first measured query doesn't pay session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # Two executions per query; record the best. The first run pays
-    # one-time whole-stage-codegen compilation of the plan (~2s for
-    # the widest expression trees), which amortizes to nothing at real
-    # scale — steady-state throughput is the meaningful number.
+    # Best-of-N per action. The first run pays one-time
+    # whole-stage-codegen compilation of the plan (~2s for the widest
+    # expression trees), which amortizes to nothing at real scale —
+    # steady-state throughput is the meaningful number.
     timings: dict[str, float] = {}
+    noop: dict[str, float] = {}
     for name, fn in bench_queries.items():
         runs = []
         n = 0
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
+            n = fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
+        nruns = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            nruns.append(time.time() - t0)
+        noop[name] = round(min(nruns), 3)
         print(
             f"# {name}: best={timings[name]:.3f}s "
-            f"(cold={runs[0]:.3f}s) rows={n}",
+            f"(cold={runs[0]:.3f}s, noop_sink={noop[name]:.3f}s) "
+            f"rows={n}",
             file=sys.stderr,
         )
 
@@ -72,6 +113,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(sf_dir),
+        # same-methodology subtotal over exactly the round-2 query set
+        # (the headline set grew 11 -> 17 this round; compare THIS to
+        # BENCH_r02's value of 6.489)
+        "value_comparable_r2": round(
+            sum(timings[q] for q in R2_HEADLINE if q in timings), 3
+        ),
+        # stricter noop-sink timings (full plan, no count-pruning) —
+        # see module docstring
+        "value_noop_sink": round(sum(noop.values()), 3),
+        "queries_noop_sink": noop,
     }
 
     # Secondary scale point (VERDICT r1 item 7): same query set at a

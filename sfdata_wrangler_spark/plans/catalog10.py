@@ -85,7 +85,7 @@ FROM m
 """
 
 
-@_register("txt_repetition_stats", _REPETITION_ORACLE)
+@_register("txt_repetition_stats", _REPETITION_ORACLE, bench=True)
 def txt_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter (operators/repetition.py): per
     document the type/token ratio, top-token share, duplicate-bigram
@@ -288,6 +288,7 @@ def s12_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM corpus c LEFT JOIN dup d ON c.vec_id = d.vec_id
     GROUP BY c.label
     """,
+    bench=True,
 )
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup-style per-cluster pruning (operators/similarity.py:
@@ -372,7 +373,7 @@ GROUP BY 1
 """
 
 
-@_register("pipe_curation_v2", _V2_ORACLE)
+@_register("pipe_curation_v2", _V2_ORACLE, bench=True)
 def pipe_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation with the round-3 operator set, one lazy
     plan: repetition keep-filter (explode + combinable groupBys) →

@@ -46,19 +46,20 @@ def tokcnt_sql(col: str = "text") -> str:
 
 
 _NORM = norm_sql()
-_PADDED = f"(' ' || {_NORM} || ' ')"
 _TOKCNT = tokcnt_sql()
 
 
-def _occ_sql(needle: str) -> str:
-    esc = needle.replace("'", "''")
+def _tokhits_sql(words: list[str]) -> str:
+    """Oracle twin of functions/text.stopword_hits: one split, one
+    linear list filter on token membership."""
+    inlist = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
     return (
-        f"CAST((length({_PADDED}) - length(replace({_PADDED}, '{esc}', '')))"
-        f" / {len(needle)} AS BIGINT)"
+        f"CAST(len(list_filter(string_split({_NORM}, ' '), "
+        f"x -> x IN ({inlist}))) AS BIGINT)"
     )
 
 
-_STOPHITS = " + ".join(_occ_sql(f" {w} ") for w in EN_STOPWORDS)
+_STOPHITS = _tokhits_sql(EN_STOPWORDS)
 _PUNCT = (
     "CASE WHEN length(text) > 0 THEN "
     "(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
@@ -74,8 +75,7 @@ _QUALITY = (
 )
 
 _LANG_SCORE_SQL = {
-    lang: " + ".join(_occ_sql(m) for m in markers)
-    for lang, markers in LANG_MARKERS.items()
+    lang: _tokhits_sql(markers) for lang, markers in LANG_MARKERS.items()
 }
 _GM = "greatest({})".format(", ".join(f"s_{lang}" for lang in LANG_MARKERS))
 _PRED = (
