@@ -5,13 +5,15 @@ reference has no text-corpus tooling — BASELINE.json north star):
 documents dominated by a few repeated tokens or duplicated n-grams
 are low-quality for LM training and get filtered before tokenization.
 
-Scale shape: one ``explode`` then two map-side-combinable
-aggregations keyed on (doc_id, token) and doc_id. Token counts
-partially aggregate inside each scan task before the shuffle, so the
-shuffle volume is per-doc *distinct* tokens, not corpus tokens. No
-UDFs, no per-doc quadratic array scans (an ``F.transform``-over-
-``F.filter`` counting idiom would be O(tokens²) per document — wrong
-at 10k-token web documents).
+Scale shape: the metrics are pure per-document functions, so the
+default path is map-ONLY — ``array_sort`` + a linear run-length
+``F.aggregate`` fold per row, zero shuffle (see
+:func:`_sorted_stats`). The alternative ``exploded=True`` kernel
+(one explode, two map-side-combinable aggregations) exists for
+corpora whose individual documents are too large to materialize as
+token arrays; its shuffle volume is per-doc *distinct* grams, not
+corpus tokens. No UDFs, and no per-doc quadratic array scans (see
+the warning in ``_sorted_stats``).
 """
 
 from __future__ import annotations
@@ -23,18 +25,85 @@ from ..functions.metrics import portable_round
 from ..functions.text import normalize_text, word_shingles
 
 
-def _gram_stats(
-    df: DataFrame, id_col: str, gram: F.Column, out_prefix: str
+def _sorted_stats(arr: F.Column) -> F.Column:
+    """(distinct count, highest frequency) of an array's elements as a
+    struct, in one O(n log n) per-row pass: sort once, then a single
+    linear run-length fold tracking (prev, run, best, distinct).
+
+    The sort happens INSIDE the aggregate's input slot so it is
+    evaluated exactly once per row. Never reference a computed array
+    from inside a later lambda (e.g. ``element_at(array_sort(a), i)``
+    in a ``filter``) — Catalyst inlines the expression per element,
+    turning the pass O(n² log n); measured 7× slower than the explode
+    kernel instead of 3× faster.
+
+    Both fields are NULL for empty arrays (mirroring aggregation over
+    zero rows, which is what the consumer's ratio logic expects).
+    """
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("distinct"),
+    )
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        is_run = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(is_run, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            F.when(is_run, acc["distinct"])
+            .otherwise(acc["distinct"] + 1)
+            .alias("distinct"),
+        )
+
+    folded = F.aggregate(
+        F.array_sort(arr),
+        init,
+        step,
+        lambda a: F.struct(
+            a["distinct"].alias("distinct"), a["best"].alias("best")
+        ),
+    )
+    empty = F.struct(
+        F.lit(None).cast("long").alias("distinct"),
+        F.lit(None).cast("long").alias("best"),
+    )
+    return F.when(F.size(arr) > 0, folded).otherwise(empty)
+
+
+def _tagged_gram_stats(
+    df: DataFrame, id_col: str, unigrams: F.Column, bigrams: F.Column
 ) -> DataFrame:
-    """Per-document (total, distinct, top-frequency) over an exploded
-    gram column — the one reusable kernel for both token- and
-    n-gram-level repetition."""
-    grams = df.select(F.col(id_col), F.explode(gram).alias("_g"))
-    counts = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    """Per-document (total, distinct, top) for unigrams AND bigrams in
+    ONE pass: both gram streams are tagged with their length, exploded
+    together, counted in one (doc, n, gram) aggregation, then rolled
+    up per doc with conditional aggregates. Halves the work of the
+    naive two-kernel form (one corpus scan + explode instead of two,
+    two shuffles instead of four, and no per-doc join). Bigram columns
+    are NULL for single-token docs (no n=2 rows), matching the
+    left-join-miss semantics the ratios expect."""
+    tag = lambda arr, n: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+    )
+    tagged = df.select(
+        F.col(id_col),
+        F.explode(F.concat(tag(unigrams, 1), tag(bigrams, 2))).alias("_x"),
+    )
+    counts = tagged.groupBy(
+        id_col, F.col("_x.n").alias("_n"), F.col("_x.g").alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    uni = F.col("_n") == 1
+    bi = F.col("_n") == 2
     return counts.groupBy(id_col).agg(
-        F.sum("_c").cast("bigint").alias(f"{out_prefix}_total"),
-        F.count(F.lit(1)).cast("bigint").alias(f"{out_prefix}_distinct"),
-        F.max("_c").cast("bigint").alias(f"{out_prefix}_top"),
+        F.sum(F.when(uni, F.col("_c"))).cast("bigint").alias("tok_total"),
+        F.count(F.when(uni, F.lit(1))).cast("bigint").alias("tok_distinct"),
+        F.max(F.when(uni, F.col("_c"))).cast("bigint").alias("tok_top"),
+        F.sum(F.when(bi, F.col("_c"))).cast("bigint").alias("gram_total"),
+        F.count(F.when(bi, F.lit(1))).cast("bigint").alias("gram_distinct"),
     )
 
 
@@ -46,6 +115,7 @@ def repetition_stats(
     max_top_token_frac: float = 0.2,
     min_distinct_token_ratio: float = 0.3,
     max_dup_bigram_frac: float = 0.4,
+    exploded: bool = False,
 ) -> DataFrame:
     """Per-document repetition metrics plus a keep/drop decision.
 
@@ -59,6 +129,17 @@ def repetition_stats(
     Empty documents (0 tokens) are dropped from the result — they are
     handled by the length filters upstream, and every ratio here
     would be 0/0.
+
+    Execution: every metric is a pure per-document function, so the
+    default path computes them per ROW — ``array_sort`` + one linear
+    ``F.aggregate`` run-length pass per gram stream, all inside
+    whole-stage codegen. ZERO shuffle: at 100 TB this is a map-only
+    stage over the scan, where the explode form would shuffle one row
+    per distinct gram per document (~= the tokenized corpus).
+    ``exploded=True`` selects the explode + two-level-aggregation
+    kernel instead for corpora whose individual documents are too
+    large to hold as in-memory token arrays (both paths are
+    differentially tested equal).
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
     base = df.select(
@@ -67,12 +148,29 @@ def repetition_stats(
         word_shingles(F.col(text_col), bigram_n).alias("_grams"),
     ).where(F.length(F.array_join("_toks", "")) > 0)
 
-    tok_stats = _gram_stats(base, id_col, F.col("_toks"), "tok")
-    gram_stats = _gram_stats(
-        base.where(F.size("_grams") > 0), id_col, F.col("_grams"), "gram"
-    )
-
-    joined = tok_stats.join(gram_stats, id_col, "left")
+    if exploded:
+        joined = _tagged_gram_stats(
+            base, id_col, F.col("_toks"), F.col("_grams")
+        )
+    else:
+        joined = base.select(
+            F.col(id_col),
+            F.size("_toks").cast("bigint").alias("tok_total"),
+            _sorted_stats(F.col("_toks")).alias("_ts"),
+            F.when(F.size("_grams") > 0, F.size("_grams"))
+            .cast("bigint")
+            .alias("gram_total"),
+            _sorted_stats(F.col("_grams"))["distinct"].alias(
+                "gram_distinct"
+            ),
+        ).select(
+            F.col(id_col),
+            "tok_total",
+            F.col("_ts")["distinct"].alias("tok_distinct"),
+            F.col("_ts")["best"].alias("tok_top"),
+            "gram_total",
+            "gram_distinct",
+        )
     ttr = portable_round(
         F.col("tok_distinct") / F.col("tok_total"), 6
     )

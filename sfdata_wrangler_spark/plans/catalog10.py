@@ -89,9 +89,10 @@ FROM m
 def txt_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter (operators/repetition.py): per
     document the type/token ratio, top-token share, duplicate-bigram
-    fraction, and the composite keep decision. Scale shape: explode +
-    two map-side-combinable groupBys keyed (doc_id, gram) — shuffle
-    volume is distinct grams per doc, never corpus tokens."""
+    fraction, and the composite keep decision. Scale shape: map-ONLY —
+    every metric is a per-row array_sort + linear run-length fold in
+    whole-stage codegen, zero shuffle (an ``exploded=True`` kernel
+    exists for documents too big to hold as token arrays)."""
     docs = _t(spark, sf_dir, "documents")
     return repetition_stats(docs).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),

@@ -59,6 +59,27 @@ def test_repetition_stats_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_repetition_default_path_is_shuffle_free(spark):
+    df = _docs(spark, [(1, "a b c a")])
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: sort+fold per row
+
+
+def test_repetition_exploded_kernel_matches_mapside(spark):
+    # differential: the large-document explode kernel and the default
+    # per-row kernel must agree bit-for-bit on awkward shapes
+    df = _docs(spark, [
+        (1, "a a a a a a"),                  # single repeated token
+        (2, "b"),                            # no bigrams
+        (3, "x y x y x y x"),                # alternating
+        (4, "q w e r t y u i o p"),          # all distinct
+        (5, "zz zz yy zz yy aa"),
+    ])
+    a = sorted(map(tuple, repetition_stats(df).collect()))
+    b = sorted(map(tuple, repetition_stats(df, exploded=True).collect()))
+    assert a == b
+
+
 def test_domain_cap_bounds_and_determinism(spark):
     rows = [(i, f"d{i % 3}") for i in range(30)]
     df = values_df(spark, "doc_id: bigint, source: string", rows)
