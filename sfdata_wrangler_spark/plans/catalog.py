@@ -81,16 +81,28 @@ def _msum2_sql(expr: str) -> str:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts`` as a proper TimestampType.
 
-    The driver writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw int64 nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
-    microseconds — exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast
-    does, so epoch-microsecond arithmetic agrees across engines.
+    The driver's generator has shipped ``ts`` under two parquet
+    encodings across rounds: TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects — read as raw int64 nanos via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncate) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    TIMESTAMP_NTZ — rejected by ``unix_micros`` and every other
+    epoch-arithmetic function). Normalize both to TIMESTAMP: the
+    session timezone is pinned to UTC, so the NTZ→LTZ cast is
+    value-preserving and epoch-microsecond arithmetic agrees with
+    DuckDB's naive-timestamp reading of the same file.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ→LTZ cast (and epoch arithmetic downstream) reads the
+    # session timezone; the driver runs a vanilla session, so pin UTC
+    # here rather than relying on our get_spark having done it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
