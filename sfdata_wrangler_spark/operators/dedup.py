@@ -129,6 +129,91 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*mins)
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """LSH band index of a corpus: one row per (doc, band) with the
+    band's signature hash — ``(id_col, band, bh)``.
+
+    This IS the persistent artifact of corpus-scale near-dedup: write
+    it to the lake (partitioned/bucketed by ``(band, bh)``) once per
+    snapshot, and every later batch joins against it instead of
+    re-hashing 100 TB (see :func:`incremental_dedup`). n·bands rows —
+    tiny next to the corpus.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        if hash_fn == "md5":
+            bh = F.md5(F.concat_ws("|", *cols))
+        else:
+            bh = F.xxhash64(*cols)
+        band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
+def incremental_dedup(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dedup a NEW batch against an EXISTING corpus's LSH band
+    index (from :func:`minhash_band_index`) without touching the
+    existing corpus text.
+
+    This is the append-only ingestion shape a growing training corpus
+    needs: re-running whole-corpus dedup per arriving batch is
+    O(corpus) every time; joining the batch's band hashes against the
+    persisted index is O(batch) + one equi-join. Returns one row per
+    new doc: ``(id_col, n_index_hits, first_hit_id, is_new)`` where
+    ``n_index_hits`` counts DISTINCT index docs sharing >= 1 band,
+    ``first_hit_id`` is the smallest such index doc id (the
+    canonical-representative pointer), and ``is_new`` marks docs with
+    no collision — the ones to append. Batch-internal duplicates are
+    NOT resolved here (run exact/minhash dedup on the batch first, or
+    after appending).
+    """
+    new_buckets = minhash_band_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
+    )
+    hits = (
+        new_buckets.join(
+            index.select(
+                F.col("band"),
+                F.col("bh"),
+                F.col(id_col).alias("__index_id"),
+            ),
+            ["band", "bh"],
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("__index_id").cast("bigint").alias("n_index_hits"),
+            F.min("__index_id").alias("first_hit_id"),
+        )
+    )
+    return new_docs.select(F.col(id_col)).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_index_hits", F.lit(0)).cast("bigint").alias("n_index_hits"),
+        "first_hit_id",
+        (F.coalesce("n_index_hits", F.lit(0)) == 0).alias("is_new"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -145,19 +230,9 @@ def minhash_lsh_pairs(
     The join key is (band_idx, band_hash): cardinality ~n·bands rows,
     and only colliding docs ever pair — the scale-safe shape.
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        if hash_fn == "md5":
-            bh = F.md5(F.concat_ws("|", *cols))
-        else:
-            bh = F.xxhash64(*cols)
-        band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    buckets = minhash_band_index(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

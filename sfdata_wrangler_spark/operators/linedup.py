@@ -1,0 +1,79 @@
+"""Line-level boilerplate removal (beyond-reference surface).
+
+The C4/CCNet curation step the document-level dedup family can't
+express: web corpora repeat individual LINES across documents (cookie
+banners, nav menus, license footers) far more than whole documents.
+The fix is corpus-global — count every line's distinct-document
+frequency, drop lines above a threshold, reassemble the documents.
+
+Architecture — three linear passes, no UDF anywhere:
+
+1. ``posexplode(split(text, sep))`` — one explode, linear in corpus
+   lines; position is kept so documents reassemble in order.
+2. Line frequency is a groupBy on ``md5(line)`` — a fixed 32-char key,
+   so the shuffle carries hashes, not line text. Boilerplate lines are
+   precisely the skewed keys; counting is map-side combinable, and the
+   count table is one row per DISTINCT line (small under Zipf).
+3. The filter join is line-hash ⨝ broadcast-able count dim (falls back
+   to a shuffle equi-join with AQE skew splitting when the distinct
+   line set outgrows the broadcast threshold), then one groupBy(doc)
+   reassembles: ``array_sort(collect_list(struct(pos, line)))`` →
+   ``concat_ws`` — sort-within-group over a document's own lines only,
+   never a global sort.
+
+Documents whose every line is boilerplate survive as empty strings
+(n_kept = 0) — dropping them is the caller's policy decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def drop_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove every line that occurs in >= ``min_docs`` distinct
+    documents; return ``(id_col, text, n_lines, n_kept)`` with
+    ``text`` rebuilt from the surviving lines in original order.
+
+    Line identity is the raw line string (hashed for the shuffle);
+    normalize upstream if e.g. case-insensitive matching is wanted.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__lh", F.md5(F.col("__line")))
+
+    freq = lines.groupBy("__lh").agg(
+        F.count_distinct(id_col).cast("bigint").alias("__nd")
+    )
+
+    kept = lines.join(freq, "__lh").where(F.col("__nd") < min_docs)
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda x: x["__line"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
