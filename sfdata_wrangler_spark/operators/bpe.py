@@ -1,0 +1,150 @@
+"""Distributed BPE tokenizer training (beyond-reference surface).
+
+Byte-pair encoding is the tokenizer family every LLM pipeline trains
+(Sennrich et al. 2016). The distributed shape exploits the classic
+factorization: merge statistics depend only on WORD TYPES, not corpus
+positions — so training runs on the distinct-word table (Zipf-tiny:
+thousands of rows for a 100 TB corpus), while the corpus itself is
+touched exactly twice, once to count word types (one groupBy) and once
+to tokenize (one equi-join against the learned segmentation).
+
+Training loop (one small Spark job per merge, k-means-precedent):
+
+1. word → symbol array (initially characters), weighted by word count.
+2. Adjacent-pair counts: one explode of ``arrays_zip(symbols[:-1],
+   symbols[1:])`` + a weighted groupBy — map-side combinable.
+3. argmax pair under a TOTAL order (count DESC, left ASC, right ASC):
+   a 1-row ``orderBy().limit(1)`` collect — the only driver traffic
+   per iteration (two strings + a count, like k-means' k centroids).
+4. Apply the merge to every word's symbol array with a higher-order
+   ``F.aggregate`` fold (greedy left-to-right, the textbook
+   semantics) — pure column expression, no UDF; ``localCheckpoint``
+   truncates the per-iteration lineage exactly as the k-means and
+   connected-components loops do (similarity.py, dedup.py).
+
+The trained artifact is BOTH the ordered merge list AND the word →
+token-array segmentation table; corpus tokenization never re-runs
+merges — it joins words to their segmentation (broadcastable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text
+
+
+def word_type_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word types with corpus frequencies: one explode + one
+    map-side-combinable groupBy. The Zipf funnel that makes corpus-
+    scale BPE cheap."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _merge_fold(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of one merge (left, right) →
+    left+right over a symbol array, as a linear fold. Overlap-safe:
+    once a pair merges, the merged token (≠ ``left`` unless the pair
+    is degenerate) can't re-pair with the next symbol in this pass —
+    matching reference BPE's non-overlapping scan."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 30,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, segmentation)``: the ordered merge list
+    ``[(left, right, weighted_count), ...]`` and the word-type table
+    ``(word, n, tokens)`` with each word's final token array — the
+    artifact :func:`bpe_tokenize` joins against. Stops early when no
+    pair reaches ``min_pair_count`` (weighted by word frequency).
+    """
+    words = word_type_counts(docs, text_col).select(
+        "word", "n", F.split(F.col("word"), "").alias("sym")
+    )
+    words = words.localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs = words.select(
+            F.col("n"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("sym"), 1, F.size("sym") - 1).alias("a"),
+                    F.slice(F.col("sym"), 2, F.size("sym") - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        left, right, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((left, right, cnt))
+        words = words.select(
+            "word", "n", _merge_fold(F.col("sym"), left, right).alias("sym")
+        ).localCheckpoint(eager=True)
+
+    segmentation = words.select("word", "n", F.col("sym").alias("tokens"))
+    return merges, segmentation
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    segmentation: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a trained segmentation: explode words,
+    equi-join the (broadcastable) word → tokens table, re-explode to
+    one row per (doc, position-ordered) token. The corpus-scale work
+    is one join — merges never re-run."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("wpos", "word"),
+    ).where(F.length("word") > 0)
+    return (
+        words.join(F.broadcast(segmentation.select("word", "tokens")), "word")
+        .select(
+            F.col(id_col),
+            F.col("wpos"),
+            F.posexplode(F.col("tokens")).alias("tpos", "token"),
+        )
+        .select(id_col, "wpos", "tpos", "token")
+    )
