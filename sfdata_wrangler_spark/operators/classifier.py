@@ -1,0 +1,146 @@
+"""Distributed linear text classifier (beyond-reference surface).
+
+The fasttext-shaped primitive curation pipelines use for quality and
+domain filtering: hash tokens into a fixed feature space, train a
+logistic model, score every document. The standard deployment is
+heuristic distillation — label a corpus slice with a cheap rule (or
+human/LLM labels), train, then apply the model corpus-wide.
+
+Everything is DataFrame-native batch gradient descent:
+
+- Features: one token explode → ``pmod(xxhash64(token), n_buckets)``
+  → per-(doc, bucket) tf normalized by doc length, plus a bias
+  bucket. One shuffle, map-side combinable, fixed-width keys.
+- The model is a ``(bucket, w)`` DataFrame of ``n_buckets + 1`` rows —
+  broadcast into every scoring join; never corpus-sized.
+- One GD iteration = margins (features ⨝ broadcast(weights) →
+  groupBy(doc)) → residuals against labels → gradient (groupBy
+  bucket) → weight update (outer join of the two tiny tables).
+  Two corpus-wide shuffles per iteration, both on compact keys;
+  features are localCheckpoint-ed once up front so the explode/hash
+  never re-runs (at cluster scale: ``persist(MEMORY_AND_DISK)``).
+- Driver traffic per iteration: nothing but the job itself (the
+  weight table stays distributed; ``localCheckpoint`` truncates the
+  iteration lineage exactly like the k-means / connected-components /
+  BPE loops elsewhere in this engine).
+
+Floating-point note: ``sigmoid`` uses ``exp`` — this operator has no
+cross-engine oracle (training is iterative), so transcendentals are
+fine here; determinism within Spark is preserved up to float sum
+order, and declared query outputs round scores defensively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text
+
+BIAS_BUCKET = -1
+
+
+def hashed_token_features(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse hashed bag-of-words: ``(id_col, bucket, x)`` with
+    x = token_count(bucket)/doc_len, plus a bias row (bucket = -1,
+    x = 1) per document."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    counts = toks.groupBy(
+        id_col, F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    dl = counts.groupBy(id_col).agg(F.sum("cnt").alias("dl"))
+    tf = counts.join(dl, id_col).select(
+        id_col, "bucket", (F.col("cnt") / F.col("dl")).alias("x")
+    )
+    bias = docs.select(
+        F.col(id_col),
+        F.lit(BIAS_BUCKET).cast("bigint").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    return tf.unionByName(bias)
+
+
+def logreg_train(
+    features: DataFrame,
+    labels: DataFrame,
+    iterations: int = 20,
+    lr: float = 2.0,
+    reg: float = 1e-4,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+) -> DataFrame:
+    """Batch-GD logistic regression over hashed features.
+
+    ``labels`` is ``(id_col, label_col)`` with y in {0, 1}. Returns
+    the weight table ``(bucket, w)``. Deterministic up to float sum
+    order (fixed iteration count, no sampling, no RNG).
+    """
+    feats = features.join(
+        labels.select(F.col(id_col), F.col(label_col).cast("double").alias("__y")),
+        id_col,
+    ).localCheckpoint(eager=True)
+    n_docs = feats.select(id_col).distinct().count()
+
+    weights = (
+        feats.select("bucket").distinct()
+        .withColumn("w", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        margins = (
+            feats.join(F.broadcast(weights), "bucket")
+            .groupBy(id_col, "__y")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+            .select(
+                id_col,
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("__y")
+                ).alias("resid"),
+            )
+        )
+        # margins is per-doc (corpus-sized) — a shuffle equi-join on
+        # the doc id, never a broadcast
+        grad = (
+            feats.join(margins, id_col)
+            .groupBy("bucket")
+            .agg((F.sum(F.col("x") * F.col("resid")) / F.lit(n_docs)).alias("g"))
+        )
+        weights = (
+            weights.join(grad, "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    F.col("w") * F.lit(1.0 - lr * reg)
+                    - F.lit(lr) * F.coalesce("g", F.lit(0.0))
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return weights
+
+
+def logreg_predict(
+    features: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents: ``(id_col, score, pred)`` with score =
+    sigmoid(w·x) and pred = score >= 0.5."""
+    return (
+        features.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+        .select(
+            id_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("score"),
+            (F.col("m") >= 0).alias("pred"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Tests for the distributed logistic-regression text classifier:
+learnability on a planted-signal corpus, exact-math differential
+against a dense numpy implementation, and holdout generalization."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sfdata_wrangler_spark.operators.classifier import (
+    BIAS_BUCKET,
+    hashed_token_features,
+    logreg_predict,
+    logreg_train,
+)
+
+POS_WORDS = ["crisp", "lucid", "coherent", "structured"]
+NEG_WORDS = ["garble", "spamspam", "clickbait", "keysmash"]
+FILLER = ["the", "data", "spark", "table", "row", "join"]
+
+
+def planted_corpus(n=160):
+    """Deterministic corpus: doc i is positive iff i % 2 == 0; each doc
+    carries 4 class-marker words and 4 shared filler words."""
+    rows = []
+    for i in range(n):
+        pos = i % 2 == 0
+        vocab = POS_WORDS if pos else NEG_WORDS
+        words = [vocab[(i + k) % len(vocab)] for k in range(4)]
+        words += [FILLER[(i + k) % len(FILLER)] for k in range(4)]
+        rows.append((i, " ".join(words), 1 if pos else 0))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        planted_corpus(), ["doc_id", "text", "y"]
+    ).localCheckpoint(eager=True)
+
+
+def test_learns_planted_signal_on_holdout(spark, corpus):
+    # i % 5 == 4 covers both parities -> the holdout has both classes,
+    # and the training set stays balanced
+    train = corpus.where(F.col("doc_id") % 5 != 4)
+    test = corpus.where(F.col("doc_id") % 5 == 4)
+    w = logreg_train(
+        hashed_token_features(train), train.select("doc_id", "y"),
+        iterations=25,
+    )
+    pred = logreg_predict(hashed_token_features(test), w)
+    joined = pred.join(test.select("doc_id", "y"), "doc_id")
+    acc = joined.where(
+        (F.col("pred") & (F.col("y") == 1))
+        | (~F.col("pred") & (F.col("y") == 0))
+    ).count() / joined.count()
+    assert acc >= 0.95
+
+
+def test_matches_dense_numpy_gd(spark, corpus):
+    n_buckets, iters, lr, reg = 64, 10, 2.0, 1e-4
+    sub = corpus.where(F.col("doc_id") < 40)
+    feats = hashed_token_features(sub, n_buckets=n_buckets)
+    w = logreg_train(
+        feats, sub.select("doc_id", "y"), iterations=iters, lr=lr, reg=reg
+    )
+    # dense replica: bucket -1 (bias) mapped to column n_buckets
+    rows = feats.collect()
+    ids = sorted({r["doc_id"] for r in rows})
+    idx = {d: i for i, d in enumerate(ids)}
+    X = np.zeros((len(ids), n_buckets + 1))
+    for r in rows:
+        b = n_buckets if r["bucket"] == BIAS_BUCKET else r["bucket"]
+        X[idx[r["doc_id"]], b] = r["x"]
+    y = np.array(
+        [r["y"] for r in sorted(sub.select("doc_id", "y").collect(),
+                                key=lambda r: idx[r["doc_id"]])],
+        dtype=float,
+    )
+    # only buckets present in the feature table carry weights
+    active = sorted(
+        {n_buckets if r["bucket"] == BIAS_BUCKET else r["bucket"] for r in rows}
+    )
+    wv = np.zeros(n_buckets + 1)
+    for _ in range(iters):
+        resid = 1.0 / (1.0 + np.exp(-X @ wv)) - y
+        g = X.T @ resid / len(ids)
+        upd = wv * (1.0 - lr * reg) - lr * g
+        wv = np.zeros(n_buckets + 1)
+        wv[active] = upd[active]
+    got = {
+        (n_buckets if r["bucket"] == BIAS_BUCKET else r["bucket"]): r["w"]
+        for r in w.collect()
+    }
+    for b in active:
+        assert math.isclose(got[b], wv[b], rel_tol=1e-6, abs_tol=1e-9)
+
+
+def test_loss_decreases_with_training(spark, corpus):
+    feats = hashed_token_features(corpus)
+    labels = corpus.select("doc_id", "y")
+
+    def loss(iters):
+        w = logreg_train(feats, labels, iterations=iters)
+        scored = logreg_predict(feats, w).join(labels, "doc_id")
+        eps = 1e-12
+        return scored.select(
+            F.avg(
+                -F.col("y") * F.log(F.col("score") + eps)
+                - (1 - F.col("y")) * F.log(1 - F.col("score") + eps)
+            ).alias("ll")
+        ).collect()[0]["ll"]
+
+    l0, l5, l20 = loss(0), loss(5), loss(20)
+    assert l0 == pytest.approx(math.log(2), rel=1e-6)  # zero weights
+    assert l5 < l0 and l20 < l5
