@@ -79,6 +79,7 @@ def bpe_train(
     num_merges: int = 30,
     text_col: str = "text",
     min_pair_count: int = 2,
+    checkpoint_every: int = 4,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
@@ -87,6 +88,12 @@ def bpe_train(
     ``(word, n, tokens)`` with each word's final token array — the
     artifact :func:`bpe_tokenize` joins against. Stops early when no
     pair reaches ``min_pair_count`` (weighted by word frequency).
+
+    ``checkpoint_every``: an eager checkpoint is a second job per
+    iteration; applying merges lazily and truncating lineage every k
+    merges halves the job count for k=4 at the cost of replaying at
+    most k-1 folds over the (tiny) word-type table inside each argmax
+    job — same batching trade as the connected-components probe.
     """
     words = word_type_counts(docs, text_col).select(
         "word", "n", F.split(F.col("word"), "").alias("sym")
@@ -94,7 +101,7 @@ def bpe_train(
     words = words.localCheckpoint(eager=True)
 
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
+    for it in range(num_merges):
         pairs = words.select(
             F.col("n"),
             F.explode(
@@ -117,7 +124,9 @@ def bpe_train(
         merges.append((left, right, cnt))
         words = words.select(
             "word", "n", _merge_fold(F.col("sym"), left, right).alias("sym")
-        ).localCheckpoint(eager=True)
+        )
+        if (it + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
 
     segmentation = words.select("word", "n", F.col("sym").alias("tokens"))
     return merges, segmentation

@@ -1,0 +1,173 @@
+"""Catalog wave 16 (round 3): curation pipeline v3 over the wave-12+
+operator set — line-level boilerplate removal → bigram-LM quality
+filter → temperature mixture sampling → token-budget context packing,
+composed as ONE lazy plan and value-checked end-to-end by a full SQL
+restatement (the same bar pipe_curation / pipe_curation_v2 set for
+the earlier operator waves)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, token_count
+from ..operators.linedup import drop_boilerplate_lines
+from ..operators.lm import bigram_lm_score
+from ..operators.packing import pack_context_windows
+from ..operators.sampling import temperature_sample
+from .catalog import _register, _t
+from .catalog_text import norm_sql, tokcnt_sql
+
+_LINE_W = 6          # tokens per derived line (matches ld_boilerplate)
+_LM_T = 34_000       # keep mean_p_micro >= T (~60% of docs at sf0.01)
+_MIX_C = 6.0         # temperature budget constant
+_BUDGET = 256        # context window tokens
+_NORM = norm_sql()
+_CLEAN_NORM = norm_sql("text")  # cleaned CTE exposes its text as `text`
+
+_V3_ORACLE = f"""
+WITH toks0 AS (
+  SELECT doc_id,
+         generate_subscripts(string_split({_NORM}, ' '), 1) - 1 AS pos,
+         unnest(string_split({_NORM}, ' ')) AS tok
+  FROM documents
+), linerows AS (
+  SELECT doc_id, pos // {_LINE_W} AS line_no,
+         string_agg(tok, ' ' ORDER BY pos) AS line
+  FROM toks0 GROUP BY doc_id, pos // {_LINE_W}
+), freq AS (
+  SELECT line, count(DISTINCT doc_id) AS nd FROM linerows GROUP BY line
+), cleaned AS (
+  SELECT l.doc_id,
+         string_agg(l.line, chr(10) ORDER BY l.line_no) AS text
+  FROM linerows l JOIN freq f ON l.line = f.line
+  WHERE f.nd < 2
+  GROUP BY l.doc_id
+), ctoks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split({_CLEAN_NORM}, ' '), 1) AS pos,
+         unnest(string_split({_CLEAN_NORM}, ' ')) AS tok
+  FROM cleaned
+), bg AS (
+  SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+  FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), c2 AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+  FROM bg GROUP BY prev, cur
+), c1 AS (
+  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev
+), vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ctoks
+), per_tok AS (
+  SELECT bg.doc_id,
+         CAST(floor(
+           (CAST(coalesce(c2.c2, 0) AS DOUBLE) + 1.0)
+             / (CAST(coalesce(c1.c1, 0) AS DOUBLE) + CAST(vocab.v AS DOUBLE))
+           * 1e6 + 0.5) AS BIGINT) AS p_micro
+  FROM bg
+  LEFT JOIN c2 ON bg.prev = c2.prev AND bg.cur = c2.cur
+  LEFT JOIN c1 ON bg.prev = c1.prev
+  CROSS JOIN vocab
+), lmagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(p_micro) AS BIGINT) AS sum_p_micro
+  FROM per_tok GROUP BY doc_id
+), lmkept AS (
+  SELECT c.doc_id, c.text
+  FROM cleaned c JOIN lmagg a ON c.doc_id = a.doc_id
+  WHERE a.sum_p_micro // a.n_bigrams >= {_LM_T}
+), langd AS (
+  SELECT k.doc_id, k.text, d.lang
+  FROM lmkept k JOIN documents d ON k.doc_id = d.doc_id
+), cstat AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum,
+         least(1.0, {_MIX_C!r} / sqrt(CAST(count(*) AS DOUBLE))) AS rate
+  FROM langd GROUP BY lang
+), rth AS (
+  SELECT lang, n_stratum, rate,
+         lpad(lower(hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
+              8, '0') AS thr_hex
+  FROM cstat
+), sampled AS (
+  SELECT t.doc_id, t.text
+  FROM langd t JOIN rth USING (lang)
+  WHERE rate >= 1.0
+     OR substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < thr_hex
+), t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {tokcnt_sql('text')} AS n_tokens
+  FROM sampled
+), p AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS before
+  FROM t
+)
+SELECT CAST(floor(before / {_BUDGET}) AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM p GROUP BY 1
+"""
+
+
+@_register("pipe_curation_v3", _V3_ORACLE, bench=True)
+def pipe_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation v3, one lazy plan over the wave-12+ set:
+    derive 6-token lines → drop corpus-boilerplate lines (hash-keyed
+    frequency + in-order reassembly) → self-trained bigram-LM filter
+    (mean_p_micro >= T, integer micro-units) → temperature mixture
+    sampling over lang (broadcast rates, md5 thresholds) → 256-token
+    context packing (two-level prefix sum) → per-window rollup with an
+    id checksum. The oracle restates every stage, so stage interplay —
+    LM counts trained on CLEANED text, sampling strata counted AFTER
+    the filter, packing order over the sampled survivors — is
+    value-checked end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.split(normalize_text(F.col("text")), " ")
+        ).alias("pos", "tok"),
+    ).withColumn("line_no", F.expr(f"pos div {_LINE_W}"))
+    linerows = toks.groupBy("doc_id", "line_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("line")
+    )
+    ml = linerows.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("text")
+    )
+    cleaned = (
+        drop_boilerplate_lines(ml, min_docs=2)
+        .where(F.col("n_kept") > 0)
+        .select("doc_id", "text")
+    )
+    scores = bigram_lm_score(cleaned)
+    lmkept = cleaned.join(
+        scores.where(F.col("mean_p_micro") >= _LM_T).select("doc_id"),
+        "doc_id",
+    )
+    langd = lmkept.join(docs.select("doc_id", "lang"), "doc_id")
+    sampled = temperature_sample(langd, "lang", _MIX_C)
+    t = sampled.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    packed = pack_context_windows(t, budget=_BUDGET, bucket_width=64)
+    return packed.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
