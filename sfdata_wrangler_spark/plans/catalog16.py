@@ -149,6 +149,11 @@ def pipe_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text")
     )
+    # `cleaned` feeds four DAG branches (LM train counts, LM doc
+    # bigrams, the keep-join, the packing token counts); the branches
+    # share work through ReusedExchange — measured no better with an
+    # explicit persist() (which would also leak cache entries across
+    # repeated invocations of this callable).
     cleaned = (
         drop_boilerplate_lines(ml, min_docs=2)
         .where(F.col("n_kept") > 0)
