@@ -176,3 +176,25 @@ def pipe_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+from ..operators.splits import assign_split, assign_split_oracle_sql  # noqa: E402
+
+
+@_register(
+    "txt_split_assign",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {assign_split_oracle_sql()} AS split
+    FROM documents
+    """,
+)
+def txt_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/splits.py):
+    md5-prefix thresholds, so a doc's split is a pure function of its
+    id — stable under reruns, repartitioning, and corpus growth
+    (randomSplit ties samples to partition layout; this doesn't)."""
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "split"
+    )

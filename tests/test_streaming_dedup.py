@@ -53,3 +53,57 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
         return sorted(" ".join(r.text.lower().split()) for r in rows)
 
     assert keys(got) == keys(batch)
+
+
+def test_stream_neardup_matches_batch_incremental(spark, tmp_path):
+    """foreachBatch near-dup vs the static band index: the union of
+    per-batch accepted docs equals the batch incremental_dedup result
+    on the same data."""
+    from sfdata_wrangler_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_band_index,
+    )
+    from sfdata_wrangler_spark.streaming.dedup_stream import (
+        stream_incremental_neardup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "spark shuffles wide joins across the cluster nightly"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog again"),  # dup
+            (102, "totally novel payload about glaciers and volcanoes"),
+            (103, "spark shuffles wide joins across the cluster nightly"),  # dup
+            (104, "another unseen document with fresh content entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    index = minhash_band_index(corpus).localCheckpoint(eager=True)
+
+    src = os.path.join(tmp_path, "ndsrc")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.extend(r["doc_id"] for r in df.collect())
+
+    q = (
+        stream_incremental_neardup(stream, index, sink)
+        .option("checkpointLocation", os.path.join(tmp_path, "ndckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected = {
+        r["doc_id"]
+        for r in incremental_dedup(index, batch).where("is_new").collect()
+    }
+    assert set(accepted) == expected == {102, 104}
