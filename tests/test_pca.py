@@ -1,0 +1,84 @@
+"""Distributed PCA: the Spark sufficient-statistics path must match a
+numpy replica of the SAME quantized pipeline exactly, and basic
+spectral properties must hold."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sfdata_wrangler_spark.operators.pca import (
+    MICRO,
+    col_sums_micro,
+    gram_micro,
+    pca_fit,
+    pca_project,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # deterministic anisotropic cloud: dim 0 carries 10x the variance
+    rows = []
+    for i in range(300):
+        base = [((i * 31 + k * 7) % 97 - 48) / 97.0 for k in range(8)]
+        base[0] *= 10.0
+        rows.append((i, base))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _np_vecs(emb):
+    return np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()]
+    )
+
+
+def test_gram_matches_numpy_quantized_exactly(spark, emb):
+    X = _np_vecs(emb)
+    Q = np.floor(X * MICRO).astype(np.int64)
+    expected = Q.T @ Q
+    got = {(r["i"], r["j"]): r["s_xy"] for r in gram_micro(emb).collect()}
+    d = X.shape[1]
+    for i in range(d):
+        for j in range(i, d):
+            assert got[(i, j)] == expected[i, j]
+    sums = {r["i"]: r["s_x"] for r in col_sums_micro(emb).collect()}
+    for i in range(d):
+        assert sums[i] == Q[:, i].sum()
+
+
+def test_fit_matches_numpy_replica(spark, emb):
+    X = _np_vecs(emb)
+    Q = np.floor(X * MICRO).astype(np.int64)
+    n, d = X.shape
+    mean = Q.sum(axis=0) / (n * MICRO)
+    cov = (Q.T @ Q) / (n * MICRO * MICRO) - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+    means, comps, variances = pca_fit(emb, k=3)
+    assert np.allclose(means, mean, atol=1e-12)
+    assert np.allclose(variances, vals[order], rtol=1e-9)
+    for got_c, idx in zip(comps, order):
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        assert np.allclose(got_c, v, atol=1e-9)
+
+
+def test_top_component_finds_planted_axis(spark, emb):
+    _, comps, variances = pca_fit(emb, k=3)
+    # dim 0 carries the planted 10x variance
+    assert abs(comps[0][0]) > 0.99
+    assert variances[0] > 5 * variances[1]
+    assert variances[0] >= variances[1] >= variances[2]
+
+
+def test_projection_matches_numpy(spark, emb):
+    X = _np_vecs(emb)
+    means, comps, _ = pca_fit(emb, k=2)
+    P = (X - np.array(means)) @ np.array(comps).T
+    got = {
+        r["vec_id"]: r["proj"]
+        for r in pca_project(emb, means, comps).collect()
+    }
+    for i in range(X.shape[0]):
+        assert np.allclose(got[i], P[i], atol=1e-9)
