@@ -26,16 +26,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "double", "float")
+
+
 def profile_table(
     df: DataFrame,
     cols: Sequence[str] | None = None,
     exact: bool = False,
+    quantiles: Sequence[float] | None = None,
 ) -> DataFrame:
     """Profile ``cols`` (default: all) in one aggregation pass.
 
     Metrics per column: ``n`` (non-null), ``nulls``, ``min``, ``max``,
-    ``distinct`` (HLL++ sketch unless ``exact``)."""
+    ``distinct`` (HLL++ sketch unless ``exact``); with ``quantiles``,
+    numeric columns also get ``p{q}`` rows from the
+    ``approx_percentile`` sketch (KLL-family: mergeable, bounded
+    memory — the same one-pass contract as the distinct sketch)."""
+    dtypes = dict(df.dtypes)
     cols = list(cols) if cols is not None else [c for c, _ in df.dtypes]
+    qmetrics: dict[str, list[str]] = {}
     aggs = []
     for c in cols:
         aggs.append(F.count(c).cast("bigint").alias(f"{c}__n"))
@@ -48,11 +57,22 @@ def profile_table(
             F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
         )
         aggs.append(distinct.cast("bigint").alias(f"{c}__distinct"))
+        if quantiles and dtypes.get(c, "").startswith(_NUMERIC):
+            names = [f"p{int(round(q * 100)):02d}" for q in quantiles]
+            qmetrics[c] = names
+            for q, nm in zip(quantiles, names):
+                aggs.append(
+                    F.percentile_approx(F.col(c).cast("double"), F.lit(q))
+                    .cast("string")
+                    .alias(f"{c}__{nm}")
+                )
     wide = df.agg(*aggs)
 
     entries = []
     for c in cols:
-        for m in ("n", "nulls", "min", "max", "distinct"):
+        for m in ("n", "nulls", "min", "max", "distinct") + tuple(
+            qmetrics.get(c, ())
+        ):
             entries.append(
                 F.struct(
                     F.lit(c).alias("column"),

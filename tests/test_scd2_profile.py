@@ -111,3 +111,17 @@ class TestProfile:
         # approx_count_distinct default rsd = 5%
         assert got[("a", "distinct")] == pytest.approx(4999, rel=0.1)
         assert got[("b", "distinct")] == pytest.approx(n, rel=0.1)
+
+    def test_quantile_sketch_close_to_exact(self, spark):
+        df = spark.range(10001).select(F.col("id").cast("double").alias("a"),
+                                       F.col("id").cast("string").alias("s"))
+        got = {
+            (r["column"], r["metric"]): r["value"]
+            for r in profile_table(
+                df, quantiles=(0.5, 0.9)
+            ).collect()
+        }
+        assert float(got[("a", "p50")]) == pytest.approx(5000, rel=0.02)
+        assert float(got[("a", "p90")]) == pytest.approx(9000, rel=0.02)
+        # non-numeric columns get no quantile rows
+        assert ("s", "p50") not in got
