@@ -70,3 +70,53 @@ def with_year_month(df: DataFrame, date_col: str) -> DataFrame:
     return df.withColumn("YEAR", F.year(date_col)).withColumn(
         "MONTH", F.month(date_col)
     )
+
+
+def compact_partitions(
+    path: str,
+    spark,
+    partition_cols: Sequence[str] = ("YEAR", "MONTH"),
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact a partitioned parquet table's small files in place.
+
+    Incremental micro-batch loads leave each partition littered with
+    per-trigger files; at 100 TB the resulting scan-task explosion
+    (one task per tiny file) and listing pressure dominate query
+    latency. Compaction = read → one write task per partition value →
+    ``maxRecordsPerFile`` splits oversized partitions into
+    ~``target_file_bytes`` files → dynamic-overwrite replaces ONLY the
+    partitions present (idempotent; untouched partitions keep their
+    files). Rows-per-file is derived from the table's measured
+    on-disk bytes/row, so wide and narrow tables both land near the
+    target size.
+
+    Parallelism note: ``repartition(partition_cols)`` gives one task
+    per partition VALUE — compaction parallelism is across
+    partitions, which is the right trade for a maintenance job (the
+    file-splitting inside a task is writer-level, not a shuffle).
+    Returns ``{"files_before", "files_after"}`` for telemetry.
+    """
+    import glob as _glob
+
+    def _files() -> list:
+        return _glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+
+    before = _files()
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    if n_rows == 0 or total_bytes == 0:
+        return {"files_before": len(before), "files_after": len(before)}
+    rows_per_file = max(1, int(n_rows * target_file_bytes / total_bytes))
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return {"files_before": len(before), "files_after": len(_files())}

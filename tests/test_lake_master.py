@@ -55,3 +55,35 @@ def test_fold_master_routes(spark):
            fold_master_routes(route_level, equiv).collect()}
     assert out["5"].ON == 600.0  # both eras folded
     assert out["7"].ON == 250.0  # unmapped routes pass through
+
+
+def test_compact_partitions_reduces_files_preserves_data(spark, tmp_path):
+    from sfdata_wrangler_spark.sources.lake import (
+        compact_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(4000).select(
+        (F.col("id") % 2 + 2024).cast("int").alias("YEAR"),
+        (F.col("id") % 4 + 1).cast("int").alias("MONTH"),
+        F.col("id").alias("v"),
+    )
+    # fragment: 10 incremental micro-batch appends -> many small files
+    for i in range(10):
+        df.where(F.col("v") % 10 == i).repartition(6).write.mode(
+            "append"
+        ).partitionBy("YEAR", "MONTH").parquet(path)
+
+    before_total = spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
+    stats = compact_partitions(path, spark, ("YEAR", "MONTH"))
+    assert stats["files_after"] < stats["files_before"] / 4
+    after = spark.read.parquet(path)
+    assert after.agg(F.sum("v")).collect()[0][0] == before_total
+    assert after.count() == 4000
+    # partition layout intact (pruning still works)
+    assert after.where(
+        (F.col("YEAR") == 2024) & (F.col("MONTH") == 1)
+    ).count() == spark.read.parquet(path).where(
+        (F.col("YEAR") == 2024) & (F.col("MONTH") == 1)
+    ).count()
