@@ -1,0 +1,88 @@
+"""Degenerate-input behavior for the wave-12+ operators: empty
+corpora, single rows, and single-class labels must degrade cleanly,
+not throw — retry storms at 100 TB start with an operator that
+crashes on an empty partition range."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sfdata_wrangler_spark.operators.bpe import bpe_train
+from sfdata_wrangler_spark.operators.classifier import (
+    hashed_token_features,
+    logreg_predict,
+    logreg_train,
+)
+from sfdata_wrangler_spark.operators.dedup import (
+    incremental_dedup,
+    minhash_band_index,
+)
+from sfdata_wrangler_spark.operators.linedup import drop_boilerplate_lines
+from sfdata_wrangler_spark.operators.lm import bigram_lm_score
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _empty(spark):
+    return spark.createDataFrame([], DOC_SCHEMA)
+
+
+def test_lm_empty_corpus(spark):
+    assert bigram_lm_score(_empty(spark)).count() == 0
+
+
+def test_linedup_empty_and_single_doc(spark):
+    assert drop_boilerplate_lines(_empty(spark)).count() == 0
+    out = drop_boilerplate_lines(
+        spark.createDataFrame([(1, "only\ndoc")], DOC_SCHEMA)
+    ).collect()
+    assert out[0]["text"] == "only\ndoc" and out[0]["n_kept"] == 2
+
+
+def test_bpe_empty_and_single_char_words(spark):
+    merges, seg = bpe_train(_empty(spark), num_merges=5)
+    assert merges == [] and seg.count() == 0
+    # single-char words have no pairs -> early stop, identity seg
+    merges, seg = bpe_train(
+        spark.createDataFrame([(1, "a b a b")], DOC_SCHEMA), num_merges=5
+    )
+    assert merges == []
+    assert {r["word"]: list(r["tokens"]) for r in seg.collect()} == {
+        "a": ["a"], "b": ["b"],
+    }
+
+
+def test_incremental_dedup_empty_index_or_batch(spark):
+    docs = spark.createDataFrame(
+        [(1, "some document text here today")], DOC_SCHEMA
+    )
+    empty_index = minhash_band_index(_empty(spark))
+    out = incremental_dedup(empty_index, docs).collect()
+    assert out[0]["is_new"] is True
+    assert incremental_dedup(minhash_band_index(docs), _empty(spark)).count() == 0
+
+
+def test_classifier_single_class_labels(spark):
+    docs = spark.createDataFrame(
+        [(i, "all the same class here") for i in range(8)], DOC_SCHEMA
+    ).withColumn("y", F.lit(1))
+    w = logreg_train(
+        hashed_token_features(docs), docs.select("doc_id", "y"), iterations=3
+    )
+    scored = logreg_predict(hashed_token_features(docs), w)
+    # drifts toward the positive class, never NaN
+    rows = scored.collect()
+    assert all(r["score"] > 0.5 for r in rows)
+    assert all(r["score"] == r["score"] for r in rows)  # no NaN

@@ -111,3 +111,49 @@ def test_minhash_recall_no_cartesian(spark):
     plan = _plan(spark, "dd_minhash_recall")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_score_only_broadcast_nlj_is_one_row_vocab(spark):
+    """The bigram LM's only nested-loop join is the 1-row vocab
+    broadcast; bigram scoring joins stay hash joins, and no Python
+    eval appears anywhere."""
+    plan = _plan(spark, "txt_lm_score")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_linedup_no_python_no_cartesian(spark):
+    plan = _plan(spark, "ld_boilerplate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_dedup_is_band_equi_join(spark):
+    """The new-batch vs index join must be an equi join on the band
+    key — never a nested loop over the corpus."""
+    plan = _plan(spark, "dd_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_key_reads_only_needed_columns(spark):
+    plan = _plan(spark, "z1_zorder_key")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = m.group(1)
+    assert "l_comment" not in cols and "l_extendedprice" not in cols
+
+
+def test_scd2_single_exchange_for_windows_and_runs(spark):
+    """The change-flag window, island prefix sum, and run groupBy all
+    share the user_id hash partitioning — one exchange on events, not
+    three."""
+    plan = _plan(spark, "scd2_user_event_runs")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_profile_single_aggregate_no_expand_blowup(spark):
+    plan = _plan(spark, "prof_lineitem")
+    assert "Join" not in plan and "Union" not in plan
