@@ -171,33 +171,14 @@ def ld_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     any line occurring in >= 2 distinct docs is dropped corpus-wide;
     docs are reassembled in order. Output carries md5 of the cleaned
     text so the full reconstruction is value-checked without shipping
-    the text."""
-    from ..functions.text import normalize_text
+    the text. The multiline fixture is built by the shuffle-free
+    tokens_to_lines projection (oracle states the same lines via a
+    position join — equality is part of what the hash check proves)."""
+    from ..operators.linedup import tokens_to_lines
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.col("doc_id"),
-        F.posexplode(
-            F.split(normalize_text(F.col("text")), " ")
-        ).alias("pos", "tok"),
-    ).withColumn("line_no", F.expr(f"pos div {_LINE_W}"))
-    linerows = toks.groupBy("doc_id", "line_no").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("line")
-    )
-    ml = linerows.groupBy("doc_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda x: x["line"],
-            ),
-        ).alias("text")
+    ml = docs.select(
+        "doc_id", tokens_to_lines(F.col("text"), _LINE_W).alias("text")
     )
     out = drop_boilerplate_lines(ml, min_docs=2)
     return out.select(

@@ -124,30 +124,14 @@ def pipe_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM counts trained on CLEANED text, sampling strata counted AFTER
     the filter, packing order over the sampled survivors — is
     value-checked end to end."""
+    from ..operators.linedup import tokens_to_lines
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.col("doc_id"),
-        F.posexplode(
-            F.split(normalize_text(F.col("text")), " ")
-        ).alias("pos", "tok"),
-    ).withColumn("line_no", F.expr(f"pos div {_LINE_W}"))
-    linerows = toks.groupBy("doc_id", "line_no").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("line")
-    )
-    ml = linerows.groupBy("doc_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda x: x["line"],
-            ),
-        ).alias("text")
+    # shuffle-free line derivation (pure projection; see
+    # operators/linedup.tokens_to_lines) — removes three exchanges
+    # from the front of the pipeline vs the explode+groupBy form
+    ml = docs.select(
+        "doc_id", tokens_to_lines(F.col("text"), _LINE_W).alias("text")
     )
     # `cleaned` feeds four DAG branches (LM train counts, LM doc
     # bigrams, the keep-join, the packing token counts); the branches
