@@ -39,12 +39,24 @@ def assign_split(
     fractions: Sequence[float] = (0.8, 0.1, 0.1),
     id_col: str = "doc_id",
     out_col: str = "split",
+    salt: str = "split",
 ) -> DataFrame:
     """Append ``out_col`` with the row's split name, decided by
-    ``md5(id)`` against cumulative fraction thresholds."""
+    ``md5(salt|id)`` against cumulative fraction thresholds.
+
+    The ``salt`` domain-separates this draw from every OTHER
+    hash-of-id decision in the pipeline: temperature sampling, shard
+    assignment, and deterministic subsampling all consume
+    ``md5(id)``-family draws, and two decisions sharing one draw are
+    perfectly correlated — a corpus first filtered by
+    ``temperature_sample`` (keeps low-hash rows) would land almost
+    entirely in the lowest-threshold split. Salting makes the draws
+    independent while staying byte-reproducible."""
     if len(names) != len(fractions):
         raise ValueError("names and fractions must align")
-    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 8
+    )
     expr = None
     for name, hx in zip(names[:-1], _cut_hexes(fractions)):
         clause = (bucket < F.lit(hx), F.lit(name))
@@ -57,10 +69,11 @@ def assign_split_oracle_sql(
     names: Sequence[str] = ("train", "val", "test"),
     fractions: Sequence[float] = (0.8, 0.1, 0.1),
     id_col: str = "doc_id",
+    salt: str = "split",
 ) -> str:
     """SQL expression (not a full query) computing the split name for
-    ``id_col`` — identical thresholds and comparisons."""
-    b = f"substring(md5(CAST({id_col} AS VARCHAR)), 1, 8)"
+    ``id_col`` — identical salt, thresholds, and comparisons."""
+    b = f"substring(md5('{salt}|' || CAST({id_col} AS VARCHAR)), 1, 8)"
     clauses = [
         f"WHEN {b} < '{hx}' THEN '{name}'"
         for name, hx in zip(names[:-1], _cut_hexes(fractions))

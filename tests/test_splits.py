@@ -45,3 +45,22 @@ def test_two_way_and_validation(spark):
     assert got == {"fit", "holdout"}
     with pytest.raises(ValueError):
         assign_split(df, names=("a", "b"), fractions=(0.5, 0.4))
+
+
+def test_split_independent_of_sampling_draw(spark):
+    """Regression: temperature_sample keeps low-md5(id) rows; the
+    split draw must be domain-separated (salted) or the survivors all
+    land in the lowest-threshold split."""
+    from sfdata_wrangler_spark.operators.sampling import temperature_sample
+
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("lang")
+    )
+    kept = temperature_sample(df, "lang", 30.0)  # keep rate ~0.37
+    got = {
+        r["split"]: r["count"]
+        for r in assign_split(kept).groupBy("split").count().collect()
+    }
+    n = sum(got.values())
+    assert got.get("val", 0) / n == pytest.approx(0.1, abs=0.03)
+    assert got.get("test", 0) / n == pytest.approx(0.1, abs=0.03)
