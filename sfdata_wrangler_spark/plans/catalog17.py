@@ -57,3 +57,30 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.transform("proj", lambda x: F.round(x, 6)).alias("proj_r6"),
     )
+
+
+@_register("dd_dup_clusters", None)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components as a declared query
+    (operators/dedup.cluster_duplicates — min-label propagation with
+    batched convergence probes, previously test-only): LSH candidate
+    pairs → components → per-cluster rollup with a member checksum.
+    Iterative fixpoint — rows-only; component correctness is pinned
+    by tests/test_dedup.py's chain/clique tests."""
+    from ..operators.dedup import cluster_duplicates, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, hash_fn="md5", num_hashes=8, bands=4)
+    clusters = cluster_duplicates(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("member_id_sum"),
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_docs",
+            "member_id_sum",
+        )
+    )
