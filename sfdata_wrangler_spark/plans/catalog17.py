@@ -84,3 +84,102 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "member_id_sum",
         )
     )
+
+
+_Q13_ORACLE = """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@_register("q13_customer_distribution", _Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with an ON-clause filter (kept
+    customers with zero matching orders still count), per-customer
+    counts, then the count-of-counts histogram — two combinable
+    aggregations, no subquery materialization."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q21_ORACLE = """
+WITH l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+), lo AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lo
+              WHERE lo.l_orderkey = l1.l_orderkey
+                AND lo.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l1 x
+                  WHERE x.l_orderkey = l1.l_orderkey
+                    AND x.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
+@_register("q21_sole_blamed_supplier", _Q21_ORACLE)
+def q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS chain) as semi/anti
+    joins: the only supplier with returns on a multi-supplier order.
+    The oracle states correlated subqueries; the Spark plan states
+    left_semi + left_anti on distinct (order, supplier) pairs —
+    semantic equality is what the hash check proves."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = lo.withColumnRenamed("l_suppkey", "o_sk")
+    other_r = l1.withColumnRenamed("l_suppkey", "r_sk")
+    waited = (
+        l1.join(
+            other,
+            (l1.l_orderkey == other.l_orderkey)
+            & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_semi",
+        )
+        .join(
+            other_r,
+            (l1.l_orderkey == other_r.l_orderkey)
+            & (F.col("l_suppkey") != F.col("r_sk")),
+            "left_anti",
+        )
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        waited.join(sup, waited.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
