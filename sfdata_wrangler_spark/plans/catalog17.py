@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.pca import gram_micro, pca_fit, pca_project
-from .catalog import _register, _t
+from .catalog import _events, _register, _t
 
 _GRAM_ORACLE = """
 WITH flat AS (
@@ -182,4 +182,43 @@ def q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
+    )
+
+
+_W16_ORACLE = """
+WITH e AS (
+  SELECT ts, event_type,
+         (epoch_us(ts) // 300000000) * 300000000 AS ws1
+  FROM events
+), w AS (
+  SELECT event_type, unnest([ws1, ws1 - 300000000]) AS ws_us FROM e
+)
+SELECT CAST(ws_us AS BIGINT) AS window_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY ws_us, event_type
+"""
+
+
+@_register("w16_sliding_window_counts", _W16_ORACLE)
+def w16_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10-minute duration, 5-minute
+    slide) — the overlapping sibling of w15's tumbling windows, same
+    streaming-ready `F.window` construct in batch mode. Every event
+    belongs to exactly two windows; the oracle states that closed
+    form (the epoch-floor boundary and its predecessor), so the hash
+    match proves Spark's window assignment semantics, not just the
+    counts."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).cast("bigint").alias(
+                "window_start_us"
+            ),
+            "event_type",
+            "n",
+        )
     )
