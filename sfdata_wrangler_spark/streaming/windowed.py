@@ -22,18 +22,27 @@ def windowed_event_counts(
     window: str = "10 minutes",
     watermark: str = "30 minutes",
     value_col: str | None = "value",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Per-(key, tumbling window) event counts/sums with late-data
-    handling on streams. Output: key, window_start, window_end,
-    n_events [, total_value]."""
+    """Per-(key, window) event counts/sums with late-data handling on
+    streams. ``slide=None`` gives tumbling windows; a slide shorter
+    than ``window`` gives overlapping sliding windows (each event then
+    lands in window/slide windows — state grows by the same factor,
+    the documented cost of overlap). Output: key, window_start,
+    window_end, n_events [, total_value]."""
     if events.isStreaming:
         events = events.withWatermark(ts_col, watermark)
     keys = [F.col(key_col)] if key_col else []
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col:
         aggs.append(F.sum(value_col).alias("total_value"))
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
-        events.groupBy(*keys, F.window(F.col(ts_col), window))
+        events.groupBy(*keys, win)
         .agg(*aggs)
         .select(
             *([key_col] if key_col else []),

@@ -92,3 +92,48 @@ def test_watermark_drops_late_events(spark, tmp_path):
     }
     assert batch["10:00"] == 3
     assert sum(batch.values()) == sum(got.values()) + 1 + 1  # +late +unflushed 13:00
+
+
+def test_sliding_stream_equals_batch(spark, tmp_path):
+    """Sliding windows (10 min / 5 min slide) through a real
+    readStream→writeStream cycle equal the batch run when nothing is
+    late — and each event appears in exactly two windows."""
+    src = str(tmp_path / "ssrc")
+    chk = str(tmp_path / "schk")
+    out = str(tmp_path / "sout")
+    os.makedirs(src)
+    minutes = [0, 3, 7, 12, 14, 26]
+    _add_file(spark, minutes, src, "a.parquet", tmp_path)
+    # a final far-future row advances the watermark so every real
+    # window closes and append mode emits it
+    _add_file(spark, [600], src, "z.parquet", tmp_path)
+
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        windowed_event_counts(
+            stream, window="10 minutes", watermark="1 minute",
+            slide="5 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = windowed_event_counts(
+        _rows(spark, minutes), window="10 minutes", slide="5 minutes"
+    )
+    got = {
+        (r["window_start"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+        if r["window_start"] < T0 + datetime.timedelta(minutes=60)
+    }
+    want = {(r["window_start"], r["n_events"]) for r in batch.collect()}
+    assert got == want
+    # overlap factor: 6 events x 2 windows each
+    assert sum(n for _, n in want) == 2 * len(minutes)
