@@ -222,3 +222,111 @@ def w16_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice) AS best_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey AS bp_partkey, min(best_price) AS min_price
+  FROM ps GROUP BY l_partkey
+)
+SELECT CAST(ps.l_partkey AS BIGINT) AS l_partkey,
+       CAST(min(ps.l_suppkey) AS BIGINT) AS best_suppkey,
+       min_price
+FROM ps JOIN best
+  ON ps.l_partkey = best.bp_partkey AND ps.best_price = best.min_price
+GROUP BY ps.l_partkey, min_price
+"""
+
+
+@_register("q2_min_cost_supplier", _Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar-min subquery) as aggregate +
+    join-back rather than a per-group window: per (part, supplier)
+    offer table, per-part min, equi join back on (part, price), tie
+    broken by lowest supplier. At scale the aggregate+join form beats
+    a partitioned window when the group count is huge (two combinable
+    aggs, one equi join — no per-group sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best_price")
+    )
+    best = (
+        ps.groupBy("l_partkey")
+        .agg(F.min("best_price").alias("min_price"))
+        .withColumnRenamed("l_partkey", "bp_partkey")
+    )
+    return (
+        ps.join(
+            best,
+            (F.col("l_partkey") == F.col("bp_partkey"))
+            & (F.col("best_price") == F.col("min_price")),
+        )
+        .groupBy("l_partkey", "min_price")
+        .agg(F.min("l_suppkey").cast("bigint").alias("best_suppkey"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("l_partkey"),
+            "best_suppkey",
+            "min_price",
+        )
+    )
+
+
+# acctbal has 2-decimal values: integer cents make the scalar-average
+# threshold exact in both engines (a double avg is accumulation-order
+# sensitive and the comparison is knife-edged at the boundary)
+_Q22_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), thr AS (
+  SELECT CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+  FROM c WHERE cents > 0
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM c CROSS JOIN thr
+WHERE cents > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+@_register("q22_idle_rich_customers", _Q22_ORACLE)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-aggregate subquery threshold (1-row
+    broadcast) + anti join (customers with no urgent orders — every
+    synthetic customer has SOME order, so the classic no-orders
+    predicate would be vacuous) + rollup. The average-balance
+    threshold is computed in exact integer cents so the knife-edge
+    comparison is engine-independent."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    thr = F.broadcast(
+        cust.where(F.col("cents") > 0).agg(
+            F.expr("sum(cents) div count(*)").alias("avg_cents")
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(thr)
+        .where(F.col("cents") > F.col("avg_cents"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
