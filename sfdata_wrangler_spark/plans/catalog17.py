@@ -330,3 +330,37 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+_J12_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id AS trigger_id, ts AS t_ts
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, event_id AS outcome_id, ts AS o_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT CAST(v.user_id AS BIGINT) AS user_id,
+       CAST(trigger_id AS BIGINT) AS trigger_id,
+       CAST(outcome_id AS BIGINT) AS outcome_id,
+       CAST(epoch_us(o_ts) - epoch_us(t_ts) AS BIGINT) AS delay_us
+FROM v JOIN c ON v.user_id = c.user_id
+ AND c.o_ts > v.t_ts
+ AND c.o_ts <= v.t_ts + INTERVAL 10 MINUTE
+"""
+
+
+@_register("j12_event_attribution", _J12_ORACLE)
+def j12_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click attribution join (streaming/join_stream.py in batch
+    mode): per-user interval-bounded pairing — the stream-stream join
+    shape, where the time bound is what makes the streaming state
+    finite. Hash-exact; the streaming twin is differential-tested in
+    tests/test_streaming_joins.py."""
+    from ..streaming.join_stream import attributed_events
+
+    ev = _events(spark, sf_dir)
+    return attributed_events(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+    )
