@@ -100,3 +100,70 @@ def pack_context_windows(
         F.floor(before / budget).cast("bigint").alias("window_id"),
         (before % budget).cast("bigint").alias("window_offset"),
     )
+
+
+def pack_by_length(
+    df: DataFrame,
+    budget: int,
+    length_bounds: tuple = (16, 32, 64, 128),
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """Length-grouped context packing: documents are first grouped
+    into padded-length buckets (smallest bound >= n_tokens; the
+    training-efficiency trick that keeps short docs from being padded
+    to the longest sequence in the batch), then packed into
+    ``budget``-token windows WITHIN each bucket.
+
+    Output: ``(id_col, tokens_col, len_bucket, window_id,
+    window_offset)`` with window ids scoped per bucket. The bucket
+    bounds are a CASE chain (exact integer comparisons — no log2,
+    whose last-ulp rounding differs across engines); the per-bucket
+    prefix sum reuses the two-level scan with (len_bucket, coarse id
+    range) keys, so no bucket ever becomes a single-partition sort.
+    """
+    bound = F.lit(int(length_bounds[-1]))
+    for b in reversed(length_bounds[:-1]):
+        bound = F.when(
+            F.col(tokens_col) <= int(b), F.lit(int(b))
+        ).otherwise(bound)
+    docs = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("bigint").alias(tokens_col),
+        bound.cast("bigint").alias("len_bucket"),
+        F.floor(F.col(id_col) / bucket_width).cast("bigint").alias("__coarse"),
+    )
+
+    wb = (
+        Window.partitionBy("len_bucket")
+        .orderBy("__coarse")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        docs.groupBy("len_bucket", "__coarse")
+        .agg(F.sum(tokens_col).alias("__sub"))
+        .withColumn("__cum", F.sum("__sub").over(wb))
+        .select(
+            "len_bucket",
+            "__coarse",
+            (F.col("__cum") - F.col("__sub")).alias("__offset"),
+        )
+    )
+    wd = (
+        Window.partitionBy("len_bucket", "__coarse")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = (
+        F.col("__offset") + F.sum(tokens_col).over(wd) - F.col(tokens_col)
+    )
+    return docs.join(
+        F.broadcast(offsets), ["len_bucket", "__coarse"]
+    ).select(
+        id_col,
+        tokens_col,
+        "len_bucket",
+        F.floor(before / budget).cast("bigint").alias("window_id"),
+        (before % budget).cast("bigint").alias("window_offset"),
+    )

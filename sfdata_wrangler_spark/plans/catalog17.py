@@ -364,3 +364,51 @@ def j12_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "view"),
         ev.where(F.col("event_type") == "click"),
     )
+
+
+_TOKCNT_SQL = (
+    "CAST(CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ',"
+    " 'g'))) = 0 THEN 0 ELSE len(string_split(trim(regexp_replace("
+    "lower(text), '\\s+', ' ', 'g')), ' ')) END AS BIGINT)"
+)
+_LB_SQL = (
+    "CAST(CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32 "
+    "WHEN n_tokens <= 64 THEN 64 ELSE 128 END AS BIGINT)"
+)
+_PACKLEN_ORACLE = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKCNT_SQL} AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens, {_LB_SQL} AS len_bucket FROM t
+), p AS (
+  SELECT doc_id, n_tokens, len_bucket,
+         sum(n_tokens) OVER (PARTITION BY len_bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS before
+  FROM b
+)
+SELECT doc_id, n_tokens, len_bucket,
+       CAST(floor(before / 256) AS BIGINT) AS window_id,
+       CAST(before % 256 AS BIGINT) AS window_offset
+FROM p
+"""
+
+
+@_register("txt_pack_by_length", _PACKLEN_ORACLE)
+def txt_pack_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped packing (operators/packing.pack_by_length): the
+    padding-efficiency trick — bucket docs by padded length (exact
+    CASE bounds, no log2), pack 256-token windows within each bucket
+    via the two-level prefix scan keyed by (len_bucket, coarse id
+    range). The oracle states the per-bucket GLOBAL cumsum; the hash
+    match proves two-level ≡ global inside every bucket."""
+    from ..functions.text import token_count
+    from ..operators.packing import pack_by_length
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return pack_by_length(t, budget=256, bucket_width=64)

@@ -55,3 +55,26 @@ def test_zorder_key_partition_invariant(spark):
     b = add_zorder_key(li.repartition(11), ["l_partkey", "l_suppkey"])
     assert _collect_sorted(a.select("l_orderkey", "l_linenumber", "zkey")) == \
         _collect_sorted(b.select("l_orderkey", "l_linenumber", "zkey"))
+
+
+def test_pack_by_length_equals_naive_per_bucket(spark):
+    from sfdata_wrangler_spark.operators.packing import pack_by_length
+
+    rows = [(i, (i * 13) % 100 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {
+        r["doc_id"]: (r["len_bucket"], r["window_id"], r["window_offset"])
+        for r in pack_by_length(df, budget=64, bucket_width=16).collect()
+    }
+    # naive: per-bucket sequential scan in id order
+    def bucket(n):
+        for b in (16, 32, 64):
+            if n <= b:
+                return b
+        return 128
+    acc = {}
+    for i, n in sorted(rows):
+        b = bucket(n)
+        before = acc.get(b, 0)
+        assert got[i] == (b, before // 64, before % 64)
+        acc[b] = before + n
