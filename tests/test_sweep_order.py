@@ -42,9 +42,9 @@ def test_unswept_names_lead_the_sweep():
     # queries are being added faster than they can ever get verified.
     capped = order[: min(50, len(front))]
     assert all(n not in swept for n in capped)
-    assert len(front) <= 50 + 25, (
-        f"{len(front)} unswept queries: more than a full extra round's "
-        "backlog beyond the driver's 50-row sweep cap"
+    assert len(front) <= 2 * 50, (
+        f"{len(front)} unswept queries: the backlog would need more than "
+        "two full driver rounds (50-row cap each) to clear"
     )
 
 
