@@ -1,9 +1,11 @@
-"""Catalog wave 17 (round 3): distributed PCA for embedding columns —
-the whitening/decorrelation step in front of SemDedup clustering and
-ANN indexing. The corpus-side sufficient statistics (gram matrix +
-column sums, exact integer micro-units) are hash-exact against
-DuckDB; the driver-side eigendecomposition + projection is iterative
-linear algebra (rows-only, pinned by a numpy differential)."""
+"""Catalog wave 17 (round 3, final wave): distributed PCA for
+embedding columns (sufficient statistics hash-exact, driver eigh
+rows-only with a numpy differential), the near-dup
+connected-components rollup, four more relational shapes (q13 outer
+histogram, q21 exists chains, q2 argmin join-back, q22
+scalar-threshold anti join), sliding event-time windows with a
+closed-form oracle, the stream-stream attribution join in batch
+mode, and length-grouped context packing."""
 
 from __future__ import annotations
 
