@@ -115,6 +115,7 @@ def pca_project(
     emb: DataFrame,
     means: list,
     components: list,
+    variances: list | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "proj",
@@ -122,14 +123,26 @@ def pca_project(
     """Project each vector onto the fitted basis: ``(id_col,
     out_col=array<double> length k)``. Basis and means travel as
     column literals (broadcast-sized); the dot products are
-    aggregate-over-zip_with folds — no UDF, no shuffle."""
+    aggregate-over-zip_with folds — no UDF, no shuffle.
+
+    Pass ``variances`` (from :func:`pca_fit`) to WHITEN: each
+    component is divided by its standard deviation, so projections
+    have unit variance per axis — the preprocessing SemDedup-style
+    cosine thresholds and k-means both behave better under (distance
+    is no longer dominated by the top component). Components with
+    near-zero variance are left unscaled rather than exploded."""
     mean_arr = F.array(*[F.lit(m) for m in means])
     centered = F.zip_with(
         F.col(vec_col), mean_arr, lambda x, m: x.cast("double") - m
     )
+    scales = [1.0] * len(components)
+    if variances is not None:
+        scales = [
+            1.0 / (v ** 0.5) if v > 1e-12 else 1.0 for v in variances
+        ]
     projs = []
-    for comp in components:
-        c_arr = F.array(*[F.lit(c) for c in comp])
+    for comp, s in zip(components, scales):
+        c_arr = F.array(*[F.lit(c * s) for c in comp])
         projs.append(
             F.aggregate(
                 F.zip_with(centered, c_arr, lambda x, c: x * c),

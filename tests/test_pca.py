@@ -82,3 +82,15 @@ def test_projection_matches_numpy(spark, emb):
     }
     for i in range(X.shape[0]):
         assert np.allclose(got[i], P[i], atol=1e-9)
+
+
+def test_whitened_projection_has_unit_variance(spark, emb):
+    means, comps, variances = pca_fit(emb, k=3)
+    got = pca_project(emb, means, comps, variances=variances)
+    import numpy as np
+
+    P = np.array([r["proj"] for r in got.orderBy("vec_id").collect()])
+    # population variance of each whitened axis ~ 1 (fit and projection
+    # use the same corpus)
+    var = P.var(axis=0)
+    assert np.allclose(var, 1.0, rtol=1e-6)
