@@ -15,8 +15,11 @@ Layout:
 - ``sources``     readers: fixed-width, tab, CSV, GTFS, parquet lake
 - ``pipelines``   reference pipeline equivalents (expand, cascade,
                   clipper, taxi)
-- ``streaming``   Structured Streaming variants (sessionization)
-- ``multimodal``  binary-column (image/audio) plumbing with stub codecs
+- ``streaming``   Structured Streaming variants (sessionization,
+                  watermarked windows, stateful ops, stream-stream
+                  joins, incremental dedup)
+- ``multimodal``  binary media columns with real stdlib codecs
+                  (BMP, RIFF/AVI, RIFF/WAVE) in Arrow-batched kernels
 """
 
 __version__ = "0.1.0"

@@ -14,8 +14,48 @@ from .weighting import calc_weights
 from .imputation import impute_from_prior_month
 from .interval_lookup import interval_lookup, missing_keys
 from .crosstab import crosstab_with_margins
+from .scd2 import collapse_to_intervals
+from .profile import profile_table
+from .dedup import (
+    cluster_duplicates,
+    contamination_check,
+    exact_dedup,
+    exact_dup_groups,
+    incremental_dedup,
+    minhash_band_index,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from .linedup import drop_boilerplate_lines, tokens_to_lines
+from .lm import bigram_lm_score
+from .bpe import bpe_tokenize, bpe_train, word_type_counts
+from .classifier import (
+    hashed_token_features,
+    logreg_predict,
+    logreg_train,
+)
+from .retrieval import bm25_topk
+from .sampling import temperature_sample
+from .splits import assign_split
+from .packing import pack_by_length, pack_context_windows
+from .similarity import (
+    assign_to_centroids,
+    cosine_topk,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_neardup_pairs,
+    lsh_topk,
+    semdedup_prune,
+)
+from .pca import pca_fit, pca_project
+from .zorder import add_zorder_key, zorder_layout
+from .repetition import domain_cap, repetition_stats
+from .skew import salted_agg
 
 __all__ = [
+    # rule-driven aggregation + windows (reference surface)
     "AggRule",
     "aggregate_records",
     "update_speeds",
@@ -33,4 +73,48 @@ __all__ = [
     "interval_lookup",
     "missing_keys",
     "crosstab_with_margins",
+    "collapse_to_intervals",
+    "profile_table",
+    # dedup family
+    "cluster_duplicates",
+    "contamination_check",
+    "exact_dedup",
+    "exact_dup_groups",
+    "incremental_dedup",
+    "minhash_band_index",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard",
+    "simhash",
+    "drop_boilerplate_lines",
+    "tokens_to_lines",
+    # text / training-data ops
+    "bigram_lm_score",
+    "bpe_tokenize",
+    "bpe_train",
+    "word_type_counts",
+    "hashed_token_features",
+    "logreg_predict",
+    "logreg_train",
+    "bm25_topk",
+    "temperature_sample",
+    "assign_split",
+    "pack_by_length",
+    "pack_context_windows",
+    "domain_cap",
+    "repetition_stats",
+    # embeddings / similarity
+    "assign_to_centroids",
+    "cosine_topk",
+    "ivf_topk",
+    "kmeans_centroids",
+    "lsh_neardup_pairs",
+    "lsh_topk",
+    "semdedup_prune",
+    "pca_fit",
+    "pca_project",
+    # layout / skew
+    "add_zorder_key",
+    "zorder_layout",
+    "salted_agg",
 ]
