@@ -381,3 +381,45 @@ def semdedup_prune(
         .withColumn("dropped", F.coalesce("__dropped", F.lit(0)).cast("int"))
         .drop("__dropped")
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: per query, the k
+    most-similar corpus vectors with a DIFFERENT label (similar
+    content, wrong class — the negatives that actually move a
+    contrastive loss). Same broadcast-query/window-rank shape as
+    :func:`cosine_topk` with the label-exclusion predicate pushed
+    below the ranking; swap the corpus side for
+    :func:`lsh_topk`-style bucketing when queries are corpus-sized."""
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    joined = corpus.crossJoin(F.broadcast(q)).where(
+        (F.col(label_col) != F.col("__qlabel"))
+        & (F.col(query_id) != F.col(corpus_id))
+    )
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        F.col(label_col),
+        cosine(F.col("__qv"), F.col(vec_col)).alias("__sim_exact"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__sim_exact").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("sim", portable_round(F.col("__sim_exact"), 4))
+        .drop("__sim_exact")
+    )

@@ -5,7 +5,7 @@ connected-components rollup, four more relational shapes (q13 outer
 histogram, q21 exists chains, q2 argmin join-back, q22
 scalar-threshold anti join), sliding event-time windows with a
 closed-form oracle, the stream-stream attribution join in batch
-mode, and length-grouped context packing."""
+mode, length-grouped context packing, and hard-negative mining."""
 
 from __future__ import annotations
 
@@ -414,3 +414,47 @@ def txt_pack_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
     )
     return pack_by_length(t, budget=256, bucket_width=64)
+
+
+@_register(
+    "emb_hard_negatives",
+    """
+    SELECT CAST(q.vec_id AS BIGINT) AS query_id,
+           CAST(c.vec_id AS BIGINT) AS vec_id,
+           CAST(c.label AS BIGINT) AS label,
+           CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])), 4)
+                AS DOUBLE) AS sim,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id) AS INT) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id AND c.label <> q.label
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) DESC,
+               c.vec_id) <= 5
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.hard_negatives): per query, the top-5
+    most-similar vectors with a DIFFERENT label — broadcast query
+    side, label exclusion below the per-query window rank."""
+    from ..operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = hard_negatives(queries, emb, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("label").cast("bigint").alias("label"),
+        "sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
