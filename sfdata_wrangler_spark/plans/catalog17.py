@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.pca import gram_micro, pca_fit, pca_project
+from ..functions.metrics import portable_round as _pr17
 from .catalog import _events, _register, _t
 
 _GRAM_ORACLE = """
@@ -457,4 +458,111 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("label"),
         "sim",
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_Q14_ORACLE = """
+WITH j AS (
+  SELECT CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+              AS BIGINT) AS rev_tt,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+)
+SELECT CAST(round(
+         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_tt
+                          ELSE 0 END) AS DOUBLE)
+               / CAST(sum(rev_tt) AS DOUBLE), 6) AS DOUBLE) AS promo_share,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM j
+"""
+
+
+@_register("q14_promo_revenue_share", _Q14_ORACLE)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio over a
+    fact⨝dim month slice. Both sums accumulate exact integer
+    ten-thousandths BEFORE the single division, so the share is a
+    ratio of two exact BIGINTs — engine-independent to the final
+    rounding."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.floor(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("rev_tt"),
+        "p_type",
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_tt")).otherwise(0))
+        .cast("double")
+        .alias("promo"),
+        F.sum("rev_tt").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return agg.select(
+        _pr17(100.0 * F.col("promo") / F.col("total"), 6).alias("promo_share"),
+        "n_rows",
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT {{msum}} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@_register(
+    "q19_disjunctive_predicates",
+    _Q19_ORACLE.format(
+        msum="CAST((floor((sum(CAST(floor((l_extendedprice * (1 - l_discount))"
+        " * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0) AS DOUBLE)"
+    ),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three disjunctive brand/size/quantity branches
+    over fact⨝dim — the OR-of-ANDs pattern Catalyst splits into
+    per-branch pushable ranges; revenue in exact integer
+    ten-thousandths."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    from .catalog import _msum2
+
+    return j.where(cond).agg(
+        _msum2(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
