@@ -566,3 +566,103 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey,
+       o.o_orderpriority,
+       CAST(round(sum(l.l_quantity), 2) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY o.o_orderkey, o.o_custkey, o.o_orderpriority
+"""
+
+
+@_register("q18_large_volume_orders", _Q18_ORACLE)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-HAVING subquery used as a semi-join
+    filter back onto the detail join — the two-pass "find heavy
+    groups, then expand them" pattern. The heavy-key set is
+    aggregate-sized, so the semi join broadcasts at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__tq"))
+        .where(F.col("__tq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderpriority")
+        .agg(_pr17(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            "o_orderpriority",
+            "total_qty",
+        )
+    )
+
+
+_Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST((floor((sum(CAST(floor((l_extendedprice * (1 - l_discount))
+             * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0) AS DOUBLE)
+         AS volume,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY sn.n_name, cn.n_name
+"""
+
+
+@_register("q7_nation_pair_volume", _Q7_ORACLE)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dimension joined TWICE under
+    different roles (supplier side, customer side) with an
+    inter-nation predicate — the aliased-dim pattern. supplier/nation
+    are hinted broadcast (true dims); orders and customer carry NO
+    hint — they are fact-sized at real scale, so the orders join is a
+    shuffle equi join there (AQE still broadcasts them at test SF).
+    Volume in exact integer ten-thousandths."""
+    from .catalog import _msum2
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    return j.groupBy("supp_nation", "cust_nation").agg(
+        _msum2(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("double")
+        .alias("volume"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
