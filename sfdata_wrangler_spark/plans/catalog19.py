@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
-from .catalog import _events, _register
+from ..operators.sketch import cms_build, cms_estimate, cms_heavy_hitters
+from .catalog import _events, _register, _t
+from .catalog_text import norm_sql
+
+_NORM = norm_sql()
 
 _J13_ORACLE = """
 SELECT l.event_id,
@@ -103,4 +107,88 @@ def j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.unix_micros("ts_asof").alias("signup_ts_us"),
         F.col("value_asof").alias("signup_value"),
+    )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+
+
+_CMS_DEPTH, _CMS_W = 4, 1
+
+_SK1_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), t AS (SELECT tok FROM toks WHERE tok <> '')
+SELECT s.seed,
+       substring(md5(CAST(s.seed AS VARCHAR) || '|' || t.tok), 1, {_CMS_W})
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM t, (SELECT unnest([0, 1, 2, 3]) AS seed) s
+GROUP BY 1, 2
+"""
+
+
+@_register("sk_cms_counters", _SK1_ORACLE)
+def sk_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min counter matrix itself (operators/sketch.py):
+    depth 4 × 16 string-hex buckets over the corpus token stream.
+    Mergeable by construction — the shuffle carries at most 64 cells
+    per partition no matter the corpus size."""
+    toks = _doc_tokens(spark, sf_dir)
+    return cms_build(toks, "tok", depth=_CMS_DEPTH, width_hex=_CMS_W).select(
+        F.col("seed").cast("int").alias("seed"), "bucket", "cnt"
+    )
+
+
+_SK2_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), t AS (SELECT tok FROM toks WHERE tok <> ''),
+cms AS (
+  SELECT s.seed,
+         substring(md5(CAST(s.seed AS VARCHAR) || '|' || t.tok), 1, {_CMS_W})
+           AS bucket,
+         count(*) AS cnt
+  FROM t, (SELECT unnest([0, 1, 2, 3]) AS seed) s
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.tok, min(m.cnt) AS cms_est
+  FROM (SELECT DISTINCT tok FROM t) c,
+       (SELECT unnest([0, 1, 2, 3]) AS seed) s
+  JOIN cms m
+    ON m.seed = s.seed
+   AND m.bucket = substring(md5(CAST(s.seed AS VARCHAR) || '|' || c.tok),
+                            1, {_CMS_W})
+  GROUP BY c.tok
+),
+exact AS (SELECT tok, count(*) AS n FROM t GROUP BY tok)
+SELECT e.tok, CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(x.n AS BIGINT) AS true_n
+FROM est e JOIN exact x ON e.tok = x.tok
+WHERE e.cms_est >= 900
+"""
+
+
+@_register("sk_cms_heavy_hitters", _SK2_ORACLE)
+def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS heavy hitters with the exact count joined alongside: the
+    one-sided guarantee on display (cms_est >= true_n always; 16
+    buckets force visible collisions at this vocab). The candidate
+    probe joins the BROADCAST 64-cell sketch — the corpus shuffles
+    once for the sketch, once for the distinct candidates, never
+    pairwise."""
+    toks = _doc_tokens(spark, sf_dir)
+    hh = cms_heavy_hitters(
+        toks, "tok", threshold=900, depth=_CMS_DEPTH, width_hex=_CMS_W
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    return hh.join(exact, "tok").select(
+        "tok", F.col("cms_est").cast("bigint").alias("cms_est"), "true_n"
     )
