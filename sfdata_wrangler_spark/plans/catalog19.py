@@ -192,3 +192,131 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hh.join(exact, "tok").select(
         "tok", F.col("cms_est").cast("bigint").alias("cms_est"), "true_n"
     )
+
+
+_SPAN_K = 8
+
+_DD_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+),
+lst AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(tk) - {_SPAN_K - 1}, 0) + 1),
+           i -> struct_pack(pos := i - 1,
+                            gh := md5(array_to_string(
+                                    list_slice(tk, i, i + {_SPAN_K - 1}),
+                                    ' ')))) AS l
+  FROM toks
+),
+grams AS (SELECT doc_id, u.pos AS pos, u.gh AS gh
+          FROM (SELECT doc_id, unnest(l) AS u FROM lst)),
+dup AS (SELECT gh FROM grams GROUP BY gh
+        HAVING count(DISTINCT doc_id) >= 2),
+flagged AS (SELECT doc_id, pos FROM grams SEMI JOIN dup USING (gh)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM flagged
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@_register("dd_dup_spans", _DD_SPANS_ORACLE)
+def dd_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token spans
+    (operators/spandedup.py — the Lee-et-al substring-dedup shape as
+    a k-gram inverted index + gaps-and-islands, no suffix array).
+    Shuffles carry 32-byte gram hashes and (id, pos) pairs only."""
+    from ..operators.spandedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, k=_SPAN_K, min_docs=2)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+    )
+
+
+_DD_SCRUB_ORACLE = f"""
+WITH toks0 AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+),
+lst AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(tk) - {_SPAN_K - 1}, 0) + 1),
+           i -> struct_pack(pos := i - 1,
+                            gh := md5(array_to_string(
+                                    list_slice(tk, i, i + {_SPAN_K - 1}),
+                                    ' ')))) AS l
+  FROM toks0
+),
+grams AS (SELECT doc_id, u.pos AS pos, u.gh AS gh
+          FROM (SELECT doc_id, unnest(l) AS u FROM lst)),
+dup AS (SELECT gh FROM grams GROUP BY gh
+        HAVING count(DISTINCT doc_id) >= 2),
+flagged AS (SELECT doc_id, pos FROM grams SEMI JOIN dup USING (gh)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, island
+),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS pos FROM spans
+),
+tokpos AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) + 1),
+                 i -> struct_pack(pos := i - 1, tok := tk[i]))) AS u
+        FROM toks0)
+  WHERE u.tok <> ''
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       md5(coalesce(r.clean_text, '')) AS clean_md5,
+       CAST(coalesce(len(string_split(r.clean_text, ' ')), 0) AS BIGINT)
+         AS n_tokens
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
+@_register("dd_span_scrub", _DD_SCRUB_ORACLE)
+def dd_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-scrubbed corpus, reconstruction md5-checked end-to-end:
+    covered positions leave via one anti join, the survivors
+    reassemble per-doc with array_sort(collect_list(struct)) — no
+    global sort anywhere. Docs fully covered (or untouched) both
+    round-trip: the check is total over the corpus."""
+    from ..operators.spandedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, k=_SPAN_K, min_docs=2)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.when(F.col("clean_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("clean_text", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
