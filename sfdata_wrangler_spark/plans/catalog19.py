@@ -320,3 +320,82 @@ def dd_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+_DSIR_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id, substring(md5(tok), 1, 2) AS bucket
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+tocc AS (
+  SELECT doc_id, substring(md5(tok), 1, 2) AS bucket
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+        FROM documents WHERE lang = 'en')
+  WHERE tok <> ''
+),
+p AS (SELECT bucket, count(*) AS p_cnt FROM tocc GROUP BY bucket),
+q AS (SELECT bucket, count(*) AS q_cnt FROM occ GROUP BY bucket),
+model AS (
+  SELECT q.bucket,
+         CAST(floor(
+           ((CAST(coalesce(p.p_cnt, 0) + 1 AS DOUBLE)
+             / CAST((SELECT sum(p_cnt) FROM p) + 256 AS DOUBLE))
+            / (CAST(q.q_cnt + 1 AS DOUBLE)
+               / CAST((SELECT sum(q_cnt) FROM q) + 256 AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT) AS ratio_micro
+  FROM q LEFT JOIN p ON q.bucket = p.bucket
+)
+SELECT CAST(o.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(m.ratio_micro) AS BIGINT) AS sum_ratio_micro,
+       CAST(sum(m.ratio_micro) // count(*) AS BIGINT) AS mean_ratio_micro
+FROM occ o JOIN model m ON o.bucket = m.bucket
+GROUP BY o.doc_id
+"""
+
+
+@_register("txt_dsir_weights", _DSIR_ORACLE)
+def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py): every document
+    scored by the mean per-token target/raw hashed-bucket
+    probability ratio (target = the English slice). Two <=256-row
+    models broadcast into one scoring pass; integer micro-unit
+    ratios make the sums order-free."""
+    from ..operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    out = dsir_weights(docs, target)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_toks",
+        "sum_ratio_micro",
+        "mean_ratio_micro",
+    )
+
+
+_DSIR_SEL_ORACLE = _DSIR_ORACLE.replace(
+    "GROUP BY o.doc_id",
+    "GROUP BY o.doc_id HAVING sum(m.ratio_micro) // count(*) >= 1000000",
+)
+
+
+@_register("txt_dsir_select", _DSIR_SEL_ORACLE)
+def txt_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: keep documents at least as likely under the
+    target model as under the raw model (threshold 1.0 in micro
+    units) — a pure filter over the scored table, no global sort, no
+    sampler state."""
+    from ..operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    out = dsir_select(docs, target, threshold_micro=1_000_000)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_toks",
+        "sum_ratio_micro",
+        "mean_ratio_micro",
+    )
