@@ -79,7 +79,7 @@ def dsir_weights(
     p_tot = p.agg(F.sum("p_cnt").alias("p_n"))
     q_tot = q.agg(F.sum("q_cnt").alias("q_n"))
     model = (
-        q.join(p, "bucket", "left")
+        q.join(F.broadcast(p), "bucket", "left")
         .crossJoin(F.broadcast(p_tot))
         .crossJoin(F.broadcast(q_tot))
         .select(
