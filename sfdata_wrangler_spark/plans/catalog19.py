@@ -399,3 +399,117 @@ def txt_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_ratio_micro",
         "mean_ratio_micro",
     )
+
+
+_PQ_LF = """
+  SELECT vec_id,
+         CAST(((i - 1) // 8) AS INT) AS subspace,
+         CAST(((i - 1) % 8) AS INT) AS dim,
+         CAST(floor(CAST(u AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS x_micro
+  FROM (SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS u
+        FROM embeddings)
+"""
+
+_PQ_CB = f"""
+lf AS ({_PQ_LF}),
+cb AS (
+  SELECT e.label AS code, l.subspace, l.dim,
+         sum(l.x_micro) // count(*) AS c_micro
+  FROM lf l JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2, 3
+),
+enc0 AS (
+  SELECT l.vec_id, l.subspace, c.code,
+         sum((l.x_micro - c.c_micro) * (l.x_micro - c.c_micro)) AS d2
+  FROM lf l JOIN cb c ON l.subspace = c.subspace AND l.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, subspace, code
+  FROM (SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2, code) AS rn
+        FROM enc0)
+  WHERE rn = 1
+)
+"""
+
+_PQ_CODES_ORACLE = f"""
+WITH {_PQ_CB}
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(subspace AS INT) AS subspace,
+       CAST(code AS INT) AS code
+FROM enc
+"""
+
+
+@_register("emb_pq_codes", _PQ_CODES_ORACLE)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (operators/pq.py): 64-dim vectors
+    → 8 subspace codes against label-mean codebooks, ALL distance
+    arithmetic in exact BIGINT micro-units (no IEEE analysis needed
+    anywhere). One corpus pass against the broadcast codebook."""
+    from ..operators.pq import pq_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb)
+    return pq_encode(emb, cb).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+_PQ_ADC_ORACLE = f"""
+WITH {_PQ_CB},
+qlf AS (
+  SELECT vec_id AS query_id, subspace, dim, x_micro
+  FROM lf WHERE vec_id < 3
+),
+lut AS (
+  SELECT q.query_id, q.subspace, c.code,
+         sum((q.x_micro - c.c_micro) * (q.x_micro - c.c_micro)) AS lut_d2
+  FROM qlf q JOIN cb c ON q.subspace = c.subspace AND q.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT l.query_id, e.vec_id, sum(l.lut_d2) AS adc_d2
+  FROM enc e JOIN lut l ON e.subspace = l.subspace AND e.code = l.code
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(adc_d2 AS BIGINT) AS adc_d2,
+       CAST(rank AS INT) AS rank
+FROM (SELECT query_id, vec_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, vec_id) AS rank
+      FROM scored WHERE query_id <> vec_id)
+WHERE rank <= 5
+"""
+
+
+@_register("emb_pq_adc_topk", _PQ_ADC_ORACLE)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 per query: the encoded corpus
+    (8 integer codes per vector) joins the BROADCAST per-query
+    distance LUT — the scan never touches original vectors, never
+    shuffles pairwise. Exact BIGINT distances give a bitwise-stable
+    ranking with (d2, vec_id) total order."""
+    from ..operators.pq import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb)
+    enc = pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_topk(queries, enc, cb, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("adc_d2").cast("bigint").alias("adc_d2"),
+        F.col("rank").cast("int").alias("rank"),
+    )
