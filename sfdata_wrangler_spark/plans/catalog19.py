@@ -513,3 +513,52 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc_d2").cast("bigint").alias("adc_d2"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+_MM_IDS_SQL = """
+ids AS (
+  SELECT CAST(event_id AS BIGINT) AS m
+  FROM events WHERE event_id < 200
+),
+dims AS (
+  SELECT m, 24 + (m % 9) * 4 AS w, 18 + (m % 7) * 4 AS h FROM ids
+)
+"""
+
+
+@_register(
+    "mm_image_png",
+    f"""
+    WITH {_MM_IDS_SQL},
+    px AS (
+      SELECT m, w, h, x, unnest(range(0, h)) AS y
+      FROM (SELECT m, w, h, unnest(range(0, w)) AS x FROM dims)
+    )
+    SELECT m AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(2 AS BIGINT) AS color_type,
+           CAST(sum((m * 3 + x * 7 + y * 11) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((m * 5 + x * 13 + y * 17) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((m * 7 + x * 19 + y * 23) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY m, w, h
+    """,
+)
+def mm_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode (multimodal/image_png.py): the
+    closed-form pixel pattern encodes through a genuine PNG writer —
+    zlib-deflated IDAT, per-chunk CRC-32, row filters cycling
+    None/Sub/Up/Average/Paeth — and parses back byte-for-byte (CRCs
+    verified, every unfilter branch exercised) in an Arrow-batched
+    mapInPandas kernel. The oracle restates dims and exact channel
+    sums in closed form; compressed size is deliberately not emitted
+    (deflate output is implementation-defined)."""
+    from ..multimodal.image_png import decode_png, synth_png_corpus
+
+    ids = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") < 200)
+        .select(F.col("event_id").cast("bigint").alias("media_id"))
+    )
+    return decode_png(synth_png_corpus(ids))
