@@ -1,0 +1,137 @@
+"""Event-sequence analytics: ordered funnels and retention cohorts.
+
+The events-table counterpart of the reference's sessionization
+family (ClipperHelper.py:204-246 infers linked trips from ordered
+tag-ons; TaxiDataHelper.py:205-309 segments GPS streams): given a
+user event stream, measure ordered step completion (funnel) and
+cohort survival over time (retention) — the two queries every
+event warehouse runs at fact scale.
+
+Funnel shape: step k's earliest qualifying timestamp is a filtered
+min AFTER step k-1's timestamp — k-1 chained (user-keyed) equi
+joins over progressively SHRINKING step streams, each one hash
+shuffle. No window over the whole event stream, no UDF: the per-user
+event history never materializes anywhere.
+
+Retention shape: first-event cohort (one groupBy) joined back to
+activity months (one groupBy), counted per (cohort, offset). Both
+sides are user-grain aggregates — orders of magnitude smaller than
+the event stream they summarize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_steps", "funnel_summary", "retention_cohorts"]
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: float | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered funnel: ``(user, t1, t2, ..., tk)`` where
+    ``t_i`` is the EARLIEST step-i event at or after ``t_{i-1}``
+    (strictly ordered semantics; null once the chain breaks).
+    ``within_seconds`` additionally requires every step to land
+    within the window opened at t1."""
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("__ts")
+        )
+        cond = F.col("__ts") >= F.col(f"t{i - 1}")
+        if within_seconds is not None:
+            cond = cond & (
+                (F.col("__ts").cast("double") - F.col("t1").cast("double"))
+                <= float(within_seconds)
+            )
+        stepped = (
+            cur.join(nxt, user_col)
+            .where(cond)
+            .groupBy(user_col, *[f"t{j}" for j in range(1, i)])
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        # keep users whose chain broke, with a null step time
+        cur = cur.join(
+            stepped.select(user_col, f"t{i}"), user_col, "left"
+        )
+    return cur
+
+
+def funnel_summary(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: float | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One row per funnel step: users reaching it (monotone
+    non-increasing by construction)."""
+    per_user = funnel_steps(
+        events, steps, within_seconds, user_col, ts_col, type_col
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"t{i}").cast("bigint").alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    pairs = []
+    for i, step in enumerate(steps, start=1):
+        pairs.append(
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(step).alias("event_type"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+        )
+    return counts.select(F.explode(F.array(*pairs)).alias("s")).select(
+        F.col("s.step").alias("step"),
+        F.col("s.event_type").alias("event_type"),
+        F.col("s.n_users").alias("n_users"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period: str = "month",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic retention triangle: users grouped by first-activity
+    period (cohort), counted in each subsequent activity period as
+    ``(cohort_period, period_offset, n_users)``. ``period`` is
+    ``"month"`` or ``"day"``."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort_period")
+    )
+    active = (
+        events.select(
+            user_col, F.date_trunc(period, F.col(ts_col)).alias("act_period")
+        )
+        .distinct()
+    )
+    j = first.join(active, user_col)
+    if period == "month":
+        offset = (
+            (F.year("act_period") - F.year("cohort_period")) * 12
+            + (F.month("act_period") - F.month("cohort_period"))
+        )
+    else:
+        offset = F.datediff("act_period", "cohort_period")
+    return (
+        j.select("cohort_period", offset.alias("period_offset"), user_col)
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.countDistinct(user_col).cast("bigint").alias("n_users"))
+    )

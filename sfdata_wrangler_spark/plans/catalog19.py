@@ -562,3 +562,117 @@ def mm_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_id").cast("bigint").alias("media_id"))
     )
     return decode_png(synth_png_corpus(ids))
+
+
+_FUNNEL_CHAIN = """
+s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, s1.t1, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+    AND epoch(e.ts) - epoch(s1.t1) <= 259200.0
+  GROUP BY e.user_id, s1.t1
+),
+s3 AS (
+  SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    AND epoch(e.ts) - epoch(s2.t1) <= 259200.0
+  GROUP BY e.user_id, s2.t1, s2.t2
+),
+chain AS (
+  SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+  FROM s1
+  LEFT JOIN s2 ON s1.user_id = s2.user_id
+  LEFT JOIN s3 ON s1.user_id = s3.user_id
+)
+"""
+
+_FN1_ORACLE = f"""
+WITH {_FUNNEL_CHAIN}
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us, epoch_us(t3) AS t3_us
+FROM chain
+"""
+
+
+@_register("fn_funnel_steps", _FN1_ORACLE)
+def fn_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (operators/funnel.py): signup → click →
+    purchase within 3 days of the signup, strictly ordered, earliest
+    qualifying event per step. Each step is a user-keyed equi join
+    over a SHRINKING filtered stream — the full per-user event
+    history never materializes."""
+    from ..operators.funnel import funnel_steps
+
+    ev = _events(spark, sf_dir)
+    out = funnel_steps(
+        ev, ["signup", "click", "purchase"], within_seconds=259200.0
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros("t1").alias("t1_us"),
+        F.unix_micros("t2").alias("t2_us"),
+        F.unix_micros("t3").alias("t3_us"),
+    )
+
+
+_FN2_ORACLE = f"""
+WITH {_FUNNEL_CHAIN},
+n AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM chain)
+SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users
+FROM (
+  SELECT 1 AS step, 'signup' AS event_type, n1 AS n_users FROM n
+  UNION ALL SELECT 2, 'click', n2 FROM n
+  UNION ALL SELECT 3, 'purchase', n3 FROM n
+)
+"""
+
+
+@_register("fn_funnel_summary", _FN2_ORACLE)
+def fn_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion counts per step — monotone non-increasing
+    by construction (each step counts a subset of the previous)."""
+    from ..operators.funnel import funnel_summary
+
+    ev = _events(spark, sf_dir)
+    return funnel_summary(
+        ev, ["signup", "click", "purchase"], within_seconds=259200.0
+    )
+
+
+_FN3_ORACLE = """
+WITH first AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM events
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.act_day) AS INT) AS day_offset,
+       CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+FROM first f JOIN active a ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
+@_register("fn_retention_cohorts", _FN3_ORACLE)
+def fn_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle at day grain (the events table spans one
+    month): first-activity cohort × days-since distinct active
+    users. Both join sides are user-grain aggregates of the event
+    stream, so the expensive table shuffles exactly twice regardless
+    of event volume."""
+    from ..operators.funnel import retention_cohorts
+
+    ev = _events(spark, sf_dir)
+    out = retention_cohorts(ev, period="day")
+    return out.select(
+        F.date_format("cohort_period", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("period_offset").cast("int").alias("day_offset"),
+        "n_users",
+    )

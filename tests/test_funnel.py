@@ -1,0 +1,88 @@
+"""Funnel and retention (operators/funnel.py): hand-computed step
+chains, window enforcement, ordering strictness, monotone summary,
+daily cohort triangle."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from sfdata_wrangler_spark.operators.funnel import (
+    funnel_steps,
+    funnel_summary,
+    retention_cohorts,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _events(spark):
+    rows = [
+        # u1 completes in order within window
+        (1, "A", _ts("2024-01-01 00:00:00")),
+        (1, "B", _ts("2024-01-01 01:00:00")),
+        (1, "C", _ts("2024-01-01 02:00:00")),
+        # u2: B happens BEFORE A → chain breaks at step 2
+        (2, "B", _ts("2024-01-01 00:00:00")),
+        (2, "A", _ts("2024-01-01 01:00:00")),
+        (2, "C", _ts("2024-01-01 02:00:00")),
+        # u3: completes but C outside the window
+        (3, "A", _ts("2024-01-01 00:00:00")),
+        (3, "B", _ts("2024-01-01 00:30:00")),
+        (3, "C", _ts("2024-01-03 00:00:00")),
+        # u4: never starts (no A)
+        (4, "B", _ts("2024-01-01 00:00:00")),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_hand_computed(spark):
+    out = funnel_steps(
+        _events(spark), ["A", "B", "C"], within_seconds=24 * 3600.0
+    )
+    rows = {r["user_id"]: (r["t1"], r["t2"], r["t3"]) for r in out.collect()}
+    assert set(rows) == {1, 2, 3}  # u4 has no step-1 event
+    assert rows[1] == (
+        _ts("2024-01-01 00:00:00"),
+        _ts("2024-01-01 01:00:00"),
+        _ts("2024-01-01 02:00:00"),
+    )
+    assert rows[2][1] is None and rows[2][2] is None  # order violated
+    assert rows[3][1] is not None and rows[3][2] is None  # window violated
+
+
+def test_funnel_earliest_qualifying_event_wins(spark):
+    rows = [
+        (1, "A", _ts("2024-01-01 00:00:00")),
+        (1, "B", _ts("2024-01-01 05:00:00")),
+        (1, "B", _ts("2024-01-01 03:00:00")),  # earlier B still after A
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = funnel_steps(ev, ["A", "B"]).collect()[0]
+    assert out["t2"] == _ts("2024-01-01 03:00:00")
+
+
+def test_summary_monotone(spark):
+    s = funnel_summary(
+        _events(spark), ["A", "B", "C"], within_seconds=24 * 3600.0
+    ).collect()
+    counts = {r["step"]: r["n_users"] for r in s}
+    assert counts == {1: 3, 2: 2, 3: 1}
+
+
+def test_retention_daily_triangle(spark):
+    rows = [
+        (1, "A", _ts("2024-01-01 10:00:00")),
+        (1, "A", _ts("2024-01-03 10:00:00")),
+        (2, "A", _ts("2024-01-03 09:00:00")),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = retention_cohorts(ev, period="day")
+    got = {
+        (r["cohort_period"].date().isoformat(), r["period_offset"]): r["n_users"]
+        for r in out.collect()
+    }
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1, ("2024-01-03", 0): 1}
