@@ -676,3 +676,77 @@ def fn_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("period_offset").cast("int").alias("day_offset"),
         "n_users",
     )
+
+
+_FN4_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@_register("fn_event_transitions", _FN4_ORACLE)
+def fn_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (the Markov-chain /
+    user-path-analysis primitive): one lag window per user (total
+    order (ts, event_id)), one count groupBy — the whole 25-cell
+    matrix from one shuffle of (type, prev_type) pairs."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+_W17_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close_v
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_register("w17_ohlc_bars", _W17_ORACLE)
+def w17_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily OHLC bars — the time-series downsampling shape
+    (open/close = first/last by a TOTAL order — a fixed-width
+    zero-padded (epoch_us, event_id) string key, lexicographic ==
+    numeric, because DuckDB's arg-min takes no struct keys). One
+    aggregation pass; min_by/max_by keep it windowless. Raw parquet
+    doubles pass through unrounded — no arithmetic, exact in both
+    engines."""
+    ev = _events(spark, sf_dir)
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bar_day"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min_by("value", key).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", key).alias("close_v"),
+    )
