@@ -750,3 +750,41 @@ def w17_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low_v"),
         F.max_by("value", key).alias("close_v"),
     )
+
+
+_LK_ORACLE = """
+WITH names AS (
+  SELECT DISTINCT trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g'))
+           AS name
+  FROM part
+),
+blocked AS (
+  SELECT name, string_split(name, ' ')[-1] AS block FROM names
+),
+ok AS (
+  SELECT b.name, b.block FROM blocked b
+  SEMI JOIN (SELECT block FROM blocked GROUP BY block
+             HAVING count(*) <= 10000) s USING (block)
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM ok a JOIN ok b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+"""
+
+
+@_register("lk_fuzzy_parts", _LK_ORACLE)
+def lk_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity linkage (operators/linkage.py) over part
+    names: block on the last token (the product noun), Levenshtein
+    <= 3 within blocks, a < b ordering. Both engines run the
+    identical integer edit-distance — the operator family
+    (block → bounded self-join → distance filter) is what record
+    linkage looks like at fact scale."""
+    from ..operators.linkage import blocked_fuzzy_pairs
+
+    part = _t(spark, sf_dir, "part")
+    out = blocked_fuzzy_pairs(part, "p_name", max_distance=3)
+    return out.select(
+        "name_a", "name_b", F.col("dist").cast("int").alias("dist")
+    )
