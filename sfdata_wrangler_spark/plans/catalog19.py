@@ -33,7 +33,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
 """
 
 
-@_register("j13_asof_join", _J13_ORACLE)
+@_register("j13_asof_join", _J13_ORACLE, bench=True)
 def j13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click enriched with the user's most recent prior (or
     simultaneous) purchase. Spark side: tagged union + one window
@@ -228,7 +228,7 @@ FROM isl GROUP BY doc_id, island
 """
 
 
-@_register("dd_dup_spans", _DD_SPANS_ORACLE)
+@_register("dd_dup_spans", _DD_SPANS_ORACLE, bench=True)
 def dd_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document duplicated token spans
     (operators/spandedup.py — the Lee-et-al substring-dedup shape as
@@ -491,7 +491,7 @@ WHERE rank <= 5
 """
 
 
-@_register("emb_pq_adc_topk", _PQ_ADC_ORACLE)
+@_register("emb_pq_adc_topk", _PQ_ADC_ORACLE, bench=True)
 def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-5 per query: the encoded corpus
     (8 integer codes per vector) joins the BROADCAST per-query
