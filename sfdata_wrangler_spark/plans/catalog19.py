@@ -788,3 +788,78 @@ def lk_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "name_a", "name_b", F.col("dist").cast("int").alias("dist")
     )
+
+
+_PROF_Q_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_cont(l_extendedprice, 0.25) AS price_p25,
+       quantile_cont(l_extendedprice, 0.50) AS price_p50,
+       quantile_cont(l_extendedprice, 0.95) AS price_p95,
+       quantile_cont(l_quantity, 0.50) AS qty_p50
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@_register("prof_quantiles", _PROF_Q_ORACLE)
+def prof_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT quantile profile: Spark ``percentile`` and
+    DuckDB ``quantile_cont`` both sort-and-interpolate with the same
+    (1-f)·a + f·b arithmetic, so even interpolated values hash-match
+    bitwise. The exact form is the oracle-parity path; swap in
+    ``percentile_approx`` (KLL-style mergeable sketch) where a
+    full-sort per group is too dear and a rel-error bound suffices —
+    tests/test_profile.py pins the sketch's error envelope against
+    this exact twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("price_p25"),
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("price_p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("price_p95"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("qty_p50"),
+    )
+
+
+_A11_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_v,
+       min(l_extendedprice) AS min_v,
+       max(l_extendedprice) AS max_v,
+       CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+            // count(*) AS BIGINT) AS mean_tt
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register("a11_incremental_merge", _A11_ORACLE)
+def a11_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance
+    (operators/incremental_agg.py — the engine form of the
+    reference's append-per-month HDF5 workflow,
+    SFMuniDataAggregator.py:261,363,459): the corpus splits into a
+    'history' batch and a 'new' batch on the shipdate, each gets a
+    partial aggregate, and the MERGED state must equal the oracle's
+    from-scratch aggregate over everything — merge(partial(A),
+    partial(B)) == partial(A ∪ B), exactly, because the state is
+    algebraic and the sum is integer ten-thousandths."""
+    from ..operators.incremental_agg import merge_aggregates, partial_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    cut = F.lit("1998-01-01").cast("timestamp")
+    hist = partial_aggregate(li.where(F.col("l_shipdate") < cut), keys, "l_extendedprice")
+    new = partial_aggregate(li.where(F.col("l_shipdate") >= cut), keys, "l_extendedprice")
+    merged = merge_aggregates(hist, new, keys)
+    return merged.select(
+        *keys,
+        "cnt",
+        "sum_v",
+        "min_v",
+        "max_v",
+        F.expr("sum_v div cnt").cast("bigint").alias("mean_tt"),
+    )
