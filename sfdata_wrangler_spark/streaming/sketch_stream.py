@@ -1,0 +1,45 @@
+"""Streaming count-min sketch maintenance.
+
+The ingest-time twin of ``operators.sketch.cms_build``: token
+frequencies over an unbounded stream cannot keep exact per-token
+state (cardinality-sized), but the CMS counter matrix is FIXED-SIZE
+and mergeable — each micro-batch contributes a partial sketch that
+folds cell-wise into the running one. That mergeability (pinned in
+tests/test_sketch.py) is exactly what makes the sketch the right
+streaming frequency state: per-trigger cost is one bounded
+aggregation + one <= depth·width cell merge, independent of how much
+history the sketch summarizes.
+
+``foreachBatch`` (not a stateful window agg) is the right shape: the
+sketch state is a tiny TABLE the caller owns — persisted, inspected,
+and merged across restarts — not opaque operator state."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketch import cms_build
+
+__all__ = ["stream_cms"]
+
+
+def stream_cms(
+    stream_items: DataFrame,
+    col: str,
+    merge_sink,
+    depth: int = 4,
+    width_hex: int = 2,
+):
+    """Maintain a CMS over a streaming item column. ``merge_sink``
+    is called per trigger with the BATCH-LOCAL partial sketch
+    ``(seed, bucket, cnt)``; the caller folds it into the running
+    counter table (cell-wise sum — see
+    tests/test_streaming_sketch.py for the canonical fold).
+    Returns the writeStream handle (caller starts it)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        partial = cms_build(batch_df, col, depth=depth, width_hex=width_hex)
+        merge_sink(partial, batch_id)
+
+    return stream_items.writeStream.foreachBatch(_process)

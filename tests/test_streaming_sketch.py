@@ -1,0 +1,57 @@
+"""Streaming CMS (streaming/sketch_stream.py): the folded per-batch
+sketch over a real readStream equals the batch sketch over the same
+data — mergeability doing its streaming job."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sfdata_wrangler_spark.operators.sketch import cms_build
+from sfdata_wrangler_spark.streaming.sketch_stream import stream_cms
+
+
+def _items(spark):
+    rows = [(f"tok{i % 7}",) for i in range(200)] + [("hot",)] * 50
+    return spark.createDataFrame(rows, "tok string")
+
+
+def test_stream_cms_equals_batch(spark, tmp_path):
+    items = _items(spark)
+    src = os.path.join(str(tmp_path), "src")
+    # several files → several micro-batches under maxFilesPerTrigger
+    items.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(items.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    partials = []
+
+    def sink(partial_df, batch_id):
+        partials.append(partial_df.collect())
+
+    q = (
+        stream_cms(stream, "tok", sink, depth=4, width_hex=1)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(partials) >= 2  # it actually ran incrementally
+
+    # canonical fold: cell-wise sum of the per-batch partial sketches
+    folded: dict[tuple, int] = {}
+    for rows in partials:
+        for r in rows:
+            key = (r["seed"], r["bucket"])
+            folded[key] = folded.get(key, 0) + r["cnt"]
+
+    batch = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in cms_build(items, "tok", depth=4, width_hex=1).collect()
+    }
+    assert folded == batch
