@@ -53,6 +53,18 @@ from .pca import pca_fit, pca_project
 from .zorder import add_zorder_key, zorder_layout
 from .repetition import domain_cap, repetition_stats
 from .skew import salted_agg
+from .asof import asof_join
+from .sketch import cms_build, cms_estimate, cms_heavy_hitters
+from .spandedup import (
+    duplicate_spans,
+    positional_kgrams,
+    remove_duplicate_spans,
+)
+from .dsir import dsir_bucket_counts, dsir_select, dsir_weights
+from .pq import pq_adc_topk, pq_codebooks, pq_encode
+from .funnel import funnel_steps, funnel_summary, retention_cohorts
+from .linkage import blocked_fuzzy_pairs, oversized_blocks
+from .incremental_agg import merge_aggregates, partial_aggregate
 
 __all__ = [
     # rule-driven aggregation + windows (reference surface)
@@ -117,4 +129,26 @@ __all__ = [
     "add_zorder_key",
     "zorder_layout",
     "salted_agg",
+    # round-4: temporal joins, sketches, span dedup, selection, ANN,
+    # event analytics, linkage, incremental maintenance
+    "asof_join",
+    "cms_build",
+    "cms_estimate",
+    "cms_heavy_hitters",
+    "duplicate_spans",
+    "positional_kgrams",
+    "remove_duplicate_spans",
+    "dsir_bucket_counts",
+    "dsir_select",
+    "dsir_weights",
+    "pq_adc_topk",
+    "pq_codebooks",
+    "pq_encode",
+    "funnel_steps",
+    "funnel_summary",
+    "retention_cohorts",
+    "blocked_fuzzy_pairs",
+    "oversized_blocks",
+    "merge_aggregates",
+    "partial_aggregate",
 ]
