@@ -863,3 +863,214 @@ def a11_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_v",
         F.expr("sum_v div cnt").cast("bigint").alias("mean_tt"),
     )
+
+
+_W18_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       epoch_us(ts) AS ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS sum_7d_tt
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@_register("w18_rolling_range_window", _W18_ORACLE)
+def w18_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (the one frame type the surface
+    didn't yet exercise — every other window is ROWS/unbounded): per
+    user, trailing-7-day event count and exact integer value sum at
+    every event. Spark and DuckDB both define RANGE frames by
+    ordering-key arithmetic, so the frames align row-for-row."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+        .over(w)
+        .cast("bigint")
+        .alias("sum_7d_tt"),
+    )
+
+
+_MK_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(part_a AS BIGINT) AS part_a,
+       CAST(part_b AS BIGINT) AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+HAVING count(*) >= 2
+"""
+
+
+@_register("mk_part_cooccurrence", _MK_ORACLE)
+def mk_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs ordered together in
+    >= 2 orders. The self-join is keyed on the ORDER (bounded fan-out
+    — pairs per order grow with the square of its line count, and
+    baskets are short), never on the part — the same
+    bounded-blowup discipline as LSH banding and linkage blocking."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select(
+            F.col("part_a").cast("bigint").alias("part_a"),
+            F.col("part_b").cast("bigint").alias("part_b"),
+            "n_orders",
+        )
+    )
+
+
+_INT8_ORACLE = """
+WITH stats AS (
+  SELECT vec_id,
+         list_min(embedding) AS lo, list_max(embedding) AS hi
+  FROM embeddings
+),
+q AS (
+  SELECT e.vec_id, s.lo, s.hi,
+         CASE WHEN s.hi > s.lo
+              THEN (CAST(s.hi AS DOUBLE) - CAST(s.lo AS DOUBLE)) / 255.0
+              ELSE 1.0 END AS scale,
+         generate_subscripts(e.embedding, 1) AS i,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x
+  FROM embeddings e JOIN stats s ON e.vec_id = s.vec_id
+),
+codes AS (
+  SELECT vec_id, scale, lo,
+         CAST(floor((x - CAST(lo AS DOUBLE)) / scale + 0.5) AS BIGINT) AS c,
+         x
+  FROM q
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(min(c) AS BIGINT) AS min_code,
+       CAST(max(c) AS BIGINT) AS max_code,
+       CAST(sum(c) AS BIGINT) AS sum_codes,
+       CAST(sum(CAST(floor(abs(x - (CAST(lo AS DOUBLE) + c * scale))
+                           * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+         AS abs_err_nano
+FROM codes
+GROUP BY vec_id
+"""
+
+
+@_register("emb_int8_quantize", _INT8_ORACLE)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (0..255) affine quantization — the
+    model-serving / vector-store compression prep: scale from the
+    vector's own min/max, codes by half-up rounding, plus the exact
+    nano-unit reconstruction-error total so quantization quality is
+    an auditable number, not a vibe. Pure column math over one
+    posexplode; codes provably span [0, 255]."""
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = emb.select(
+        "vec_id",
+        F.array_min("embedding").alias("lo"),
+        F.array_max("embedding").alias("hi"),
+        F.posexplode("embedding").alias("i", "xf"),
+    )
+    scale = F.when(
+        F.col("hi") > F.col("lo"),
+        (F.col("hi").cast("double") - F.col("lo").cast("double")) / 255.0,
+    ).otherwise(F.lit(1.0))
+    q = stats.select(
+        "vec_id",
+        F.col("lo").cast("double").alias("lo_d"),
+        scale.alias("scale"),
+        F.col("xf").cast("double").alias("x"),
+    ).select(
+        "vec_id",
+        "lo_d",
+        "scale",
+        "x",
+        F.floor((F.col("x") - F.col("lo_d")) / F.col("scale") + 0.5)
+        .cast("bigint")
+        .alias("c"),
+    )
+    return q.groupBy("vec_id").agg(
+        F.min("c").cast("bigint").alias("min_code"),
+        F.max("c").cast("bigint").alias("max_code"),
+        F.sum("c").cast("bigint").alias("sum_codes"),
+        F.sum(
+            F.floor(
+                F.abs(F.col("x") - (F.col("lo_d") + F.col("c") * F.col("scale")))
+                * 1e9
+                + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("abs_err_nano"),
+    ).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "min_code",
+        "max_code",
+        "sum_codes",
+        "abs_err_nano",
+    )
+
+
+_HIST_ORACLE = """
+WITH b AS (
+  SELECT (SELECT min(l_extendedprice) FROM lineitem) AS lo,
+         (SELECT max(l_extendedprice) FROM lineitem) AS hi
+)
+SELECT CAST(least(floor((l_extendedprice - b.lo) / ((b.hi - b.lo) / 20.0)),
+                  19) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(l_extendedprice) AS lo_v,
+       max(l_extendedprice) AS hi_v
+FROM lineitem, b
+GROUP BY 1
+"""
+
+
+@_register("prof_histogram", _HIST_ORACLE)
+def prof_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of a fact column (the
+    profiling companion to prof_quantiles): global min/max from a
+    1-row broadcast dim, bucket index by identical IEEE division in
+    both engines, top bucket closed. One scan + one tiny shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    j = li.crossJoin(F.broadcast(bounds))
+    bucket = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 20.0)
+        ),
+        F.lit(19),
+    ).cast("int")
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("l_extendedprice").alias("lo_v"),
+        F.max("l_extendedprice").alias("hi_v"),
+    )
