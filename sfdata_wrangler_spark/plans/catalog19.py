@@ -1074,3 +1074,124 @@ def prof_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo_v"),
         F.max("l_extendedprice").alias("hi_v"),
     )
+
+
+_DIFF_CANON = """
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT) AS qty_tt,
+         CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS price_tt,
+         l_returnflag
+  FROM lineitem
+"""
+
+_DIFF_ORACLE = f"""
+WITH base AS ({_DIFF_CANON}),
+modified AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 89 = 0 THEN qty_tt + 10000
+              ELSE qty_tt END AS qty_tt,
+         price_tt, l_returnflag
+  FROM base WHERE l_orderkey % 97 <> 0
+  UNION ALL
+  SELECT -l_orderkey, l_linenumber, qty_tt, price_tt, l_returnflag
+  FROM base WHERE l_orderkey % 101 = 0
+),
+lh AS (SELECT l_orderkey, l_linenumber,
+              md5(CAST(qty_tt AS VARCHAR) || '|' || CAST(price_tt AS VARCHAR)
+                  || '|' || l_returnflag) AS h
+       FROM base),
+rh AS (SELECT l_orderkey, l_linenumber,
+              md5(CAST(qty_tt AS VARCHAR) || '|' || CAST(price_tt AS VARCHAR)
+                  || '|' || l_returnflag) AS h
+       FROM modified)
+SELECT CAST(coalesce(lh.l_orderkey, rh.l_orderkey) AS BIGINT) AS l_orderkey,
+       CAST(coalesce(lh.l_linenumber, rh.l_linenumber) AS INT)
+         AS l_linenumber,
+       CASE WHEN lh.h IS NULL THEN 'added'
+            WHEN rh.h IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM lh FULL OUTER JOIN rh
+  ON lh.l_orderkey = rh.l_orderkey AND lh.l_linenumber = rh.l_linenumber
+WHERE lh.h IS NULL OR rh.h IS NULL OR lh.h <> rh.h
+"""
+
+
+@_register("qc_table_diff", _DIFF_ORACLE)
+def qc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.py): the base lineitem
+    against a deterministically perturbed copy (drops where
+    orderkey%97=0 → 'removed', quantity bumps where %89=0 →
+    'changed', negated-key clones where %101=0 → 'added'). Row
+    payloads canonicalize to integer units BEFORE hashing (the
+    module's portability contract); the join ships key + 32-byte
+    hash only, and the output is delta-sized."""
+    from ..operators.diff import table_diff
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") * 10000 + 0.5).cast("bigint").alias("qty_tt"),
+        F.floor(F.col("l_extendedprice") * 10000 + 0.5)
+        .cast("bigint")
+        .alias("price_tt"),
+        "l_returnflag",
+    )
+    kept = base.where(F.col("l_orderkey") % 97 != 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 89 == 0, F.col("qty_tt") + 10000)
+        .otherwise(F.col("qty_tt"))
+        .alias("qty_tt"),
+        "price_tt",
+        "l_returnflag",
+    )
+    added = base.where(F.col("l_orderkey") % 101 == 0).select(
+        (-F.col("l_orderkey")).alias("l_orderkey"),
+        "l_linenumber",
+        "qty_tt",
+        "price_tt",
+        "l_returnflag",
+    )
+    modified = kept.unionByName(added)
+    out = table_diff(base, modified, ["l_orderkey", "l_linenumber"])
+    return out.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        "status",
+    )
+
+
+_U2_ORACLE = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       attr,
+       val
+FROM (
+  SELECT p_partkey,
+         'retail_tt' AS attr,
+         CAST(floor(p_retailprice * 10000 + 0.5) AS BIGINT) AS val
+  FROM part
+  UNION ALL
+  SELECT p_partkey, 'size', CAST(p_size AS BIGINT) FROM part
+)
+"""
+
+
+@_register("u2_unpivot_melt", _U2_ORACLE)
+def u2_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of A7's pivot — wide attributes to
+    long (key, attr, val) form, the shape feature stores and EAV
+    exports want). Spark's native ``unpivot`` keeps it one
+    map-only pass; values canonicalize to BIGINT first so the
+    variable column is one portable type."""
+    part = _t(spark, sf_dir, "part")
+    wide = part.select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.floor(F.col("p_retailprice") * 10000 + 0.5)
+        .cast("bigint")
+        .alias("retail_tt"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return wide.unpivot(
+        ["p_partkey"], ["retail_tt", "size"], "attr", "val"
+    )
