@@ -1195,3 +1195,92 @@ def u2_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["p_partkey"], ["retail_tt", "size"], "attr", "val"
     )
+
+
+_SP_ORACLE = """
+WITH lpts AS (
+  SELECT event_id AS left_id, value AS x,
+         CAST(event_id % 97 AS DOUBLE) AS y
+  FROM events WHERE event_type = 'click'
+),
+rpts AS (
+  SELECT event_id AS right_id, value AS x,
+         CAST(event_id % 97 AS DOUBLE) AS y
+  FROM events WHERE event_type = 'purchase'
+),
+cands AS (
+  SELECT l.left_id, r.right_id,
+         (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) AS d2
+  FROM lpts l JOIN rpts r
+    ON floor(r.x / 5.0) BETWEEN floor(l.x / 5.0) - 1
+                            AND floor(l.x / 5.0) + 1
+   AND floor(r.y / 5.0) BETWEEN floor(l.y / 5.0) - 1
+                            AND floor(l.y / 5.0) + 1
+  WHERE (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 25.0
+)
+SELECT CAST(left_id AS BIGINT) AS left_id,
+       CAST(right_id AS BIGINT) AS right_id,
+       d2
+FROM (SELECT left_id, right_id, d2,
+             row_number() OVER (PARTITION BY left_id
+                                ORDER BY d2, right_id) AS rn
+      FROM cands)
+WHERE rn = 1
+"""
+
+
+@_register("sp_grid_nearest", _SP_ORACLE)
+def sp_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grid spatial join (operators/spatial.py): nearest
+    purchase-point within radius 5 for every click-point (synthetic
+    2-D embedding of the event stream — value × id-residue). The
+    3×3 cell-neighborhood equi join makes it exact while keeping
+    candidates density-bounded — the fact-scale answer to the
+    reference's driver-side rtree (HwyNetwork.py:297-388); squared
+    distances are one fixed IEEE expression tree in both engines."""
+    from ..operators.spatial import grid_nearest_join
+
+    ev = _events(spark, sf_dir)
+    lpts = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("left_id"),
+        F.col("value").alias("x"),
+        (F.col("event_id") % 97).cast("double").alias("y"),
+    )
+    rpts = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("right_id"),
+        F.col("value").alias("x"),
+        (F.col("event_id") % 97).cast("double").alias("y"),
+    )
+    out = grid_nearest_join(lpts, rpts, radius=5.0)
+    return out.select(
+        F.col("left_id").cast("bigint").alias("left_id"),
+        F.col("right_id").cast("bigint").alias("right_id"),
+        "d2",
+    )
+
+
+_F18_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       c_mktsegment,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS INT)
+         AS balance_quartile
+FROM customer
+"""
+
+
+@_register("f18_quantile_binning", _F18_ORACLE)
+def f18_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile binning (feature-engineering staple):
+    ntile(4) over (segment, balance) with a custkey tiebreak making
+    the bin assignment a total function of the data. Window is
+    partitioned by segment — no global sort."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+    )
