@@ -65,6 +65,8 @@ from .pq import pq_adc_topk, pq_codebooks, pq_encode
 from .funnel import funnel_steps, funnel_summary, retention_cohorts
 from .linkage import blocked_fuzzy_pairs, oversized_blocks
 from .incremental_agg import merge_aggregates, partial_aggregate
+from .spatial import grid_nearest_join
+from .diff import diff_summary, table_diff
 
 __all__ = [
     # rule-driven aggregation + windows (reference surface)
@@ -151,4 +153,7 @@ __all__ = [
     "oversized_blocks",
     "merge_aggregates",
     "partial_aggregate",
+    "grid_nearest_join",
+    "table_diff",
+    "diff_summary",
 ]
