@@ -1284,3 +1284,39 @@ def f18_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.ntile(4).over(w).cast("int").alias("balance_quartile"),
     )
+
+
+@_register(
+    "mm_image_gif",
+    f"""
+    WITH {_MM_IDS_SQL},
+    px AS (
+      SELECT m, w, h, (m * 3 + x * 7 + unnest(range(0, h)) * 11) % 256 AS i
+      FROM (SELECT m, w, h, unnest(range(0, w)) AS x FROM dims)
+    )
+    SELECT m AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(256 AS BIGINT) AS palette_size,
+           CAST(sum(i) AS BIGINT) AS sum_r,
+           CAST(sum((2 * i) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((3 * i) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY m, w, h
+    """,
+)
+def mm_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL paletted-image decode (multimodal/image_gif.py): the
+    closed-form index pattern encodes through a genuine GIF87a
+    writer (container + spec-valid literal LZW with periodic clear
+    codes) and parses back through a GENERAL variable-width LZW
+    decoder (LSB bitstream, dictionary tracking, clear/EOI) plus
+    palette lookup. Completes the codec triple: uncompressed (BMP),
+    deflate (PNG), LZW (GIF)."""
+    from ..multimodal.image_gif import decode_gif_df, synth_gif_corpus
+
+    ids = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") < 200)
+        .select(F.col("event_id").cast("bigint").alias("media_id"))
+    )
+    return decode_gif_df(synth_gif_corpus(ids))
