@@ -236,3 +236,53 @@ def resize_bmp(media: DataFrame, max_side: int = 16) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         kernel, BMP_RESIZED_SCHEMA
     )
+
+
+BMP_PATCH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("py", LongType()),
+        StructField("px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def patchify_bmp(media: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch extraction: real decode → non-overlapping
+    ``patch``×``patch`` grid (ragged right/bottom edges dropped, the
+    standard crop-to-multiple) → one row per patch with exact
+    per-channel pixel sums. The batch fan-out is rows-per-image =
+    (w//patch)*(h//patch), emitted from the same Arrow batch — the
+    plumbing shape a ViT training pipeline needs before normalizing
+    patches into token embeddings."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in BMP_PATCH_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                img = decode_bmp24(bytes(blob))
+                h, w, _ = img.shape
+                ny, nx = h // patch, w // patch
+                if ny == 0 or nx == 0:
+                    continue
+                cropped = img[: ny * patch, : nx * patch].astype(np.int64)
+                # (ny, patch, nx, patch, 3) -> per-patch channel sums
+                sums = cropped.reshape(ny, patch, nx, patch, 3).sum(
+                    axis=(1, 3)
+                )
+                for py in range(ny):
+                    for px in range(nx):
+                        out["media_id"].append(int(mid))
+                        out["py"].append(py)
+                        out["px"].append(px)
+                        out["sum_r"].append(int(sums[py, px, 0]))
+                        out["sum_g"].append(int(sums[py, px, 1]))
+                        out["sum_b"].append(int(sums[py, px, 2]))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, BMP_PATCH_SCHEMA
+    )

@@ -55,6 +55,16 @@ from .repetition import domain_cap, repetition_stats
 from .skew import salted_agg
 from .asof import asof_join
 from .sketch import cms_build, cms_estimate, cms_heavy_hitters
+from .hll import hll_estimate, hll_merge, hll_sketch
+from .bloomjoin import bloom_build, bloom_fp_rate, bloom_prune
+from .graph import (
+    cooccurrence_edges,
+    degree_table,
+    pagerank,
+    triangle_count,
+)
+from .cdc import apply_changelog
+from .compaction import plan_compaction
 from .spandedup import (
     duplicate_spans,
     positional_kgrams,
@@ -156,4 +166,16 @@ __all__ = [
     "grid_nearest_join",
     "table_diff",
     "diff_summary",
+    "hll_sketch",
+    "hll_merge",
+    "hll_estimate",
+    "bloom_build",
+    "bloom_prune",
+    "bloom_fp_rate",
+    "cooccurrence_edges",
+    "degree_table",
+    "triangle_count",
+    "pagerank",
+    "apply_changelog",
+    "plan_compaction",
 ]

@@ -1,0 +1,354 @@
+"""Catalog wave 20 (round-3 restart): HLL cardinality sketch,
+Bloom-join pruning, graph metrics, CDC apply, compaction planning.
+
+Five at-scale operator families the surface lacked:
+
+- ``sk_hll_*``: mergeable distinct-count sketch (operators/hll.py) —
+  the countUnique (§2.4) replacement when exact distinct is
+  unaffordable; the oracle replays the md5 register construction and
+  the BIGINT-exact estimator in SQL.
+- ``j15_bloom_prune_join``: an explicit runtime filter
+  (operators/bloomjoin.py); the oracle is the PLAIN join — Bloom
+  filters have no false negatives, so pruning must be invisible.
+- ``gr_*``: degree / triangle / PageRank over the part co-occurrence
+  graph (operators/graph.py).
+- ``cdc_apply_changelog``: MERGE-style snapshot maintenance
+  (operators/cdc.py), the reference's idempotent monthly re-append
+  (SFMuniDataHelper.py:28-39) generalized to keyed upsert/delete.
+- ``s13_compaction_plan``: deterministic small-file compaction
+  grouping (operators/compaction.py) for the lake layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bloomjoin import bloom_build, bloom_prune
+from ..operators.cdc import apply_changelog
+from ..operators.compaction import plan_compaction
+from ..operators.graph import (
+    cooccurrence_edges,
+    degree_table,
+    pagerank,
+    triangle_count,
+)
+from ..operators.hll import HLL_ALPHA_BY_PHEX, hll_estimate, hll_sketch
+from ..operators.hll import _rank_expr as hll_rank_expr
+from .catalog import _events, _register, _t
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+_HLL_REG_SQL = f"""
+    h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ),
+    parts AS (
+      SELECT event_type,
+             substring(hx, 1, 2) AS bucket,
+             substring(hx, 3, 12) AS tail
+      FROM h
+    ),
+    ranked AS (
+      SELECT event_type, bucket, {hll_rank_expr('tail', 12)} AS rank
+      FROM parts
+    ),
+    registers AS (
+      SELECT event_type, bucket, CAST(max(rank) AS INTEGER) AS max_rank
+      FROM ranked GROUP BY event_type, bucket
+    )
+"""
+
+
+@_register(
+    "sk_hll_registers",
+    f"WITH {_HLL_REG_SQL} SELECT * FROM registers",
+)
+def sk_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register table for distinct users per event_type
+    (operators/hll.py): md5-bucketed max leading-zero ranks, at most
+    256 rows per group whatever the corpus size. The oracle replays
+    the identical md5 split + TRIM/CASE rank arithmetic."""
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    return hll_sketch(ev, ["event_type"], "user_id")
+
+
+def _hll_numer() -> float:
+    return HLL_ALPHA_BY_PHEX[2] * 256.0 * 256.0 * float(2 ** 49)
+
+
+@_register(
+    "sk_hll_estimate",
+    f"""
+    WITH {_HLL_REG_SQL},
+    sums AS (
+      SELECT event_type,
+             CAST(sum(CAST(1 AS BIGINT) << (49 - max_rank)) AS BIGINT)
+               + (256 - count(*)) * (CAST(1 AS BIGINT) << 49) AS sum_units
+      FROM registers GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, e.exact_distinct,
+           {_hll_numer()!r} / CAST(s.sum_units AS DOUBLE) AS hll_est
+    FROM sums s JOIN exact e ON s.event_type = e.event_type
+    """,
+)
+def sk_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL estimate vs exact distinct per event_type. The
+    estimator sums exact BIGINT units of 2^-49 (mixing rank-49 and
+    rank-0 dyadics in IEEE doubles would be order-dependent) and
+    divides once — the same operand pair in both engines, so even the
+    float estimate is hash-exact. No ln: the HLL++ small-range
+    correction is intentionally outside the oracle-checked surface
+    (see operators/hll.py docstring)."""
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    reg = hll_sketch(ev, ["event_type"], "user_id")
+    est = hll_estimate(reg, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "exact_distinct", "hll_est"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-join pruning
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j15_bloom_prune_join",
+    """
+    SELECT l.l_partkey AS partkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST((floor((sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                        * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+    GROUP BY 1
+    """,
+)
+def j15_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim join with an explicit Bloom runtime filter
+    (operators/bloomjoin.py): the dim's keys fold into a 2^16-bit
+    array (one <=1024-row shuffle + one tiny collect), and the fact
+    scan drops non-members MAP-SIDE via a literal-array bit probe —
+    no extra shuffle, no broadcast node — before the exact join.
+    Bloom filters admit no false negatives, so the oracle is the
+    PLAIN join: pruning must not change the answer."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    words = bloom_build(dim.select("p_partkey"), "p_partkey")
+    pruned = bloom_prune(li, "l_partkey", words)
+    joined = pruned.join(
+        F.broadcast(dim.select("p_partkey")),
+        pruned.l_partkey == F.col("p_partkey"),
+    )
+    tt = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    return joined.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        (F.floor((F.sum(tt) + 50) / 100.0) / 100.0).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph metrics over the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_EDGES_SQL = """
+    m AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS s FROM lineitem
+    ),
+    e AS (
+      SELECT a.s AS src, b.s AS dst
+      FROM m a JOIN m b ON a.b = b.b AND a.s < b.s
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+"""
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+@_register(
+    "gr_degree_hist",
+    f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+      ) GROUP BY node
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def gr_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the parts-bought-together graph
+    (edges = part pairs sharing >= 2 orders; the basket-keyed
+    self-join bounds work by basket width, operators/graph.py)."""
+    deg = degree_table(_part_edges(spark, sf_dir))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+@_register(
+    "gr_triangle_count",
+    f"""
+    WITH {_EDGES_SQL}
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    """,
+)
+def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count with degree-ordered orientation (wedges
+    enumerate at their lowest-degree vertex — Schank/Wagner — so
+    power-law hubs never fan out quadratically). The oracle counts
+    the naive a<b<c way; the counts are provably identical, which is
+    exactly what the cross-check pins."""
+    return triangle_count(_part_edges(spark, sf_dir))
+
+
+@_register("gr_pagerank_top", None)
+def gr_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 PageRank parts in the co-occurrence graph: 10 damped
+    power iterations as rank⨝edges shuffles (operators/graph.py).
+    Iterative → no SQL oracle (rows-only in the driver sweep); the
+    exact check is the numpy power-method differential in
+    tests/test_graph_cdc.py."""
+    pr = pagerank(_part_edges(spark, sf_dir), damping=0.85, iters=10)
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(25)
+        .select(F.col("node").cast("bigint").alias("node"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cdc_apply_changelog",
+    """
+    WITH chg AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             ts, event_id, value, props,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events WHERE event_id % 3 <> 2
+    ),
+    last AS (SELECT * FROM chg WHERE rn = 1),
+    base AS (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+             CAST(0.0 AS DOUBLE) AS value, 'init' AS props
+      FROM events WHERE user_id % 5 <> 0
+    )
+    SELECT COALESCE(b.user_id, CAST(l.user_id AS BIGINT)) AS user_id,
+           CASE WHEN l.user_id IS NOT NULL THEN l.value ELSE b.value END AS value,
+           CASE WHEN l.user_id IS NOT NULL THEN l.props ELSE b.props END AS props
+    FROM base b FULL OUTER JOIN last l ON b.user_id = l.user_id
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply (operators/cdc.py): a changelog derived
+    from the event stream (signup→I, error→D, else U; (ts, event_id)
+    is the total replay order) upserts/deletes against a base
+    snapshot. Users whose latest change is a delete vanish; users
+    with no changelog rows pass through; changelog-only users insert
+    — one window pass + one key-partitioned full-outer join."""
+    ev = _events(spark, sf_dir)
+    base = (
+        ev.where(F.col("user_id") % 5 != 0)
+        .select(F.col("user_id").cast("bigint").alias("user_id"))
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(0.0).alias("value"),
+            F.lit("init").alias("props"),
+        )
+    )
+    changelog = ev.where(F.col("event_id") % 3 != 2).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "ts",
+        "event_id",
+        "value",
+        "props",
+    )
+    return apply_changelog(
+        base,
+        changelog,
+        "user_id",
+        seq_cols=["ts", "event_id"],
+        payload_cols=["value", "props"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# compaction planning
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "s13_compaction_plan",
+    """
+    WITH manifest AS (
+      SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS pm,
+             'f' || lpad(CAST(l_suppkey % 20 AS VARCHAR), 2, '0') AS file_id,
+             CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS size_bytes
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT pm, file_id, size_bytes,
+           CAST(floor(COALESCE(sum(size_bytes) OVER (
+             PARTITION BY pm ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 60000.0) AS BIGINT) AS compaction_group
+    FROM manifest
+    """,
+)
+def s13_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic small-file compaction plan
+    (operators/compaction.py): a per-(month, writer) file manifest is
+    streamed into ~60 KB groups by running-sum binning — one window
+    pass, parallel across partitions, plan a pure function of the
+    manifest so replays agree."""
+    li = _t(spark, sf_dir, "lineitem")
+    manifest = li.groupBy(
+        F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM").alias(
+            "pm"
+        ),
+        F.concat(
+            F.lit("f"), F.lpad((F.col("l_suppkey") % 20).cast("string"), 2, "0")
+        ).alias("file_id"),
+    ).agg(
+        F.sum((F.col("l_quantity") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("size_bytes")
+    )
+    return plan_compaction(
+        manifest, ["pm"], "file_id", "size_bytes", target_bytes=60000
+    )
