@@ -1,6 +1,7 @@
 from .aggregate import AggRule, aggregate_records, update_speeds
 from .windows import (
     dedup_by_order,
+    ewma_bounded,
     ffill,
     bfill,
     headway_minutes,
@@ -64,6 +65,7 @@ from .graph import (
     triangle_count,
 )
 from .cdc import apply_changelog
+from .drift import chisq_drift, mad_outliers
 from .compaction import plan_compaction
 from .spandedup import (
     duplicate_spans,
@@ -178,4 +180,7 @@ __all__ = [
     "pagerank",
     "apply_changelog",
     "plan_compaction",
+    "chisq_drift",
+    "mad_outliers",
+    "ewma_bounded",
 ]

@@ -1,0 +1,107 @@
+"""Distribution-drift and robust-outlier QC.
+
+Data-quality monitors for a long-lived pipeline: did this month's
+feed change shape against the reference cohort, and which rows are
+wild? Both are one-or-two-aggregation jobs whose outputs are
+category- or group-sized — nothing here scales with row count except
+the scans.
+
+- ``chisq_drift``: per-category chi-square contributions between two
+  cohorts of the same stream. Deliberately chi-square and not
+  PSI/KL: those need a logarithm, which is libm- (not IEEE-)
+  defined and therefore unverifiable bit-for-bit across engines —
+  the same no-``ln`` policy as operators/lm.py. The statistic is
+  emitted PER CATEGORY (not summed) so every output value is a
+  fixed-order arithmetic tree over exact integer counts — summing
+  k float terms across categories would be shuffle-order-dependent.
+  Callers wanting the scalar statistic sum client-side over the
+  (tiny, category-sized) result.
+- ``mad_outliers``: per-group robust outlier counts via median /
+  median-absolute-deviation. Medians use exact ``percentile`` —
+  bit-identical to DuckDB's ``quantile_cont`` (proved by
+  prof_quantiles) — and the 3-sigma-equivalent fence ``|x - med| >
+  k * MAD`` is pure comparison, so the whole check is hash-exact
+  cross-engine. Two passes by necessity (the fence depends on the
+  group median); both are the same hash shuffle on the group key, so
+  the second pass co-locates for free under AQE.
+
+Reference parity: QC filters P2-P4 (SURVEY §2.2) are static
+predicates; these are their statistical upgrades for feeds where the
+failure mode is distributional, not row-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["chisq_drift", "mad_outliers"]
+
+
+def chisq_drift(
+    df: DataFrame, category_col: str, in_ref: Column
+) -> DataFrame:
+    """Per-category drift contributions between the reference cohort
+    (``in_ref`` true) and the current cohort (false).
+
+    Output: (category, n_ref, n_cur, exp_ref, exp_cur, chisq_term)
+    where expectations scale the category total by the cohort share
+    and ``chisq_term = (n_ref-exp_ref)^2/exp_ref +
+    (n_cur-exp_cur)^2/exp_cur`` — all from BIGINT counts through a
+    fixed-shape expression, so any engine reproduces the doubles
+    exactly.
+    """
+    per_cat = df.groupBy(F.col(category_col).alias("category")).agg(
+        F.sum(F.when(in_ref, 1).otherwise(0)).cast("bigint").alias("n_ref"),
+        F.sum(F.when(in_ref, 0).otherwise(1)).cast("bigint").alias("n_cur"),
+    )
+    totals = per_cat.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    j = per_cat.crossJoin(F.broadcast(totals))
+    cat_total = (F.col("n_ref") + F.col("n_cur")).cast("double")
+    grand = (F.col("t_ref") + F.col("t_cur")).cast("double")
+    exp_ref = cat_total * F.col("t_ref").cast("double") / grand
+    exp_cur = cat_total * F.col("t_cur").cast("double") / grand
+    d_ref = F.col("n_ref").cast("double") - exp_ref
+    d_cur = F.col("n_cur").cast("double") - exp_cur
+    return j.select(
+        "category",
+        "n_ref",
+        "n_cur",
+        exp_ref.alias("exp_ref"),
+        exp_cur.alias("exp_cur"),
+        (d_ref * d_ref / exp_ref + d_cur * d_cur / exp_cur).alias(
+            "chisq_term"
+        ),
+    )
+
+
+def mad_outliers(
+    df: DataFrame, group_col: str, value_col: str, k: float = 3.0
+) -> DataFrame:
+    """Per-group (median, MAD, n_outliers) with the fence
+    ``|x - median| > k * MAD``. Degenerate groups (MAD = 0) report
+    outliers against the strict fence, i.e. any x != median."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_dev = df.join(F.broadcast(med), group_col).withColumn(
+        "absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    stats = with_dev.groupBy(group_col, "med").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    outliers = (
+        with_dev.join(
+            F.broadcast(stats.select(group_col, "mad")), group_col
+        )
+        .where(F.col("absdev") > F.lit(k) * F.col("mad"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_outliers"))
+    )
+    return stats.join(outliers, group_col, "left").withColumn(
+        "n_outliers", F.coalesce("n_outliers", F.lit(0).cast("bigint"))
+    )

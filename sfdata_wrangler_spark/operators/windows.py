@@ -212,3 +212,38 @@ def interpolate_monthly(
             F.when(prev_idx.isNotNull() & next_idx.isNotNull(), interp)
         ),
     ).drop("__midx")
+
+
+def ewma_bounded(
+    df,
+    partition: Sequence[str],
+    order: Sequence[str],
+    value_col: str,
+    depth: int = 8,
+    out: str = "ewma",
+):
+    """Bounded exponential moving average with dyadic weights
+    ``2^-1, 2^-2, ..., 2^-depth`` over the last ``depth`` rows.
+
+    The truncated-EWMA form (rather than the recursive one) for two
+    deliberate reasons: the recursion ``e_t = a*x_t + (1-a)*e_{t-1}``
+    is not expressible as a SQL window (it needs per-row state), and
+    dyadic weights make every product EXACT in IEEE doubles (scaling
+    by a power of two only touches the exponent), so a fixed
+    left-to-right sum of the ``depth`` lag terms is reproduced
+    bit-for-bit by any engine evaluating the same expression tree —
+    the property that lets an oracle hash-check a float column.
+    Missing lags (the first rows of each partition) contribute 0.0,
+    matching a zero-history prior. One window shuffle on
+    ``partition``; depth lags all ride the same sorted frame.
+    """
+    w = _w(partition, list(order))
+    terms = [
+        F.coalesce(F.lag(F.col(value_col), k).over(w), F.lit(0.0))
+        / F.lit(float(2 ** (k + 1)))
+        for k in range(depth)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return df.withColumn(out, acc)
