@@ -20,6 +20,7 @@ from .profile import profile_table
 from .dedup import (
     cluster_duplicates,
     contamination_check,
+    containment_pairs,
     exact_dedup,
     exact_dup_groups,
     incremental_dedup,
@@ -64,6 +65,7 @@ from .graph import (
     pagerank,
     triangle_count,
 )
+from .attribution import multitouch_attribution
 from .cdc import apply_changelog
 from .drift import chisq_drift, mad_outliers
 from .compaction import plan_compaction
@@ -183,4 +185,6 @@ __all__ = [
     "chisq_drift",
     "mad_outliers",
     "ewma_bounded",
+    "multitouch_attribution",
+    "containment_pairs",
 ]

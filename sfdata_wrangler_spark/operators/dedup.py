@@ -473,3 +473,76 @@ def cluster_duplicates(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_containment_pct: int = 50,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where one document's
+    shingle set is largely CONTAINED in the other's —
+    ``max(inter/|A|, inter/|B|) >= threshold``.
+
+    Jaccard misses doc-in-doc duplication (a paragraph quoted inside
+    a much longer page has tiny Jaccard but containment ~1.0), and
+    containment is the right notion for quote/boilerplate/subset
+    leakage in training corpora (Broder's original distinction).
+    Same inverted-index shape as :func:`exact_jaccard_pairs` — pairs
+    only materialize where shingles actually co-occur, never O(n²) —
+    and the score is exact integer percent (``inter*100 // n``), so
+    the threshold cannot waver across engines. ``max_doc_freq`` is
+    the same stop-shingle skew guard.
+    """
+    sh = _spread(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            freq.where(F.col("__df") <= max_doc_freq).select("sh"), "sh"
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    scored = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            # integer div, not floor(float-div): exact at threshold
+            # boundaries by construction, no IEEE knife edges at all
+            F.greatest(
+                F.expr("(inter * 100) div n_a"),
+                F.expr("(inter * 100) div n_b"),
+            )
+            .cast("bigint")
+            .alias("containment_pct"),
+        )
+    )
+    return scored.where(F.col("containment_pct") >= min_containment_pct)

@@ -19,9 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.hll import hll_sketch
 from ..operators.sketch import cms_build
 
-__all__ = ["stream_cms"]
+__all__ = ["stream_cms", "stream_hll"]
 
 
 def stream_cms(
@@ -40,6 +41,32 @@ def stream_cms(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         partial = cms_build(batch_df, col, depth=depth, width_hex=width_hex)
+        merge_sink(partial, batch_id)
+
+    return stream_items.writeStream.foreachBatch(_process)
+
+
+def stream_hll(
+    stream_items: DataFrame,
+    group_cols: list[str],
+    col: str,
+    merge_sink,
+    p_hex: int = 2,
+    tail_hex: int = 12,
+):
+    """Maintain HLL registers over a stream: each trigger emits the
+    BATCH-LOCAL register table (group, bucket, max_rank) and
+    ``merge_sink`` folds it into the running registers with the
+    cell-wise MAX merge law (``operators.hll.hll_merge``). Register
+    state is groups x 16^p_hex rows whatever the stream has seen —
+    the distinct-count analog of the CMS fold above, and the reason
+    approximate distinct over an unbounded stream is a bounded-state
+    problem at all. Returns the writeStream handle (caller starts)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        partial = hll_sketch(
+            batch_df, group_cols, col, p_hex=p_hex, tail_hex=tail_hex
+        )
         merge_sink(partial, batch_id)
 
     return stream_items.writeStream.foreachBatch(_process)

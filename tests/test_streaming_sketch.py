@@ -55,3 +55,46 @@ def test_stream_cms_equals_batch(spark, tmp_path):
         for r in cms_build(items, "tok", depth=4, width_hex=1).collect()
     }
     assert folded == batch
+
+
+def test_stream_hll_equals_batch(spark, tmp_path):
+    from sfdata_wrangler_spark.operators.hll import hll_sketch
+    from sfdata_wrangler_spark.streaming.sketch_stream import stream_hll
+
+    rows = [("g", i % 400) for i in range(1000)]
+    items = spark.createDataFrame(rows, "grp string, v long")
+    src = os.path.join(str(tmp_path), "hll_src")
+    items.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(items.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    partials = []
+
+    def sink(partial_df, batch_id):
+        partials.append(partial_df.collect())
+
+    q = (
+        stream_hll(stream, ["grp"], "v", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(partials) >= 2
+
+    # canonical fold: cell-wise MAX of the per-batch register tables
+    folded: dict[tuple, int] = {}
+    for rows_ in partials:
+        for r in rows_:
+            key = (r["grp"], r["bucket"])
+            folded[key] = max(folded.get(key, 0), r["max_rank"])
+
+    batch = {
+        (r["grp"], r["bucket"]): r["max_rank"]
+        for r in hll_sketch(items, ["grp"], "v").collect()
+    }
+    assert folded == batch
