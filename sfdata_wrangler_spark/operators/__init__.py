@@ -28,7 +28,9 @@ from .dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard,
+    prefix_filter_pairs,
     simhash,
+    simhash_hamming_pairs,
 )
 from .linedup import drop_boilerplate_lines, tokens_to_lines
 from .lm import bigram_lm_score
@@ -54,7 +56,7 @@ from .similarity import (
 from .pca import pca_fit, pca_project
 from .zorder import add_zorder_key, zorder_layout
 from .repetition import domain_cap, repetition_stats
-from .skew import salted_agg
+from .skew import salted_agg, skew_report
 from .asof import asof_join
 from .sketch import cms_build, cms_estimate, cms_heavy_hitters
 from .hll import hll_estimate, hll_merge, hll_sketch
@@ -67,7 +69,7 @@ from .graph import (
 )
 from .attribution import multitouch_attribution
 from .cdc import apply_changelog
-from .drift import chisq_drift, mad_outliers
+from .drift import chisq_drift, mad_outliers, seasonal_anomaly, winsorize_bounds
 from .compaction import plan_compaction
 from .spandedup import (
     duplicate_spans,
@@ -187,4 +189,9 @@ __all__ = [
     "ewma_bounded",
     "multitouch_attribution",
     "containment_pairs",
+    "simhash_hamming_pairs",
+    "prefix_filter_pairs",
+    "skew_report",
+    "seasonal_anomaly",
+    "winsorize_bounds",
 ]

@@ -546,3 +546,178 @@ def containment_pairs(
         )
     )
     return scored.where(F.col("containment_pct") >= min_containment_pct)
+
+
+def simhash_hamming_pairs(
+    fps: DataFrame,
+    fp_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance ≤ ``max_hamming``
+    between SimHash fingerprints, WITHOUT an all-pairs comparison.
+
+    Pigeonhole blocking (the classic Manku/Jain/Sarma web-dedup
+    trick): split the ``bits``-wide fingerprint into ``max_hamming +
+    1`` contiguous blocks. Two fingerprints within Hamming distance
+    k differ in at most k blocks, so they must agree EXACTLY on at
+    least one of the k+1 blocks — an equi-join on
+    (block_index, block_value) is therefore a lossless candidate
+    generator. Each candidate is verified with one
+    ``bit_count(fp_a XOR fp_b)`` — exact, no false negatives, and
+    the join is bucketed by block value (never O(n²)).
+
+    At 100 TB the only skew risk is a degenerate block value shared
+    by a huge cohort (e.g. all-zero block over near-empty docs);
+    the blocks are ~bits/(k+1) wide, so widening ``bits`` or
+    lowering ``max_hamming`` directly grows bucket selectivity.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    nblocks = max_hamming + 1
+    widths = [
+        bits // nblocks + (1 if i < bits % nblocks else 0)
+        for i in range(nblocks)
+    ]
+    offsets = [sum(widths[:i]) for i in range(nblocks)]
+    blocks = fps.select(
+        F.col(id_col).alias("__id"),
+        F.col(fp_col).cast("bigint").alias("__fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(
+                            F.col(fp_col).cast("bigint"), offsets[i]
+                        )
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__fp", F.col("__b.blk").alias("__blk"), F.col("__b.val").alias("__val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__blk") == F.col("b.__blk"),
+                F.col("a.__val") == F.col("b.__val"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__fp").alias("fp_a"),
+            F.col("b.__fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("bigint")
+    return cand.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity self-join via prefix
+    filtering (PPJoin-style) — the no-false-negative alternative to
+    MinHash LSH (which trades recall for speed).
+
+    Prefix-filter lemma: order every document's distinct shingle set
+    by one GLOBAL total order (here: ascending document frequency,
+    ties by shingle string — rarest first). If J(A,B) ≥ t, then the
+    prefixes of lengths |A| - ceil(t·|A|) + 1 and |B| - ceil(t·|B|)
+    + 1 must share at least one shingle. So candidates = pairs
+    sharing a PREFIX shingle (an equi-join on the shingle key whose
+    posting lists are the SHORTEST ones — rarest-first ordering makes
+    prefix posting lists small), then each candidate is verified with
+    exact intersection counts.
+
+    All threshold math is integer (ceil(t·n) with t = pct/100 is
+    ``(threshold_pct * n + 99) div 100``; the final test is
+    ``inter * 100 ≥ threshold_pct * union``) — no IEEE boundary
+    cases anywhere.
+
+    Returns (id_a, id_b, inter, union_sz) for pairs with
+    J ≥ threshold_pct/100, id_a < id_b.
+    """
+    sh = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        sh.join(freq, "sh")
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy("__df", "sh")
+            ),
+        )
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("__id"))
+        )
+    )
+    prefix_len = (
+        F.col("__n")
+        - F.expr(f"({threshold_pct} * __n + 99) div 100")
+        + F.lit(1)
+    )
+    prefix = ranked.where(F.col("__pos") <= prefix_len).select("__id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col("__id").alias("id_a"), F.col("sh").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("__id").alias("__idb"), F.col("sh").alias("__sb")),
+            on=[
+                F.col("id_b") == F.col("__idb"),
+                F.col("__sa") == F.col("__sb"),
+            ],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("n_b"))
+    scored = inter.join(na, "id_a").join(nb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .cast("bigint")
+        .alias("union_sz"),
+    )
+    return scored.where(
+        F.col("inter") * 100 >= F.lit(threshold_pct) * F.col("union_sz")
+    )

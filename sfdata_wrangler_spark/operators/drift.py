@@ -105,3 +105,91 @@ def mad_outliers(
     return stats.join(outliers, group_col, "left").withColumn(
         "n_outliers", F.coalesce("n_outliers", F.lit(0).cast("bigint"))
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str | None = "event_type",
+    factor_pct: int = 200,
+) -> DataFrame:
+    """Seasonal-baseline volume anomaly detection over an event
+    stream: flag (day, hour) buckets whose event count exceeds
+    ``factor_pct``% of the average count for that same
+    (day-of-week, hour-of-day) slot.
+
+    The baseline is the full-period mean per seasonal slot — the
+    hour-of-week profile every ops dashboard draws. Comparing
+    ``cnt · n_slot_days · 100 > factor_pct · slot_total`` keeps the
+    whole test in exact integer cross-multiplication (no float
+    division, no knife edges): ``slot_total`` is the total events
+    ever seen in that weekly slot and ``n_slot_days`` how many
+    distinct dates contributed to it.
+
+    Two aggregations, both keyed by (group, slot) — the second is a
+    slot-sized broadcastable dimension joined back to the first.
+    Scale: the bucket table grows with observed (group, date, hour)
+    combinations, the baseline with (group, dow, hour) — 168·groups
+    rows, broadcast-sized at any corpus scale.
+    """
+    gcols = [group_col] if group_col else []
+    bucket = df.groupBy(
+        *gcols,
+        F.to_date(F.col(ts_col)).alias("date"),
+        F.dayofweek(F.col(ts_col)).alias("dow"),
+        F.hour(F.col(ts_col)).alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    baseline = bucket.groupBy(*gcols, "dow", "hour").agg(
+        F.sum("cnt").cast("bigint").alias("slot_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_slot_days"),
+    )
+    joined = bucket.join(F.broadcast(baseline), gcols + ["dow", "hour"])
+    return joined.select(
+        *gcols,
+        "date",
+        "dow",
+        "hour",
+        "cnt",
+        "slot_total",
+        "n_slot_days",
+        (
+            F.col("cnt") * F.col("n_slot_days") * 100
+            > F.lit(factor_pct) * F.col("slot_total")
+        ).alias("is_anomaly"),
+    )
+
+
+def winsorize_bounds(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization audit: exact percentile fences plus
+    how many rows each fence would clamp.
+
+    ``percentile`` is Spark's EXACT sort-and-interpolate quantile —
+    bit-identical to DuckDB's ``quantile_cont`` (the parity
+    prof_quantiles proves), so the float fences themselves are
+    hash-exact cross-engine. The clamp counts are pure comparisons
+    against those fences. At 100 TB swap ``percentile`` for
+    ``percentile_approx`` (KLL sketch, mergeable, bounded memory)
+    and the fences become approximate while the operator shape —
+    one group pass for fences, one broadcast-join pass for counts —
+    is unchanged.
+    """
+    fences = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo!r})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {hi!r})").alias("p_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    joined = df.join(F.broadcast(fences), group_col)
+    return joined.groupBy(group_col, "p_lo", "p_hi", "n_rows").agg(
+        F.sum(F.when(F.col(value_col) < F.col("p_lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum(F.when(F.col(value_col) > F.col("p_hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+    )

@@ -38,3 +38,41 @@ def salted_agg(
     if counts:
         final_aggs.append(F.sum("n_rows").alias("n_rows"))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Join/shuffle skew diagnosis: per group, how concentrated is
+    ``key_col``?
+
+    Emits per group (all exact BIGINTs, shuffle-order independent):
+
+    - ``n_rows``, ``n_keys`` — volume and distinct-key count;
+    - ``max_key_rows`` — the hottest key's row count (the straggler
+      bound: one reducer gets at least this many rows in any
+      key-hash shuffle);
+    - ``self_join_rows`` = Σ_k cnt(k)² — the EXACT output size of a
+      self-equi-join on the key, i.e. the blow-up a careless
+      key-join would materialize. This is the number to check
+      BEFORE launching any key-keyed self-join at 100 TB.
+
+    Two map-side-combinable aggregations (rows→keys, keys→groups);
+    output is group-sized. The per-key intermediate is the same
+    cardinality any groupBy on the key would produce — there is no
+    cheaper exact way to get max/Σcnt².
+    """
+    gcols = list(group_cols)
+    per_key = df.groupBy(*gcols, key_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return per_key.groupBy(*gcols).agg(
+        F.sum("__cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("__cnt").cast("bigint").alias("max_key_rows"),
+        F.sum(F.col("__cnt") * F.col("__cnt"))
+        .cast("bigint")
+        .alias("self_join_rows"),
+    )

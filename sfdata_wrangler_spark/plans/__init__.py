@@ -21,6 +21,7 @@ from . import catalog19 as _catalog19  # registers round-4 operator waves
 from . import catalog20 as _catalog20  # registers HLL/bloom/graph/CDC/compaction
 from . import catalog21 as _catalog21  # registers EWMA/drift QC/sink roundtrips/ER/patches
 from . import catalog22 as _catalog22  # registers attribution/resample/containment
+from . import catalog23 as _catalog23  # registers exact pair search + QC diagnostics
 from .catalog import QUERIES, oracle_sql_map, query_map
 
 __all__ = ["QUERIES", "oracle_sql_map", "query_map"]

@@ -1,0 +1,153 @@
+"""Wave-23 operators: pigeonhole SimHash pairs, prefix-filter exact
+similarity join, skew report, seasonal anomaly, winsorize bounds."""
+
+import datetime
+import itertools
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sfdata_wrangler_spark.operators.dedup import exact_jaccard_pairs
+from sfdata_wrangler_spark.operators import (
+    prefix_filter_pairs,
+    seasonal_anomaly,
+    simhash_hamming_pairs,
+    skew_report,
+    winsorize_bounds,
+)
+
+
+def _ham(a, b):
+    return bin(a ^ b).count("1")
+
+
+class TestSimhashHammingPairs:
+    def test_hand_computed(self, spark):
+        # 0b0000, 0b0001 (d=1), 0b1111 (d=4/3), 0b0011 (d=2/1/4)
+        fps = spark.createDataFrame(
+            [(1, 0b0000), (2, 0b0001), (3, 0b1111), (4, 0b0011)],
+            ["doc_id", "fp"],
+        )
+        out = simhash_hamming_pairs(
+            fps, fp_col="fp", id_col="doc_id", bits=16, max_hamming=2
+        )
+        got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+        assert got == {(1, 2): 1, (1, 4): 2, (2, 4): 1, (3, 4): 2}
+
+    def test_no_false_negatives_random(self, spark):
+        # pigeonhole blocking must find EVERY pair within the radius
+        import random
+
+        rng = random.Random(7)
+        fps = [(i, rng.getrandbits(16)) for i in range(80)]
+        want = {
+            (a[0], b[0]): _ham(a[1], b[1])
+            for a, b in itertools.combinations(fps, 2)
+            if _ham(a[1], b[1]) <= 3
+        }
+        df = spark.createDataFrame(fps, ["doc_id", "fp"])
+        out = simhash_hamming_pairs(
+            df, fp_col="fp", id_col="doc_id", bits=16, max_hamming=3
+        )
+        got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+        assert got == want
+
+    def test_64bit_fingerprints(self, spark):
+        def signed(v):  # LongType stores the top bit as the sign bit
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        base = 0x0123_4567_89AB_CDEF
+        fps = spark.createDataFrame(
+            [(1, base), (2, signed(base ^ (1 << 63))), (3, base ^ 0b111)],
+            ["doc_id", "fp"],
+        )
+        out = simhash_hamming_pairs(
+            fps, fp_col="fp", id_col="doc_id", bits=64, max_hamming=2
+        )
+        got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+        # top-bit flip exercises signed shiftrightunsigned handling
+        assert got == {(1, 2): 1}
+
+
+class TestPrefixFilterPairs:
+    DOCS = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "a completely different document about spark engines"),
+        (4, "a completely different document about spark engines"),
+        (5, "short doc"),
+    ]
+
+    def test_differential_vs_exact_all_pairs(self, spark):
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b, r.inter, r.union_sz)
+            for r in prefix_filter_pairs(df, threshold_pct=50).collect()
+        }
+        allp = exact_jaccard_pairs(df, shingle_n=3)
+        want = {
+            (r.id_a, r.id_b, r.inter, r.union_sz)
+            for r in allp.collect()
+            if r.inter * 100 >= 50 * r.union_sz
+        }
+        assert got == want
+        assert (3, 4) in {(a, b) for a, b, *_ in got}  # exact dup pair
+
+    def test_threshold_is_exact_integer_math(self, spark):
+        # two docs sharing exactly half their shingles: J = 1/3 < 0.5
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d x y")], ["doc_id", "text"]
+        )
+        assert prefix_filter_pairs(df, threshold_pct=50).count() == 0
+        # at threshold 33% the pair J=2/6=0.333.. -> 2*100 >= 33*6 holds
+        assert prefix_filter_pairs(df, threshold_pct=33).count() == 1
+
+
+class TestSkewReport:
+    def test_hand_computed(self, spark):
+        rows = [("a", 1)] * 3 + [("a", 2)] + [("b", 1)] * 2
+        df = spark.createDataFrame(rows, ["grp", "key"])
+        out = {
+            r.grp: r
+            for r in skew_report(df, "key", group_cols=("grp",)).collect()
+        }
+        assert out["a"].n_rows == 4
+        assert out["a"].n_keys == 2
+        assert out["a"].max_key_rows == 3
+        assert out["a"].self_join_rows == 9 + 1
+        assert out["b"].self_join_rows == 4
+
+
+class TestSeasonalAnomaly:
+    def test_hand_computed(self, spark):
+        # same weekly slot (Mon 10:00) on two dates: 1 vs 5 events;
+        # 5*2*100 > 150*6 -> anomaly; 1*2*100 < 900 -> not
+        t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)  # Monday
+        t1 = datetime.datetime(2024, 1, 8, 10, 0, 0)  # next Monday
+        rows = [Row(ts=t0, event_type="x")] + [
+            Row(ts=t1 + datetime.timedelta(minutes=i), event_type="x")
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(rows)
+        out = {
+            (str(r.date), r.cnt): r.is_anomaly
+            for r in seasonal_anomaly(df, factor_pct=150).collect()
+        }
+        assert out == {("2024-01-01", 1): False, ("2024-01-08", 5): True}
+
+
+class TestWinsorizeBounds:
+    def test_hand_computed(self, spark):
+        vals = [float(v) for v in range(1, 101)]  # 1..100
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], ["grp", "value"]
+        )
+        row = winsorize_bounds(
+            df, group_col="grp", value_col="value", lo=0.05, hi=0.95
+        ).collect()[0]
+        # percentile(0.05) over 1..100 = 1 + 0.05*99 = 5.95
+        assert abs(row.p_lo - 5.95) < 1e-12
+        assert abs(row.p_hi - 95.05) < 1e-12
+        assert row.n_rows == 100
+        assert row.n_below == 5  # 1..5 < 5.95
+        assert row.n_above == 5  # 96..100 > 95.05
