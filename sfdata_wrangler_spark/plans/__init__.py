@@ -22,6 +22,7 @@ from . import catalog20 as _catalog20  # registers HLL/bloom/graph/CDC/compactio
 from . import catalog21 as _catalog21  # registers EWMA/drift QC/sink roundtrips/ER/patches
 from . import catalog22 as _catalog22  # registers attribution/resample/containment
 from . import catalog23 as _catalog23  # registers exact pair search + QC diagnostics
+from . import catalog24 as _catalog24  # registers two-stage retrieval rerank
 from .catalog import QUERIES, oracle_sql_map, query_map
 
 __all__ = ["QUERIES", "oracle_sql_map", "query_map"]

@@ -157,3 +157,34 @@ def test_scd2_single_exchange_for_windows_and_runs(spark):
 def test_profile_single_aggregate_no_expand_blowup(spark):
     plan = _plan(spark, "prof_lineitem")
     assert "Join" not in plan and "Union" not in plan
+
+
+def test_simhash_hamming_no_cartesian(spark):
+    """Pigeonhole candidate generation must stay a (block, value)
+    equi-join — a cartesian/BNL would defeat the whole construction."""
+    plan = _plan(spark, "dd_simhash_hamming")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_jaccard_no_cartesian(spark):
+    """Both the prefix candidate join and the intersection verify are
+    shingle-keyed equi-joins; nothing may degrade to all-pairs."""
+    plan = _plan(spark, "dd_prefix_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winsorize_broadcasts_fence_dim(spark):
+    """The group-sized fence dim must broadcast back onto the fact —
+    a shuffle join here would re-shuffle the full fact for a 5-row
+    dimension."""
+    plan = _plan(spark, "qc_winsorize_bounds")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_skew_report_two_combinable_aggs(spark):
+    """rows→keys→groups: exactly two hash exchanges (key agg, group
+    agg) — adding a third would mean a lost partial-combine."""
+    plan = _plan(spark, "qc_skew_report")
+    assert plan.count("Exchange hashpartitioning") <= 2
