@@ -62,14 +62,51 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dd_dup_clusters", None)
+def _dup_clusters_oracle() -> str:
+    """Recursive-CTE oracle for the connected-components rollup: the
+    LSH pair CTEs (catalog_text's md5 signature/band SQL) feed a
+    transitive-closure fixpoint; min reachable node = Spark's
+    min-label propagation result once converged."""
+    from .catalog_text import _BANDS_SQL, _SIG_SQL
+
+    return f"""
+    WITH RECURSIVE sig AS ({_SIG_SQL}),
+    bands AS ({_BANDS_SQL}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    labels AS (
+      SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(node) AS BIGINT) AS member_id_sum
+    FROM labels GROUP BY cluster_id
+    """
+
+
+@_register("dd_dup_clusters", _dup_clusters_oracle())
 def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup connected components as a declared query
     (operators/dedup.cluster_duplicates — min-label propagation with
-    batched convergence probes, previously test-only): LSH candidate
-    pairs → components → per-cluster rollup with a member checksum.
-    Iterative fixpoint — rows-only; component correctness is pinned
-    by tests/test_dedup.py's chain/clique tests."""
+    batched convergence probes): LSH candidate pairs → components →
+    per-cluster rollup with a member checksum. HASH-EXACT despite
+    the iterative fixpoint: converged min-label labels equal the
+    min-node-per-component that the oracle's recursive
+    transitive-closure CTE computes — the labels are a pure function
+    of the pair graph, not of the iteration schedule."""
     from ..operators.dedup import cluster_duplicates, minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")

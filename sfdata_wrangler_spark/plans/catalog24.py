@@ -50,6 +50,7 @@ _RERANK_K = 10
     QUALIFY row_number() OVER (ORDER BY sim_exact DESC, doc_id)
       <= {_RERANK_K}
     """,
+    bench=True,
 )
 def ir_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: BM25 top-{k} lexical recall over the
