@@ -245,15 +245,55 @@ def s15_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_register("pipe_entity_resolution", None)
+_ER_ORACLE = """
+WITH RECURSIVE names AS (
+  SELECT DISTINCT trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g'))
+           AS name
+  FROM part
+),
+blocked AS (
+  SELECT name, string_split(name, ' ')[-1] AS block FROM names
+),
+ok AS (
+  SELECT b.name, b.block FROM blocked b
+  SEMI JOIN (SELECT block FROM blocked GROUP BY block
+             HAVING count(*) <= 10000) s USING (block)
+),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM ok a JOIN ok b ON a.block = b.block AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 2
+),
+edges AS (
+  SELECT name_a AS src, name_b AS dst FROM pairs
+  UNION
+  SELECT name_b AS src, name_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+labels AS (
+  SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id AS canonical_name,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM labels GROUP BY cluster_id
+"""
+
+
+@_register("pipe_entity_resolution", _ER_ORACLE)
 def pipe_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution: blocked fuzzy linkage over part
     names (operators/linkage.py) → connected components
     (operators/dedup.cluster_duplicates — min-label propagation works
     unchanged on string ids) → golden-record rollup (canonical name =
-    cluster label, member count). Iterative CC → rows-only in the
-    driver sweep; tests/test_drift_er.py union-find differential is
-    the exact check."""
+    cluster label, member count). HASH-EXACT: converged min-label
+    labels are a pure function of the pair graph (min string per
+    component), which the oracle's recursive transitive-closure CTE
+    states declaratively; tests/test_drift_er.py's union-find
+    differential double-checks the Spark side."""
     from ..operators.dedup import cluster_duplicates
     from ..operators.linkage import blocked_fuzzy_pairs
 
