@@ -65,6 +65,7 @@ from .graph import (
     cooccurrence_edges,
     degree_table,
     pagerank,
+    pagerank_micro,
     triangle_count,
 )
 from .attribution import multitouch_attribution
@@ -182,6 +183,7 @@ __all__ = [
     "degree_table",
     "triangle_count",
     "pagerank",
+    "pagerank_micro",
     "apply_changelog",
     "plan_compaction",
     "chisq_drift",

@@ -352,3 +352,68 @@ def s13_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_compaction(
         manifest, ["pm"], "file_id", "size_bytes", target_bytes=60000
     )
+
+
+_PRM_SCALE = 10**12
+_PRM_ITERS = 10
+_PRM_D = 85
+
+
+@_register(
+    "gr_pagerank_micro_top",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    both_e AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+    ),
+    outdeg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS outd FROM both_e GROUP BY src
+    ),
+    consts AS (
+      SELECT CAST({_PRM_SCALE} // count(DISTINCT src) AS BIGINT) AS init,
+             CAST(({100 - _PRM_D} * {_PRM_SCALE}::BIGINT)
+                  // (100 * count(DISTINCT src)) AS BIGINT) AS base
+      FROM both_e
+    ),
+    pr(it, node, r) AS (
+      SELECT 0, src, c.init
+      FROM (SELECT DISTINCT src FROM both_e), consts c
+      UNION ALL
+      SELECT it + 1, be.dst,
+             c.base + ({_PRM_D} * sum(pr.r // od.outd)) // 100
+      FROM pr
+      JOIN both_e be ON be.src = pr.node
+      JOIN outdeg od ON od.src = pr.node
+      CROSS JOIN consts c
+      WHERE it < {_PRM_ITERS}
+      GROUP BY it + 1, be.dst, c.base
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro
+    FROM pr WHERE it = {_PRM_ITERS}
+    ORDER BY r DESC, node LIMIT 25
+    """,
+)
+def gr_pagerank_micro_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 PageRank parts under the EXACT fixed-point variant
+    (operators/graph.pagerank_micro): integer micro-unit ranks make
+    the damped power iteration shuffle-order independent and thus
+    hash-checkable — the oracle replays all 10 rounds in a recursive
+    CTE with identical integer arithmetic. The float twin
+    (gr_pagerank_top) keeps the classical semantics; this one is the
+    audit-grade path."""
+    from ..operators.graph import pagerank_micro
+
+    pr = pagerank_micro(
+        _part_edges(spark, sf_dir),
+        damping_pct=_PRM_D,
+        iters=_PRM_ITERS,
+        scale=_PRM_SCALE,
+    )
+    return (
+        pr.orderBy(F.col("r").desc(), F.col("node"))
+        .limit(25)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("r").alias("rank_micro"),
+        )
+    )

@@ -140,3 +140,36 @@ def test_cdc_replay_determinism_under_repartition(spark):
         seq_cols=["seq", "tb"], payload_cols=["name", "score"],
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pagerank_micro_tracks_float_twin(spark):
+    from sfdata_wrangler_spark.operators.graph import pagerank_micro
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (1, 4)]
+    scale = 10**12
+    micro = {
+        r["node"]: r["r"]
+        for r in pagerank_micro(
+            _edges(spark, pairs), damping_pct=85, iters=10, scale=scale
+        ).collect()
+    }
+    flt = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, pairs), 0.85, 10).collect()
+    }
+    # truncation loses < 1 unit per edge per round: micro/scale must
+    # track the float method to ~1e-9 relative on this graph
+    for node, r in flt.items():
+        assert micro[node] / scale == pytest.approx(r, rel=1e-6)
+
+
+def test_pagerank_micro_exact_under_repartition(spark):
+    from sfdata_wrangler_spark.operators.graph import pagerank_micro
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 0), (1, 3)]
+    e1 = _edges(spark, pairs)
+    e2 = _edges(spark, pairs).repartition(7)
+    a = sorted(map(tuple, pagerank_micro(e1, iters=6).collect()))
+    b = sorted(map(tuple, pagerank_micro(e2, iters=6).collect()))
+    # integer arithmetic: EQUAL, not approximately equal
+    assert a == b
