@@ -143,7 +143,12 @@ def driver_green() -> set[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("err") == "no_oracle":
-                if row.get("spark_rows") is not None:
+                # a rows-only row is only terminal while the query
+                # still declares no oracle; once an oracle lands the
+                # query must rotate back in for a real hash check
+                if row.get("spark_rows") is not None and not QUERIES.get(
+                    name, {}
+                ).get("oracle"):
                     green.add(name)
             elif (
                 row.get("err") is None

@@ -147,11 +147,33 @@ def a2_grouped_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("g5_mapmatch_toy", None)
+@_register(
+    "g5_mapmatch_toy",
+    """
+    SELECT CAST(c.cab AS BIGINT) AS cab_id,
+           CAST(1 AS BIGINT) AS trip_id,
+           CAST(l.link AS BIGINT) AS link_id,
+           l.st AS start_time,
+           CAST(l.tt AS DOUBLE) AS travel_time,
+           CAST(1.0 AS DOUBLE) AS traversal_ratio,
+           CAST(9 AS BIGINT) AS hour
+    FROM (VALUES (1), (2)) c(cab),
+         (VALUES (1, '2024-01-01T09:00:00', 32.5),
+                 (2, '2024-01-01T09:00:00', 32.5),
+                 (2, '2024-01-01T09:01:05', 32.5),
+                 (3, '2024-01-01T09:01:05', 32.5),
+                 (3, '2024-01-01T09:02:10', 65.0)) l(link, st, tt)
+    """,
+)
 def g5_mapmatch_toy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1-G6 map-matching on a deterministic in-query toy network
-    (rows-only check: the Viterbi/applyInPandas path is not
-    SQL-expressible; unit tests assert exact link sequences)."""
+    """G1-G6 map-matching on a deterministic in-query toy network.
+    The Viterbi/applyInPandas path is not SQL-expressible, but its
+    output on this fixture IS closed-form (the g6/mm_image_bmp
+    precedent): both cabs traverse links 1→2→3 with dyadic-exact
+    split times (32.5 s halves, 65.0 s final link), so the oracle
+    states the expected traversal table literally and the check is
+    hash-exact. The brute-force path differential in
+    tests/test_mapmatch.py remains the algorithmic check."""
     from ..pipelines.mapmatch import Link, Network, match_trips
 
     links = {

@@ -26,8 +26,18 @@ def test_green_set_reflects_committed_reports():
         if row.get("err") is None and row.get("hash_match")
     }
     assert hash_green <= green
-    # the rows-only entries count as swept too (can't be upgraded)
-    assert "g5_mapmatch_toy" in green
+    # rows-only entries count as swept ONLY while the query still has
+    # no oracle; g5 gained a closed-form oracle after its r01/r02
+    # rows-only rows, so it must rotate back in for a hash check
+    assert "g5_mapmatch_toy" not in green
+    assert QUERIES["g5_mapmatch_toy"]["oracle"]
+    # a still-oracle-less query with a recorded row count stays green
+    assert "txt_quality_distill" in green or (
+        "txt_quality_distill" not in json.load(
+            open(os.path.join(_ROOT, "CORRECTNESS_r01.json"))
+        )
+        and "txt_quality_distill" not in r02
+    )
 
 
 def test_unswept_names_lead_the_sweep():
