@@ -61,3 +61,56 @@ def attributed_events(
         "outcome_id",
         (F.unix_micros("o_ts") - F.unix_micros("t_ts")).alias("delay_us"),
     )
+
+
+def unattributed_triggers(
+    triggers: DataFrame,
+    outcomes: DataFrame,
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution: every trigger, with its
+    outcome id where one landed inside ``(t_ts, t_ts + max_delay]``
+    and NULL where none did — the abandoned-cart / no-conversion
+    detection shape.
+
+    The outer side is what makes this a distinct Structured Streaming
+    capability: a null-padded row can only be emitted once BOTH
+    watermarks have passed the trigger's join window (before that, a
+    matching outcome could still arrive), so unmatched rows surface
+    with watermark latency — correctness-mandated, not an
+    implementation lag. Matched rows stream out as in the inner join.
+    On batch inputs the same function is a plain left join (no
+    emission delay); tests assert the stream's matched set equals the
+    batch's, and that its null set equals exactly the batch nulls
+    whose windows closed before the final watermark.
+    """
+    t = triggers.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("trigger_id"),
+        F.col(ts_col).alias("t_ts"),
+    )
+    o = outcomes.select(
+        F.col(user_col).alias("o_user_id"),
+        F.col(id_col).alias("outcome_id"),
+        F.col(ts_col).alias("o_ts"),
+    )
+    if triggers.isStreaming:
+        t = t.withWatermark("t_ts", watermark)
+    if outcomes.isStreaming:
+        o = o.withWatermark("o_ts", watermark)
+    cond = (
+        (t.user_id == o.o_user_id)
+        & (o.o_ts > t.t_ts)
+        & (o.o_ts <= t.t_ts + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return t.join(o, cond, "leftOuter").select(
+        "user_id",
+        "trigger_id",
+        "t_ts",
+        "outcome_id",
+        (F.unix_micros("o_ts") - F.unix_micros("t_ts")).alias("delay_us"),
+    )
