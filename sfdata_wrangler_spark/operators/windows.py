@@ -247,3 +247,61 @@ def ewma_bounded(
     for t in terms[1:]:
         acc = acc + t
     return df.withColumn(out, acc)
+
+
+def rolling_distinct_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact rolling-window distinct-user counts (the DAU/WAU panel):
+    per day, how many distinct users were active in the trailing
+    ``window_days`` window ending that day, plus that day's own DAU
+    and an integer-basis-point stickiness ratio.
+
+    Distinct counts are NOT additive, so no range-frame window can
+    compute this. The scalable exact construction: reduce to (user,
+    day) activity first (the big shuffle, map-side combinable), then
+    explode each activity day into the ``window_days`` window-ends it
+    contributes to and dedup (user, window_end) — a bounded ×W
+    row multiplication of the already-day-granular frame, NOT of the
+    raw events. At 100 TB the (user, day) reduction is ~1e9 rows and
+    the ×7 explode stays executor-sized; the approximate alternative
+    (per-day HLL registers merged over the window — operators/hll.py)
+    drops the explode when W is large.
+
+    Windows with no activity produce no row (mirrored by the oracle).
+    Returns (win_day DATE, wau, dau, stickiness_bp) with
+    ``stickiness_bp = dau·10000 div wau``.
+    """
+    per_day = df.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+    ).distinct()
+    contrib = per_day.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), window_days - 1),
+            )
+        ).alias("win_day"),
+    ).distinct()
+    wau = contrib.groupBy("win_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau")
+    )
+    dau = per_day.groupBy(F.col("d").alias("win_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    return (
+        wau.join(dau, "win_day", "left")
+        .withColumn("dau", F.coalesce("dau", F.lit(0).cast("bigint")))
+        .select(
+            "win_day",
+            "wau",
+            "dau",
+            F.expr("(dau * 10000) div wau").cast("bigint").alias(
+                "stickiness_bp"
+            ),
+        )
+    )

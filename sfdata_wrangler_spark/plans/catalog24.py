@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.metrics import portable_round
 from ..operators.retrieval import bm25_oracle_sql, bm25_topk
 from ..operators.similarity import cosine
-from .catalog import _register, _t
+from .catalog import _events, _register, _t
 from .catalog11 import _BM25_K, _BM25_TERMS
 
 _QUERY_VEC_ID = 0
@@ -87,4 +87,54 @@ def ir_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable_round(F.col("__sim_exact"), 4).alias("sim"),
             F.col("rerank").cast("int").alias("rerank"),
         )
+    )
+
+
+@_register(
+    "a12_rolling_wau",
+    """
+    WITH per_day AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+    ),
+    contrib AS (
+      SELECT DISTINCT u,
+             CAST(unnest(generate_series(
+               CAST(d AS TIMESTAMP),
+               CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+               INTERVAL 1 DAY)) AS DATE) AS win_day
+      FROM per_day
+    ),
+    wau AS (
+      SELECT win_day, CAST(count(*) AS BIGINT) AS wau
+      FROM contrib GROUP BY win_day
+    ),
+    dau AS (
+      SELECT d AS win_day, CAST(count(*) AS BIGINT) AS dau
+      FROM per_day GROUP BY d
+    )
+    SELECT strftime(w.win_day, '%Y-%m-%d') AS win_day,
+           w.wau,
+           CAST(COALESCE(dd.dau, 0) AS BIGINT) AS dau,
+           CAST((COALESCE(dd.dau, 0) * 10000) // w.wau AS BIGINT)
+             AS stickiness_bp
+    FROM wau w LEFT JOIN dau dd USING (win_day)
+    """,
+)
+def a12_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct-user counts per day (WAU) with
+    same-day DAU and integer stickiness (operators/windows.
+    rolling_distinct_users). Distinct is not additive, so no range
+    frame works: the scale shape reduces events to (user, day) FIRST,
+    then explodes each activity day into the 7 window-ends it feeds
+    — the ×7 multiplication hits the day-granular frame, never raw
+    events."""
+    from ..operators.windows import rolling_distinct_users
+
+    ev = _events(spark, sf_dir)
+    out = rolling_distinct_users(ev, ts_col="ts", user_col="user_id")
+    return out.select(
+        F.date_format("win_day", "yyyy-MM-dd").alias("win_day"),
+        "wau",
+        "dau",
+        "stickiness_bp",
     )

@@ -151,3 +151,36 @@ class TestWinsorizeBounds:
         assert row.n_rows == 100
         assert row.n_below == 5  # 1..5 < 5.95
         assert row.n_above == 5  # 96..100 > 95.05
+
+
+class TestRollingDistinctUsers:
+    def test_hand_computed_wau(self, spark):
+        from sfdata_wrangler_spark.operators.windows import (
+            rolling_distinct_users,
+        )
+
+        t = datetime.datetime(2024, 1, 1, 12, 0)
+        day = datetime.timedelta(days=1)
+        rows = [
+            Row(user_id=1, ts=t),               # day 1
+            Row(user_id=1, ts=t + day * 0),     # dup same day
+            Row(user_id=2, ts=t + day * 2),     # day 3
+            Row(user_id=1, ts=t + day * 8),     # day 9
+        ]
+        out = {
+            str(r.win_day): (r.wau, r.dau, r.stickiness_bp)
+            for r in rolling_distinct_users(
+                spark.createDataFrame(rows), window_days=7
+            ).collect()
+        }
+        # window ending Jan 3 sees users {1 (Jan 1), 2 (Jan 3)}
+        assert out["2024-01-03"] == (2, 1, 5000)
+        # Jan 1's own window: only user 1; dau == wau -> 10000 bp
+        assert out["2024-01-01"] == (1, 1, 10000)
+        # Jan 8: user 1's Jan-1 activity aged out; user 2 still in
+        assert out["2024-01-08"] == (1, 0, 0)
+        # Jan 9 window = [Jan 3, Jan 9]: user 2's Jan-3 activity is
+        # still in (boundary day), plus user 1's Jan-9 row
+        assert out["2024-01-09"] == (2, 1, 5000)
+        # no row for windows before the first activity
+        assert "2023-12-31" not in out
