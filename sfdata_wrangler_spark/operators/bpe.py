@@ -99,6 +99,19 @@ def bpe_train(
         "word", "n", F.split(F.col("word"), "").alias("sym")
     )
     words = words.localCheckpoint(eager=True)
+    # Size the LOOP's parallelism to the word-type table, not to the
+    # corpus default: every one of the ~num_merges argmax jobs pays
+    # task-scheduling per partition, and the Zipf funnel makes the
+    # type table orders of magnitude smaller than the corpus
+    # (~100k types per task is comfortable; a 10M-type corpus still
+    # gets 100 tasks). The count is one cheap job on checkpointed
+    # data; the repartition amortizes over the whole merge loop.
+    n_types = words.count()
+    spark = docs.sparkSession
+    target = max(1, min(
+        spark.sparkContext.defaultParallelism, -(-n_types // 100_000)
+    ))
+    words = words.repartition(target).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str, int]] = []
     for it in range(num_merges):
