@@ -86,3 +86,62 @@ def test_classifier_single_class_labels(spark):
     rows = scored.collect()
     assert all(r["score"] > 0.5 for r in rows)
     assert all(r["score"] == r["score"] for r in rows)  # no NaN
+
+
+def test_wave23_empty_inputs(spark):
+    from sfdata_wrangler_spark.operators import (
+        prefix_filter_pairs,
+        seasonal_anomaly,
+        simhash_hamming_pairs,
+        skew_report,
+        winsorize_bounds,
+    )
+    from sfdata_wrangler_spark.operators.windows import (
+        rolling_distinct_users,
+    )
+
+    empty_docs = spark.createDataFrame([], DOC_SCHEMA)
+    assert prefix_filter_pairs(empty_docs).count() == 0
+
+    fps = spark.createDataFrame([], "doc_id bigint, fp bigint")
+    assert (
+        simhash_hamming_pairs(fps, fp_col="fp", bits=16, max_hamming=2)
+        .count()
+        == 0
+    )
+
+    ev = spark.createDataFrame(
+        [], "user_id bigint, event_type string, ts timestamp, value double"
+    )
+    assert skew_report(ev, "user_id", ("event_type",)).count() == 0
+    assert seasonal_anomaly(ev).count() == 0
+    assert winsorize_bounds(ev, "event_type", "value").count() == 0
+    assert rolling_distinct_users(ev).count() == 0
+
+
+def test_wave23_single_row_inputs(spark):
+    import datetime
+
+    from sfdata_wrangler_spark.operators import (
+        prefix_filter_pairs,
+        winsorize_bounds,
+    )
+    from sfdata_wrangler_spark.operators.windows import (
+        rolling_distinct_users,
+    )
+
+    one_doc = spark.createDataFrame(
+        [(1, "just one single document here")], ["doc_id", "text"]
+    )
+    assert prefix_filter_pairs(one_doc).count() == 0  # no pair possible
+
+    one_ev = spark.createDataFrame(
+        [(1, "x", datetime.datetime(2024, 1, 1, 10, 0), 5.0)],
+        "user_id bigint, event_type string, ts timestamp, value double",
+    )
+    w = winsorize_bounds(one_ev, "event_type", "value").collect()[0]
+    assert (w.p_lo, w.p_hi, w.n_below, w.n_above) == (5.0, 5.0, 0, 0)
+    r = rolling_distinct_users(one_ev).collect()
+    # one activity day feeds 7 window-ends, each wau=1
+    assert len(r) == 7
+    assert all(row.wau == 1 for row in r)

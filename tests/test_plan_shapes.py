@@ -188,3 +188,20 @@ def test_skew_report_two_combinable_aggs(spark):
     agg) — adding a third would mean a lost partial-combine."""
     plan = _plan(spark, "qc_skew_report")
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_rerank_candidate_sized_dense_stage(spark):
+    """Two-stage retrieval: the dense rerank must broadcast the 1-row
+    query vector (no shuffle of the corpus for the cross join) and
+    keep every join an equi/broadcast shape."""
+    plan = _plan(spark, "ir_rerank_two_stage")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the broadcast of the 1-row
+    # query-vector (and corpus-stats) dims
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
+def test_rolling_wau_no_cartesian_two_distincts(spark):
+    plan = _plan(spark, "a12_rolling_wau")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
