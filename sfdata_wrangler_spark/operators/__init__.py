@@ -7,6 +7,7 @@ from .windows import (
     headway_minutes,
     interpolate_monthly,
     lag_delta_minutes,
+    rolling_distinct_users,
     running_sum,
     sessionize,
     trend_diff,
@@ -196,4 +197,5 @@ __all__ = [
     "skew_report",
     "seasonal_anomaly",
     "winsorize_bounds",
+    "rolling_distinct_users",
 ]
