@@ -145,3 +145,43 @@ def test_wave23_single_row_inputs(spark):
     # one activity day feeds 7 window-ends, each wau=1
     assert len(r) == 7
     assert all(row.wau == 1 for row in r)
+
+
+def test_null_and_empty_text_degrade_cleanly(spark):
+    """Real corpora contain NULL and empty text; every text-keyed
+    operator must drop or pass them through, never throw."""
+    from pyspark.sql import functions as F
+
+    from sfdata_wrangler_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from sfdata_wrangler_spark.operators import (
+        exact_dup_groups,
+        minhash_signatures,
+        prefix_filter_pairs,
+        simhash,
+    )
+    from sfdata_wrangler_spark.operators.dedup import exact_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world foo bar"),
+            (2, None),
+            (3, ""),
+            (4, "hello world foo baz"),
+        ],
+        DOC_SCHEMA,
+    )
+    # J(1,4) = 1/3 < 0.5 -> no pair; null/empty rows contribute none
+    assert prefix_filter_pairs(df).count() == 0
+    assert minhash_signatures(df, hash_fn="md5").count() == 2
+    assert exact_dup_groups(df).count() == 0
+    assert simhash(df).count() == 3
+    pairs = exact_jaccard_pairs(df).collect()
+    assert [(p.id_a, p.id_b, p.inter, p.union_sz) for p in pairs] == [
+        (1, 4, 1, 3)
+    ]
+    # column functions are total: 4 in, 4 out
+    assert df.select(quality_score(F.col("text"))).count() == 4
+    assert df.select(token_count(F.col("text"))).count() == 4
