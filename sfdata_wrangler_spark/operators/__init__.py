@@ -8,6 +8,7 @@ from .windows import (
     interpolate_monthly,
     lag_delta_minutes,
     rolling_distinct_users,
+    rolling_distinct_users_hll,
     running_sum,
     sessionize,
     trend_diff,
@@ -198,4 +199,5 @@ __all__ = [
     "seasonal_anomaly",
     "winsorize_bounds",
     "rolling_distinct_users",
+    "rolling_distinct_users_hll",
 ]

@@ -305,3 +305,50 @@ def rolling_distinct_users(
             ),
         )
     )
+
+
+def rolling_distinct_users_hll(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+    p_hex: int = 2,
+    tail_hex: int = 12,
+) -> DataFrame:
+    """Approximate rolling-window distinct users — the large-W swap
+    :func:`rolling_distinct_users` documents.
+
+    The exact construction explodes the (user, day) frame ×W; here
+    each DAY is first collapsed to an HLL register table (≤ 16^p_hex
+    rows — corpus-independent), the ×W explode multiplies only those
+    bounded tables, and window merge is register-max
+    (operators/hll.py). Cost per window-end is O(W · 16^p_hex)
+    regardless of user cardinality, so a 365-day window over billions
+    of users is the same shuffle as a 7-day one over thousands.
+    Returns (win_day, hll_est) with the raw-HLL estimator's
+    ~1.04/√m relative error.
+    """
+    from .hll import hll_estimate, hll_sketch
+
+    daily = hll_sketch(
+        df.select(
+            F.to_date(F.col(ts_col)).alias("d"), F.col(user_col)
+        ),
+        ["d"],
+        user_col,
+        p_hex=p_hex,
+        tail_hex=tail_hex,
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), window_days - 1)
+            )
+        ).alias("win_day"),
+        "bucket",
+        "max_rank",
+    )
+    regs = contrib.groupBy("win_day", "bucket").agg(
+        F.max("max_rank").cast("int").alias("max_rank")
+    )
+    return hll_estimate(regs, ["win_day"], p_hex=p_hex, tail_hex=tail_hex)

@@ -184,3 +184,38 @@ class TestRollingDistinctUsers:
         assert out["2024-01-09"] == (2, 1, 5000)
         # no row for windows before the first activity
         assert "2023-12-31" not in out
+
+
+class TestRollingDistinctUsersHll:
+    def test_tracks_exact_within_hll_error(self, spark):
+        from sfdata_wrangler_spark.operators.windows import (
+            rolling_distinct_users,
+            rolling_distinct_users_hll,
+        )
+
+        t = datetime.datetime(2024, 3, 1, 9, 0)
+        # raw HLL (no linear-counting small-range correction — same
+        # estimator as operators/hll.hll_estimate) is only unbiased
+        # for n >~ 2.5m; with m=256 keep every window's cardinality
+        # in the thousands
+        rows = [
+            Row(
+                user_id=(day * 1037 + i * 13) % 3000,
+                ts=t + datetime.timedelta(days=day, minutes=i),
+            )
+            for day in range(14)
+            for i in range(700)
+        ]
+        df = spark.createDataFrame(rows)
+        exact = {
+            str(r.win_day): r.wau
+            for r in rolling_distinct_users(df).collect()
+        }
+        approx = {
+            str(r.win_day): r.hll_est
+            for r in rolling_distinct_users_hll(df).collect()
+        }
+        assert set(approx) == set(exact)
+        # m = 256 registers -> ~6.5% stddev; allow a 3-sigma envelope
+        for day, wau in exact.items():
+            assert abs(approx[day] - wau) / wau < 0.20, (day, wau, approx[day])
