@@ -86,6 +86,7 @@ from .linkage import blocked_fuzzy_pairs, oversized_blocks
 from .incremental_agg import merge_aggregates, partial_aggregate
 from .spatial import grid_nearest_join
 from .diff import diff_summary, table_diff
+from .zonemap import prune_files, skip_rate, zonemap_stats
 
 __all__ = [
     # rule-driven aggregation + windows (reference surface)
@@ -200,4 +201,7 @@ __all__ = [
     "winsorize_bounds",
     "rolling_distinct_users",
     "rolling_distinct_users_hll",
+    "zonemap_stats",
+    "prune_files",
+    "skip_rate",
 ]
