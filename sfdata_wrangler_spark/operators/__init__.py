@@ -61,7 +61,7 @@ from .repetition import domain_cap, repetition_stats
 from .skew import salted_agg, skew_report
 from .asof import asof_join
 from .sketch import cms_build, cms_estimate, cms_heavy_hitters
-from .hll import hll_estimate, hll_merge, hll_sketch
+from .hll import hll_estimate, hll_intersect_estimate, hll_merge, hll_sketch
 from .bloomjoin import bloom_build, bloom_fp_rate, bloom_prune
 from .graph import (
     cooccurrence_edges,
@@ -179,6 +179,7 @@ __all__ = [
     "hll_sketch",
     "hll_merge",
     "hll_estimate",
+    "hll_intersect_estimate",
     "bloom_build",
     "bloom_prune",
     "bloom_fp_rate",

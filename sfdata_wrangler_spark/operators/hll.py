@@ -144,3 +144,42 @@ def hll_estimate(
         *group_cols,
         (F.lit(numer) / F.col("_sum_units").cast("double")).alias("hll_est"),
     )
+
+
+def hll_intersect_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    p_hex: int = 2,
+    tail_hex: int = 12,
+) -> DataFrame:
+    """Audience-overlap estimate |A ∩ B| per group by
+    inclusion-exclusion over sketches: est(A) + est(B) − est(A ∪ B),
+    where the union sketch is the cell-wise register max
+    (:func:`hll_merge` — exact for the union, which is what makes
+    inclusion-exclusion usable without ever joining the raw sets).
+
+    Everything stays register-table-sized: two estimates + one merge
+    per group, no row-level join anywhere — the standard way two
+    100 TB event streams compare audiences. Error compounds the two
+    sketch errors, so overlaps much smaller than either set drown in
+    noise (the known inclusion-exclusion caveat; the output keeps
+    est_a/est_b alongside for exactly that judgment).
+    """
+    ea = hll_estimate(a, group_cols, p_hex, tail_hex).withColumnRenamed(
+        "hll_est", "est_a"
+    )
+    eb = hll_estimate(b, group_cols, p_hex, tail_hex).withColumnRenamed(
+        "hll_est", "est_b"
+    )
+    eu = hll_estimate(
+        hll_merge(a, b, group_cols), group_cols, p_hex, tail_hex
+    ).withColumnRenamed("hll_est", "est_union")
+    out = ea.join(eb, group_cols).join(eu, group_cols)
+    return out.withColumn(
+        "est_intersect",
+        F.greatest(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            F.lit(0.0),
+        ),
+    )

@@ -91,3 +91,27 @@ def test_bloom_prune_is_map_only(spark):
     fact = spark.range(0, 1000).select(F.col("id").alias("k"))
     plan = bloom_prune(fact, "k", words)._jdf.queryExecution().toString()
     assert "Exchange" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    from sfdata_wrangler_spark.operators.hll import (
+        hll_intersect_estimate,
+        hll_sketch,
+    )
+
+    # |A| = 3000 (0..2999), |B| = 3000 (2000..4999), overlap = 1000
+    a = spark.range(0, 3000).select(
+        F.lit("g").alias("g"), F.col("id").alias("u")
+    )
+    b = spark.range(2000, 5000).select(
+        F.lit("g").alias("g"), F.col("id").alias("u")
+    )
+    ra = hll_sketch(a, ["g"], "u")
+    rb = hll_sketch(b, ["g"], "u")
+    row = hll_intersect_estimate(ra, rb, ["g"]).collect()[0]
+    # each estimate carries ~6.5% (m=256); inclusion-exclusion sums
+    # three of them over a 5000-element union -> generous envelope
+    assert abs(row.est_a - 3000) / 3000 < 0.25
+    assert abs(row.est_b - 3000) / 3000 < 0.25
+    assert abs(row.est_union - 5000) / 5000 < 0.25
+    assert 0 < row.est_intersect < 2500
