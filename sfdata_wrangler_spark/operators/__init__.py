@@ -86,6 +86,7 @@ from .linkage import blocked_fuzzy_pairs, oversized_blocks
 from .incremental_agg import merge_aggregates, partial_aggregate
 from .spatial import grid_nearest_join
 from .diff import diff_summary, table_diff
+from .encode import target_encode_loo
 from .zonemap import prune_files, skip_rate, zonemap_stats
 
 __all__ = [
@@ -205,4 +206,5 @@ __all__ = [
     "zonemap_stats",
     "prune_files",
     "skip_rate",
+    "target_encode_loo",
 ]

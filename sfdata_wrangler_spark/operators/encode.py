@@ -1,0 +1,70 @@
+"""Leave-one-out target encoding (feature-engineering surface).
+
+Target encoding replaces a categorical key with the mean of a target
+variable over that key — but the naive version leaks each row's own
+target into its feature. The leave-one-out form excludes the row
+itself: ``enc(row) = (sum(group) - target(row)) / (n(group) - 1)``,
+the standard leakage guard for tree/linear models trained on the
+encoded column.
+
+Scale shape: one map-side-combinable aggregation to the key grain,
+then a broadcast join back over the fact (keys are a dimension).
+No window functions — the per-row arithmetic needs only the group
+totals, so the fact table is touched exactly once.
+
+Exactness: targets are fixed-point-scaled to integers first
+(``scale`` units), sums are BIGINT (shuffle-order independent), and
+the division is integer ``div`` — the encoded feature is
+bit-reproducible across engines/partitionings, same policy as
+operators/lm.py / pagerank_micro. Singleton groups (n = 1) have no
+leave-one-out mean; they get NULL plus the global prior column the
+caller can coalesce onto.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode_loo(
+    df: DataFrame,
+    key_col: str,
+    target_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Append ``enc_loo`` (scaled-integer leave-one-out mean of
+    ``target_col`` per ``key_col``), plus ``enc_prior`` (the global
+    mean in the same units — the smoothing/fallback term).
+
+    NULL targets are excluded from sums and counts and receive a
+    NULL encoding. Returns all input columns + (enc_loo, enc_prior).
+    """
+    t = F.floor(F.col(target_col) * scale + 0.5).cast("bigint")
+    with_t = df.withColumn("__t", t)
+    grp = with_t.groupBy(key_col).agg(
+        F.sum("__t").alias("__gsum"),
+        F.count("__t").cast("bigint").alias("__gn"),
+    )
+    glob = with_t.agg(
+        F.sum("__t").alias("__asum"),
+        F.count("__t").cast("bigint").alias("__an"),
+    )
+    out = (
+        with_t.join(F.broadcast(grp), key_col)
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            "enc_loo",
+            F.when(
+                F.col("__t").isNotNull() & (F.col("__gn") > 1),
+                F.expr("(__gsum - __t) div (__gn - 1)"),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "enc_prior",
+            F.when(
+                F.col("__an") > 0, F.expr("__asum div __an")
+            ).cast("bigint"),
+        )
+    )
+    return out.drop("__t", "__gsum", "__gn", "__asum", "__an")

@@ -219,3 +219,42 @@ class TestRollingDistinctUsersHll:
         # m = 256 registers -> ~6.5% stddev; allow a 3-sigma envelope
         for day, wau in exact.items():
             assert abs(approx[day] - wau) / wau < 0.20, (day, wau, approx[day])
+
+
+class TestTargetEncodeLoo:
+    def test_hand_computed(self, spark):
+        from sfdata_wrangler_spark.operators.encode import target_encode_loo
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", 1.0),
+                (2, "a", 2.0),
+                (3, "a", 6.0),
+                (4, "b", 10.0),        # singleton group
+                (5, "a", None),        # null target
+            ],
+            "id bigint, k string, y double",
+        )
+        out = {
+            r.id: (r.enc_loo, r.enc_prior)
+            for r in target_encode_loo(df, "k", "y").collect()
+        }
+        # group a sum=9e6 over n=3 (null excluded)
+        assert out[1] == ((9_000_000 - 1_000_000) // 2, 19_000_000 // 4)
+        assert out[2] == (3_500_000, 4_750_000)
+        assert out[3] == (1_500_000, 4_750_000)
+        # singleton: no LOO mean, prior still present
+        assert out[4] == (None, 4_750_000)
+        # null target: no encoding
+        assert out[5] == (None, 4_750_000)
+
+    def test_no_self_leakage(self, spark):
+        from sfdata_wrangler_spark.operators.encode import target_encode_loo
+
+        # two rows, same key, different targets: each row's encoding
+        # must equal the OTHER row's target exactly
+        df = spark.createDataFrame(
+            [(1, "k", 3.0), (2, "k", 7.0)], "id bigint, k string, y double"
+        )
+        out = {r.id: r.enc_loo for r in target_encode_loo(df, "k", "y").collect()}
+        assert out == {1: 7_000_000, 2: 3_000_000}
