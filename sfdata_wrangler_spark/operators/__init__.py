@@ -43,7 +43,7 @@ from .classifier import (
     logreg_train,
 )
 from .retrieval import bm25_topk
-from .sampling import temperature_sample
+from .sampling import pps_systematic_sample, temperature_sample
 from .splits import assign_split
 from .packing import pack_by_length, pack_context_windows
 from .similarity import (
@@ -133,6 +133,7 @@ __all__ = [
     "logreg_train",
     "bm25_topk",
     "temperature_sample",
+    "pps_systematic_sample",
     "assign_split",
     "pack_by_length",
     "pack_context_windows",

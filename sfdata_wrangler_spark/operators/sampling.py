@@ -26,7 +26,7 @@ constant ``C`` plays that role and is chosen by the caller.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,3 +99,110 @@ def temperature_sample_oracle_sql(
     WHERE rate >= 1.0
        OR substring(md5(CAST(t.{id_col} AS VARCHAR)), 1, 8) < thr_hex
     """
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sample of exactly
+    ``k`` draws (with multiplicity): the survey-statistics sampler
+    behind every transit/household expansion design — rows with
+    twice the weight get twice the selection probability, and heavy
+    rows (weight > sampling stride) are drawn multiple times, which
+    is what keeps Horvitz-Thompson estimators unbiased.
+
+    Construction (all exact BIGINT — reproducible across engines,
+    partitionings and reruns, no RNG state):
+
+    1. fixed-point weights ``w = round(weight·scale)``; rows with
+       w ≤ 0 are excluded (they have zero selection probability);
+    2. a deterministic pseudo-random total order by
+       (md5-bucket, md5, id) and each row's EXCLUSIVE prefix sum
+       ``before`` via a TWO-LEVEL scan — per-bucket window sums plus
+       a broadcast bucket-offset dim (the packing.py idiom; no
+       single-partition global window anywhere);
+    3. stride = total div k, anchor u0 = stride div 2 (midpoint
+       systematic); row hit count = |{i < k : before ≤ u0 + i·stride
+       < before + w}| via integer ceil-div.
+
+    Σ n_hits = k exactly (every selection point lands in exactly one
+    row's interval) PROVIDED total fixed-point weight ≥ k; below that
+    (sub-unit weights) the stride clamps to 1 and the sampler
+    under-draws to `total` hits. Returns the selected rows +
+    (n_hits, w).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.floor(F.col(weight_col) * scale + 0.5).cast("bigint")
+    rows = (
+        df.withColumn("__w", w)
+        .where(F.col("__w") > 0)
+        .withColumn("__key", F.md5(F.col(id_col).cast("string")))
+        .withColumn(
+            "__bkt", F.conv(F.substring("__key", 1, 2), 16, 10).cast("int")
+        )
+    )
+    in_bucket = Window.partitionBy("__bkt").orderBy("__key", id_col)
+    rows = rows.withColumn(
+        "__before_in", F.sum("__w").over(in_bucket) - F.col("__w")
+    )
+    offsets = (
+        rows.groupBy("__bkt")
+        .agg(F.sum("__w").alias("__bw"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__bw").over(
+                    Window.orderBy("__bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+    )
+    total_df = rows.agg(F.sum("__w").cast("bigint").alias("__total"))
+    joined = rows.join(
+        F.broadcast(offsets.select("__bkt", "__offset")), "__bkt"
+    ).crossJoin(F.broadcast(total_df))
+    before = (F.col("__offset") + F.col("__before_in")).alias("__before")
+    joined = joined.withColumn("__before", before)
+    # stride >= 1 guard: with total < k fixed-point units (degenerate
+    # sub-unit weights) a zero stride would NULL-poison every div;
+    # clamped, the sampler under-draws to at most `total` hits, which
+    # the docstring's Σ-hits contract excludes explicitly
+    stride = F.greatest(
+        F.expr("__total div CAST({} AS BIGINT)".format(k)),
+        F.lit(1).cast("bigint"),
+    )
+    joined = joined.withColumn("__stride", stride).withColumn(
+        "__u0", F.expr("__stride div 2")
+    )
+    # Spark's `div` truncates toward zero, so floor/ceil on signed
+    # numerators need care:
+    # i_min = max(0, ceil((before - u0)/stride)): the (a + b - 1)
+    # div b form is exact wherever the max(0, ·) can bind it;
+    # i_max = floor((before + w - 1 - u0)/stride): shift the
+    # numerator by +stride (it is always > -stride since u0 < stride)
+    # so the div sees a nonnegative value, then subtract 1.
+    i_min = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.expr("(__before - __u0 + __stride - 1) div __stride"),
+    )
+    i_max = F.least(
+        F.lit(k - 1).cast("bigint"),
+        F.expr("((__before + __w - 1 - __u0 + __stride) div __stride) - 1"),
+    )
+    hits = F.greatest(
+        F.lit(0).cast("bigint"), i_max - i_min + F.lit(1)
+    )
+    out = joined.withColumn("n_hits", hits).where(F.col("n_hits") > 0)
+    return out.select(
+        *[c for c in df.columns],
+        F.col("__w").alias("w"),
+        "n_hits",
+    )

@@ -103,3 +103,66 @@ class TestTemperatureSample:
         )
         n = temperature_sample(df, "src", 8.0).count()
         assert 185 <= n <= 320
+
+
+class TestPpsSystematicSample:
+    def _df(self, spark, weights):
+        return spark.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(weights)],
+            "id bigint, wt double",
+        )
+
+    def test_exactly_k_draws_with_multiplicity(self, spark):
+        from sfdata_wrangler_spark.operators.sampling import (
+            pps_systematic_sample,
+        )
+
+        df = self._df(spark, [1.0] * 40 + [25.0, 10.0, 3.0])
+        for k in (1, 4, 7, 16):
+            out = pps_systematic_sample(df, "id", "wt", k)
+            assert (
+                out.agg(F.sum("n_hits")).collect()[0][0] == k
+            ), f"k={k}"
+
+    def test_heavy_row_drawn_multiple_times(self, spark):
+        from sfdata_wrangler_spark.operators.sampling import (
+            pps_systematic_sample,
+        )
+
+        # one row holds ~91% of the mass: with k=10 it must take
+        # multiple draws (weight > stride guarantees >= 1 each pass)
+        df = self._df(spark, [1.0] * 10 + [100.0])
+        out = {
+            r["id"]: r["n_hits"]
+            for r in pps_systematic_sample(df, "id", "wt", 10).collect()
+        }
+        assert out[10] >= 8
+
+    def test_deterministic_under_repartition(self, spark):
+        from sfdata_wrangler_spark.operators.sampling import (
+            pps_systematic_sample,
+        )
+
+        df = self._df(spark, [float(1 + i % 7) for i in range(60)])
+        a = sorted(
+            (r["id"], r["n_hits"])
+            for r in pps_systematic_sample(df, "id", "wt", 9).collect()
+        )
+        b = sorted(
+            (r["id"], r["n_hits"])
+            for r in pps_systematic_sample(
+                df.repartition(13), "id", "wt", 9
+            ).collect()
+        )
+        assert a == b
+
+    def test_zero_weight_rows_excluded(self, spark):
+        from sfdata_wrangler_spark.operators.sampling import (
+            pps_systematic_sample,
+        )
+
+        df = self._df(spark, [0.0, 5.0, 0.0, 5.0])
+        out = pps_systematic_sample(df, "id", "wt", 2)
+        ids = {r["id"] for r in out.collect()}
+        assert ids <= {1, 3}
+        assert out.agg(F.sum("n_hits")).collect()[0][0] == 2
