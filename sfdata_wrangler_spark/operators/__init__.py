@@ -11,6 +11,7 @@ from .windows import (
     rolling_distinct_users_hll,
     running_sum,
     sessionize,
+    time_weighted_average,
     trend_diff,
 )
 from .weighting import calc_weights
@@ -87,6 +88,7 @@ from .incremental_agg import merge_aggregates, partial_aggregate
 from .spatial import grid_nearest_join
 from .diff import diff_summary, table_diff
 from .encode import target_encode_loo
+from .quality import fk_integrity
 from .zonemap import prune_files, skip_rate, zonemap_stats
 
 __all__ = [
@@ -208,4 +210,6 @@ __all__ = [
     "prune_files",
     "skip_rate",
     "target_encode_loo",
+    "time_weighted_average",
+    "fk_integrity",
 ]

@@ -92,3 +92,32 @@ def avl_checks() -> list[Check]:
         ),
         Check("on_nonnegative", F.col("ON") >= 0, severity="warn"),
     ]
+
+
+def fk_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str | None = None,
+) -> DataFrame:
+    """Referential-integrity report for a foreign key: per distinct
+    child-key value that has NO matching parent row, the orphaned row
+    count — plus NULL-key rows reported under a NULL key.
+
+    Shape: distinct child keys (map-side combinable) anti-joined
+    against distinct parent keys — both sides collapse to key
+    cardinality before any join, so a billion-row fact against a
+    million-row dimension joins at dimension scale. An empty result
+    IS the integrity proof. The row-level repair (quarantine or drop)
+    is then one broadcast semi/anti join with this key list.
+    """
+    pk = parent_key or child_key
+    child_counts = child.groupBy(
+        F.col(child_key).alias("orphan_key")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    parent_keys = parent.select(
+        F.col(pk).alias("orphan_key")
+    ).where(F.col(pk).isNotNull()).distinct()
+    return child_counts.join(
+        parent_keys, "orphan_key", "left_anti"
+    ).orderBy(F.col("n_rows").desc(), F.col("orphan_key"))

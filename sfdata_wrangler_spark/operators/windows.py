@@ -352,3 +352,55 @@ def rolling_distinct_users_hll(
         F.max("max_rank").cast("int").alias("max_rank")
     )
     return hll_estimate(regs, ["win_day"], p_hex=p_hex, tail_hex=tail_hex)
+
+
+def time_weighted_average(
+    df: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    scale: int = 100,
+) -> DataFrame:
+    """Per (group, day) time-weighted mean of a piecewise-constant
+    signal — the correct average for irregularly-sampled state
+    (prices, sensor readings, occupancy): each observation holds
+    until the next one that day; a plain row-mean over-weights
+    chatty periods.
+
+    The day's LAST observation carries zero duration (its value
+    holds past the day boundary, which this day cannot see — the
+    no-lookahead convention; resample+ffill, w20, is the spine-based
+    alternative when boundary carry matters). Groups whose day has a
+    single observation therefore report NULL twa.
+
+    Exactness: values go to fixed-point (``scale`` units), durations
+    to epoch microseconds; Σ(value·duration) and Σduration are
+    BIGINT (order-independent), one integer div at the end. One
+    window pass + one combinable aggregation, both keyed by
+    (group, day).
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    w = Window.partitionBy(group_col, F.to_date(F.col(ts_col))).orderBy(
+        ts_col, id_col
+    )
+    vq = F.floor(F.col(value_col) * scale + 0.5).cast("bigint")
+    dur = (
+        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    ).cast("bigint")
+    seg = df.select(
+        F.col(group_col),
+        day,
+        vq.alias("__v"),
+        dur.alias("__dur"),
+    )
+    return seg.groupBy(group_col, "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.coalesce(F.sum("__dur"), F.lit(0)).cast("bigint").alias("dur_us"),
+        F.expr(
+            "CASE WHEN sum(__dur) > 0 "
+            "THEN sum(__v * __dur) div sum(__dur) END"
+        )
+        .cast("bigint")
+        .alias("twa_scaled"),
+    )

@@ -258,3 +258,87 @@ class TestTargetEncodeLoo:
         )
         out = {r.id: r.enc_loo for r in target_encode_loo(df, "k", "y").collect()}
         assert out == {1: 7_000_000, 2: 3_000_000}
+
+
+class TestFkIntegrity:
+    def test_orphans_and_null_keys(self, spark):
+        from sfdata_wrangler_spark.operators.quality import fk_integrity
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 99), (4, None), (5, 20)],
+            "id bigint, fk bigint",
+        )
+        parent = spark.createDataFrame([(10,), (20,)], "pk bigint")
+        out = {
+            r.orphan_key: r.n_rows
+            for r in fk_integrity(child, parent, "fk", "pk").collect()
+        }
+        # 99 is orphaned (1 row); NULL keys reported; 10/20 are fine
+        assert out == {99: 1, None: 1}
+
+    def test_clean_fk_is_empty(self, spark):
+        from sfdata_wrangler_spark.operators.quality import fk_integrity
+
+        child = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, fk bigint")
+        parent = spark.createDataFrame([(10,), (20,)], "pk bigint")
+        assert fk_integrity(child, parent, "fk", "pk").count() == 0
+
+
+class TestTimeWeightedAverage:
+    def test_hand_computed(self, spark):
+        from sfdata_wrangler_spark.operators.windows import (
+            time_weighted_average,
+        )
+
+        t = datetime.datetime(2024, 5, 1, 0, 0, 0)
+
+        def ev(i, minutes, v):
+            return Row(
+                user_id=1,
+                event_id=i,
+                ts=t + datetime.timedelta(minutes=minutes),
+                value=v,
+            )
+
+        # value 10 holds 60 min, value 20 holds 30 min, last drops
+        df = spark.createDataFrame([ev(1, 0, 10.0), ev(2, 60, 20.0), ev(3, 90, 99.0)])
+        row = time_weighted_average(df).collect()[0]
+        assert row.n_obs == 3
+        assert row.dur_us == 90 * 60 * 1_000_000
+        # twa = (1000*60 + 2000*30) / 90 = 1333 (scaled cents, floor)
+        assert row.twa_scaled == (1000 * 60 + 2000 * 30) * 60_000_000 // row.dur_us
+
+    def test_single_observation_day_is_null(self, spark):
+        from sfdata_wrangler_spark.operators.windows import (
+            time_weighted_average,
+        )
+
+        df = spark.createDataFrame(
+            [Row(user_id=7, event_id=1,
+                 ts=datetime.datetime(2024, 5, 2, 12, 0), value=5.0)]
+        )
+        row = time_weighted_average(df).collect()[0]
+        assert (row.n_obs, row.dur_us, row.twa_scaled) == (1, 0, None)
+
+    def test_chatty_period_not_overweighted(self, spark):
+        from sfdata_wrangler_spark.operators.windows import (
+            time_weighted_average,
+        )
+
+        t = datetime.datetime(2024, 5, 3, 0, 0, 0)
+        rows = [
+            # 10 rapid-fire readings of 100 within one minute...
+            Row(user_id=1, event_id=i,
+                ts=t + datetime.timedelta(seconds=6 * i), value=100.0)
+            for i in range(10)
+        ] + [
+            # ...then one reading of 0 that holds ten hours
+            Row(user_id=1, event_id=99,
+                ts=t + datetime.timedelta(minutes=1), value=0.0),
+            Row(user_id=1, event_id=100,
+                ts=t + datetime.timedelta(hours=10, minutes=1), value=0.0),
+        ]
+        row = time_weighted_average(spark.createDataFrame(rows)).collect()[0]
+        # plain row-mean would be ~83; the TWA must be ~0.17 (cents
+        # scale: 100.0 -> 10000; 1 min of 100 vs 600 min of 0)
+        assert row.twa_scaled == 10000 * 60 // (601 * 60)
