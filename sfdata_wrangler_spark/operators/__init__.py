@@ -43,7 +43,7 @@ from .classifier import (
     logreg_predict,
     logreg_train,
 )
-from .retrieval import bm25_topk
+from .retrieval import bm25_topk, tfidf_keywords
 from .sampling import pps_systematic_sample, temperature_sample
 from .splits import assign_split
 from .packing import pack_by_length, pack_context_windows
@@ -134,6 +134,7 @@ __all__ = [
     "logreg_predict",
     "logreg_train",
     "bm25_topk",
+    "tfidf_keywords",
     "temperature_sample",
     "pps_systematic_sample",
     "assign_split",

@@ -32,7 +32,7 @@ one-line change if cross-engine bit-parity is not required.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, token_count
@@ -172,3 +172,63 @@ def bm25_oracle_sql(
     ORDER BY score_micro DESC, doc_id
     LIMIT {k}
     """
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf — the
+    keyword-extraction twin of :func:`bm25_topk` (same ln-free
+    odds-ratio idf, same integer micro-unit scores, so the ranking is
+    engine-reproducible).
+
+    Shape: one explode → (doc, token) tf groupBy (map-side
+    combinable) → token-keyed df groupBy (vocabulary-sized, broadcast
+    back) → per-doc window rank. The corpus is scanned once; the
+    only non-doc-keyed shuffle is the vocabulary aggregation, which
+    Zipf keeps tiny relative to the corpus. Ties break on the token
+    string for a total order.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .where(F.length("tok") >= min_token_len)
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    n_docs_df = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_docs")
+    )
+    df_t = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_t), "tok").crossJoin(
+        F.broadcast(n_docs_df)
+    )
+    idf = (
+        F.col("__n_docs").cast("double")
+        - F.col("df").cast("double")
+        + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    score = F.floor(
+        F.col("tf").cast("double") * idf * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    ranked = scored.select(
+        F.col(id_col),
+        "tok",
+        F.col("tf"),
+        F.col("df"),
+        score.alias("score_micro"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.col("score_micro").desc(), F.col("tok")
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k)

@@ -166,3 +166,34 @@ class TestPpsSystematicSample:
         ids = {r["id"] for r in out.collect()}
         assert ids <= {1, 3}
         assert out.agg(F.sum("n_hits")).collect()[0][0] == 2
+
+
+class TestTfidfKeywords:
+    def test_rare_terms_beat_common_terms(self, spark):
+        from sfdata_wrangler_spark.operators.retrieval import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common common common zebra common"),
+                (2, "common words appear everywhere common"),
+                (3, "common words appear everywhere again"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = tfidf_keywords(docs, k=1).collect()
+        top = {r.doc_id: r.tok for r in out}
+        # 'zebra' (df=1) must beat 'common' (df=3) despite tf 1 vs 4
+        assert top[1] == "zebra"
+
+    def test_total_order_and_k(self, spark):
+        from sfdata_wrangler_spark.operators.retrieval import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")],
+            "doc_id bigint, text string",
+        )
+        out = tfidf_keywords(docs, k=3).collect()
+        assert [r.rank for r in out] == [1, 2, 3]
+        # all terms have identical tf/df -> rank falls back to the
+        # token string: alphabetical prefix of the vocabulary
+        assert [r.tok for r in out] == ["alpha", "beta", "delta"]
