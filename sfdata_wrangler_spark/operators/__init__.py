@@ -73,7 +73,13 @@ from .graph import (
 )
 from .attribution import multitouch_attribution
 from .cdc import apply_changelog
-from .drift import chisq_drift, mad_outliers, seasonal_anomaly, winsorize_bounds
+from .drift import (
+    chisq_drift,
+    cusum_changepoints,
+    mad_outliers,
+    seasonal_anomaly,
+    winsorize_bounds,
+)
 from .compaction import plan_compaction
 from .spandedup import (
     duplicate_spans,
@@ -213,4 +219,5 @@ __all__ = [
     "target_encode_loo",
     "time_weighted_average",
     "fk_integrity",
+    "cusum_changepoints",
 ]

@@ -32,7 +32,7 @@ failure mode is distributional, not row-local.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["chisq_drift", "mad_outliers"]
@@ -192,4 +192,55 @@ def winsorize_bounds(
         F.sum(F.when(F.col(value_col) > F.col("p_hi"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_above"),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    reference: float,
+    slack: float,
+    threshold: float,
+    scale: int = 100,
+) -> DataFrame:
+    """One-sided CUSUM control chart per group — the sequential
+    change-point detector (did the process mean shift UP from its
+    reference?) that complements the batch drift tests (chi-square
+    cohorts, MAD fences) with a per-observation alarm time.
+
+    CUSUM's textbook recursion ``S_t = max(0, S_{t-1} + x_t − ref −
+    slack)`` looks inherently sequential, but the clipped recursion
+    has a closed form: with ``P_t`` the prefix sum of deviations,
+    ``S_t = P_t − min(0, min_{j≤t} P_j)`` — a prefix SUM and a
+    prefix MIN, i.e. two frame-identical window functions, fully
+    distributed and exact in fixed-point BIGINT (deviations, sums
+    and the threshold all in ``scale`` units; no recursion, no UDF,
+    no state).
+
+    Returns every observation with its CUSUM statistic and
+    ``alarm`` flag (S > threshold). The first alarm per group is
+    the detected change point; downstream that is one min-per-group
+    aggregation.
+    """
+    q = lambda c: F.floor(c * scale + 0.5).cast("bigint")  # noqa: E731
+    dev = (
+        q(F.col(value_col)) - F.lit(int(round(reference * scale)))
+        - F.lit(int(round(slack * scale)))
+    )
+    w = Window.partitionBy(group_col).orderBy(ts_col, id_col)
+    p = F.sum(dev).over(w)
+    run_min = F.least(F.min(p).over(w), F.lit(0).cast("bigint"))
+    s = (p - run_min).alias("cusum_scaled")
+    return df.select(
+        group_col,
+        ts_col,
+        id_col,
+        value_col,
+        s,
+    ).withColumn(
+        "alarm",
+        F.col("cusum_scaled") > F.lit(int(round(threshold * scale))),
     )

@@ -342,3 +342,50 @@ class TestTimeWeightedAverage:
         # plain row-mean would be ~83; the TWA must be ~0.17 (cents
         # scale: 100.0 -> 10000; 1 min of 100 vs 600 min of 0)
         assert row.twa_scaled == 10000 * 60 // (601 * 60)
+
+
+class TestCusumChangepoints:
+    def test_shift_detected_after_accumulation(self, spark):
+        from sfdata_wrangler_spark.operators.drift import cusum_changepoints
+
+        t = datetime.datetime(2024, 6, 1, 0, 0)
+        vals = [10.0, 10.5, 9.5, 10.0, 10.0, 14.0, 14.0, 14.0, 14.0]
+        df = spark.createDataFrame(
+            [
+                Row(g="m", ts=t + datetime.timedelta(minutes=i),
+                    event_id=i, value=v)
+                for i, v in enumerate(vals)
+            ]
+        )
+        out = cusum_changepoints(
+            df, "g", "ts", "event_id", "value",
+            reference=10.0, slack=1.0, threshold=6.0,
+        ).orderBy("event_id").collect()
+        # pre-shift deviations are <= 0 (after slack): S pinned at ~0
+        assert all(r.cusum_scaled <= 0 or r.event_id >= 5 for r in out)
+        assert not any(r.alarm for r in out[:5])
+        # post-shift: d=+3 per step -> S = 300, 600, 900 (cents)
+        assert [r.cusum_scaled for r in out[5:]] == [300, 600, 900, 1200]
+        # alarm (S > 600) first fires on the third post-shift point
+        assert [r.alarm for r in out[5:]] == [False, False, True, True]
+
+    def test_clip_at_zero_prevents_negative_credit(self, spark):
+        from sfdata_wrangler_spark.operators.drift import cusum_changepoints
+
+        t = datetime.datetime(2024, 6, 2, 0, 0)
+        # a long low stretch must NOT bank negative credit that
+        # delays detection of a later shift (the clip in max(0, .))
+        vals = [5.0] * 10 + [14.0, 14.0, 14.0]
+        df = spark.createDataFrame(
+            [
+                Row(g="m", ts=t + datetime.timedelta(minutes=i),
+                    event_id=i, value=v)
+                for i, v in enumerate(vals)
+            ]
+        )
+        out = cusum_changepoints(
+            df, "g", "ts", "event_id", "value",
+            reference=10.0, slack=1.0, threshold=6.0,
+        ).orderBy("event_id").collect()
+        assert [r.cusum_scaled for r in out[10:]] == [300, 600, 900]
+        assert out[12].alarm
