@@ -16,7 +16,7 @@ from .windows import (
 )
 from .weighting import calc_weights
 from .imputation import impute_from_prior_month
-from .interval_lookup import interval_lookup, missing_keys
+from .interval_lookup import interval_lookup, interval_overlap_join, missing_keys
 from .crosstab import crosstab_with_margins
 from .scd2 import collapse_to_intervals
 from .profile import profile_table
@@ -114,6 +114,7 @@ __all__ = [
     "calc_weights",
     "impute_from_prior_month",
     "interval_lookup",
+    "interval_overlap_join",
     "missing_keys",
     "crosstab_with_margins",
     "collapse_to_intervals",

@@ -82,3 +82,73 @@ def missing_keys(
             F.max(date_col).alias("last_date"),
         )
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket: str = "1 hour",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """All (a, b) row pairs whose HALF-OPEN intervals
+    ``[a_start, a_end)`` and ``[b_start, b_end)`` overlap — the
+    interval×interval join (trips × service alerts, sessions ×
+    incidents) that :func:`interval_lookup` (point-in-interval,
+    broadcast dim) cannot express when BOTH sides are fact-scale.
+
+    Shape: explode each interval into the coarse time-grid cells it
+    touches (``sequence`` over ``bucket``-truncated endpoints — a
+    bounded ×(duration/bucket) multiplication), equi-join on the
+    cell (+ optional ``keys``), dedup the pair, verify the exact
+    overlap predicate. Any overlapping pair shares the cell
+    containing the later start, so the grid is a LOSSLESS candidate
+    generator — the temporal twin of the spatial grid join
+    (operators/spatial.py) and the same trade: bucket ≈ typical
+    interval length bounds both blow-up and bucket population.
+
+    Returns a's columns + b's columns plus ``overlap_us``. Intervals
+    longer than ~10k buckets should use a coarser grid (explode cost
+    is linear in cells per interval).
+    """
+    cell = lambda c: F.window(F.col(c), bucket).start  # noqa: E731
+    ka = [F.col(k) for k in keys]
+
+    def cells(df, s, e, tag):
+        return df.withColumn(
+            f"__cell_{tag}",
+            F.explode(
+                F.sequence(
+                    cell(s),
+                    # end is exclusive: the last touched cell is the
+                    # one containing end - 1us
+                    F.window(
+                        F.col(e) - F.expr("INTERVAL 1 MICROSECOND"), bucket
+                    ).start,
+                    F.expr(f"INTERVAL {bucket}"),
+                )
+            ),
+        )
+
+    ac = cells(a, a_start, a_end, "a")
+    bc = cells(b, b_start, b_end, "b")
+    on = [ac[f"__cell_a"] == bc[f"__cell_b"]] + [
+        ac[k] == bc[k] for k in keys
+    ]
+    joined = ac.join(bc.drop(*keys), on).drop("__cell_a", "__cell_b")
+    overlap = (
+        F.least(F.unix_micros(F.col(a_end)), F.unix_micros(F.col(b_end)))
+        - F.greatest(
+            F.unix_micros(F.col(a_start)), F.unix_micros(F.col(b_start))
+        )
+    ).alias("overlap_us")
+    return (
+        joined.dropDuplicates(
+            [c for c in joined.columns]
+        )
+        .withColumn("overlap_us", overlap)
+        .where(F.col("overlap_us") > 0)
+    )

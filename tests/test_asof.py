@@ -93,3 +93,82 @@ def test_asof_single_shuffle_plan(spark):
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+class TestIntervalOverlapJoin:
+    def _mk(self, spark, rows, pfx):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 7, 1, 0, 0)
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    t0 + dt.timedelta(minutes=s),
+                    t0 + dt.timedelta(minutes=e),
+                )
+                for i, (s, e) in enumerate(rows)
+            ],
+            f"{pfx}_id bigint, {pfx}_s timestamp, {pfx}_e timestamp",
+        )
+
+    def test_differential_vs_brute_force(self, spark):
+        from sfdata_wrangler_spark.operators.interval_lookup import (
+            interval_overlap_join,
+        )
+
+        import random
+
+        rng = random.Random(11)
+        a_rows = [
+            (s, s + rng.randint(1, 200))
+            for s in (rng.randint(0, 2000) for _ in range(40))
+        ]
+        b_rows = [
+            (s, s + rng.randint(1, 200))
+            for s in (rng.randint(0, 2000) for _ in range(40))
+        ]
+        a = self._mk(spark, a_rows, "a")
+        b = self._mk(spark, b_rows, "b")
+        got = {
+            (r.a_id, r.b_id, r.overlap_us)
+            for r in interval_overlap_join(
+                a, b, "a_s", "a_e", "b_s", "b_e", bucket="1 hour"
+            ).collect()
+        }
+        want = set()
+        for i, (as_, ae) in enumerate(a_rows):
+            for j, (bs, be) in enumerate(b_rows):
+                ov = min(ae, be) - max(as_, bs)
+                if ov > 0:
+                    want.add((i, j, ov * 60 * 1_000_000))
+        assert got == want
+
+    def test_boundary_touch_is_not_overlap(self, spark):
+        from sfdata_wrangler_spark.operators.interval_lookup import (
+            interval_overlap_join,
+        )
+
+        a = self._mk(spark, [(0, 60)], "a")
+        b = self._mk(spark, [(60, 120)], "b")  # half-open: no overlap
+        assert (
+            interval_overlap_join(
+                a, b, "a_s", "a_e", "b_s", "b_e", bucket="30 minutes"
+            ).count()
+            == 0
+        )
+
+    def test_cross_bucket_pair_found_once(self, spark):
+        from sfdata_wrangler_spark.operators.interval_lookup import (
+            interval_overlap_join,
+        )
+
+        # both intervals span several 15-min cells; the pair must
+        # appear exactly once despite sharing many cells
+        a = self._mk(spark, [(0, 100)], "a")
+        b = self._mk(spark, [(50, 160)], "b")
+        out = interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", bucket="15 minutes"
+        ).collect()
+        assert len(out) == 1
+        assert out[0].overlap_us == 50 * 60 * 1_000_000
