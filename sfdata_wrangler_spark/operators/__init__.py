@@ -74,6 +74,7 @@ from .graph import (
 from .attribution import multitouch_attribution
 from .cdc import apply_changelog
 from .drift import (
+    ab_test_report,
     chisq_drift,
     cusum_changepoints,
     mad_outliers,
@@ -221,4 +222,5 @@ __all__ = [
     "time_weighted_average",
     "fk_integrity",
     "cusum_changepoints",
+    "ab_test_report",
 ]

@@ -244,3 +244,74 @@ def cusum_changepoints(
         "alarm",
         F.col("cusum_scaled") > F.lit(int(round(threshold * scale))),
     )
+
+
+def ab_test_report(
+    df: DataFrame,
+    experiment_col: str,
+    variant_col: str,
+    success: Column,
+) -> DataFrame:
+    """Two-proportion z-test per experiment: conversion counts for
+    the two variants plus the pooled z statistic — the readout every
+    experimentation pipeline ends in.
+
+    Exactly one aggregation (counts are BIGINT) and a fixed scalar
+    expression tree per experiment row. The z-score uses only +,−,×,
+    ÷ and sqrt — all IEEE-correctly-rounded, so even the float
+    statistic is engine-reproducible (the same policy that admits
+    sqrt in temperature_sample but bans ln/exp). Experiments whose
+    pooled variance is zero (all-success or all-failure) report NULL
+    z. Exactly two variants per experiment are expected; rows beyond
+    the first two variant names (lexicographic) are rejected with a
+    nonnull guard column rather than silently folded in.
+
+    Returns (experiment, variant_a, n_a, conv_a, variant_b, n_b,
+    conv_b, z).
+    """
+    per_variant = df.groupBy(experiment_col, variant_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(success, 1).otherwise(0)).cast("bigint").alias("conv"),
+    )
+    w = Window.partitionBy(experiment_col).orderBy(variant_col)
+    ranked = per_variant.withColumn("__r", F.row_number().over(w))
+    wide = (
+        ranked.groupBy(experiment_col)
+        .agg(
+            F.max(F.when(F.col("__r") == 1, F.col(variant_col))).alias(
+                "variant_a"
+            ),
+            F.max(F.when(F.col("__r") == 1, F.col("n"))).alias("n_a"),
+            F.max(F.when(F.col("__r") == 1, F.col("conv"))).alias("conv_a"),
+            F.max(F.when(F.col("__r") == 2, F.col(variant_col))).alias(
+                "variant_b"
+            ),
+            F.max(F.when(F.col("__r") == 2, F.col("n"))).alias("n_b"),
+            F.max(F.when(F.col("__r") == 2, F.col("conv"))).alias("conv_b"),
+            F.max(F.col("__r")).alias("__n_variants"),
+        )
+    )
+    p1 = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p2 = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(se > 0, (p1 - p2) / se)
+    return wide.where(F.col("__n_variants") == 2).select(
+        experiment_col,
+        "variant_a",
+        "n_a",
+        "conv_a",
+        "variant_b",
+        "n_b",
+        "conv_b",
+        z.alias("z"),
+    )

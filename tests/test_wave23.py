@@ -2,6 +2,8 @@
 similarity join, skew report, seasonal anomaly, winsorize bounds."""
 
 import datetime
+
+import pytest
 import itertools
 
 from pyspark.sql import Row
@@ -389,3 +391,40 @@ class TestCusumChangepoints:
         ).orderBy("event_id").collect()
         assert [r.cusum_scaled for r in out[10:]] == [300, 600, 900]
         assert out[12].alarm
+
+
+class TestAbTestReport:
+    def test_hand_computed_z(self, spark):
+        import math
+
+        from sfdata_wrangler_spark.operators.drift import ab_test_report
+
+        rows = (
+            [("e1", "control", 1)] * 40 + [("e1", "control", 0)] * 60
+            + [("e1", "treat", 1)] * 55 + [("e1", "treat", 0)] * 45
+        )
+        df = spark.createDataFrame(rows, "exp string, variant string, ok int")
+        r = ab_test_report(df, "exp", "variant", F.col("ok") == 1).collect()[0]
+        assert (r.variant_a, r.n_a, r.conv_a) == ("control", 100, 40)
+        assert (r.variant_b, r.n_b, r.conv_b) == ("treat", 100, 55)
+        p1, p2, pp = 0.40, 0.55, 0.475
+        want = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+        assert r.z == pytest.approx(want, rel=1e-12)
+
+    def test_degenerate_and_wrong_arity(self, spark):
+        from sfdata_wrangler_spark.operators.drift import ab_test_report
+
+        rows = (
+            # all-success experiment: zero pooled variance -> NULL z
+            [("zero_var", "a", 1)] * 5 + [("zero_var", "b", 1)] * 5
+            # three-variant experiment: rejected, not silently folded
+            + [("three", "a", 1), ("three", "b", 0), ("three", "c", 1)]
+            # single-variant experiment: rejected
+            + [("solo", "a", 1)] * 3
+        )
+        df = spark.createDataFrame(rows, "exp string, variant string, ok int")
+        out = {r.exp: r for r in ab_test_report(
+            df, "exp", "variant", F.col("ok") == 1
+        ).collect()}
+        assert set(out) == {"zero_var"}
+        assert out["zero_var"].z is None
