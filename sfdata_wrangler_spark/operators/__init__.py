@@ -71,7 +71,7 @@ from .graph import (
     pagerank_micro,
     triangle_count,
 )
-from .attribution import multitouch_attribution
+from .attribution import multitouch_attribution, timedecay_attribution
 from .cdc import apply_changelog
 from .drift import (
     ab_test_report,
@@ -207,6 +207,7 @@ __all__ = [
     "mad_outliers",
     "ewma_bounded",
     "multitouch_attribution",
+    "timedecay_attribution",
     "containment_pairs",
     "simhash_hamming_pairs",
     "prefix_filter_pairs",

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["multitouch_attribution"]
+__all__ = ["multitouch_attribution", "timedecay_attribution"]
 
 
 def multitouch_attribution(
@@ -90,4 +90,71 @@ def multitouch_attribution(
             "weight",
             (F.col("weight") * F.col("c_value")).alias("credited"),
         )
+    )
+
+
+def timedecay_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    touch_id: str = "event_id",
+    conv_id: str = "event_id",
+    value_col: str = "value",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Time-decay multi-touch attribution: a touch's credit halves
+    for every full day of age at conversion time (1-day half-life) —
+    the recency-weighted complement to the positional model above.
+
+    Exactness: raw weights are powers of two materialized as BIGINT
+    ``shiftleft(1, lookback_days − age_days)`` — integer, so the
+    per-conversion normalizer Σraw is shuffle-order independent, and
+    the only float ops are one division and one multiply over exact
+    operands (no pow/exp, per the engine's no-libm policy).
+
+    Returns (conversion_id, touch_id, age_days, weight, credited);
+    weights per conversion sum to 1 exactly in rational terms.
+    """
+    t = touches.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t_ts"),
+        F.col(touch_id).alias("touch_id"),
+    )
+    c = conversions.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("c_ts"),
+        F.col(conv_id).alias("conversion_id"),
+        F.col(value_col).alias("c_value"),
+    )
+    joined = c.join(t, "u").where(
+        (F.col("t_ts") < F.col("c_ts"))
+        & (
+            F.unix_micros("c_ts") - F.unix_micros("t_ts")
+            <= F.lit(int(lookback_days) * 86_400_000_000).cast("long")
+        )
+    )
+    age = (
+        (F.unix_micros("c_ts") - F.unix_micros("t_ts"))
+        / F.lit(86_400_000_000)
+    ).cast("bigint")
+    # SQL shiftleft accepts a column shift; the PySpark wrapper
+    # insists on a Python int (same note as operators/hll.py)
+    joined = joined.withColumn("age_days", age).withColumn(
+        "__raw",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST({int(lookback_days)} - age_days AS INT))"
+        ),
+    )
+    wn = Window.partitionBy("conversion_id")
+    weight = F.col("__raw").cast("double") / F.sum("__raw").over(wn).cast(
+        "double"
+    )
+    return joined.select(
+        "conversion_id",
+        "touch_id",
+        F.col("age_days").cast("bigint").alias("age_days"),
+        weight.alias("weight"),
+        (weight * F.col("c_value")).alias("credited"),
     )

@@ -110,3 +110,56 @@ def test_containment_threshold_is_exact_integer(spark):
     lo = containment_pairs(docs, min_containment_pct=10).count()
     hi = containment_pairs(docs, min_containment_pct=101).count()
     assert hi == 0 and lo >= 2
+
+
+class TestTimedecayAttribution:
+    def test_halving_per_day_and_conservation(self, spark):
+        import datetime as dt
+
+        from sfdata_wrangler_spark.operators.attribution import (
+            timedecay_attribution,
+        )
+
+        conv_t = dt.datetime(2024, 8, 10, 12, 0)
+        touches = spark.createDataFrame(
+            [
+                (1, 100, conv_t - dt.timedelta(hours=2)),   # age 0
+                (1, 101, conv_t - dt.timedelta(days=1, hours=1)),  # age 1
+                (1, 102, conv_t - dt.timedelta(days=3)),    # age 3
+            ],
+            "user_id bigint, event_id bigint, ts timestamp",
+        )
+        convs = spark.createDataFrame(
+            [(1, 500, conv_t, 88.0)],
+            "user_id bigint, event_id bigint, ts timestamp, value double",
+        )
+        out = {
+            r.touch_id: r
+            for r in timedecay_attribution(touches, convs).collect()
+        }
+        # raw weights 2^7, 2^6, 2^4 -> 128:64:16 = 8/13, 4/13, 1/13
+        assert out[100].weight == 128 / 208
+        assert out[101].weight == 64 / 208
+        assert out[102].weight == 16 / 208
+        assert sum(r.weight for r in out.values()) == 1.0
+        assert sum(r.credited for r in out.values()) == pytest.approx(
+            88.0, abs=1e-9
+        )
+
+    def test_out_of_window_touch_excluded(self, spark):
+        import datetime as dt
+
+        from sfdata_wrangler_spark.operators.attribution import (
+            timedecay_attribution,
+        )
+
+        conv_t = dt.datetime(2024, 8, 10, 12, 0)
+        touches = spark.createDataFrame(
+            [(1, 100, conv_t - dt.timedelta(days=8))],
+            "user_id bigint, event_id bigint, ts timestamp",
+        )
+        convs = spark.createDataFrame(
+            [(1, 500, conv_t, 10.0)],
+            "user_id bigint, event_id bigint, ts timestamp, value double",
+        )
+        assert timedecay_attribution(touches, convs).count() == 0
