@@ -134,9 +134,10 @@ def timedecay_attribution(
             <= F.lit(int(lookback_days) * 86_400_000_000).cast("long")
         )
     )
-    age = (
-        (F.unix_micros("c_ts") - F.unix_micros("t_ts"))
-        / F.lit(86_400_000_000)
+    # integer div, not float-divide-then-truncate: a quotient one ulp
+    # above an integer would otherwise flip the age at µs boundaries
+    age = F.expr(
+        "(unix_micros(c_ts) - unix_micros(t_ts)) div 86400000000"
     ).cast("bigint")
     # SQL shiftleft accepts a column shift; the PySpark wrapper
     # insists on a Python int (same note as operators/hll.py)
