@@ -80,3 +80,33 @@ def euclidean_feet(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
 METERS_TO_FEET = 3.2808399  # GTFSHelper.py:475
 FEET_PER_SECOND_TO_MPH = 0.681818  # TaxiDataHelper.py:229
 FEET_PER_MILE = 5280.0  # GTFSHelper.py:492
+
+
+def point_in_convex_polygon(
+    x: Column, y: Column, vertices: list[tuple[float, float]]
+) -> Column:
+    """True iff (x, y) lies inside (or on the boundary of) the CONVEX
+    polygon given by ``vertices`` in counter-clockwise order — the
+    exact-geometry upgrade of the bounding-box geofence (P6): for a
+    convex CCW polygon, a point is inside iff every edge's cross
+    product ``(b−a) × (p−a)`` is ≥ 0.
+
+    Pure column arithmetic (one multiply-subtract per edge, AND-fold)
+    — codegen'd, broadcast-free, deterministic: the sign tests use
+    identical IEEE ops in any engine. Vertex count is a literal, so
+    the expression tree is fixed at plan time; for polygon DIMENSIONS
+    (many polygons) use the grid join (operators/spatial.py) to
+    assign candidate polygons first and this predicate to verify.
+    """
+    if len(vertices) < 3:
+        raise ValueError("a polygon needs at least 3 vertices")
+    cond = F.lit(True)
+    n = len(vertices)
+    for i in range(n):
+        ax, ay = vertices[i]
+        bx, by = vertices[(i + 1) % n]
+        cross = (F.lit(bx) - F.lit(ax)) * (y - F.lit(ay)) - (
+            F.lit(by) - F.lit(ay)
+        ) * (x - F.lit(ax))
+        cond = cond & (cross >= 0)
+    return cond

@@ -79,3 +79,77 @@ def test_geofence(spark):
     )
     out = geofence(df).collect()
     assert len(out) == 1 and out[0].latitude == 37.78
+
+
+class TestPointInConvexPolygon:
+    def test_square_and_triangle(self, spark):
+        from sfdata_wrangler_spark.functions.geo import (
+            point_in_convex_polygon,
+        )
+
+        pts = spark.createDataFrame(
+            [
+                (1, 0.5, 0.5),   # inside unit square
+                (2, 1.5, 0.5),   # outside (right)
+                (3, 0.0, 0.0),   # corner: boundary counts as inside
+                (4, 1.0, 0.5),   # edge midpoint
+                (5, -0.001, 0.5),
+            ],
+            "id bigint, x double, y double",
+        )
+        square = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+        got = {
+            r.id: r.inside
+            for r in pts.select(
+                "id",
+                point_in_convex_polygon(
+                    F.col("x"), F.col("y"), square
+                ).alias("inside"),
+            ).collect()
+        }
+        assert got == {1: True, 2: False, 3: True, 4: True, 5: False}
+
+    def test_differential_vs_shapely_free_reference(self, spark):
+        import random
+
+        from sfdata_wrangler_spark.functions.geo import (
+            point_in_convex_polygon,
+        )
+
+        tri = [(0.0, 0.0), (4.0, 0.0), (2.0, 3.0)]
+
+        def ref(px, py):
+            n = len(tri)
+            for i in range(n):
+                ax, ay = tri[i]
+                bx, by = tri[(i + 1) % n]
+                if (bx - ax) * (py - ay) - (by - ay) * (px - ax) < 0:
+                    return False
+            return True
+
+        rng = random.Random(3)
+        pts = [
+            (i, rng.uniform(-1, 5), rng.uniform(-1, 4)) for i in range(200)
+        ]
+        df = spark.createDataFrame(pts, "id bigint, x double, y double")
+        got = {
+            r.id: r.inside
+            for r in df.select(
+                "id",
+                point_in_convex_polygon(F.col("x"), F.col("y"), tri).alias(
+                    "inside"
+                ),
+            ).collect()
+        }
+        for i, px, py in pts:
+            assert got[i] == ref(px, py)
+
+    def test_too_few_vertices_raises(self, spark):
+        import pytest as _pytest
+
+        from sfdata_wrangler_spark.functions.geo import (
+            point_in_convex_polygon,
+        )
+
+        with _pytest.raises(ValueError):
+            point_in_convex_polygon(F.lit(0.0), F.lit(0.0), [(0, 0), (1, 1)])
