@@ -72,7 +72,7 @@ from .graph import (
     triangle_count,
 )
 from .attribution import multitouch_attribution, timedecay_attribution
-from .cdc import apply_changelog
+from .cdc import apply_changelog, survivorship_merge
 from .drift import (
     ab_test_report,
     chisq_drift,
@@ -202,6 +202,7 @@ __all__ = [
     "pagerank",
     "pagerank_micro",
     "apply_changelog",
+    "survivorship_merge",
     "plan_compaction",
     "chisq_drift",
     "mad_outliers",

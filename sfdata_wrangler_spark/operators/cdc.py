@@ -31,11 +31,13 @@ operators/incremental_agg.py (which maintains aggregates, not rows).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["apply_changelog"]
+__all__ = ["apply_changelog", "survivorship_merge"]
 
 
 def apply_changelog(
@@ -80,3 +82,37 @@ def apply_changelog(
             .alias(c)
         )
     return kept.select(*out_cols)
+
+
+def survivorship_merge(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Golden-record survivorship: one row per entity where each
+    payload field independently takes its LATEST NON-NULL value
+    across the entity's records — the master-data-management merge
+    rule (a newer record with a null phone must not erase the older
+    phone).
+
+    One aggregation, one ``max_by`` per field with the ordering key
+    nulled-out for rows where the FIELD is null (``max_by`` skips
+    null keys, which is exactly the survivorship semantics). The
+    (ts, id) struct key is a total order, so ties are deterministic.
+    Per-field winners may come from DIFFERENT source rows by design.
+    Also emits n_records and last_ts for lineage.
+    """
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    ]
+    for c in payload_cols:
+        aggs.append(
+            F.expr(
+                f"max_by({c}, CASE WHEN {c} IS NOT NULL "
+                f"THEN struct({ts_col}, {id_col}) END)"
+            ).alias(c)
+        )
+    return df.groupBy(key_col).agg(*aggs)

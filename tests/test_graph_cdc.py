@@ -173,3 +173,54 @@ def test_pagerank_micro_exact_under_repartition(spark):
     b = sorted(map(tuple, pagerank_micro(e2, iters=6).collect()))
     # integer arithmetic: EQUAL, not approximately equal
     assert a == b
+
+
+def test_survivorship_merge_fields_independent(spark):
+    import datetime as dt
+
+    from sfdata_wrangler_spark.operators.cdc import survivorship_merge
+
+    t0 = dt.datetime(2024, 9, 1)
+
+    def r(uid, seq, name, phone):
+        return (uid, t0 + dt.timedelta(days=seq), seq, name, phone)
+
+    df = spark.createDataFrame(
+        [
+            r(1, 1, "alice", "555-0100"),
+            r(1, 2, "alice b", None),      # newer, but null phone
+            r(1, 3, None, "555-0199"),     # newest phone, null name
+            r(2, 1, None, None),           # all-null entity fields
+        ],
+        "uid bigint, ts timestamp, seq bigint, name string, phone string",
+    )
+    out = {
+        row.uid: row
+        for row in survivorship_merge(
+            df, "uid", "ts", "seq", ["name", "phone"]
+        ).collect()
+    }
+    # each field independently takes its latest NON-NULL value
+    assert out[1].name == "alice b"
+    assert out[1].phone == "555-0199"
+    assert out[1].n_records == 3
+    assert (out[2].name, out[2].phone) == (None, None)
+
+
+def test_survivorship_tie_break_deterministic(spark):
+    import datetime as dt
+
+    from sfdata_wrangler_spark.operators.cdc import survivorship_merge
+
+    ts = dt.datetime(2024, 9, 2)
+    df = spark.createDataFrame(
+        [(1, ts, 1, "first"), (1, ts, 2, "second")],
+        "uid bigint, ts timestamp, seq bigint, name string",
+    )
+    a = survivorship_merge(df, "uid", "ts", "seq", ["name"]).collect()[0]
+    b = survivorship_merge(
+        df.repartition(5), "uid", "ts", "seq", ["name"]
+    ).collect()[0]
+    # same ts: the (ts, seq) struct key breaks the tie the same way
+    # regardless of partitioning
+    assert a.name == b.name == "second"
