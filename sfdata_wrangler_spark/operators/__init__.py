@@ -39,6 +39,8 @@ from .linedup import drop_boilerplate_lines, tokens_to_lines
 from .lm import bigram_lm_score
 from .bpe import bpe_tokenize, bpe_train, word_type_counts
 from .classifier import (
+    binary_classification_report,
+    calibration_table,
     hashed_token_features,
     logreg_predict,
     logreg_train,
@@ -141,6 +143,8 @@ __all__ = [
     "hashed_token_features",
     "logreg_predict",
     "logreg_train",
+    "binary_classification_report",
+    "calibration_table",
     "bm25_topk",
     "tfidf_keywords",
     "temperature_sample",

@@ -32,6 +32,8 @@ order, and declared query outputs round scores defensively.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -143,4 +145,116 @@ def logreg_predict(
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("score"),
             (F.col("m") >= 0).alias("pred"),
         )
+    )
+
+
+def binary_classification_report(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    thresholds: Sequence[float] = (0.1, 0.3, 0.5, 0.7, 0.9),
+) -> DataFrame:
+    """Precision/recall/accuracy table for a scored frame at fixed
+    thresholds — the evaluation readout for the distilled quality
+    filter (or any binary scorer).
+
+    One aggregation pass: per threshold, four conditional BIGINT
+    sums (tp/fp/fn/tn) — the threshold list is a plan-time literal,
+    so the whole report is a single map-side-combinable agg with no
+    shuffle of the scores and no sort (contrast ROC curves, which
+    need the global score ordering). Ratios are emitted as exact
+    integer numerator/denominator pairs plus a convenience double.
+    """
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = F.col(score_col) >= F.lit(float(t))
+        pos = F.col(label_col) == 1
+        aggs += [
+            F.sum(F.when(pred & pos, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tp_{i}"),
+            F.sum(F.when(pred & ~pos, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"fp_{i}"),
+            F.sum(F.when(~pred & pos, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"fn_{i}"),
+            F.sum(F.when(~pred & ~pos, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tn_{i}"),
+        ]
+    wide = scored.agg(*aggs)
+    entries = []
+    for i, t in enumerate(thresholds):
+        entries.append(
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"tp_{i}").alias("tp"),
+                F.col(f"fp_{i}").alias("fp"),
+                F.col(f"fn_{i}").alias("fn"),
+                F.col(f"tn_{i}").alias("tn"),
+            )
+        )
+    long = wide.select(F.explode(F.array(*entries)).alias("r")).select(
+        "r.*"
+    )
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    )
+    return long.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+    )
+
+
+def calibration_table(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    buckets: int = 10,
+) -> DataFrame:
+    """Score-calibration table: rows bucketed by score decile (fixed
+    equal-WIDTH buckets over [0, 1] — plan-time arithmetic, no
+    quantile pass), per bucket the mean predicted score vs the
+    observed positive rate. A well-calibrated scorer has the two
+    tracking each other; the gap per bucket is the reliability
+    diagram every model card plots.
+
+    Integer counts; the two means are single divisions over exact
+    sums (score sums in micro-units).
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * buckets).cast("int"), F.lit(buckets - 1)
+    )
+    agg = (
+        scored.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(F.col(score_col) * 1_000_000 + 0.5))
+            .cast("bigint")
+            .alias("score_sum_micro"),
+            F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+    )
+    return agg.select(
+        "bucket",
+        "n",
+        "n_pos",
+        (F.col("score_sum_micro").cast("double") / F.col("n").cast("double")
+         / F.lit(1e6)).alias("mean_score"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
     )

@@ -115,3 +115,56 @@ def test_loss_decreases_with_training(spark, corpus):
     l0, l5, l20 = loss(0), loss(5), loss(20)
     assert l0 == pytest.approx(math.log(2), rel=1e-6)  # zero weights
     assert l5 < l0 and l20 < l5
+
+
+class TestEvaluationOps:
+    def test_threshold_report_hand_computed(self, spark):
+        from sfdata_wrangler_spark.operators.classifier import (
+            binary_classification_report,
+        )
+
+        rows = [
+            (0.9, 1), (0.8, 1), (0.7, 0), (0.4, 1), (0.2, 0), (0.1, 0),
+        ]
+        df = spark.createDataFrame(rows, "score double, y int")
+        out = {
+            round(r.threshold, 2): r
+            for r in binary_classification_report(
+                df, thresholds=(0.5, 0.85)
+            ).collect()
+        }
+        r5 = out[0.5]
+        assert (r5.tp, r5.fp, r5.fn, r5.tn) == (2, 1, 1, 2)
+        assert r5.precision == 2 / 3 and r5.recall == 2 / 3
+        r85 = out[0.85]
+        assert (r85.tp, r85.fp, r85.fn, r85.tn) == (1, 0, 2, 3)
+        assert r85.precision == 1.0 and r85.recall == 1 / 3
+
+    def test_threshold_report_degenerate_all_negative(self, spark):
+        from sfdata_wrangler_spark.operators.classifier import (
+            binary_classification_report,
+        )
+
+        df = spark.createDataFrame(
+            [(0.2, 0), (0.3, 0)], "score double, y int"
+        )
+        r = binary_classification_report(df, thresholds=(0.5,)).collect()[0]
+        assert (r.tp, r.fp, r.fn, r.tn) == (0, 0, 0, 2)
+        assert r.precision is None and r.recall is None
+
+    def test_calibration_buckets(self, spark):
+        from sfdata_wrangler_spark.operators.classifier import (
+            calibration_table,
+        )
+
+        rows = (
+            [(0.05, 0)] * 9 + [(0.05, 1)]          # bucket 0: 10% pos
+            + [(0.95, 1)] * 9 + [(0.95, 0)]        # bucket 9: 90% pos
+            + [(1.0, 1)]                           # score 1.0 clamps to 9
+        )
+        df = spark.createDataFrame(rows, "score double, y int")
+        out = {r.bucket: r for r in calibration_table(df).collect()}
+        assert set(out) == {0, 9}
+        assert out[0].n == 10 and out[0].pos_rate == 0.1
+        assert out[9].n == 11 and out[9].n_pos == 10
+        assert out[0].mean_score == 0.05
