@@ -80,6 +80,7 @@ from .drift import (
     chisq_drift,
     cusum_changepoints,
     mad_outliers,
+    pairwise_correlation,
     seasonal_anomaly,
     winsorize_bounds,
 )
@@ -229,4 +230,5 @@ __all__ = [
     "fk_integrity",
     "cusum_changepoints",
     "ab_test_report",
+    "pairwise_correlation",
 ]

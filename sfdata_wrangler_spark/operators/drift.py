@@ -315,3 +315,45 @@ def ab_test_report(
         "conv_b",
         z.alias("z"),
     )
+
+
+def pairwise_correlation(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Pearson correlation of two metrics with
+    engine-reproducible output: both variables go to fixed-point
+    BIGINT first, the five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²) are exact integer sums (shuffle-order independent),
+    and the final r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    is a fixed tree of correctly-rounded IEEE ops (sqrt allowed,
+    same policy as ab_test_report). Zero-variance groups report
+    NULL. One map-side-combinable aggregation; group-sized output.
+
+    Overflow bound: |x_scaled| ≤ 3·10⁶ supports ~10⁹ rows per group
+    in Σx² before BIGINT overflow — size ``scale`` to the data.
+    """
+    q = lambda c: F.floor(F.col(c) * scale + 0.5).cast("bigint")  # noqa: E731
+    w = df.select(*group_cols, q(x_col).alias("__x"), q(y_col).alias("__y"))
+    agg = w.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("bigint").alias("sx"),
+        F.sum("__y").cast("bigint").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    r = F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy)))
+    return agg.select(*group_cols, "n", r.alias("r"))

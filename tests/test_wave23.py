@@ -428,3 +428,42 @@ class TestAbTestReport:
         ).collect()}
         assert set(out) == {"zero_var"}
         assert out["zero_var"].z is None
+
+
+class TestPairwiseCorrelation:
+    def test_perfect_and_inverse_and_none(self, spark):
+        from sfdata_wrangler_spark.operators.drift import (
+            pairwise_correlation,
+        )
+
+        rows = (
+            [("pos", float(i), 2.0 * i + 1) for i in range(10)]
+            + [("neg", float(i), -3.0 * i) for i in range(10)]
+            + [("flat", float(i), 5.0) for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = {
+            r.g: r.r for r in pairwise_correlation(df, ["g"], "x", "y").collect()
+        }
+        assert out["pos"] == pytest.approx(1.0, abs=1e-12)
+        assert out["neg"] == pytest.approx(-1.0, abs=1e-12)
+        assert out["flat"] is None  # zero variance -> NULL, not NaN
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from sfdata_wrangler_spark.operators.drift import (
+            pairwise_correlation,
+        )
+
+        rng = np.random.RandomState(5)
+        # two-decimal values so the cent fixed-point is lossless
+        x = np.round(rng.uniform(0, 100, 200), 2)
+        y = np.round(x * 0.5 + rng.uniform(0, 30, 200), 2)
+        df = spark.createDataFrame(
+            [("g", float(a), float(b)) for a, b in zip(x, y)],
+            "g string, x double, y double",
+        )
+        got = pairwise_correlation(df, ["g"], "x", "y").collect()[0].r
+        want = np.corrcoef(x, y)[0, 1]
+        assert got == pytest.approx(want, abs=1e-9)
