@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..operators.hll import hll_sketch
 from ..operators.sketch import cms_build
 
-__all__ = ["stream_cms", "stream_hll"]
+__all__ = ["stream_cms", "stream_hll", "stream_zonemap", "merge_zonemaps"]
 
 
 def stream_cms(
@@ -70,3 +70,42 @@ def stream_hll(
         merge_sink(partial, batch_id)
 
     return stream_items.writeStream.foreachBatch(_process)
+
+
+def stream_zonemap(
+    stream_rows: DataFrame,
+    file_col: str,
+    cols: list[str],
+    merge_sink,
+):
+    """Maintain a zone-map manifest over an ingest stream: each
+    trigger emits the batch-local per-file min/max/null stats
+    (``operators.zonemap.zonemap_stats``) and ``merge_sink`` folds
+    them into the running manifest — min of mins, max of maxes, sums
+    of counts (all associative+commutative, so batch boundaries are
+    invisible, same law as the CMS/HLL folds above). The manifest a
+    query planner prunes against is therefore ALWAYS current without
+    ever re-scanning written files. Returns the writeStream handle.
+    """
+    from ..operators.zonemap import zonemap_stats
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        merge_sink(zonemap_stats(batch_df, file_col, cols), batch_id)
+
+    return stream_rows.writeStream.foreachBatch(_process)
+
+
+def merge_zonemaps(a: DataFrame, b: DataFrame, file_col: str) -> DataFrame:
+    """Fold two zone-map manifests: per (file, column) min/min,
+    max/max, null+null, rows+rows. The merge law that makes
+    :func:`stream_zonemap`'s per-batch partials composable."""
+    cols = [c for c in a.columns if c != file_col]
+    aggs = []
+    for c in cols:
+        if c.startswith("min_"):
+            aggs.append(F.min(c).alias(c))
+        elif c.startswith("max_"):
+            aggs.append(F.max(c).alias(c))
+        else:  # n_rows / nulls_*
+            aggs.append(F.sum(c).cast("bigint").alias(c))
+    return a.unionByName(b).groupBy(file_col).agg(*aggs)

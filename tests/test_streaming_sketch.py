@@ -98,3 +98,61 @@ def test_stream_hll_equals_batch(spark, tmp_path):
         for r in hll_sketch(items, ["grp"], "v").collect()
     }
     assert folded == batch
+
+
+def test_stream_zonemap_fold_equals_batch(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    from sfdata_wrangler_spark.operators.zonemap import zonemap_stats
+    from sfdata_wrangler_spark.streaming.sketch_stream import (
+        merge_zonemaps,
+        stream_zonemap,
+    )
+
+    rows = [(f"f{i % 3}", i, float(i) * 1.5 if i % 7 else None)
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "file string, k bigint, v double")
+
+    src = str(tmp_path / "zm_src")
+    os.makedirs(src)
+    # two files -> at least one batch each with maxFilesPerTrigger=1
+    for half in (0, 1):
+        part = df.where((F.col("k") % 2) == half).coalesce(1)
+        stage = str(tmp_path / f"zm_stage_{half}")
+        part.write.parquet(stage)
+        shutil.copy(
+            glob.glob(stage + "/part-*.parquet")[0],
+            os.path.join(src, f"{half}.parquet"),
+        )
+
+    state = {"zm": None}
+
+    def sink(partial, batch_id):
+        partial = partial.localCheckpoint(eager=True)
+        state["zm"] = (
+            partial
+            if state["zm"] is None
+            else merge_zonemaps(state["zm"], partial, "file")
+            .localCheckpoint(eager=True)
+        )
+
+    stream = (
+        spark.readStream.schema("file string, k bigint, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_zonemap(stream, "file", ["k", "v"], sink)
+        .option("checkpointLocation", str(tmp_path / "zm_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {
+        tuple(r) for r in zonemap_stats(df, "file", ["k", "v"]).collect()
+    }
+    got = {tuple(r) for r in state["zm"].collect()}
+    assert got == want
