@@ -113,9 +113,57 @@ def bench_taxi_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return identify_gps_trips(pings)
 
 
+def bench_qc_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational-QC panel over the full events stream: seasonal
+    volume anomalies + CUSUM change points + winsorize fences + skew
+    report, unioned into one summary frame — the new exact-arithmetic
+    monitoring family at sf volume (each component is hash-exact- or
+    differential-tested; this pins their combined wall time)."""
+    from ..operators.drift import (
+        cusum_changepoints,
+        seasonal_anomaly,
+        winsorize_bounds,
+    )
+    from ..operators.skew import skew_report
+    from ..plans.catalog import _events
+
+    ev = _events(spark, sf_dir)
+    anomalies = (
+        seasonal_anomaly(ev, group_col="event_type", factor_pct=150)
+        .where(F.col("is_anomaly"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("metric"))
+        .withColumn("panel", F.lit("anomaly_buckets"))
+    )
+    alarms = (
+        cusum_changepoints(
+            ev, "event_type", "ts", "event_id", "value",
+            reference=50.0, slack=5.0, threshold=500.0,
+        )
+        .where(F.col("alarm"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("metric"))
+        .withColumn("panel", F.lit("cusum_alarms"))
+    )
+    fences = winsorize_bounds(ev, "event_type", "value").select(
+        "event_type",
+        (F.col("n_below") + F.col("n_above")).alias("metric"),
+        F.lit("winsorize_clamped").alias("panel"),
+    )
+    skew = skew_report(ev, "user_id", ("event_type",)).select(
+        "event_type",
+        F.col("max_key_rows").alias("metric"),
+        F.lit("hottest_user").alias("panel"),
+    )
+    return anomalies.unionByName(alarms).unionByName(fences).unionByName(
+        skew
+    )
+
+
 #: bench.py merges these with the catalog's bench=True queries.
 BENCH_WORKLOADS = {
     "pipe_cascade_full": bench_cascade_full,
     "pipe_clipper_linked": bench_clipper_linked,
     "pipe_taxi_trips": bench_taxi_trips,
+    "pipe_qc_panel": bench_qc_panel,
 }
