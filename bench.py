@@ -18,13 +18,13 @@ Two timed actions per query:
   away). The noop sink forces every output column while writing
   nothing; it is the honest full-plan cost.
 
-The headline set grew 11 -> 17 queries in round 3 (and onward in the
-round-3 restart: two-stage rerank + the QC-panel workload) (repetition stats,
+The headline set grew 11 -> 17 queries in round 3 (repetition stats,
 SemDedup, curation v2, and three reference-domain pipeline workloads
-per VERDICT r2 item 5), so ``value`` is not directly comparable to
-BENCH_r02's 6.489s; ``value_comparable_r2`` is the same-methodology
-subtotal over exactly the round-2 query set — compare THAT across
-rounds.
+per VERDICT r2 item 5) and further in the round-3 restart (two-stage
+rerank, the QC-panel workload), so ``value`` is not directly
+comparable to BENCH_r02's 6.489s; ``value_comparable_r2`` is the
+same-methodology subtotal over exactly the round-2 query set —
+compare THAT across rounds.
 """
 
 from __future__ import annotations
