@@ -18,7 +18,7 @@ from .weighting import calc_weights
 from .imputation import impute_from_prior_month
 from .interval_lookup import interval_lookup, interval_overlap_join, missing_keys
 from .crosstab import crosstab_with_margins
-from .scd2 import collapse_to_intervals
+from .scd2 import collapse_to_intervals, validate_intervals
 from .profile import profile_table
 from .dedup import (
     cluster_duplicates,
@@ -61,7 +61,7 @@ from .similarity import (
 from .pca import pca_fit, pca_project
 from .zorder import add_zorder_key, zorder_layout
 from .repetition import domain_cap, repetition_stats
-from .skew import salted_agg, skew_report
+from .skew import join_size_estimate, salted_agg, skew_report
 from .asof import asof_join
 from .sketch import cms_build, cms_estimate, cms_heavy_hitters
 from .hll import hll_estimate, hll_intersect_estimate, hll_merge, hll_sketch
@@ -231,4 +231,6 @@ __all__ = [
     "cusum_changepoints",
     "ab_test_report",
     "pairwise_correlation",
+    "join_size_estimate",
+    "validate_intervals",
 ]

@@ -66,3 +66,53 @@ def collapse_to_intervals(
         F.lead(f"__start.{order_cols[0]}").over(w2).alias("valid_until"),
         "n_snapshots",
     )
+
+
+def validate_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """SCD2 invariant check: per key, count OVERLAPS (an interval
+    starting before its predecessor ends) and GAPS (starting after it
+    ends) in the validity timeline, plus degenerate rows
+    (end ≤ start). An all-zero report is the dimension-health proof
+    every interval-joining pipeline (J2/j13) silently assumes.
+
+    One window pass (lag of ``end_col`` per key in start order —
+    the gaps-and-islands idiom) + one combinable rollup; output is
+    key-cardinality bounded but typically tiny after the
+    ``HAVING``-style filter keeps only offending keys.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_end = F.lag(end_col).over(w)
+    flags = df.select(
+        F.col(key_col),
+        F.when(F.col(end_col) <= F.col(start_col), 1)
+        .otherwise(0)
+        .alias("__degenerate"),
+        F.when(
+            prev_end.isNotNull() & (F.col(start_col) < prev_end), 1
+        )
+        .otherwise(0)
+        .alias("__overlap"),
+        F.when(
+            prev_end.isNotNull() & (F.col(start_col) > prev_end), 1
+        )
+        .otherwise(0)
+        .alias("__gap"),
+    )
+    return (
+        flags.groupBy(key_col)
+        .agg(
+            F.sum("__degenerate").cast("bigint").alias("n_degenerate"),
+            F.sum("__overlap").cast("bigint").alias("n_overlaps"),
+            F.sum("__gap").cast("bigint").alias("n_gaps"),
+        )
+        .where(
+            (F.col("n_degenerate") > 0)
+            | (F.col("n_overlaps") > 0)
+            | (F.col("n_gaps") > 0)
+        )
+    )

@@ -76,3 +76,35 @@ def skew_report(
         .cast("bigint")
         .alias("self_join_rows"),
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """EXACT output size of ``a ⋈ b`` on ``key_cols`` without running
+    the join: Σ_k cnt_a(k)·cnt_b(k), plus the hottest key's
+    contribution — the planner pre-flight that decides broadcast vs
+    sort-merge vs salting BEFORE committing a 100 TB shuffle.
+
+    Cost: one combinable count-aggregation per side (key-cardinality
+    intermediates), one key-keyed join OF THE COUNT TABLES (dimension
+    scale), one 1-row rollup. Compare `self_join_rows` in
+    :func:`skew_report` (the self-join special case).
+    """
+    keys = list(key_cols)
+    ca = a.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("__ca"))
+    cb = b.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("__cb"))
+    per_key = ca.join(cb, keys).withColumn(
+        "__rows", F.col("__ca") * F.col("__cb")
+    )
+    return per_key.agg(
+        F.coalesce(F.sum("__rows"), F.lit(0))
+        .cast("bigint")
+        .alias("join_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matching_keys"),
+        F.coalesce(F.max("__rows"), F.lit(0))
+        .cast("bigint")
+        .alias("max_key_rows"),
+    )

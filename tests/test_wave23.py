@@ -467,3 +467,53 @@ class TestPairwiseCorrelation:
         got = pairwise_correlation(df, ["g"], "x", "y").collect()[0].r
         want = np.corrcoef(x, y)[0, 1]
         assert got == pytest.approx(want, abs=1e-9)
+
+
+class TestJoinSizeEstimate:
+    def test_exact_against_real_join(self, spark):
+        from sfdata_wrangler_spark.operators.skew import join_size_estimate
+
+        a = spark.createDataFrame(
+            [(1,)] * 3 + [(2,)] * 2 + [(9,)], "k bigint"
+        )
+        b = spark.createDataFrame([(1,)] * 4 + [(2,)] + [(7,)], "k bigint")
+        est = join_size_estimate(a, b, ["k"]).collect()[0]
+        real = a.join(b, "k").count()
+        assert est.join_rows == real == 3 * 4 + 2 * 1
+        assert est.n_matching_keys == 2
+        assert est.max_key_rows == 12
+
+    def test_disjoint_keys(self, spark):
+        from sfdata_wrangler_spark.operators.skew import join_size_estimate
+
+        a = spark.createDataFrame([(1,)], "k bigint")
+        b = spark.createDataFrame([(2,)], "k bigint")
+        est = join_size_estimate(a, b, ["k"]).collect()[0]
+        assert (est.join_rows, est.n_matching_keys, est.max_key_rows) == (
+            0, 0, 0,
+        )
+
+
+class TestValidateIntervals:
+    def test_overlap_gap_degenerate(self, spark):
+        import datetime as dt
+
+        from sfdata_wrangler_spark.operators.scd2 import validate_intervals
+
+        d = lambda day: dt.date(2024, 1, day)  # noqa: E731
+        rows = [
+            # key 1: clean contiguous timeline
+            (1, d(1), d(10)), (1, d(10), d(20)),
+            # key 2: overlap (second starts before first ends)
+            (2, d(1), d(10)), (2, d(5), d(20)),
+            # key 3: gap
+            (3, d(1), d(10)), (3, d(15), d(20)),
+            # key 4: degenerate (end == start)
+            (4, d(5), d(5)),
+        ]
+        df = spark.createDataFrame(rows, "k bigint, s date, e date")
+        out = {r.k: r for r in validate_intervals(df, "k", "s", "e").collect()}
+        assert 1 not in out  # clean key produces NO row
+        assert (out[2].n_overlaps, out[2].n_gaps) == (1, 0)
+        assert (out[3].n_overlaps, out[3].n_gaps) == (0, 1)
+        assert out[4].n_degenerate == 1
