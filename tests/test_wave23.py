@@ -1,5 +1,8 @@
-"""Wave-23 operators: pigeonhole SimHash pairs, prefix-filter exact
-similarity join, skew report, seasonal anomaly, winsorize bounds."""
+"""Round-3-restart operator waves: pigeonhole SimHash pairs,
+prefix-filter exact similarity join, skew/seasonal/winsorize QC,
+rolling distinct users (exact + HLL), target encoding, FK integrity,
+time-weighted averages, CUSUM, A/B z-test, correlation, join-size
+pre-flight, SCD2 interval validation."""
 
 import datetime
 
