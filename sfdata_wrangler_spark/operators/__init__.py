@@ -1,5 +1,6 @@
 from .aggregate import AggRule, aggregate_records, update_speeds
 from .windows import (
+    debounce_events,
     dedup_by_order,
     ewma_bounded,
     ffill,
@@ -233,4 +234,5 @@ __all__ = [
     "pairwise_correlation",
     "join_size_estimate",
     "validate_intervals",
+    "debounce_events",
 ]

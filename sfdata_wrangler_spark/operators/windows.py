@@ -404,3 +404,48 @@ def time_weighted_average(
         .cast("bigint")
         .alias("twa_scaled"),
     )
+
+
+def debounce_events(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    tolerance_seconds: int = 5,
+) -> DataFrame:
+    """Burst deduplication ("debounce"): within each key, events
+    closer than ``tolerance_seconds`` to their predecessor belong to
+    the same burst; keep the burst's FIRST event, annotated with the
+    burst size — the double-click / retry-storm / sensor-chatter
+    cleaner that exact dedup (identical payloads) cannot express.
+
+    Gaps-and-islands in one window pass: a burst starts where the
+    gap to the previous event exceeds the tolerance; the burst id is
+    the running count of starts (same idiom as sessionize, but
+    keep-first semantics rather than aggregate). All comparisons in
+    integer epoch microseconds.
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(ts_col).over(w)
+    )
+    is_start = F.when(
+        gap_us.isNull()
+        | (gap_us > F.lit(int(tolerance_seconds) * 1_000_000)),
+        1,
+    ).otherwise(0)
+    with_burst = df.withColumn("__start", is_start).withColumn(
+        "__burst",
+        F.sum("__start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wb = Window.partitionBy(*keys, "__burst")
+    annotated = with_burst.withColumn(
+        "__first_id",
+        F.min_by(F.col(id_col), F.struct(ts_col, id_col)).over(wb),
+    ).withColumn("burst_size", F.count(F.lit(1)).over(wb).cast("bigint"))
+    return annotated.where(F.col(id_col) == F.col("__first_id")).drop(
+        "__start", "__burst", "__first_id"
+    )

@@ -520,3 +520,46 @@ class TestValidateIntervals:
         assert (out[2].n_overlaps, out[2].n_gaps) == (1, 0)
         assert (out[3].n_overlaps, out[3].n_gaps) == (0, 1)
         assert out[4].n_degenerate == 1
+
+
+class TestDebounceEvents:
+    def test_bursts_keep_first(self, spark):
+        from sfdata_wrangler_spark.operators.windows import debounce_events
+
+        t = datetime.datetime(2024, 10, 1, 9, 0, 0)
+
+        def ev(i, sec, u=1):
+            return Row(
+                user_id=u, event_id=i,
+                ts=t + datetime.timedelta(seconds=sec), value=float(i),
+            )
+
+        # burst of 3 (0s, 2s, 4s), then a lone event at 60s, then a
+        # burst of 2 (100s, 104.9s); second user independent
+        df = spark.createDataFrame(
+            [ev(1, 0), ev(2, 2), ev(3, 4), ev(4, 60),
+             ev(5, 100), ev(6, 104.9), ev(7, 0, u=2)]
+        )
+        out = {
+            r.event_id: r.burst_size
+            for r in debounce_events(
+                df, ["user_id"], tolerance_seconds=5
+            ).collect()
+        }
+        assert out == {1: 3, 4: 1, 5: 2, 7: 1}
+
+    def test_chained_burst_spans_beyond_tolerance(self, spark):
+        from sfdata_wrangler_spark.operators.windows import debounce_events
+
+        t = datetime.datetime(2024, 10, 2, 9, 0, 0)
+        # 0s, 4s, 8s, 12s: each gap <= 5s chains into ONE burst even
+        # though 12s > tolerance from the first event
+        df = spark.createDataFrame(
+            [
+                Row(user_id=1, event_id=i,
+                    ts=t + datetime.timedelta(seconds=4 * i), value=0.0)
+                for i in range(4)
+            ]
+        )
+        out = debounce_events(df, ["user_id"], tolerance_seconds=5).collect()
+        assert len(out) == 1 and out[0].burst_size == 4
