@@ -185,3 +185,39 @@ def test_null_and_empty_text_degrade_cleanly(spark):
     # column functions are total: 4 in, 4 out
     assert df.select(quality_score(F.col("text"))).count() == 4
     assert df.select(token_count(F.col("text"))).count() == 4
+
+
+def test_newest_ops_degenerate_inputs(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sfdata_wrangler_spark.operators import (
+        debounce_events,
+        join_size_estimate,
+        pairwise_correlation,
+        target_encode_loo,
+    )
+
+    ev_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    empty = spark.createDataFrame([], ev_schema)
+    assert debounce_events(empty, ["user_id"]).count() == 0
+    one = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 5.0)], ev_schema
+    )
+    out = debounce_events(one, ["user_id"]).collect()
+    assert len(out) == 1 and out[0].burst_size == 1
+
+    # single observation: zero variance -> NULL r (not NaN, not crash)
+    r = pairwise_correlation(one, ["user_id"], "value", "value").collect()[0]
+    assert r.n == 1 and r.r is None
+
+    est = join_size_estimate(empty, one, ["user_id"]).collect()[0]
+    assert (est.join_rows, est.n_matching_keys) == (0, 0)
+
+    enc = target_encode_loo(
+        spark.createDataFrame([], "id bigint, k string, y double"), "k", "y"
+    )
+    assert enc.count() == 0
