@@ -168,3 +168,54 @@ class TestEvaluationOps:
         assert out[0].n == 10 and out[0].pos_rate == 0.1
         assert out[9].n == 11 and out[9].n_pos == 10
         assert out[0].mean_score == 0.05
+
+
+def test_distilled_model_evaluation_integration(spark):
+    """End-to-end model-quality loop: train the distilled quality
+    classifier on the sf0.001 corpus, score the holdout, and read it
+    out through the evaluation ops — the report must show the model
+    actually learned the rule (precision and recall comfortably above
+    the positive-rate baseline at the 0.5 threshold)."""
+    from pyspark.sql import functions as F
+
+    from sfdata_wrangler_spark.functions.text import quality_score
+    from sfdata_wrangler_spark.operators.classifier import (
+        binary_classification_report,
+        calibration_table,
+        hashed_token_features,
+        logreg_predict,
+        logreg_train,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).withColumn("y", (quality_score(F.col("text")) >= F.lit(1.0)).cast("int"))
+    train = docs.where(F.col("doc_id") % 5 != 4)
+    holdout = docs.where(F.col("doc_id") % 5 == 4)
+    w = logreg_train(
+        hashed_token_features(train), train.select("doc_id", "y"),
+        iterations=15,
+    )
+    scored = logreg_predict(hashed_token_features(holdout), w).join(
+        holdout.select("doc_id", "y"), "doc_id"
+    )
+    rep = {
+        round(r.threshold, 2): r
+        for r in binary_classification_report(
+            scored, score_col="score", label_col="y",
+            thresholds=(0.5,),
+        ).collect()
+    }[0.5]
+    n = rep.tp + rep.fp + rep.fn + rep.tn
+    base_rate = (rep.tp + rep.fn) / n
+    assert n == holdout.count()
+    assert rep.precision is not None and rep.precision >= base_rate
+    assert rep.recall is not None and rep.recall > 0.6
+    cal = calibration_table(scored, score_col="score", label_col="y")
+    rows = cal.collect()
+    assert sum(r.n for r in rows) == n
+    # calibration direction: the highest-score bucket must have a
+    # higher positive rate than the lowest-score bucket
+    lo = min(rows, key=lambda r: r.bucket)
+    hi = max(rows, key=lambda r: r.bucket)
+    assert hi.pos_rate >= lo.pos_rate
