@@ -176,12 +176,22 @@ def extract_image_features(
 
 
 def sample_video_frames(
-    df: DataFrame, every_ms: int = 1000, fake: bool = True
+    df: DataFrame, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:
     """video rows → one row per sampled frame (the UDTF-ish 1→N shape:
-    mapInPandas yielding more rows than it receives)."""
+    mapInPandas yielding more rows than it receives).
+
+    Real frame sampling lives in :func:`.video_avi.sample_avi_frames`
+    (genuine RIFF/AVI chunk walk); general codecs (MP4 etc.) need
+    ffmpeg, absent from this container, so the default here raises.
+    ``fake=True`` keeps the deterministic synthetic sampler for
+    plumbing tests over arbitrary payload bytes."""
     if not fake:
-        raise NotImplementedError("real frame sampling needs ffmpeg")
+        raise NotImplementedError(
+            "real frame sampling needs ffmpeg for general codecs; use "
+            "video_avi.sample_avi_frames for AVI, or fake=True for the "
+            "synthetic plumbing path"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

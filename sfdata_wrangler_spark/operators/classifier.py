@@ -162,8 +162,10 @@ def binary_classification_report(
     sums (tp/fp/fn/tn) — the threshold list is a plan-time literal,
     so the whole report is a single map-side-combinable agg with no
     shuffle of the scores and no sort (contrast ROC curves, which
-    need the global score ordering). Ratios are emitted as exact
-    integer numerator/denominator pairs plus a convenience double.
+    need the global score ordering). The four BIGINT counts are the
+    exact numerators/denominators; precision, recall, and accuracy
+    are convenience doubles derived from them (NULL on an empty
+    denominator).
     """
     aggs = []
     for i, t in enumerate(thresholds):
@@ -206,6 +208,11 @@ def binary_classification_report(
         F.col("tp") + F.col("fn") > 0,
         F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
     )
+    total = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    accuracy = F.when(
+        total > 0,
+        (F.col("tp") + F.col("tn")).cast("double") / total.cast("double"),
+    )
     return long.select(
         "threshold",
         "tp",
@@ -214,6 +221,7 @@ def binary_classification_report(
         "tn",
         precision.alias("precision"),
         recall.alias("recall"),
+        accuracy.alias("accuracy"),
     )
 
 

@@ -262,12 +262,14 @@ def ab_test_report(
     statistic is engine-reproducible (the same policy that admits
     sqrt in temperature_sample but bans ln/exp). Experiments whose
     pooled variance is zero (all-success or all-failure) report NULL
-    z. Exactly two variants per experiment are expected; rows beyond
-    the first two variant names (lexicographic) are rejected with a
-    nonnull guard column rather than silently folded in.
+    z. Exactly two variants per experiment are expected; an
+    experiment with any other variant count still gets a row — its
+    ``n_variants`` guard column flags the violation and its z is
+    NULL (variants beyond the first two names, lexicographic, are
+    never folded into the statistic).
 
     Returns (experiment, variant_a, n_a, conv_a, variant_b, n_b,
-    conv_b, z).
+    conv_b, n_variants, z).
     """
     per_variant = df.groupBy(experiment_col, variant_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -304,8 +306,8 @@ def ab_test_report(
             + F.lit(1.0) / F.col("n_b").cast("double")
         )
     )
-    z = F.when(se > 0, (p1 - p2) / se)
-    return wide.where(F.col("__n_variants") == 2).select(
+    z = F.when((F.col("__n_variants") == 2) & (se > 0), (p1 - p2) / se)
+    return wide.select(
         experiment_col,
         "variant_a",
         "n_a",
@@ -313,6 +315,7 @@ def ab_test_report(
         "variant_b",
         "n_b",
         "conv_b",
+        F.col("__n_variants").cast("bigint").alias("n_variants"),
         z.alias("z"),
     )
 

@@ -38,11 +38,13 @@ def target_encode_loo(
     mean in the same units — the smoothing/fallback term).
 
     NULL targets are excluded from sums and counts and receive a
-    NULL encoding. Returns all input columns + (enc_loo, enc_prior).
+    NULL encoding. NULL keys form their own group (null-safe join),
+    so every input row survives — a feature transform must not drop
+    data. Returns all input columns + (enc_loo, enc_prior).
     """
     t = F.floor(F.col(target_col) * scale + 0.5).cast("bigint")
     with_t = df.withColumn("__t", t)
-    grp = with_t.groupBy(key_col).agg(
+    grp = with_t.groupBy(F.col(key_col).alias("__k")).agg(
         F.sum("__t").alias("__gsum"),
         F.count("__t").cast("bigint").alias("__gn"),
     )
@@ -51,7 +53,10 @@ def target_encode_loo(
         F.count("__t").cast("bigint").alias("__an"),
     )
     out = (
-        with_t.join(F.broadcast(grp), key_col)
+        with_t.join(
+            F.broadcast(grp), F.col(key_col).eqNullSafe(F.col("__k")), "left"
+        )
+        .drop("__k")
         .crossJoin(F.broadcast(glob))
         .withColumn(
             "enc_loo",

@@ -103,42 +103,55 @@ def interval_overlap_join(
     Shape: explode each interval into the coarse time-grid cells it
     touches (``sequence`` over ``bucket``-truncated endpoints — a
     bounded ×(duration/bucket) multiplication), equi-join on the
-    cell (+ optional ``keys``), dedup the pair, verify the exact
-    overlap predicate. Any overlapping pair shares the cell
-    containing the later start, so the grid is a LOSSLESS candidate
-    generator — the temporal twin of the spatial grid join
-    (operators/spatial.py) and the same trade: bucket ≈ typical
-    interval length bounds both blow-up and bucket population.
+    cell (+ optional ``keys``), verify the exact overlap predicate.
+    Any overlapping pair shares the cell containing the LATER of the
+    two starts, so keeping only the candidate whose join cell is that
+    one cell yields each pair exactly once with no dedup shuffle —
+    genuinely duplicate input rows still produce one pair each. The
+    grid is a LOSSLESS candidate generator — the temporal twin of the
+    spatial grid join (operators/spatial.py) and the same trade:
+    bucket ≈ typical interval length bounds both blow-up and bucket
+    population.
 
-    Returns a's columns + b's columns plus ``overlap_us``. Intervals
-    longer than ~10k buckets should use a coarser grid (explode cost
-    is linear in cells per interval).
+    ``keys`` restricts pairs to rows agreeing on those columns
+    (present on both sides; emitted once, from a).
+
+    Returns a's columns + b's non-key columns plus ``overlap_us``.
+    Intervals longer than ~10k buckets should use a coarser grid
+    (explode cost is linear in cells per interval).
     """
-    cell = lambda c: F.window(F.col(c), bucket).start  # noqa: E731
-    ka = [F.col(k) for k in keys]
+    cell = lambda c: F.window(c, bucket).start  # noqa: E731
 
     def cells(df, s, e, tag):
         return df.withColumn(
             f"__cell_{tag}",
             F.explode(
                 F.sequence(
-                    cell(s),
+                    cell(F.col(s)),
                     # end is exclusive: the last touched cell is the
                     # one containing end - 1us
-                    F.window(
-                        F.col(e) - F.expr("INTERVAL 1 MICROSECOND"), bucket
-                    ).start,
+                    cell(F.col(e) - F.expr("INTERVAL 1 MICROSECOND")),
                     F.expr(f"INTERVAL {bucket}"),
                 )
             ),
         )
 
     ac = cells(a, a_start, a_end, "a")
-    bc = cells(b, b_start, b_end, "b")
-    on = [ac[f"__cell_a"] == bc[f"__cell_b"]] + [
-        ac[k] == bc[k] for k in keys
+    # rename b's key columns so the equi-join can reference both sides
+    # (joining against bc.drop(keys) would leave nothing to equate)
+    b_renamed = b
+    for k in keys:
+        b_renamed = b_renamed.withColumnRenamed(k, f"__bk_{k}")
+    bc = cells(b_renamed, b_start, b_end, "b")
+    on = [ac["__cell_a"] == bc["__cell_b"]] + [
+        ac[k] == bc[f"__bk_{k}"] for k in keys
     ]
-    joined = ac.join(bc.drop(*keys), on).drop("__cell_a", "__cell_b")
+    joined = ac.join(bc, on)
+    # exactly-once emission: of the cells a pair shares, keep the one
+    # containing the later start (both sides touch it by overlap)
+    later_start_cell = cell(
+        F.greatest(F.col(a_start), F.col(b_start))
+    )
     overlap = (
         F.least(F.unix_micros(F.col(a_end)), F.unix_micros(F.col(b_end)))
         - F.greatest(
@@ -146,9 +159,8 @@ def interval_overlap_join(
         )
     ).alias("overlap_us")
     return (
-        joined.dropDuplicates(
-            [c for c in joined.columns]
-        )
+        joined.where(F.col("__cell_a") == later_start_cell)
+        .drop("__cell_a", "__cell_b", *[f"__bk_{k}" for k in keys])
         .withColumn("overlap_us", overlap)
         .where(F.col("overlap_us") > 0)
     )

@@ -46,6 +46,11 @@ QUERIES: dict[str, dict] = {}
 
 def _register(name: str, oracle: str | None, bench: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            # a silent overwrite would let a later catalog module
+            # shadow a name that was driver-verified under a
+            # different body — exactly how a regression hides
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = {
             "fn": fn,
             "oracle": sql_portable_round(oracle) if oracle else None,

@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from ..functions.datetime_fns import fiscal_year
 from ..functions.metrics import portable_round as _pr
-from ..multimodal.binary_ops import decode_images, sample_video_frames
 from ..operators.dedup import minhash_lsh_pairs, simhash
 from ..operators.similarity import lsh_topk
 from ..operators.windows import bfill, observed_runtime, sessionize
@@ -228,64 +227,6 @@ def j6_month_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") / F.col("n_orders")).alias("revenue_per_order"),
         (F.col("qty") / F.col("n_customers")).alias("qty_per_customer"),
     )
-
-
-# ---------------------------------------------------------------------------
-# multimodal plumbing — oracle-checked via deterministic fake codecs
-# (content is synthesized from documents.text so DuckDB can reproduce
-# the md5-derived outputs)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "mm_decode",
-    """
-    SELECT CAST(doc_id AS BIGINT) AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS checksum
-    FROM documents
-    """,
-)
-def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing: documents.text bytes as the opaque
-    media payload → Arrow-batched mapInPandas decode (fake codec).
-    Checksum/byte-count are md5/length of the payload, so the oracle
-    verifies the full batch path."""
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").cast("bigint").alias("media_id"),
-        F.col("text").cast("binary").alias("content"),
-    )
-    out = decode_images(media, fake=True)  # payload is text bytes, not BMP
-    return out.select("media_id", "n_bytes", "checksum")
-
-
-@_register(
-    "mm_video_frames",
-    """
-    WITH media AS (
-      SELECT CAST(doc_id AS BIGINT) AS media_id,
-             md5(text) AS base,
-             greatest(CAST(n_chars * 10 AS BIGINT) // 1000, 1) AS n_frames
-      FROM documents
-    )
-    SELECT media_id,
-           CAST(i AS INT) AS frame_idx,
-           CAST(i * 1000 AS BIGINT) AS frame_ms,
-           md5(base || ':' || CAST(i AS VARCHAR)) AS frame_checksum
-    FROM (SELECT media_id, base, unnest(range(0, n_frames)) AS i FROM media)
-    """,
-)
-def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (1→N mapInPandas): synthetic duration
-    n_chars×10 ms, one frame per second."""
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").cast("bigint").alias("media_id"),
-        F.col("text").cast("binary").alias("content"),
-        (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
-    )
-    return sample_video_frames(media, every_ms=1000)
 
 
 # ---------------------------------------------------------------------------

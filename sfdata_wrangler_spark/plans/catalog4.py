@@ -9,52 +9,11 @@ as windows), and having-clauses — all Catalyst-optimized, UDF-free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.metrics import portable_round as _pr
-from .catalog import _msum2, _register, _t
-
-
-@_register(
-    "q3_shipping_priority",
-    """
-    SELECT l_orderkey,
-           CAST((floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0) AS DOUBLE) AS revenue,
-           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
-    FROM customer JOIN orders ON c_custkey = o_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-    GROUP BY l_orderkey, o_orderdate
-    """,
-)
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join + filters on both sides + grouped
-    revenue. Catalyst pushes both date filters into the scans."""
-    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            _msum2(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
-        )
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        )
-    )
+from .catalog import _register, _t
 
 
 @_register(
@@ -131,70 +90,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-    )
-
-
-@_register(
-    "q15_top_supplier",
-    """
-    WITH rev AS (
-      SELECT l_suppkey,
-             (floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0) AS total_rev
-      FROM lineitem GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name,
-           CAST(total_rev AS DOUBLE) AS total_rev
-    FROM rev JOIN supplier ON l_suppkey = s_suppkey
-    WHERE total_rev = (SELECT max(total_rev) FROM rev)
-    """,
-)
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: aggregate 'view' + scalar-subquery max —
-    expressed as a rank window over the aggregate (no second scan)."""
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        _msum2(
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        ).alias("total_rev")
-    )
-    top = (
-        rev.withColumn(
-            "__rk", F.rank().over(Window.orderBy(F.col("total_rev").desc()))
-        )
-        .where(F.col("__rk") == 1)
-        .drop("__rk")
-    )
-    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
-        "s_suppkey", "s_name", "total_rev"
-    )
-
-
-@_register(
-    "q17_small_quantity_revenue",
-    """
-    WITH pa AS (
-      SELECT l_partkey, avg(l_quantity) AS avg_qty
-      FROM lineitem GROUP BY l_partkey
-    )
-    SELECT CAST(round(sum(l_extendedprice) / 7.0, 2) AS DOUBLE)
-             AS avg_yearly,
-           CAST(count(*) AS BIGINT) AS n_small
-    FROM lineitem JOIN pa ON lineitem.l_partkey = pa.l_partkey
-    WHERE l_quantity < 0.5 * avg_qty
-    """,
-)
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: correlated per-part average → window rewrite
-    (one pass over lineitem, no self-join)."""
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey")
-    flagged = li.withColumn("__avg_qty", F.avg("l_quantity").over(w)).where(
-        F.col("l_quantity") < 0.5 * F.col("__avg_qty")
-    )
-    return flagged.agg(
-        _pr(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
-        F.count(F.lit(1)).alias("n_small"),
     )
 
 

@@ -172,3 +172,52 @@ class TestIntervalOverlapJoin:
         ).collect()
         assert len(out) == 1
         assert out[0].overlap_us == 50 * 60 * 1_000_000
+
+    def test_keyed_join_restricts_pairs(self, spark):
+        from sfdata_wrangler_spark.operators.interval_lookup import (
+            interval_overlap_join,
+        )
+
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 7, 1, 0, 0)
+
+        def mk(rows, pfx):
+            return spark.createDataFrame(
+                [
+                    (
+                        i,
+                        k,
+                        t0 + dt.timedelta(minutes=s),
+                        t0 + dt.timedelta(minutes=e),
+                    )
+                    for i, (k, s, e) in enumerate(rows)
+                ],
+                f"{pfx}_id bigint, key string, "
+                f"{pfx}_s timestamp, {pfx}_e timestamp",
+            )
+
+        a = mk([("x", 0, 60), ("y", 0, 60)], "a")
+        b = mk([("x", 30, 90), ("y", 200, 260)], "b")
+        out = interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e",
+            bucket="30 minutes", keys=("key",),
+        ).collect()
+        # only the x/x pair overlaps AND agrees on the key; the
+        # overlapping x-interval of a row keyed y must not match
+        assert [(r.a_id, r.b_id, r.key) for r in out] == [(0, 0, "x")]
+        assert out[0].overlap_us == 30 * 60 * 1_000_000
+
+    def test_duplicate_input_rows_pair_independently(self, spark):
+        from sfdata_wrangler_spark.operators.interval_lookup import (
+            interval_overlap_join,
+        )
+
+        # two IDENTICAL a-rows overlapping one b-row must yield two
+        # pairs (the old full-column dropDuplicates collapsed them)
+        a = self._mk(spark, [(0, 60), (0, 60)], "a").drop("a_id")
+        b = self._mk(spark, [(30, 90)], "b")
+        out = interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", bucket="30 minutes"
+        ).collect()
+        assert len(out) == 2

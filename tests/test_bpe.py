@@ -89,6 +89,46 @@ def test_overlapping_pairs_merge_greedily(spark):
     assert got_words["aaa"] == ["aa", "a"]
 
 
+def test_driver_and_distributed_paths_agree(spark):
+    # the collected merge loop and the per-merge Spark loop must be
+    # semantically identical (same argmax total order, same greedy
+    # fold) — run both on the same corpus
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(25)
+    )
+    m_drv, seg_drv = bpe_train(docs, num_merges=10)
+    m_dist, seg_dist = bpe_train(docs, num_merges=10, max_driver_types=0)
+    assert m_drv == m_dist
+    drv = {r["word"]: list(r["tokens"]) for r in seg_drv.collect()}
+    dist = {r["word"]: list(r["tokens"]) for r in seg_dist.collect()}
+    assert drv == dist
+
+
+def test_training_job_count_constant_in_merges(spark):
+    # the scale contract from the round-3 review: M merges must NOT
+    # cost O(M) Spark jobs (50k merges = 50k serial round-trips).
+    # The driver-side loop does the whole vocabulary in O(1) jobs.
+    sc = spark.sparkContext
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest new newer newest wide wider widest")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    sc.setJobGroup("bpe-jobcount", "bpe train job-count probe")
+    try:
+        merges, seg = bpe_train(docs, num_merges=20, min_pair_count=1)
+        seg.count()  # materialize the returned artifact too
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-jobcount")
+    assert len(merges) >= 15  # the loop really ran many merges
+    assert len(jobs) <= 8, (
+        f"{len(jobs)} jobs for {len(merges)} merges — training is "
+        "scaling with the merge count again"
+    )
+
+
 def test_tokenization_reconstructs_words(spark):
     docs = spark.createDataFrame(
         [(1, "spark spark shuffle"), (2, "shuffle spark")],

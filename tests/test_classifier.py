@@ -151,6 +151,7 @@ class TestEvaluationOps:
         r = binary_classification_report(df, thresholds=(0.5,)).collect()[0]
         assert (r.tp, r.fp, r.fn, r.tn) == (0, 0, 0, 2)
         assert r.precision is None and r.recall is None
+        assert r.accuracy == 1.0  # both correctly rejected
 
     def test_calibration_buckets(self, spark):
         from sfdata_wrangler_spark.operators.classifier import (

@@ -100,7 +100,7 @@ def test_feature_extraction_shape(spark):
 
 def test_video_frame_sampling_one_to_many(spark):
     frames = sample_video_frames(
-        _media(spark).where("media_type = 'video'"), every_ms=1000
+        _media(spark).where("media_type = 'video'"), every_ms=1000, fake=True
     ).collect()
     assert len(frames) == 3  # 3500ms at 1fps
     assert [f.frame_ms for f in sorted(frames, key=lambda r: r.frame_idx)] == [

@@ -26,11 +26,6 @@ def test_green_set_reflects_committed_reports():
         if row.get("err") is None and row.get("hash_match")
     }
     assert hash_green <= green
-    # rows-only entries count as swept ONLY while the query still has
-    # no oracle; g5 gained a closed-form oracle after its r01/r02
-    # rows-only rows, so it must rotate back in for a hash check
-    assert "g5_mapmatch_toy" not in green
-    assert QUERIES["g5_mapmatch_toy"]["oracle"]
     # a still-oracle-less query with a recorded row count stays green
     assert "txt_quality_distill" in green or (
         "txt_quality_distill" not in json.load(
@@ -38,6 +33,40 @@ def test_green_set_reflects_committed_reports():
         )
         and "txt_quality_distill" not in r02
     )
+
+
+def test_oracle_upgraded_queries_rotate_until_hash_green():
+    """The rotation PROPERTY (not a per-name snapshot): a query that
+    declares an oracle counts as swept only once some committed
+    driver report has a hash-exact row for it — a rows-only row from
+    before the oracle landed must NOT park it in the back. (g5 lived
+    this lifecycle: rows-only in r01/r02, oracle added, rotated to
+    the r03 front, went hash-green, left the front — all by design.)
+    """
+    import glob
+
+    hash_green: set[str] = set()
+    rows_only: set[str] = set()
+    for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+        data = json.load(open(path))
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") is None and row.get("hash_match"):
+                hash_green.add(name)
+            elif (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ):
+                rows_only.add(name)
+    green = driver_green()
+    for name in QUERIES:
+        if QUERIES[name]["oracle"]:
+            # oracle-backed: green iff some report hash-verified it
+            assert (name in green) == (name in hash_green), name
+        else:
+            # oracle-less: a recorded row count is terminal
+            assert (name in green) == (name in rows_only), name
 
 
 def test_unswept_names_lead_the_sweep():

@@ -264,6 +264,23 @@ class TestTargetEncodeLoo:
         out = {r.id: r.enc_loo for r in target_encode_loo(df, "k", "y").collect()}
         assert out == {1: 7_000_000, 2: 3_000_000}
 
+    def test_null_keys_survive(self, spark):
+        from sfdata_wrangler_spark.operators.encode import target_encode_loo
+
+        # NULL keys form their own group (null-safe join) — a feature
+        # transform must never drop rows
+        df = spark.createDataFrame(
+            [(1, None, 2.0), (2, None, 4.0), (3, "a", 5.0)],
+            "id bigint, k string, y double",
+        )
+        rows = target_encode_loo(df, "k", "y").collect()
+        assert len(rows) == 3
+        out = {r.id: (r.enc_loo, r.enc_prior) for r in rows}
+        # the two NULL-key rows leave-one-out against each other
+        assert out[1] == (4_000_000, 11_000_000 // 3)
+        assert out[2] == (2_000_000, 11_000_000 // 3)
+        assert out[3] == (None, 11_000_000 // 3)  # singleton
+
 
 class TestFkIntegrity:
     def test_orphans_and_null_keys(self, spark):
@@ -429,8 +446,18 @@ class TestAbTestReport:
         out = {r.exp: r for r in ab_test_report(
             df, "exp", "variant", F.col("ok") == 1
         ).collect()}
-        assert set(out) == {"zero_var"}
+        # every experiment gets a row; the n_variants guard column
+        # flags arity violations and their z is NULL (never a silent
+        # fold of a third variant into the statistic)
+        assert set(out) == {"zero_var", "three", "solo"}
         assert out["zero_var"].z is None
+        assert out["zero_var"].n_variants == 2
+        assert out["three"].n_variants == 3
+        assert out["three"].z is None
+        assert (out["three"].variant_a, out["three"].variant_b) == ("a", "b")
+        assert out["solo"].n_variants == 1
+        assert out["solo"].z is None
+        assert out["solo"].variant_b is None
 
 
 class TestPairwiseCorrelation:
