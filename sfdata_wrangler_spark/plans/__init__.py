@@ -23,6 +23,8 @@ from . import catalog21 as _catalog21  # registers EWMA/drift QC/sink roundtrips
 from . import catalog22 as _catalog22  # registers attribution/resample/containment
 from . import catalog23 as _catalog23  # registers exact pair search + QC diagnostics
 from . import catalog24 as _catalog24  # registers two-stage retrieval rerank
+from . import catalog25 as _catalog25  # registers zonemap/FK/SCD2/CUSUM backlog
+from . import catalog26 as _catalog26  # registers tfidf/AB/LOO/PPS/overlap backlog
 from .catalog import QUERIES, oracle_sql_map, query_map
 
 __all__ = ["QUERIES", "oracle_sql_map", "query_map"]
