@@ -94,6 +94,83 @@ def scaling_factor_join(
     return out.drop("__factor")
 
 
+def convert_annual_to_monthly(
+    annual: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    year_col: str = "YEAR",
+    month_col: str = "MONTH",
+) -> DataFrame:
+    """The reference's annual→monthly interpolation
+    (``DemandHelper.py:1559-1619``) as one window composition:
+
+    1. per key, linearly EXTRAPOLATE one anchor year before the first
+       (``v₁ − (v₂ − v₁)``) and after the last (``vₙ + (vₙ − vₙ₋₁)``);
+    2. anchor every year's value at July 1;
+    3. join onto the month spine spanning the extended years and
+       linearly interpolate between anchors
+       (:func:`..operators.windows.interpolate_monthly`);
+    4. trim to January(first real year) … December(last real year) —
+       the six months on each end come from the extrapolated anchors,
+       exactly the reference's ``YEAR ≥ extraStart+0.5`` cut.
+
+    The spine is generated, not passed in, because its span depends on
+    each key's year range (all keys share the global range here, as in
+    the reference's county loop). Returns (keys..., MONTH, value_cols)
+    with MONTH a first-of-month date."""
+    spark = annual.sparkSession
+    w_asc = Window.partitionBy(*keys).orderBy(F.col(year_col).asc())
+    w_desc = Window.partitionBy(*keys).orderBy(F.col(year_col).desc())
+
+    def edge(wspec, shift_years):
+        """First row per key under ``wspec`` with extrapolated values."""
+        r = annual.withColumn("__rn", F.row_number().over(wspec)).withColumn(
+            "__nxt",
+            F.struct(
+                *[F.lead(c).over(wspec).alias(c) for c in value_cols]
+            ),
+        )
+        r = r.where(F.col("__rn") == 1)
+        cols = [F.col(k) for k in keys] + [
+            (F.col(year_col) + shift_years).alias(year_col)
+        ]
+        for c in value_cols:
+            cols.append(
+                (F.col(c) - (F.col("__nxt")[c] - F.col(c))).alias(c)
+            )
+        return r.select(*cols)
+
+    extended = (
+        annual.select(*keys, year_col, *value_cols)
+        .unionByName(edge(w_asc, -1))
+        .unionByName(edge(w_desc, 1))
+    )
+    anchors = extended.withColumn(
+        month_col,
+        F.to_date(F.concat(F.col(year_col).cast("string"), F.lit("-07-01"))),
+    ).drop(year_col)
+
+    bounds = annual.agg(
+        F.min(year_col).alias("y0"), F.max(year_col).alias("y1")
+    ).collect()[0]
+    spine = spark.sql(
+        f"SELECT explode(sequence(to_date('{bounds['y0'] - 1}-07-01'), "
+        f"to_date('{bounds['y1'] + 1}-07-01'), interval 1 month)) "
+        f"AS {month_col}"
+    ).crossJoin(F.broadcast(annual.select(*keys).distinct()))
+
+    joined = spine.join(F.broadcast(anchors), [*keys, month_col], "left")
+    out = joined
+    from ..operators.windows import interpolate_monthly
+
+    for c in value_cols:
+        out = interpolate_monthly(out, month_col, c, partition=list(keys))
+    return out.where(
+        (F.col(month_col) >= F.lit(f"{bounds['y0']}-01-01").cast("date"))
+        & (F.col(month_col) <= F.lit(f"{bounds['y1']}-12-01").cast("date"))
+    )
+
+
 def crosswalk_rollup(
     blocks: DataFrame,
     xwalk: DataFrame,
