@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 from ..operators.hll import hll_sketch
 from ..operators.sketch import cms_build
 
-__all__ = ["stream_cms", "stream_hll", "stream_zonemap", "merge_zonemaps"]
+__all__ = [
+    "stream_cms",
+    "stream_hll",
+    "stream_zonemap",
+    "merge_zonemaps",
+    "stream_qsketch",
+]
 
 
 def stream_cms(
@@ -91,6 +97,36 @@ def stream_zonemap(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         merge_sink(zonemap_stats(batch_df, file_col, cols), batch_id)
+
+    return stream_rows.writeStream.foreachBatch(_process)
+
+
+def stream_qsketch(
+    stream_rows: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    merge_sink,
+    scale: int = 100,
+    sub_bits: int = 6,
+):
+    """Maintain per-group quantile sketches over a stream: each
+    trigger emits the batch-local log-histogram
+    (``operators.qsketch.qsketch_build``) and ``merge_sink`` folds it
+    with the count-sum merge law (``qsketch_merge``) — percentiles
+    over an unbounded stream as bounded state (~64·2^sub_bits buckets
+    per group), same fold discipline as the CMS/HLL/zone-map
+    maintenance above. Returns the writeStream handle (caller
+    starts)."""
+    from ..operators.qsketch import qsketch_build
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        merge_sink(
+            qsketch_build(
+                batch_df, group_cols, value_col, scale=scale,
+                sub_bits=sub_bits,
+            ),
+            batch_id,
+        )
 
     return stream_rows.writeStream.foreachBatch(_process)
 

@@ -205,3 +205,51 @@ def test_rolling_wau_no_cartesian_two_distincts(spark):
     plan = _plan(spark, "a12_rolling_wau")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_keyed_no_cartesian(spark):
+    """Grid candidate generation must stay an equi join on
+    (cell, key) — a θ-join fallback would be the quadratic plan the
+    grid exists to avoid."""
+    plan = _plan(spark, "j19_interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_target_loo_broadcasts_group_dim(spark):
+    """The fact is touched once: group stats and the 1-row global
+    prior both come back as broadcasts."""
+    plan = _plan(spark, "enc_target_loo")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_qsketch_quantiles_windows_on_sketch(spark):
+    """The quantile walk's window runs on the SKETCH table: one
+    exchange for the sketch build, bounded re-shuffles after — and
+    never a cartesian."""
+    plan = _plan(spark, "sk_qsketch_quantiles")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_cusum_single_exchange_for_both_windows(spark):
+    """Prefix sum and prefix min share the (group) partitioning —
+    the reflection identity must not pay two shuffles."""
+    plan = _plan(spark, "qc_cusum_changepoints")
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_twa_window_and_agg_share_partitioning(spark):
+    plan = _plan(spark, "w21_time_weighted_average")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_demand_v2_all_dims_broadcast(spark):
+    """The demand panel is dimension-scale end to end: every join is
+    a broadcast; a sort-merge join would mean a dim got misjudged as
+    a fact."""
+    plan = _plan(spark, "pipe_demand_v2")
+    assert "CartesianProduct" not in plan

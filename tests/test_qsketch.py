@@ -1,0 +1,65 @@
+"""Deterministic log-histogram quantile sketch (operators/qsketch):
+merge law (fold equals batch), relative-error bound vs exact
+quantiles, small-value exactness, and the zero-class bucket."""
+
+from pyspark.sql import functions as F
+
+from sfdata_wrangler_spark.operators.qsketch import (
+    qsketch_build,
+    qsketch_merge,
+    qsketch_quantiles,
+)
+
+
+def _df(spark, vals, g="g"):
+    return spark.createDataFrame([(g, float(v)) for v in vals], "g string, v double")
+
+
+def test_merge_equals_batch(spark):
+    a_vals = [1.5, 2.0, 700.25, 19.99, 0.0, -3.0] * 5
+    b_vals = [88.0, 0.07, 123456.78, 2.0] * 7
+    batch = qsketch_build(_df(spark, a_vals + b_vals), ["g"], "v")
+    merged = qsketch_merge(
+        qsketch_build(_df(spark, a_vals), ["g"], "v"),
+        qsketch_build(_df(spark, b_vals), ["g"], "v"),
+        ["g"],
+    )
+    as_map = lambda df: {  # noqa: E731
+        (r["g"], r["bucket"]): r["n"] for r in df.collect()
+    }
+    assert as_map(batch) == as_map(merged)
+
+
+def test_relative_error_bound(spark):
+    # deterministic spread over 4 decades; k=6 -> bound 1/64
+    vals = [round(1.0007**i, 4) for i in range(0, 12000, 7)]
+    df = _df(spark, vals)
+    sk = qsketch_build(df, ["g"], "v", scale=100, sub_bits=6)
+    out = qsketch_quantiles(sk, ["g"], [0.5, 0.95, 0.99], sub_bits=6).collect()[0]
+    svals = sorted(int(round(v * 100)) for v in vals)
+    for q, col in [(0.5, "q50_scaled"), (0.95, "q95_scaled"), (0.99, "q99_scaled")]:
+        import math
+
+        exact = svals[math.ceil(q * len(svals)) - 1]
+        est = out[col]
+        assert est <= exact, (q, est, exact)  # lower bound by construction
+        assert exact <= est * (1 + 1 / 64) + 1, (q, est, exact)
+
+
+def test_small_values_exact_and_zero_class(spark):
+    # fixed-point values below 2^6 = 64 units are their own buckets
+    vals = [0.01, 0.02, 0.63, 0.0, -1.0]
+    sk = qsketch_build(_df(spark, vals), ["g"], "v", scale=100, sub_bits=6)
+    buckets = {r["bucket"]: r["n"] for r in sk.collect()}
+    assert buckets == {1: 1, 2: 1, 63: 1, -1: 2}
+    out = qsketch_quantiles(sk, ["g"], [0.2, 0.9], sub_bits=6).collect()[0]
+    assert out["n_total"] == 5
+    assert out["q20_scaled"] == 0  # zero-class dominates the low tail
+    assert out["q90_scaled"] == 63
+
+
+def test_quantile_thresholds_are_integer_exact(spark):
+    # 10 equal values: every quantile lands on the single bucket
+    sk = qsketch_build(_df(spark, [5.0] * 10), ["g"], "v")
+    out = qsketch_quantiles(sk, ["g"], [0.01, 0.5, 1.0]).collect()[0]
+    assert out["q1_scaled"] == out["q50_scaled"] == out["q100_scaled"]

@@ -156,3 +156,59 @@ def test_stream_zonemap_fold_equals_batch(spark, tmp_path):
     }
     got = {tuple(r) for r in state["zm"].collect()}
     assert got == want
+
+
+def test_stream_qsketch_fold_equals_batch(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    from sfdata_wrangler_spark.operators.qsketch import (
+        qsketch_build,
+        qsketch_merge,
+    )
+    from sfdata_wrangler_spark.streaming.sketch_stream import stream_qsketch
+
+    rows = [
+        (f"g{i % 2}", float(i * i) / 7.0 - 3.0) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+
+    src = str(tmp_path / "qs_src")
+    os.makedirs(src)
+    for half in (0, 1):
+        part = df.where((F.abs(F.hash("v")) % 2) == half).coalesce(1)
+        stage = str(tmp_path / f"qs_stage_{half}")
+        part.write.parquet(stage)
+        shutil.copy(
+            glob.glob(stage + "/part-*.parquet")[0],
+            os.path.join(src, f"{half}.parquet"),
+        )
+
+    state = {"sk": None}
+
+    def sink(partial, batch_id):
+        partial = partial.localCheckpoint(eager=True)
+        state["sk"] = (
+            partial
+            if state["sk"] is None
+            else qsketch_merge(state["sk"], partial, ["grp"])
+            .localCheckpoint(eager=True)
+        )
+
+    stream = (
+        spark.readStream.schema("grp string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_qsketch(stream, ["grp"], "v", sink)
+        .option("checkpointLocation", str(tmp_path / "qs_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {tuple(r) for r in qsketch_build(df, ["grp"], "v").collect()}
+    got = {tuple(r) for r in state["sk"].collect()}
+    assert got == want
