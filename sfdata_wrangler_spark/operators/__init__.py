@@ -100,6 +100,7 @@ from .spatial import grid_nearest_join
 from .diff import diff_summary, table_diff
 from .encode import target_encode_loo
 from .quality import fk_integrity
+from .qsketch import qsketch_build, qsketch_merge, qsketch_quantiles
 from .zonemap import prune_files, skip_rate, zonemap_stats
 
 __all__ = [
@@ -223,6 +224,9 @@ __all__ = [
     "winsorize_bounds",
     "rolling_distinct_users",
     "rolling_distinct_users_hll",
+    "qsketch_build",
+    "qsketch_merge",
+    "qsketch_quantiles",
     "zonemap_stats",
     "prune_files",
     "skip_rate",
