@@ -27,6 +27,7 @@ from . import catalog25 as _catalog25  # registers zonemap/FK/SCD2/CUSUM backlog
 from . import catalog26 as _catalog26  # registers tfidf/AB/LOO/PPS/overlap backlog
 from . import catalog27 as _catalog27  # registers the dataset-level demand ingest
 from . import catalog28 as _catalog28  # registers the quantile-sketch queries
+from . import catalog29 as _catalog29  # registers ingest-robustness sources
 from .catalog import QUERIES, oracle_sql_map, query_map
 
 __all__ = ["QUERIES", "oracle_sql_map", "query_map"]

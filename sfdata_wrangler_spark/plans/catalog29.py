@@ -1,0 +1,144 @@
+"""Catalog wave 29 (round 4): ingest-robustness sources.
+
+Two lakehouse realities every 100 TB pipeline hits that the clean
+scan queries never exercise: rows that don't parse (route to a
+quarantine table, never silently drop) and files whose schema
+evolved mid-table (older files lack newer columns; the read must
+unify, not fail). Both verified hash-exact — the quarantine against
+the committed dirty fixture's closed-form restatement, the evolution
+read against the generation split it was written from.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.quarantine import read_csv_with_quarantine
+from .catalog import _register, _t
+
+_DIRTY = os.path.join(
+    os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ),
+    "tests",
+    "fixtures",
+    "dirty_events.csv",
+)
+_DIRTY_SCHEMA = "event_id BIGINT, user_id BIGINT, amount DOUBLE, note STRING"
+
+
+def _dirty_split(spark: SparkSession):
+    return read_csv_with_quarantine(spark, _DIRTY, _DIRTY_SCHEMA)
+
+
+@_register(
+    "s16_csv_quarantine",
+    """
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), CAST(11 AS BIGINT), CAST(NULL AS DOUBLE),
+       'bad-amount', '2,11,not_a_number,bad-amount'),
+      (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), 'broken line without commas'),
+      (CAST(6 AS BIGINT), CAST(NULL AS BIGINT), CAST(1.0 AS DOUBLE),
+       'bad-user', '6,fourteen,1.00,bad-user')
+    ) AS t(event_id, user_id, amount, note, raw_record)
+    """,
+)
+def s16_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record quarantine (sources/quarantine.py): PERMISSIVE
+    ``from_csv`` over a text scan routes the committed dirty
+    fixture's three malformed rows — type mismatch, arity mismatch,
+    bad key — to the side table with their PARTIAL parses and raw
+    text. The oracle restates the expected quarantine verbatim."""
+    _, quar = _dirty_split(spark)
+    return quar.select(
+        "event_id", "user_id", "amount", "note", "raw_record"
+    )
+
+
+@_register(
+    "s16_csv_quarantine_clean",
+    """
+    SELECT CAST(4 AS BIGINT) AS n_clean,
+           CAST(16 AS BIGINT) AS sum_event_id,
+           CAST(2350 AS BIGINT) AS sum_amount_cents
+    """,
+)
+def s16_csv_quarantine_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clean side of the same scan: fully-typed rows only, with
+    an exact-cents checksum proving no good row leaked into
+    quarantine and no bad row leaked out."""
+    clean, _ = _dirty_split(spark)
+    return clean.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clean"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        F.sum(F.floor(F.col("amount") * 100 + 0.5))
+        .cast("bigint")
+        .alias("sum_amount_cents"),
+    )
+
+
+@_register(
+    "s17_schema_evolution_read",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS pm,
+             CAST(count(*) AS BIGINT) AS n,
+             CASE WHEN min(year(l_shipdate)) >= 1998
+                  THEN CAST((floor((sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0) AS DOUBLE)
+             END AS rev
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1997, 1998)
+      GROUP BY 1
+    )
+    SELECT pm, n, rev, (rev IS NULL) AS from_old_generation FROM m
+    """,
+)
+def s17_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution lake read (S8's forward-compat half): an old
+    generation of parquet files written WITHOUT the ``rev`` column
+    and a new generation WITH it are read back as one table via
+    ``mergeSchema`` — missing columns surface as nulls instead of a
+    failed scan, which is how a 100 TB table adds a column without
+    rewriting history. The null pattern itself is part of the
+    hash-checked output."""
+    from .catalog import _msum2
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(1997, 1998)
+    ).withColumn("pm", F.date_format("l_shipdate", "yyyy-MM"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "sfdata_schema_evolution",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    old = (
+        li.where(F.year("l_shipdate") == 1997)
+        .groupBy("pm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    new = (
+        li.where(F.year("l_shipdate") == 1998)
+        .groupBy("pm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _msum2(F.col("l_extendedprice")).alias("rev"),
+        )
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    return merged.select(
+        "pm",
+        "n",
+        "rev",
+        F.col("rev").isNull().alias("from_old_generation"),
+    )

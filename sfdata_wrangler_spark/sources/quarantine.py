@@ -1,0 +1,74 @@
+"""Bad-record quarantine for CSV ingest (S3's robustness half).
+
+The reference survives dirty inputs by embedded guards — mid-file
+headers read as NA rows and dropped (``SFMuniDataHelper.py:443``),
+misalignment fences like ``RDBRDNGS<1000`` (``:446-448``). The
+engine's equivalent routes unparseable rows to a side table instead
+of killing the job or silently dropping them (DROPMALFORMED's
+failure mode — at 100 TB a silent drop is unauditable).
+
+Shape: ``spark.read.text`` + ``from_csv`` in PERMISSIVE mode. The
+line IS a column, so the raw text of a bad record is retained for
+free, and the quarantine split is a plain filter — deliberately NOT
+the ``spark.read.csv`` + ``_corrupt_record`` route, which forbids any
+query whose referenced columns prune down to the corrupt column alone
+(UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN fires on as
+little as ``clean.count()``). One scan; both outputs are lazy
+projections of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """One text scan → (clean, quarantine).
+
+    ``schema`` is the DDL of the GOOD columns. Clean rows parsed
+    fully; quarantine rows carry whatever typed fields DID parse
+    (PERMISSIVE nulls only the malformed ones — the repair starting
+    point), plus ``raw_record`` and ``src_file``. With ``header``,
+    each file's header line (the schema's column names) is dropped
+    wherever it appears — which also quarantine-proofs the mid-file
+    header blocks of concatenated exports (the reference's S1 case).
+    """
+    fields = [f.name for f in StructType.fromDDL(schema).fields]
+    header_line = ",".join(fields)
+    full_schema = f"{schema}, {CORRUPT_COL} STRING"
+
+    lines = spark.read.text(path).select(
+        F.col("value").alias("__raw"),
+        F.input_file_name().alias("__src"),
+    )
+    if header:
+        lines = lines.where(F.col("__raw") != header_line)
+    parsed = lines.select(
+        "__raw",
+        "__src",
+        F.from_csv(
+            F.col("__raw"),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("__p"),
+    )
+    clean = parsed.where(F.col(f"__p.{CORRUPT_COL}").isNull()).select(
+        *[F.col(f"__p.{c}").alias(c) for c in fields]
+    )
+    quarantine = parsed.where(
+        F.col(f"__p.{CORRUPT_COL}").isNotNull()
+    ).select(
+        *[F.col(f"__p.{c}").alias(c) for c in fields],
+        F.col("__raw").alias("raw_record"),
+        F.col("__src").alias("src_file"),
+    )
+    return clean, quarantine
