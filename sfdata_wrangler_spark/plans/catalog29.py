@@ -142,3 +142,50 @@ def s17_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         F.col("rev").isNull().alias("from_old_generation"),
     )
+
+
+@_register(
+    "txt_chunk_windows",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+    ),
+    s AS (
+      SELECT doc_id, t,
+             unnest(range(0,
+               greatest(0, CAST(ceil((len(t) - 64) / 48.0) AS INT) * 48) + 1,
+               48)) AS chunk_start
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_start / 48 AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(len(t[chunk_start + 1 : least(chunk_start + 64, len(t))])
+                AS INT) AS n_chunk_tokens,
+           array_to_string(
+             t[chunk_start + 1 : least(chunk_start + 64, len(t))], ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/long-context chunking (operators/chunking.py): 64-token
+    windows, stride 48 (overlapping context), shuffle-free per-row
+    projection — start grid capped so the final window is the only
+    possibly-short one and covered text is never re-emitted as a
+    tail fragment."""
+    from ..operators.chunking import chunk_token_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_token_windows(docs, width=64, stride=48)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "chunk_idx",
+        "chunk_start",
+        "n_chunk_tokens",
+        "chunk_text",
+    )
