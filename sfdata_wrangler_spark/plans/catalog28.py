@@ -72,6 +72,7 @@ def _thresh(numq: int) -> str:
              AS q99_scaled
     FROM c GROUP BY l_returnflag
     """,
+    bench=True,
 )
 def sk_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p95/p99 of extended price per returnflag from the sketch:

@@ -171,6 +171,7 @@ def s17_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS chunk_text
     FROM s
     """,
+    bench=True,
 )
 def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/long-context chunking (operators/chunking.py): 64-token
@@ -189,3 +190,63 @@ def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         "chunk_text",
     )
+
+
+def _thread_oracle() -> str:
+    from .catalog import _SESSION_ORACLE_BODY
+
+    return (
+        _SESSION_ORACLE_BODY.replace(
+            "SELECT user_id, event_id, ts, value,",
+            "SELECT user_id, event_id, ts, value, event_type,",
+            1,
+        ).replace(
+            "SELECT user_id, event_id, ts, value,\n",
+            "SELECT user_id, event_id, ts, value, event_type,\n",
+        )
+        + """
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS thread_text
+    FROM s GROUP BY user_id, session_id
+    """
+    )
+
+
+@_register("w22_thread_assembly", _thread_oracle())
+def w22_thread_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation/thread assembly — the chat-training-data prep op:
+    sessionize each user's event stream (the W4 kernel, 30-min gap),
+    then concatenate each session's messages IN ORDER into one
+    training example. Ordered concatenation is collect_list of
+    (ts, event_id, payload) structs → array_sort → join: the struct
+    prefix is a total order, so assembly is deterministic under any
+    partitioning (no SQL ORDER BY inside Spark aggregates)."""
+    from ..operators.windows import sessionize
+    from .catalog import _events
+
+    ev = _events(spark, sf_dir)
+    s = sessionize(
+        ev, ["user_id"], "ts", gap_minutes=30.0, order_cols=["ts", "event_id"]
+    )
+    assembled = s.groupBy(
+        "user_id", F.col("SESSION_ID").alias("session_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("t"),
+                            F.col("event_id").alias("i"),
+                            F.col("event_type").alias("m"),
+                        )
+                    )
+                ),
+                lambda x: x["m"],
+            ),
+            " ",
+        ).alias("thread_text"),
+    )
+    return assembled
