@@ -14,6 +14,8 @@ The training-data side of the engine on the synthetic ``documents`` /
 6. rebalance the language mixture; assign train/val/test splits
 7. pack survivors into fixed-token context windows and write
    deterministic shards
+8. chunk survivors into overlapping retrieval windows; sketch the
+   chunk-length distribution (mergeable log-histogram percentiles)
 """
 
 from __future__ import annotations
@@ -111,6 +113,23 @@ def main() -> None:
         back = spark.read.parquet(os.path.join(tmp, "shards"))
         print("shard sizes:")
         back.groupBy("shard").count().orderBy("shard").show()
+
+    print("== 8. retrieval chunks + length sketch ==")
+    from sfdata_wrangler_spark.operators.chunking import chunk_token_windows
+    from sfdata_wrangler_spark.operators.qsketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    chunks = chunk_token_windows(split, width=64, stride=48)
+    print("retrieval chunks:", chunks.count())
+    sk = qsketch_build(
+        chunks.withColumn("g", F.lit("all")),
+        ["g"],
+        "n_chunk_tokens",
+        scale=1,
+    )
+    qsketch_quantiles(sk, ["g"], [0.5, 0.95], scale=1).show()
 
 
 if __name__ == "__main__":
