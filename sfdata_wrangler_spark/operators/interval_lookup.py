@@ -123,7 +123,12 @@ def interval_overlap_join(
     cell = lambda c: F.window(c, bucket).start  # noqa: E731
 
     def cells(df, s, e, tag):
-        return df.withColumn(
+        # empty/degenerate intervals (end <= start) match nothing
+        # under the half-open semantics — and must be dropped BEFORE
+        # the grid explode: a zero-length interval starting exactly
+        # on a bucket boundary would otherwise hand F.sequence a
+        # stop < start and crash the job
+        return df.where(F.col(e) > F.col(s)).withColumn(
             f"__cell_{tag}",
             F.explode(
                 F.sequence(

@@ -208,6 +208,30 @@ class TestIntervalOverlapJoin:
         assert [(r.a_id, r.b_id, r.key) for r in out] == [(0, 0, "x")]
         assert out[0].overlap_us == 30 * 60 * 1_000_000
 
+    def test_degenerate_intervals_dropped_not_crashed(self, spark):
+        from sfdata_wrangler_spark.operators.interval_lookup import (
+            interval_overlap_join,
+        )
+
+        import datetime as dt
+
+        # a zero-length interval starting EXACTLY on a bucket
+        # boundary used to hand F.sequence a stop < start and crash;
+        # empty intervals must simply match nothing
+        t0 = dt.datetime(2024, 7, 1, 10, 0)  # on the hour
+        a = spark.createDataFrame(
+            [(1, t0, t0), (2, t0, t0 + dt.timedelta(minutes=30))],
+            "a_id bigint, a_s timestamp, a_e timestamp",
+        )
+        b = spark.createDataFrame(
+            [(1, t0, t0 + dt.timedelta(minutes=60))],
+            "b_id bigint, b_s timestamp, b_e timestamp",
+        )
+        out = interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", bucket="1 hour"
+        ).collect()
+        assert [(r.a_id, r.b_id) for r in out] == [(2, 1)]
+
     def test_duplicate_input_rows_pair_independently(self, spark):
         from sfdata_wrangler_spark.operators.interval_lookup import (
             interval_overlap_join,
