@@ -129,7 +129,7 @@ def main() -> None:
         "n_chunk_tokens",
         scale=1,
     )
-    qsketch_quantiles(sk, ["g"], [0.5, 0.95], scale=1).show()
+    qsketch_quantiles(sk, ["g"], [0.5, 0.95]).show()
 
 
 if __name__ == "__main__":

@@ -112,11 +112,14 @@ def qsketch_quantiles(
     group_cols: Sequence[str],
     qs: Sequence[float],
     sub_bits: int = 6,
-    scale: int = 100,
 ) -> DataFrame:
     """Per group, for each q in ``qs``: the sketch quantile estimate
-    ``q<q*100>_scaled`` (fixed-point lower bound of the first bucket
-    whose cumulative count reaches ceil(q·n)) plus ``n_total``.
+    (fixed-point lower bound of the first bucket whose cumulative
+    count reaches ceil(q·n)) plus ``n_total``. Columns are named
+    ``q<percent>_scaled`` (``q95_scaled``), with sub-percent
+    precision as a zero-padded basis-point remainder
+    (``q99_50_scaled`` for 0.995); values are in the sketch's
+    fixed-point units (the build's ``scale``).
 
     Pure window walk over the sketch table. The zero-class bucket
     (-1) participates with lower bound 0, so distributions with mass
@@ -138,14 +141,24 @@ def qsketch_quantiles(
         .withColumn("lb", lb)
     )
     aggs = [F.max("total").cast("bigint").alias("n_total")]
+    names = set()
     for q in qs:
         # ceil(q * n) with q a plan-time rational: (n * num + den - 1)
         # div den keeps the threshold integer-exact (no float rank)
         num = int(round(q * 10_000))
         thresh = F.expr(f"(total * {num} + 9999) div 10000")
+        # sub-percent quantiles carry their basis-point remainder,
+        # zero-padded so q99_05 (99.05%) ≠ q99_50 (99.5%)
+        label = (
+            f"q{num // 100}" if num % 100 == 0
+            else f"q{num // 100}_{num % 100:02d}"
+        )
+        if label in names:
+            raise ValueError(f"duplicate quantile label {label!r} from {q}")
+        names.add(label)
         aggs.append(
             F.min(F.when(F.col("cum") >= thresh, F.col("lb")))
             .cast("bigint")
-            .alias(f"q{num // 100}_scaled")
+            .alias(f"{label}_scaled")
         )
     return cum.groupBy(*gc).agg(*aggs)

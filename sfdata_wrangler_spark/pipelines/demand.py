@@ -123,7 +123,10 @@ def convert_annual_to_monthly(
     w_desc = Window.partitionBy(*keys).orderBy(F.col(year_col).desc())
 
     def edge(wspec, shift_years):
-        """First row per key under ``wspec`` with extrapolated values."""
+        """First row per key under ``wspec`` with extrapolated values.
+        A key with a SINGLE observed year has no trend to extrapolate
+        (lead() is null); it falls back to a constant series rather
+        than poisoning its 11 non-July months with NULLs."""
         r = annual.withColumn("__rn", F.row_number().over(wspec)).withColumn(
             "__nxt",
             F.struct(
@@ -136,7 +139,10 @@ def convert_annual_to_monthly(
         ]
         for c in value_cols:
             cols.append(
-                (F.col(c) - (F.col("__nxt")[c] - F.col(c))).alias(c)
+                (
+                    F.col(c)
+                    - (F.coalesce(F.col("__nxt")[c], F.col(c)) - F.col(c))
+                ).alias(c)
             )
         return r.select(*cols)
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..sources.quarantine import read_csv_with_quarantine
 from .catalog import _register, _t
+from .catalog_text import norm_sql
 
 _DIRTY = os.path.join(
     os.path.dirname(
@@ -111,11 +112,10 @@ def s17_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.year("l_shipdate").isin(1997, 1998)
     ).withColumn("pm", F.date_format("l_shipdate", "yyyy-MM"))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "sfdata_schema_evolution",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    # per-invocation path: a fixed shared location would let two
+    # concurrent sessions overwrite each other mid-read (flaky,
+    # order-dependent hash checks)
+    path = tempfile.mkdtemp(prefix="sfdata_schema_evolution_")
     old = (
         li.where(F.year("l_shipdate") == 1997)
         .groupBy("pm")
@@ -148,11 +148,9 @@ def s17_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txt_chunk_windows",
     """
     WITH d AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                          ' ') AS t
+      SELECT doc_id, string_split({norm}, ' ') AS t
       FROM documents
-      WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+      WHERE {norm} <> ''
     ),
     s AS (
       SELECT doc_id, t,
@@ -170,7 +168,7 @@ def s17_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
              t[chunk_start + 1 : least(chunk_start + 64, len(t))], ' ')
              AS chunk_text
     FROM s
-    """,
+    """.format(norm=norm_sql()),
     bench=True,
 )
 def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,21 +37,36 @@ def read_csv_with_quarantine(
     ``schema`` is the DDL of the GOOD columns. Clean rows parsed
     fully; quarantine rows carry whatever typed fields DID parse
     (PERMISSIVE nulls only the malformed ones — the repair starting
-    point), plus ``raw_record`` and ``src_file``. With ``header``,
-    each file's header line (the schema's column names) is dropped
-    wherever it appears — which also quarantine-proofs the mid-file
-    header blocks of concatenated exports (the reference's S1 case).
+    point), plus ``raw_record`` and ``src_file``. Blank lines are
+    skipped (they are not records — matching ``spark.read.csv``).
+    With ``header``, lines matching the schema's column names
+    (case-insensitively, ignoring quotes and whitespace) are dropped
+    wherever they appear — which also quarantine-proofs the mid-file
+    header blocks of concatenated exports (the reference's S1 case);
+    a data row whose normalized text equals the header is
+    indistinguishable by CSV grammar and is dropped with it.
     """
     fields = [f.name for f in StructType.fromDDL(schema).fields]
-    header_line = ",".join(fields)
     full_schema = f"{schema}, {CORRUPT_COL} STRING"
 
     lines = spark.read.text(path).select(
         F.col("value").alias("__raw"),
         F.input_file_name().alias("__src"),
     )
+    # blank lines are not records: PERMISSIVE from_csv would type them
+    # as all-NULL rows with a NULL corrupt column, leaking phantom
+    # rows into CLEAN (spark.read.csv also skips blank lines)
+    lines = lines.where(F.length(F.trim("__raw")) > 0)
     if header:
-        lines = lines.where(F.col("__raw") != header_line)
+        # match header lines tolerantly (case, spaces around commas,
+        # quoted names — the variants real exports emit). A DATA row
+        # that normalizes to exactly the header is indistinguishable
+        # from a header by CSV grammar and is dropped with it.
+        header_norm = ",".join(f.lower() for f in fields)
+        raw_norm = F.lower(
+            F.regexp_replace(F.col("__raw"), r'["\s]', "")
+        )
+        lines = lines.where(raw_norm != header_norm)
     parsed = lines.select(
         "__raw",
         "__src",

@@ -73,3 +73,18 @@ def test_pipe_demand_v2_panel_shape(spark):
         .collect()
     ]
     assert all(a < b for a, b in zip(pops, pops[1:]))
+
+
+def test_single_year_key_constant_series(spark):
+    # one observed year has no trend to extrapolate: the key gets a
+    # CONSTANT monthly series, not 11 NULL months
+    from sfdata_wrangler_spark.pipelines.demand import (
+        convert_annual_to_monthly,
+    )
+
+    annual = spark.createDataFrame(
+        [("A", 2010, 100.0)], "K string, YEAR int, V double"
+    )
+    rows = convert_annual_to_monthly(annual, ["K"], ["V"]).collect()
+    assert len(rows) == 12
+    assert {r["V"] for r in rows} == {100.0}

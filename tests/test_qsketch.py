@@ -63,3 +63,16 @@ def test_quantile_thresholds_are_integer_exact(spark):
     sk = qsketch_build(_df(spark, [5.0] * 10), ["g"], "v")
     out = qsketch_quantiles(sk, ["g"], [0.01, 0.5, 1.0]).collect()[0]
     assert out["q1_scaled"] == out["q50_scaled"] == out["q100_scaled"]
+
+
+def test_subpercent_quantile_labels_distinct(spark):
+    sk = qsketch_build(_df(spark, [float(i) for i in range(1, 200)]), ["g"], "v")
+    out = qsketch_quantiles(sk, ["g"], [0.99, 0.995, 0.999])
+    assert out.columns == [
+        "g", "n_total", "q99_scaled", "q99_50_scaled", "q99_90_scaled"
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        # 0.99 and 0.99004 both round to 9900 basis points
+        qsketch_quantiles(sk, ["g"], [0.99, 0.99004])

@@ -50,3 +50,25 @@ def test_midfile_header_dropped(spark, tmp_path):
     )
     assert sorted((r.a, r.b) for r in clean.collect()) == [(1, 2), (3, 4)]
     assert [r.raw_record for r in quar.collect()] == ["bad,line,extra"]
+
+
+def test_blank_lines_skipped_not_phantom_rows(spark, tmp_path):
+    p = tmp_path / "blanks.csv"
+    p.write_text("a,b\n1,2\n\n3,4\n   \n")
+    clean, quar = read_csv_with_quarantine(
+        spark, str(p), "a BIGINT, b BIGINT"
+    )
+    assert sorted((r.a, r.b) for r in clean.collect()) == [(1, 2), (3, 4)]
+    assert quar.count() == 0
+
+
+def test_header_variants_dropped(spark, tmp_path):
+    # quoted names, spaces around commas, different case — all real
+    # export variants must be recognized as headers, not quarantined
+    p = tmp_path / "variants.csv"
+    p.write_text('"a","b"\n1,2\nA, B\n3,4\n')
+    clean, quar = read_csv_with_quarantine(
+        spark, str(p), "a BIGINT, b BIGINT"
+    )
+    assert sorted((r.a, r.b) for r in clean.collect()) == [(1, 2), (3, 4)]
+    assert quar.count() == 0
