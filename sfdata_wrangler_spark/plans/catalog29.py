@@ -248,3 +248,86 @@ def w22_thread_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("thread_text"),
     )
     return assembled
+
+
+_HTML_WRAP_SQL = """
+      '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      || '</title><style>p{margin:0}</style></head><body>'
+      || '<nav><a href="/">home</a> <a href="/l">all docs</a></nav><p>'
+      || text
+      || '</p><script>var tracker = "<p>not text</p>";</script>'
+      || '<div><a href="/m">more like this</a></div></body></html>'
+"""
+
+_HTML_STRIP_STAGES_SQL = """
+    raw AS (
+      SELECT doc_id, {wrap} AS html FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, html,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(html,
+                     '(?is)<(script|style)[^>]*>.*?</(script|style)>',
+                     ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS clean_text,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     array_to_string(regexp_extract_all(html,
+                       '(?is)<a[^>]*>(.*?)</a>', 1), ' '),
+                     '(?is)<(script|style)[^>]*>.*?</(script|style)>',
+                     ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS anchor_text
+      FROM raw
+    )
+""".format(wrap=_HTML_WRAP_SQL)
+
+
+@_register(
+    "txt_html_extract",
+    f"""
+    WITH {_HTML_STRIP_STAGES_SQL}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           clean_text,
+           CAST(length(clean_text) AS BIGINT) AS n_chars,
+           CASE WHEN length(clean_text) > 0
+                THEN CAST(length(anchor_text) AS DOUBLE)
+                     / CAST(length(clean_text) AS DOUBLE)
+           END AS link_density
+    FROM stripped
+    """,
+)
+def txt_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html.py): documents wrapped
+    in a deterministic page shell (title, style, nav links, a script
+    whose payload CONTAINS markup, footer link) are reduced back to
+    text — script/style payloads dropped, tags stripped, entities
+    decoded, whitespace collapsed — plus link density, the classic
+    boilerplate-block signal. One shuffle-free regex projection; the
+    oracle replays the identical chain (the regex subset where Java
+    and RE2 agree)."""
+    from ..functions.html import html_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>p{margin:0}</style></head><body>'),
+        F.lit('<nav><a href="/">home</a> <a href="/l">all docs</a></nav><p>'),
+        F.col("text"),
+        F.lit('</p><script>var tracker = "<p>not text</p>";</script>'),
+        F.lit('<div><a href="/m">more like this</a></div></body></html>'),
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        *html_text_stats(html),
+    )
