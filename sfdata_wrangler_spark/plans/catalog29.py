@@ -331,3 +331,46 @@ def txt_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         *html_text_stats(html),
     )
+
+
+@_register(
+    "txt_url_normalize",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'https://example' || CAST(doc_id % 7 AS VARCHAR)
+             || '.com/Docs/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2'
+                     WHEN doc_id % 3 = 1 THEN '?z=9'
+                     ELSE '' END AS canonical_url,
+           'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+    FROM documents
+    """,
+)
+def txt_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/url.py): deterministically
+    messy crawl URLs — uppercase scheme/host, www prefix, default
+    port, unsorted query with tracking params, fragment — reduce to
+    the canonical dedup key. The oracle states the GROUND-TRUTH
+    canonical form in closed form (not a regex replay), so it checks
+    the semantics, not just cross-engine regex agreement. Shuffle-free
+    projection."""
+    from ..functions.url import normalize_url, url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?z=9&utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#section")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        normalize_url(messy).alias("canonical_url"),
+        url_host(messy).alias("host"),
+    )
