@@ -286,3 +286,75 @@ def patchify_bmp(media: DataFrame, patch: int = 8) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         kernel, BMP_PATCH_SCHEMA
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_bmp(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: decode the
+    BMP, nearest-neighbor sample to a ``grid``×``grid`` mosaic
+    (integer source indexing — restatable in SQL), take each cell's
+    channel sum, and set bit ``y·grid + x`` iff the cell is brighter
+    than the image mean (the integer-exact rule
+    ``grid²·cell > Σcells`` — no float division anywhere). The
+    64-bit hash is emitted as a SIGNED BIGINT (bit 63 → sign), the
+    same convention as the SimHash fingerprints, so
+    ``operators.dedup.simhash_hamming_pairs`` does image near-dup
+    matching unchanged: aHash is designed so small edits (re-encode,
+    brightness jitter, mild rescale) flip few bits.
+    """
+    n_cells = grid * grid
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "phash": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                img = decode_bmp24(bytes(blob)).astype(np.int64)
+                cells = nn_resize(img, grid, grid).sum(axis=2)
+                total = int(cells.sum())
+                flat = cells.flatten()  # row-major: i = y*grid + x
+                v = 0
+                for i in range(n_cells):
+                    if n_cells * int(flat[i]) > total:
+                        v |= 1 << i
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                out["media_id"].append(int(mid))
+                out["phash"].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, PHASH_SCHEMA
+    )
+
+
+def synth_bmp_corpus_jittered(ids: DataFrame, clone_from: int = 60) -> DataFrame:
+    """(media_id) → (media_id, content) where ids ≥ ``clone_from``
+    encode the pixels of (id − clone_from) with every channel +1
+    (mod 256) — a brightness-jittered NEAR-DUPLICATE of the original,
+    so perceptual-hash matching has planted positives with a known
+    closed form."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                if m >= clone_from:
+                    img = (
+                        (synth_pixels(m - clone_from).astype(np.int64) + 1)
+                        % 256
+                    ).astype(np.uint8)
+                else:
+                    img = synth_pixels(m)
+                out["media_id"].append(m)
+                out["content"].append(encode_bmp24(img))
+            yield pd.DataFrame(out)
+
+    return ids.select("media_id").mapInPandas(kernel, BMP_BLOB_SCHEMA)

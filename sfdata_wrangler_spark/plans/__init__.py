@@ -28,6 +28,7 @@ from . import catalog26 as _catalog26  # registers tfidf/AB/LOO/PPS/overlap back
 from . import catalog27 as _catalog27  # registers the dataset-level demand ingest
 from . import catalog28 as _catalog28  # registers the quantile-sketch queries
 from . import catalog29 as _catalog29  # registers ingest-robustness sources
+from . import catalog30 as _catalog30  # registers perceptual-hash image dedup
 from .catalog import QUERIES, oracle_sql_map, query_map
 
 __all__ = ["QUERIES", "oracle_sql_map", "query_map"]

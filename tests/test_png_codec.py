@@ -71,3 +71,33 @@ def test_spark_kernel_matches_formula(spark):
         assert r["sum_r"] == img[:, :, 0].sum()
         assert r["sum_g"] == img[:, :, 1].sum()
         assert r["sum_b"] == img[:, :, 2].sum()
+
+
+def test_phash_invariant_to_jitter_and_distinct_across_images(spark):
+    """aHash over real decoded pixels: a +1-brightness clone stays
+    within a few bits of its original; unrelated images do not."""
+    from sfdata_wrangler_spark.multimodal.image_bmp import (
+        phash_bmp,
+        synth_bmp_corpus_jittered,
+    )
+
+    ids = spark.range(0, 20).withColumnRenamed("id", "media_id")
+    ph = {
+        r.media_id: r.phash
+        for r in phash_bmp(
+            synth_bmp_corpus_jittered(ids, clone_from=10)
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for m in range(10):
+        assert ham(ph[m], ph[m + 10]) <= 8, (m, ham(ph[m], ph[m + 10]))
+    # distinct source images: far apart on average
+    import itertools
+
+    dists = [
+        ham(ph[a], ph[b]) for a, b in itertools.combinations(range(10), 2)
+    ]
+    assert sum(d > 8 for d in dists) > len(dists) * 0.7
