@@ -1,0 +1,71 @@
+"""Sentence segmentation + sentence-aware chunking
+(operators/sentences.py) — queued for a round-5 oracle registration;
+unit-tested now per the backlog-guard workflow."""
+
+from pyspark.sql import functions as F
+
+from sfdata_wrangler_spark.operators.sentences import (
+    sentence_chunks,
+    split_sentences,
+)
+
+
+def _sents(spark, text):
+    df = spark.createDataFrame([(text,)], ["t"])
+    return df.select(
+        split_sentences(F.col("t")).alias("s")
+    ).collect()[0].s
+
+
+def test_basic_segmentation(spark):
+    assert _sents(spark, "One two. Three four! Five? Six") == [
+        "One two.",
+        "Three four!",
+        "Five?",
+        "Six",
+    ]
+
+
+def test_no_split_without_following_space(spark):
+    # decimal points and tight punctuation do not split
+    assert _sents(spark, "Pi is 3.14 exactly. Yes.") == [
+        "Pi is 3.14 exactly.",
+        "Yes.",
+    ]
+
+
+def test_empty_and_whitespace(spark):
+    assert _sents(spark, "") == []
+    assert _sents(spark, "   ") == []
+
+
+def test_chunks_hold_whole_consecutive_sentences(spark):
+    # 6 sentences x 4 tokens; budget 8 -> chunks of 2 sentences
+    text = " ".join(f"w{i} x y z." for i in range(6))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        sentence_chunks(df, budget=8).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.chunk_idx, r.n_sentences, r.n_tokens) for r in rows] == [
+        (0, 2, 8),
+        (1, 2, 8),
+        (2, 2, 8),
+    ]
+    # chunk text is the sentences in order
+    assert rows[0].chunk_text == "w0 x y z. w1 x y z."
+
+
+def test_budget_exceeded_only_by_boundary_sentence(spark):
+    # sentences of 5 tokens, budget 8: chunk 0 gets sentences at
+    # prefix 0 and 5 (10 tokens - exceeds by the boundary sentence),
+    # chunk 1 starts at prefix 10
+    text = "a b c d e. f g h i j. k l m n o."
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        sentence_chunks(df, budget=8).collect(), key=lambda r: r.chunk_idx
+    )
+    assert [(r.chunk_idx, r.n_sentences, r.n_tokens) for r in rows] == [
+        (0, 2, 10),
+        (1, 1, 5),
+    ]
