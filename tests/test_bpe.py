@@ -155,3 +155,39 @@ def test_tokenization_reconstructs_words(spark):
     assert toks.where(F.col("doc_id") == 1).count() == 2 * len(
         seg_map["spark"]
     ) + len(seg_map["shuffle"])
+
+
+def test_driver_loop_matches_reference_on_random_corpora(spark):
+    """Hypothesis differential for the driver-side merge loop: the
+    incremental pair-count/heap bookkeeping must match the textbook
+    sequential implementation on arbitrary small corpora (repeated
+    chars, overlapping pairs, singleton words)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sfdata_wrangler_spark.operators.bpe import _train_driver_side
+
+    words_strategy = st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(words=words_strategy, k=st.integers(min_value=1, max_value=12))
+    def check(words, k):
+        from collections import Counter
+
+        wc = Counter(words)
+        exp_merges, exp_words = ref_bpe(dict(wc), k, min_pair_count=1)
+        types = sorted(wc.items())
+        got_merges, seg = _train_driver_side(types, k, min_pair_count=1)
+        got_words = {w: toks for w, _, toks in seg}
+        assert got_merges == exp_merges
+        assert got_words == exp_words
+
+    check()
