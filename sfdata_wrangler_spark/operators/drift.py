@@ -360,3 +360,69 @@ def pairwise_correlation(
     )
     r = F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy)))
     return agg.select(*group_cols, "n", r.alias("r"))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_n: int = 20,
+    threshold: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Trailing-window z-score per observation — the point-anomaly
+    detector for slowly-drifting series where a GLOBAL fence
+    (mad_outliers) mislabels the drift itself and CUSUM watches for
+    sustained shifts rather than spikes.
+
+    Each observation is scored against the ``window_n`` observations
+    STRICTLY BEFORE it (self-exclusion — a spike must not dilute its
+    own baseline): z = (x − mean) / sd with the sample-variance
+    sufficient statistics Σv and Σv² kept as exact fixed-point BIGINTs
+    over the rows frame (shuffle-order independent), and the final
+    z a fixed tree of +,−,×,÷,sqrt over those exact operands — the
+    ab_test/pairwise_correlation float policy, so even the score
+    hash-checks. Observations with fewer than 2 predecessors or a
+    zero-variance baseline report NULL z and never alarm.
+
+    Overflow: |v_scaled| ≤ ~3·10⁶ keeps Σv² in BIGINT for any
+    realistic window_n; size ``scale`` to the data.
+    """
+    q = F.floor(F.col(value_col) * scale + 0.5).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-window_n, -1)
+    )
+    with_stats = (
+        df.withColumn("__v", q)
+        .withColumn("__n", F.count("__v").over(w).cast("bigint"))
+        .withColumn("__s", F.sum("__v").over(w).cast("bigint"))
+        .withColumn(
+            "__ss", F.sum(F.col("__v") * F.col("__v")).over(w).cast("bigint")
+        )
+    )
+    n = F.col("__n").cast("double")
+    # n·Σv² − (Σv)² = n·(n−1)·sample_variance · scale² (exact BIGINT)
+    var_num = (F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")).cast(
+        "double"
+    )
+    mean_num = (
+        F.col("__n") * F.col("__v") - F.col("__s")
+    ).cast("double")  # n·(x − mean) · scale, exact
+    z = F.when(
+        (F.col("__n") >= 2) & (var_num > 0),
+        mean_num / F.sqrt(var_num * n / (n - F.lit(1.0))),
+    )
+    return (
+        with_stats.withColumn("z", z)
+        .withColumn(
+            "alarm",
+            F.when(F.col("z").isNotNull(), F.abs("z") > F.lit(threshold)).otherwise(
+                F.lit(False)
+            ),
+        )
+        .drop("__v", "__n", "__s", "__ss")
+    )

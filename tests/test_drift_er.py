@@ -167,3 +167,50 @@ def test_entity_resolution_matches_union_find(spark):
         for n in members
     }
     assert got == expect
+
+
+class TestRollingZscore:
+    def test_spike_detected_baseline_excluded(self, spark):
+        import datetime as dt
+        import statistics
+
+        from sfdata_wrangler_spark.operators.drift import rolling_zscore
+
+        t0 = dt.datetime(2024, 1, 1)
+        vals = [10.0] * 10 + [10.5, 25.0]
+        rows = [
+            ("g", t0 + dt.timedelta(minutes=i), i, v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "g string, ts timestamp, id int, v double"
+        )
+        out = {r.id: r for r in rolling_zscore(
+            df, "g", "ts", "id", "v", window_n=10
+        ).collect()}
+        # constant baseline: zero variance -> NULL z, no alarm
+        assert out[5].z is None and out[5].alarm is False
+        # the wiggle point scores against constants: zero variance
+        assert out[10].z is None
+        # the spike scores against [10]*9 + [10.5] — exact match with
+        # the sequential formula (self-excluded)
+        base = [10.0] * 9 + [10.5]
+        want = (25.0 - statistics.mean(base)) / statistics.stdev(base)
+        assert abs(out[11].z - want) < 1e-9
+        assert out[11].alarm is True
+
+    def test_first_rows_null(self, spark):
+        import datetime as dt
+
+        from sfdata_wrangler_spark.operators.drift import rolling_zscore
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("g", t0 + dt.timedelta(minutes=i), i, float(i)) for i in range(3)],
+            "g string, ts timestamp, id int, v double",
+        )
+        out = {r.id: r.z for r in rolling_zscore(
+            df, "g", "ts", "id", "v", window_n=5
+        ).collect()}
+        assert out[0] is None and out[1] is None  # < 2 predecessors
+        assert out[2] is not None
