@@ -82,3 +82,58 @@ def oversized_blocks(
     complete when it is not."""
     _, sizes, cap = _blocked(df, text_col, max_block)
     return sizes.where(F.col("block_n") > cap)
+
+
+def blocking_quality(
+    entities: DataFrame,
+    candidate_pairs: DataFrame,
+    truth_pairs: DataFrame,
+    id_a: str = "name_a",
+    id_b: str = "name_b",
+) -> DataFrame:
+    """One-row blocking-quality report — the two numbers every record
+    linkage evaluation leads with (Christen, *Data Matching* 2012):
+
+    - **reduction ratio** = 1 − candidates / all-possible-pairs: how
+      much of the quadratic comparison space the blocking scheme
+      avoided (the efficiency number);
+    - **pair completeness** = true pairs surviving blocking / all true
+      pairs: the recall the cap/blocking traded for that efficiency.
+
+    ``truth_pairs`` is a labeled sample (or a gold subset) with the
+    same (id_a < id_b) orientation. All counts BIGINT; the two ratios
+    are single divisions over exact operands. Cost: two counts + one
+    key-keyed semi join at pair grain — nothing quadratic (the
+    all-pairs denominator is n·(n−1)/2 computed from the entity
+    COUNT, never materialized).
+    """
+    n = entities.select(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cands = candidate_pairs.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    truth_n = truth_pairs.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    found = (
+        truth_pairs.join(
+            candidate_pairs.select(id_a, id_b), [id_a, id_b], "left_semi"
+        )
+        .select(F.count(F.lit(1)).cast("bigint").alias("n_truth_found"))
+    )
+    out = n.crossJoin(cands).crossJoin(truth_n).crossJoin(found)
+    all_pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+    return out.select(
+        "n",
+        "n_candidates",
+        "n_truth",
+        "n_truth_found",
+        F.when(
+            all_pairs > 0,
+            1.0 - F.col("n_candidates").cast("double") / all_pairs,
+        ).alias("reduction_ratio"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_truth_found").cast("double")
+            / F.col("n_truth").cast("double"),
+        ).alias("pair_completeness"),
+    )

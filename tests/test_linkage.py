@@ -53,3 +53,23 @@ def test_no_cartesian_in_plan(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_blocking_quality_report(spark):
+    from sfdata_wrangler_spark.operators.linkage import blocking_quality
+
+    ents = spark.createDataFrame(
+        [(n,) for n in ["ann", "anne", "bob", "bobby", "carl"]], ["name"]
+    )
+    cands = spark.createDataFrame(
+        [("ann", "anne"), ("bob", "bobby"), ("ann", "bob")],
+        ["name_a", "name_b"],
+    )
+    truth = spark.createDataFrame(
+        [("ann", "anne"), ("bob", "bobby"), ("bobby", "carl")],
+        ["name_a", "name_b"],
+    )
+    r = blocking_quality(ents, cands, truth).collect()[0]
+    assert (r.n, r.n_candidates, r.n_truth, r.n_truth_found) == (5, 3, 3, 2)
+    assert abs(r.reduction_ratio - (1 - 3 / 10)) < 1e-12
+    assert abs(r.pair_completeness - 2 / 3) < 1e-12
