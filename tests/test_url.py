@@ -58,3 +58,34 @@ def test_www_stripped_only_as_label(spark):
 
 def test_non_url_is_null(spark):
     assert _norm(spark, "not a url") == [(None, None)]
+
+
+def test_normalization_is_idempotent(spark):
+    """A canonical URL must be a fixpoint: normalizing it again
+    changes nothing (randomized components via hypothesis)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS"])
+    host = st.from_regex(r"(www\.)?[a-z]{1,8}(\.[a-z]{2,3}){1,2}", fullmatch=True)
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    path = st.from_regex(r"(/[A-Za-z0-9]{0,6}){0,3}", fullmatch=True)
+    query = st.sampled_from(
+        ["", "?a=1", "?utm_source=x", "?b=2&a=1&utm_c=3", "?z"]
+    )
+    frag = st.sampled_from(["", "#f", "#sec-2"])
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(s=scheme, h=host, p=port, pa=path, q=query, f=frag)
+    def check(s, h, p, pa, q, f):
+        url = f"{s}://{h}{p}{pa}{q}{f}"
+        once = _norm(spark, url)[0][0]
+        assert once is not None
+        twice = _norm(spark, once)[0][0]
+        assert twice == once, (url, once, twice)
+
+    check()
