@@ -253,3 +253,13 @@ def test_demand_v2_all_dims_broadcast(spark):
     a fact."""
     plan = _plan(spark, "pipe_demand_v2")
     assert "CartesianProduct" not in plan
+
+
+def test_curation_v4_bounded_exchanges_no_cartesian(spark):
+    """Five logical stages, four shuffles: extraction and gating are
+    map-side; only the URL-dedup window, the sentence windows, and
+    the two rollups repartition."""
+    plan = _plan(spark, "pipe_curation_v4")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 5
