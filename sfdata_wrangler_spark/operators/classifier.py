@@ -266,3 +266,60 @@ def calibration_table(
             "pos_rate"
         ),
     )
+
+
+def grouped_classification_report(
+    scored: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str = "score",
+    label_col: str = "y",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-slice confusion readout at one threshold — the fairness /
+    data-QA companion to :func:`binary_classification_report`'s
+    global threshold sweep: a scorer that clears the aggregate bar
+    can still fail a language, a source domain, or a time slice, and
+    the slice table is what surfaces it.
+
+    One combinable aggregation keyed by the slice columns; output is
+    slice-cardinality sized. Counts are exact BIGINTs; the ratios are
+    single divisions (NULL on empty denominators), so the whole
+    report hash-checks cross-engine.
+    """
+    pred = F.col(score_col) >= F.lit(float(threshold))
+    pos = F.col(label_col) == 1
+    agg = scored.groupBy(*group_cols).agg(
+        F.sum(F.when(pred & pos, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(pred & ~pos, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(~pred & pos, 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(~pred & ~pos, 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    )
+    total = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    accuracy = F.when(
+        total > 0,
+        (F.col("tp") + F.col("tn")).cast("double") / total.cast("double"),
+    )
+    # selection rate: the disparate-impact numerator per slice
+    sel = F.when(
+        total > 0,
+        (F.col("tp") + F.col("fp")).cast("double") / total.cast("double"),
+    )
+    return agg.select(
+        *group_cols,
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        accuracy.alias("accuracy"),
+        sel.alias("selection_rate"),
+    )

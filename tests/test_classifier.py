@@ -220,3 +220,41 @@ def test_distilled_model_evaluation_integration(spark):
     lo = min(rows, key=lambda r: r.bucket)
     hi = max(rows, key=lambda r: r.bucket)
     assert hi.pos_rate >= lo.pos_rate
+
+
+class TestGroupedReport:
+    def test_per_slice_cells_and_rates(self, spark):
+        from sfdata_wrangler_spark.operators.classifier import (
+            grouped_classification_report,
+        )
+
+        rows = (
+            # slice A: perfect scorer
+            [("A", 0.9, 1)] * 3 + [("A", 0.1, 0)] * 3
+            # slice B: scorer always fires, labels half positive
+            + [("B", 0.9, 1)] * 2 + [("B", 0.9, 0)] * 2
+        )
+        df = spark.createDataFrame(rows, "g string, score double, y int")
+        out = {r.g: r for r in grouped_classification_report(
+            df, ["g"]
+        ).collect()}
+        a = out["A"]
+        assert (a.tp, a.fp, a.fn, a.tn) == (3, 0, 0, 3)
+        assert a.precision == 1.0 and a.recall == 1.0 and a.accuracy == 1.0
+        assert a.selection_rate == 0.5
+        b = out["B"]
+        assert (b.tp, b.fp, b.fn, b.tn) == (2, 2, 0, 0)
+        assert b.precision == 0.5 and b.recall == 1.0
+        assert b.selection_rate == 1.0  # the disparity the slice shows
+
+    def test_empty_slice_denominators_null(self, spark):
+        from sfdata_wrangler_spark.operators.classifier import (
+            grouped_classification_report,
+        )
+
+        df = spark.createDataFrame(
+            [("C", 0.2, 0)], "g string, score double, y int"
+        )
+        r = grouped_classification_report(df, ["g"]).collect()[0]
+        assert r.precision is None and r.recall is None
+        assert r.accuracy == 1.0 and r.selection_rate == 0.0
