@@ -102,7 +102,12 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"stream {name!r} did not finish in 300s — results "
+                "would be partial"
+            )
         return spark.table(name)
 
     print("== 1. watermarked tumbling windows ==")
@@ -167,7 +172,9 @@ def main() -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("sketch-fold stream did not finish in 300s")
     folded = qsketch_quantiles(state["sk"], ["event_type"], [0.5, 0.95])
     batch_sk = qsketch_quantiles(
         qsketch_build(batch, ["event_type"], "value"),

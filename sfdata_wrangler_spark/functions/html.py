@@ -35,7 +35,7 @@ _ENTITIES = [
 
 _SCRIPT_STYLE = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
 _TAG = r"<[^>]*>"
-_ANCHOR = r"(?is)<a[^>]*>(.*?)</a>"
+_ANCHOR = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
 
 
 def strip_tags(col: Column) -> Column:
@@ -53,10 +53,15 @@ def link_density(col: Column) -> Column:
     """Fraction of extracted text characters that live inside <a>
     tags — the boilerplate-block signal. Computed as
     len(strip(anchor texts)) / len(strip(document)); documents whose
-    stripped text is empty report NULL."""
+    stripped text is empty report NULL. Anchors are extracted AFTER
+    script/style removal, so anchor markup inside JS strings never
+    counts (and density stays ≤ 1)."""
     clean = strip_tags(col)
+    no_scripts = F.regexp_replace(col, _SCRIPT_STYLE, " ")
     anchor_text = strip_tags(
-        F.array_join(F.regexp_extract_all(col, F.lit(_ANCHOR), 1), " ")
+        F.array_join(
+            F.regexp_extract_all(no_scripts, F.lit(_ANCHOR), 1), " "
+        )
     )
     return F.when(
         F.length(clean) > 0,
@@ -69,8 +74,11 @@ def html_text_stats(col: Column) -> list[Column]:
     """(clean_text, n_chars, link_density) for an HTML column — the
     single-pass projection the ingest query uses."""
     clean = strip_tags(col)
+    no_scripts = F.regexp_replace(col, _SCRIPT_STYLE, " ")
     anchor_text = strip_tags(
-        F.array_join(F.regexp_extract_all(col, F.lit(_ANCHOR), 1), " ")
+        F.array_join(
+            F.regexp_extract_all(no_scripts, F.lit(_ANCHOR), 1), " "
+        )
     )
     dens = F.when(
         F.length(clean) > 0,

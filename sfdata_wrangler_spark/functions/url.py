@@ -7,6 +7,8 @@ dedup therefore keys on a CANONICAL form:
 
 - scheme and host lowercased (RFC 3986 §6.2.2.1); path case KEPT
   (paths are case-sensitive);
+- userinfo (``user:pass@``) dropped — it never distinguishes the
+  resource, and lowercasing credentials would corrupt them;
 - default ports stripped (``:80`` http, ``:443`` https);
 - a leading ``www.`` dropped from the host (the common crawl-dedup
   convention — example.com and www.example.com are one site);
@@ -32,10 +34,12 @@ _TRACKING = r"^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
 
 
 def url_host(col: Column) -> Column:
-    """Canonical host: lowercased authority, port and leading
-    ``www.`` removed. NULL for strings that don't parse as URLs."""
+    """Canonical host: lowercased authority with userinfo
+    (``user:pass@``), port, and a leading ``www.`` removed. NULL for
+    strings that don't parse as URLs."""
     auth = F.lower(F.regexp_extract(col, _PARTS, 2))
-    host = F.regexp_replace(auth, r":\d+$", "")
+    host = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.regexp_replace(host, r":\d+$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     return F.when(F.length(auth) > 0, host)
 
@@ -47,7 +51,12 @@ def normalize_url(col: Column) -> Column:
     path = F.regexp_extract(col, _PARTS, 3)
     query = F.regexp_extract(col, _PARTS, 4)
 
-    bare = F.regexp_replace(auth, r"^www\.", "")
+    # userinfo never distinguishes the resource for dedup purposes —
+    # and lowercasing it would corrupt case-sensitive credentials, so
+    # it is dropped, not kept
+    bare = F.regexp_replace(
+        F.regexp_replace(auth, r"^[^@]*@", ""), r"^www\.", ""
+    )
     # strip only the SCHEME'S default port (a non-default port is a
     # different origin and must survive)
     host = (

@@ -22,6 +22,8 @@ the order-free formulation, same trade as packing.py).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -51,12 +53,19 @@ def sentence_chunks(
     budget: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """→ (id_col, chunk_idx, n_sentences, n_tokens, chunk_text):
-    consecutive whole sentences per chunk, chunk boundaries at the
-    exclusive-prefix-tokens div ``budget`` rule."""
+    """→ (id_col, carry_cols..., chunk_idx, n_sentences, n_tokens,
+    chunk_text): consecutive whole sentences per chunk, chunk
+    boundaries at the exclusive-prefix-tokens div ``budget`` rule.
+    ``carry_cols`` (functionally dependent on ``id_col``, e.g. a host
+    or source column) ride through the explode and the grouping, so
+    callers never pay a join back to the pre-chunk frame — which
+    would re-evaluate its whole subtree."""
+    carry = list(carry_cols)
     sents = docs.select(
         F.col(id_col),
+        *carry,
         F.posexplode(split_sentences(normalize_text(F.col(text_col)))).alias(
             "sidx", "sentence"
         ),
@@ -70,7 +79,7 @@ def sentence_chunks(
         "chunk_idx", F.expr(f"CAST(__before div {budget} AS INT)")
     )
     return (
-        with_chunk.groupBy(id_col, "chunk_idx")
+        with_chunk.groupBy(id_col, *carry, "chunk_idx")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
             F.sum("__nt").cast("bigint").alias("n_tokens"),

@@ -112,10 +112,15 @@ def s17_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.year("l_shipdate").isin(1997, 1998)
     ).withColumn("pm", F.date_format("l_shipdate", "yyyy-MM"))
-    # per-invocation path: a fixed shared location would let two
-    # concurrent sessions overwrite each other mid-read (flaky,
-    # order-dependent hash checks)
-    path = tempfile.mkdtemp(prefix="sfdata_schema_evolution_")
+    # per-PROCESS path: stable across repeated invocations in one
+    # session (no unbounded /tmp growth under bench loops and sweeps)
+    # while two concurrent sessions still never overwrite each other
+    # mid-read (the race a fixed shared path had)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sfdata_schema_evolution_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
     old = (
         li.where(F.year("l_shipdate") == 1997)
         .groupBy("pm")
@@ -278,11 +283,11 @@ _HTML_STRIP_STAGES_SQL = """
              trim(regexp_replace(
                replace(replace(replace(replace(replace(replace(
                  regexp_replace(
-                   regexp_replace(
-                     array_to_string(regexp_extract_all(html,
-                       '(?is)<a[^>]*>(.*?)</a>', 1), ' '),
-                     '(?is)<(script|style)[^>]*>.*?</(script|style)>',
-                     ' ', 'g'),
+                   array_to_string(regexp_extract_all(
+                     regexp_replace(html,
+                       '(?is)<(script|style)[^>]*>.*?</(script|style)>',
+                       ' ', 'g'),
+                     '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1), ' '),
                    '<[^>]*>', ' ', 'g'),
                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                  '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),

@@ -50,6 +50,16 @@ _STRIP = """trim(regexp_replace(
                  '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
                '\\s+', ' ', 'g'))"""
 
+_ANCHOR_SRC = (
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — a no-anchor page must score density 0,
+    # not NULL-out of the gate
+    "coalesce(array_to_string(regexp_extract_all(regexp_replace(html, "
+    "'(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'), "
+    "'(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1), ' '), '')"
+)
+_ANCHOR_STRIP = _STRIP.format(src=_ANCHOR_SRC)
+
 _V4_ORACLE = f"""
 WITH raw AS (
   SELECT doc_id, {_HTML_SQL} AS html FROM documents
@@ -57,7 +67,7 @@ WITH raw AS (
 ex AS (
   SELECT doc_id,
          {_STRIP.format(src="html")} AS clean_text,
-         {_STRIP.format(src="array_to_string(regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1), ' ')")}
+         {_ANCHOR_STRIP}
            AS anchor_text
   FROM raw
 ),
@@ -177,9 +187,10 @@ def pipe_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn", "curl")
     )
-    chunks = sentence_chunks(dedup, budget=64).join(
-        F.broadcast(dedup.select("doc_id", "host")), "doc_id"
-    )
+    # host rides through the chunker (functionally dependent on
+    # doc_id) — a join back to `dedup` would re-run the whole
+    # extract/gate/dedup subtree a second time
+    chunks = sentence_chunks(dedup, budget=64, carry_cols=["host"])
     return chunks.groupBy("host").agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),

@@ -39,12 +39,13 @@ def read_csv_with_quarantine(
     (PERMISSIVE nulls only the malformed ones — the repair starting
     point), plus ``raw_record`` and ``src_file``. Blank lines are
     skipped (they are not records — matching ``spark.read.csv``).
-    With ``header``, lines matching the schema's column names
-    (case-insensitively, ignoring quotes and whitespace) are dropped
-    wherever they appear — which also quarantine-proofs the mid-file
-    header blocks of concatenated exports (the reference's S1 case);
-    a data row whose normalized text equals the header is
-    indistinguishable by CSV grammar and is dropped with it.
+    With ``header``, lines matching a closed set of header shapes
+    (bare / fully-quoted names, optional space after commas,
+    case-insensitive) are dropped wherever they appear — which also
+    quarantine-proofs the mid-file header blocks of concatenated
+    exports (the reference's S1 case); only a data row byte-identical
+    to one of those shapes is ambiguous, and that ambiguity is
+    inherent to line-level CSV.
     """
     fields = [f.name for f in StructType.fromDDL(schema).fields]
     full_schema = f"{schema}, {CORRUPT_COL} STRING"
@@ -58,15 +59,22 @@ def read_csv_with_quarantine(
     # rows into CLEAN (spark.read.csv also skips blank lines)
     lines = lines.where(F.length(F.trim("__raw")) > 0)
     if header:
-        # match header lines tolerantly (case, spaces around commas,
-        # quoted names — the variants real exports emit). A DATA row
-        # that normalizes to exactly the header is indistinguishable
-        # from a header by CSV grammar and is dropped with it.
-        header_norm = ",".join(f.lower() for f in fields)
-        raw_norm = F.lower(
-            F.regexp_replace(F.col("__raw"), r'["\s]', "")
-        )
-        lines = lines.where(raw_norm != header_norm)
+        # drop lines matching a CLOSED set of header shapes: the bare
+        # names, fully-quoted names, and spaces after commas — each
+        # compared case-insensitively. An enumerated set (not a
+        # strip-everything normalization) so a quoted DATA row whose
+        # field values merely resemble the names (e.g. '"a ","b"',
+        # value 'a<space>') is grammar-distinguishable and KEPT; only
+        # a row byte-identical to one of these shapes is ambiguous,
+        # and that ambiguity is inherent to line-level CSV.
+        lf = [f.lower() for f in fields]
+        variants = [
+            ",".join(lf),
+            ",".join(f'"{f}"' for f in lf),
+            ", ".join(lf),
+            ", ".join(f'"{f}"' for f in lf),
+        ]
+        lines = lines.where(~F.lower(F.col("__raw")).isin(variants))
     parsed = lines.select(
         "__raw",
         "__src",

@@ -53,3 +53,24 @@ def test_strip_tags_collapses_whitespace(spark):
 def test_multiline_script_block(spark):
     r = _extract(spark, "<p>x</p><script>\nline1\nline2\n</script><p>y</p>")
     assert r.clean_text == "x y"
+
+
+def test_article_tags_not_counted_as_anchors(spark):
+    # '<a[^>]*>' would treat <article> as an anchor open and count the
+    # whole body as link text
+    r = _extract(
+        spark,
+        "<article>long body text here</article><a href='/n'>next</a>",
+    )
+    assert r.clean_text == "long body text here next"
+    # only "next" (4 chars) is anchor text
+    assert abs(r.link_density - 4 / len("long body text here next")) < 1e-12
+
+
+def test_anchor_markup_inside_scripts_not_counted(spark):
+    r = _extract(
+        spark,
+        '<p>hi there</p><script>var s="<a href=x>xxxxxxxxxx</a>";</script>',
+    )
+    assert r.clean_text == "hi there"
+    assert r.link_density == 0.0  # was 10/8 > 1 before the fix

@@ -72,3 +72,16 @@ def test_header_variants_dropped(spark, tmp_path):
     )
     assert sorted((r.a, r.b) for r in clean.collect()) == [(1, 2), (3, 4)]
     assert quar.count() == 0
+
+
+def test_quoted_data_row_resembling_header_kept(spark, tmp_path):
+    # '"a ","b"' carries the VALUE 'a<space>' — grammar-distinguishable
+    # from the header; the old strip-everything normalization dropped it
+    p = tmp_path / "lookalike.csv"
+    p.write_text('a,b\n"a ","b"\n1,2\n')
+    clean, quar = read_csv_with_quarantine(
+        spark, str(p), "a STRING, b STRING"
+    )
+    got = sorted((r.a, r.b) for r in clean.collect())
+    assert got == [("1", "2"), ("a ", "b")]
+    assert quar.count() == 0
