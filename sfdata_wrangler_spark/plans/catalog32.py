@@ -97,10 +97,10 @@ def txt_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (CAST(n AS DOUBLE) - 1.0))
            END AS z,
            CASE WHEN n >= 2 AND CAST(n * ss - s * s AS DOUBLE) > 0
-                THEN abs(CAST(n * v - s AS DOUBLE)
+                THEN coalesce(abs(CAST(n * v - s AS DOUBLE)
                      / sqrt(CAST(n * ss - s * s AS DOUBLE)
                             * CAST(n AS DOUBLE)
-                            / (CAST(n AS DOUBLE) - 1.0))) > 3.0
+                            / (CAST(n AS DOUBLE) - 1.0))) > 3.0, FALSE)
                 ELSE FALSE END AS alarm
     FROM w
     """,
@@ -129,7 +129,9 @@ def qc_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lk_blocking_quality",
     """
     WITH ents AS (
-      SELECT DISTINCT p_name AS name FROM part WHERE p_partkey < 500
+      SELECT DISTINCT trim(regexp_replace(lower(p_name), '\s+', ' ', 'g'))
+               AS name
+      FROM part WHERE p_partkey < 500
     ),
     blocked AS (
       SELECT name,
@@ -178,10 +180,15 @@ def lk_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the recall the blocking traded for it."""
     from ..operators.linkage import blocked_fuzzy_pairs, blocking_quality
 
+    from ..functions.text import normalize_text
+
+    # normalize BEFORE building either side: blocked_fuzzy_pairs
+    # normalizes its input internally, so the truth set must compare
+    # the same canonical names (and the oracle does the same)
     ents = (
         _t(spark, sf_dir, "part")
         .where(F.col("p_partkey") < 500)
-        .select(F.col("p_name").alias("name"))
+        .select(normalize_text(F.col("p_name")).alias("name"))
         .distinct()
     )
     cands = blocked_fuzzy_pairs(ents, "name", max_distance=3)
