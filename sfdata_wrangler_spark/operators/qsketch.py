@@ -81,17 +81,32 @@ def qsketch_build(
     value_col: str,
     scale: int = 100,
     sub_bits: int = 6,
+    weight_col: str | None = None,
+    weight_scale: int = 1_000_000,
 ) -> DataFrame:
     """Build the per-group sketch: ``group_cols + (bucket, n)``.
 
     One map-side-combinable aggregation; at most ~64·2^sub_bits rows
     per group regardless of input volume. ``scale`` sets the
-    fixed-point unit (pennies by default)."""
+    fixed-point unit (pennies by default).
+
+    With ``weight_col``, bucket counts are exact integer WEIGHT sums
+    (micro-units of ``weight_scale``) instead of row counts — the
+    survey-statistics variant: quantiles of the EXPANDED population
+    (Horvitz-Thompson style, the reference's TRIP_WEIGHT/TOD_WEIGHT
+    semantics) from the observed sample, still mergeable and still
+    deterministic (the ceil-rank rule just runs on weight units).
+    Rows with NULL or non-positive weight contribute nothing."""
     v = f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)"
+    if weight_col is None:
+        n = F.count(F.lit(1)).cast("bigint")
+    else:
+        w = F.floor(F.col(weight_col) * weight_scale + 0.5).cast("bigint")
+        n = F.sum(F.when(w > 0, w).otherwise(F.lit(0))).cast("bigint")
     return (
         df.withColumn("__b", F.expr(_bucket_expr(v, sub_bits)))
         .groupBy(*group_cols, F.col("__b").alias("bucket"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(n.alias("n"))
     )
 
 

@@ -76,3 +76,40 @@ def test_subpercent_quantile_labels_distinct(spark):
     with pytest.raises(ValueError):
         # 0.99 and 0.99004 both round to 9900 basis points
         qsketch_quantiles(sk, ["g"], [0.99, 0.99004])
+
+
+def test_weighted_quantiles_match_exact_weighted(spark):
+    """Weight-summed sketch counts: the q-quantile must track the
+    exact weighted quantile (first value whose cumulative weight
+    reaches q of the total) within the bucket bound."""
+    rows = [("g", 10.0, 1.0), ("g", 20.0, 1.0), ("g", 30.0, 8.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    sk = qsketch_build(df, ["g"], "v", weight_col="w")
+    out = qsketch_quantiles(sk, ["g"], [0.5, 0.9]).collect()[0]
+    # exact weighted: cum weights 1, 2, 10 of total 10; q=0.5 -> the
+    # value at cum >= 5 = 30.0; q=0.9 -> 30.0
+    for col in ("q50_scaled", "q90_scaled"):
+        est = out[col]
+        assert est <= 3000
+        assert 3000 <= est * (1 + 1 / 64) + 1
+    # unweighted for contrast: q50 lands on the middle value 20.0
+    sku = qsketch_build(df, ["g"], "v")
+    u = qsketch_quantiles(sku, ["g"], [0.5]).collect()[0]
+    assert u["q50_scaled"] <= 2000 <= u["q50_scaled"] * (1 + 1 / 64) + 1
+
+
+def test_weighted_merge_equals_batch(spark):
+    rows = [("g", float(i % 40), 0.5 + (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    a = df.where("v < 20")
+    b = df.where("v >= 20")
+    batch = qsketch_build(df, ["g"], "v", weight_col="w")
+    merged = qsketch_merge(
+        qsketch_build(a, ["g"], "v", weight_col="w"),
+        qsketch_build(b, ["g"], "v", weight_col="w"),
+        ["g"],
+    )
+    as_map = lambda d: {  # noqa: E731
+        (r["g"], r["bucket"]): r["n"] for r in d.collect()
+    }
+    assert as_map(batch) == as_map(merged)
