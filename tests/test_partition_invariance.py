@@ -24,6 +24,10 @@ SAMPLE = [
     "j19_interval_overlap_join",       # grid exactly-once emission
     "pipe_curation_v4",                # five-stage composition
     "a2_first_last_by_order",          # deterministic first/last
+    "w22_thread_assembly",             # ordered struct-array concat
+    "mm_image_phash_pairs",            # pigeonhole Hamming join
+    "txt_sentence_chunks",             # sentence grid + window
+    "qc_rolling_zscore",               # trailing-frame float z
 ]
 
 
