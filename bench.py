@@ -151,7 +151,36 @@ def main() -> None:
         result["value_sf2"] = round(sum(timings2.values()), 3)
         result["queries_sf2"] = timings2
 
+    # Full detail first; COMPACT summary LAST. The driver records only
+    # the final ~2000 chars of stdout and parses a JSON line out of it
+    # — round 4's full dump overflowed that window and the driver
+    # recorded parsed=null (VERDICT r4 item 7). The last line keeps the
+    # contract fields ({metric, value, unit, queries, sf}) but trims
+    # the queries dict to the round-2-comparable headline set so it
+    # always fits.
     print(json.dumps(result))
+    # Complete per-query detail survives the tail truncation here
+    # (committed each round so BENCH history stays inspectable).
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        pass
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {q: timings[q] for q in R2_HEADLINE if q in timings},
+        "sf": result["sf"],
+        "value_comparable_r2": result["value_comparable_r2"],
+        "value_noop_sink": result["value_noop_sink"],
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long ({len(line)})"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -35,11 +35,23 @@ _TRACKING = r"^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
 
 def url_host(col: Column) -> Column:
     """Canonical host: lowercased authority with userinfo
-    (``user:pass@``), port, and a leading ``www.`` removed. NULL for
-    strings that don't parse as URLs."""
+    (``user:pass@``), the SCHEME-DEFAULT port (``:80`` http, ``:443``
+    https), and a leading ``www.`` removed. NULL for strings that
+    don't parse as URLs.
+
+    A NON-default port survives, exactly as in ``normalize_url`` —
+    ``example.com:8080`` is a different origin than ``example.com``,
+    and host-level grouping (per-host caps) must agree with
+    canonical-URL dedup about origin identity (ADVICE r4: the two
+    previously disagreed, url_host stripped ANY port)."""
+    scheme = F.lower(F.regexp_extract(col, _PARTS, 1))
     auth = F.lower(F.regexp_extract(col, _PARTS, 2))
     host = F.regexp_replace(auth, r"^[^@]*@", "")
-    host = F.regexp_replace(host, r":\d+$", "")
+    host = (
+        F.when(scheme == F.lit("https"), F.regexp_replace(host, r":443$", ""))
+        .when(scheme == F.lit("http"), F.regexp_replace(host, r":80$", ""))
+        .otherwise(host)
+    )
     host = F.regexp_replace(host, r"^www\.", "")
     return F.when(F.length(auth) > 0, host)
 

@@ -96,7 +96,15 @@ def qsketch_build(
     (Horvitz-Thompson style, the reference's TRIP_WEIGHT/TOD_WEIGHT
     semantics) from the observed sample, still mergeable and still
     deterministic (the ceil-rank rule just runs on weight units).
-    Rows with NULL or non-positive weight contribute nothing."""
+    Rows with NULL or non-positive weight contribute nothing.
+
+    Rows with a NULL ``value_col`` are EXCLUDED (matching
+    percentile/median semantics in both engines): left in, they'd
+    land in a NULL bucket that inflates ``n_total`` and shifts the
+    cumulative rank walk, and the NULL bucket would sort differently
+    cross-engine (Spark windows order NULLS FIRST, DuckDB NULLS
+    LAST) — ADVICE r4."""
+    df = df.where(F.expr(f"({value_col}) IS NOT NULL"))
     v = f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)"
     if weight_col is None:
         n = F.count(F.lit(1)).cast("bigint")

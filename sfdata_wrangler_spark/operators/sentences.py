@@ -35,8 +35,14 @@ _MARK = "\x1f"
 def split_sentences(col: Column) -> Column:
     """Text → array of trimmed sentences (empty sentences dropped at
     use sites via filter; terminal punctuation kept with its
-    sentence)."""
-    marked = col
+    sentence).
+
+    A literal 0x1F in the input (plausible in crawl data) would
+    otherwise read as a sentence boundary and skew chunk/token
+    counts, so the marker byte is stripped from the input first
+    (ADVICE r4). Oracles restating this split mirror the same strip
+    (catalog31/32 share _SENT_SQL)."""
+    marked = F.regexp_replace(col, _MARK, "")
     for p in (".", "!", "?"):
         # capture-free: portable between Java and RE2 replacement
         marked = F.regexp_replace(

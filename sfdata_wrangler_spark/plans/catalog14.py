@@ -34,7 +34,13 @@ def txt_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distill the rule-based quality filter into a linear model
     (operators/classifier.py): train on doc_id % 5 != 4, score the
     holdout. Corpus work per GD step is two compact-key shuffles; the
-    model stays a broadcast-size (bucket, w) table."""
+    model stays a broadcast-size (bucket, w) table.
+
+    twins: ``qc_classification_report`` / ``qc_calibration_table``
+    (hash-exact, driver-green r4) verify the scorer-evaluation math;
+    holdout accuracy ≥ 0.95 is pinned in tests/test_classifier.py —
+    gradient-descent training itself is iterative float work no SQL
+    oracle can replay, hence rows-only here."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "y", (quality_score(F.col("text")) >= F.lit(1.0)).cast("int")
     )

@@ -52,13 +52,24 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed statistics (driver eigh over d×d, sign-fixed), project
     via broadcast basis literals + zip_with folds. Iterative linear
     algebra — rows-only; exactness vs a numpy replica is pinned in
-    tests/test_pca.py."""
+    tests/test_pca.py. Twin: emb_pca_gram (hash-exact) pins the
+    sufficient statistics the fit consumes.
+
+    Output is posexploded to (vec_id, dim, proj_r6) SCALARS — the
+    driver's canonicalizer sorts rows with pandas and cannot sort
+    array-typed columns (round-4 sweep crash); every registered query
+    must keep an atomic output schema (tests/test_output_schemas.py).
+    """
     emb = _t(spark, sf_dir, "embeddings")
     means, comps, _ = pca_fit(emb, k=4)
     out = pca_project(emb, means, comps)
     return out.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.transform("proj", lambda x: F.round(x, 6)).alias("proj_r6"),
+        F.posexplode(F.col("proj")).alias("dim", "proj_val"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("proj_val", 6).alias("proj_r6"),
     )
 
 

@@ -305,7 +305,12 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("dd_simhash", None)
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (xxhash64 token votes, no UDF)."""
+    """64-bit SimHash fingerprints (xxhash64 token votes, no UDF).
+
+    twin: ``dd_simhash_md5`` (hash-exact, driver-green r3) runs the
+    identical vote/threshold kernel with md5-derived bits — the only
+    delta here is the hash family, which DuckDB cannot replay, so the
+    driver records the rows-only check for this name."""
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs).withColumn("doc_id", F.col("doc_id").cast("bigint"))
 
@@ -313,7 +318,11 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("dd_minhash_lsh_pairs_fast", None, bench=True)
 def dd_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash LSH (xxhash64, JVM-side): same plan shape as
-    the md5 oracle twin, ~an order of magnitude cheaper per hash."""
+    the md5 oracle twin, ~an order of magnitude cheaper per hash.
+
+    twin: ``dd_minhash_lsh_pairs`` (hash-exact, driver-green r2) is
+    the same signature→band→bucket-join pipeline under md5; only the
+    hash family differs, hence rows-only here."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, num_hashes=16, bands=8, shingle_n=3)
 

@@ -24,7 +24,7 @@ _SK_SQL = f"""
     sk AS (
       SELECT l_returnflag, {_bucket_expr(_V, 6)} AS bucket,
              CAST(count(*) AS BIGINT) AS n
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
     )
 """
 

@@ -95,7 +95,9 @@ dedup AS (
 marked AS (
   SELECT doc_id, host,
          regexp_replace(regexp_replace(regexp_replace(
-           trim(regexp_replace(lower(clean_text), '\\s+', ' ', 'g')),
+           regexp_replace(
+             trim(regexp_replace(lower(clean_text), '\\s+', ' ', 'g')),
+             chr(31), '', 'g'),
            '\\.\\s+', '.' || chr(31), 'g'),
            '\\!\\s+', '!' || chr(31), 'g'),
            '\\?\\s+', '?' || chr(31), 'g') AS m

@@ -14,7 +14,9 @@ _SENT_SQL = """
     marked AS (
       SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               regexp_replace(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 chr(31), '', 'g'),
                '\\.\\s+', '.' || chr(31), 'g'),
                '\\!\\s+', '!' || chr(31), 'g'),
                '\\?\\s+', '?' || chr(31), 'g') AS m
@@ -127,7 +129,7 @@ def qc_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "lk_blocking_quality",
-    """
+    r"""
     WITH ents AS (
       SELECT DISTINCT trim(regexp_replace(lower(p_name), '\s+', ' ', 'g'))
                AS name

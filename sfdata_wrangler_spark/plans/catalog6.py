@@ -78,7 +78,12 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (rows-only: k-means training is iterative, not
     SQL-expressible): deterministic centroids (fixed seeds/iteration
     count) → cell-equi candidate join → per-query rank. Recall vs
-    brute force asserted in tests/test_similarity.py."""
+    brute force asserted in tests/test_similarity.py.
+
+    twins: ``emb_label_centroids`` + ``emb_ivf_labels_topk``
+    (hash-exact) run the identical assign→cell-join→rank plan with a
+    label quantizer instead of the k-means one; ``emb_ivf_recall``
+    (driver-green r3) pins this query's recall vs brute force."""
     from ..operators.similarity import ivf_topk, kmeans_centroids
 
     emb = _t(spark, sf_dir, "embeddings")

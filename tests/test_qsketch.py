@@ -113,3 +113,18 @@ def test_weighted_merge_equals_batch(spark):
         (r["g"], r["bucket"]): r["n"] for r in d.collect()
     }
     assert as_map(batch) == as_map(merged)
+
+
+def test_null_values_excluded(spark):
+    """ADVICE r4: NULL values must not land in a NULL bucket — they'd
+    inflate n_total and shift the rank walk (3 values + 3 NULLs
+    reported median 10.00 instead of 20.00), and NULL bucket ordering
+    differs cross-engine (Spark NULLS FIRST vs DuckDB NULLS LAST)."""
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", None), ("g", None), ("g", None)],
+        "g string, v double",
+    )
+    sk = qsketch_build(df, ["g"], "v", scale=100, sub_bits=6)
+    out = qsketch_quantiles(sk, ["g"], [0.5], sub_bits=6).collect()[0]
+    assert out["n_total"] == 3
+    assert out["q50_scaled"] == 2000  # median 20.00, not 10.00

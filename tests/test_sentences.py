@@ -69,3 +69,14 @@ def test_budget_exceeded_only_by_boundary_sentence(spark):
         (0, 2, 10),
         (1, 1, 5),
     ]
+
+
+def test_literal_marker_byte_in_input_is_not_a_boundary(spark):
+    """ADVICE r4: a literal 0x1F in crawl text must not create a
+    phantom sentence boundary (the operator uses 0x1F internally)."""
+    from sfdata_wrangler_spark.operators.sentences import split_sentences
+
+    df = spark.createDataFrame(
+        [("one\x1ftwo. three.",)], "t string"
+    ).select(split_sentences(F.col("t")).alias("s"))
+    assert df.collect()[0]["s"] == ["onetwo.", "three."]

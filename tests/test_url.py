@@ -60,6 +60,21 @@ def test_non_url_is_null(spark):
     assert _norm(spark, "not a url") == [(None, None)]
 
 
+def test_host_and_canonical_url_agree_on_origin(spark):
+    """ADVICE r4: url_host must keep a NON-default port exactly as
+    normalize_url does — per-host caps and canonical-URL dedup have
+    to agree on whether e.com:8080 is the same origin as e.com."""
+    out = _norm(
+        spark,
+        "http://e.com:8080/x",
+        "https://User:Pw@WWW.E.com:444/x",
+        "http://e.com:80/x",
+    )
+    assert [h for _, h in out] == ["e.com:8080", "e.com:444", "e.com"]
+    for n, h in out:
+        assert f"//{h}/" in n or f"//www.{h}/" in n
+
+
 def test_normalization_is_idempotent(spark):
     """A canonical URL must be a fixpoint: normalizing it again
     changes nothing (randomized components via hypothesis)."""
