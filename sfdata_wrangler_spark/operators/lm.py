@@ -74,8 +74,19 @@ def bigram_lm_score(
     train = docs if train is None else train
 
     train_bg = _bigrams(train, id_col, text_col)
-    c2 = train_bg.groupBy("prev", "cur").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c2")
+    # Materialize the MODEL (token-type-pair sized, tiny vs the
+    # corpus) so deriving c1 reuses c2's aggregation instead of
+    # re-scanning + re-exploding the whole training corpus — without
+    # this, Catalyst plans the c1 = groupBy(c2) lineage as a second
+    # full corpus pass. Lazy: nothing runs until the query's first
+    # action. r5 A/B at sf0.1 (idle, noop sink, best-of-5): 1.20s
+    # current vs 1.26s checkpointed — a wash locally where the corpus
+    # is page-cached; at cluster scale the saved pass is a full
+    # corpus scan and the checkpoint is model-sized.
+    c2 = (
+        train_bg.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        .localCheckpoint(eager=False)
     )
     c1 = c2.groupBy("prev").agg(F.sum("c2").cast("bigint").alias("c1"))
     vocab = (
