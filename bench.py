@@ -179,7 +179,12 @@ def main() -> None:
         "value_noop_sink": result["value_noop_sink"],
     }
     line = json.dumps(compact)
-    assert len(line) < 1900, f"compact bench line too long ({len(line)})"
+    if len(line) >= 1900:
+        # degrade by dropping the per-query dict rather than failing —
+        # a raised assert here would suppress the compact line and
+        # reproduce the exact parsed=null failure this line prevents
+        compact["queries"] = {}
+        line = json.dumps(compact)
     print(line)
 
 

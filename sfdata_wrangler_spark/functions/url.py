@@ -33,6 +33,22 @@ _PARTS = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$
 _TRACKING = r"^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
 
 
+def _canonical_host(scheme: Column, auth: Column) -> Column:
+    """Shared origin rule for ``url_host`` AND ``normalize_url``:
+    lowercased authority minus userinfo, minus the SCHEME-DEFAULT
+    port (``:80`` http, ``:443`` https), minus a leading ``www.``.
+    ONE definition on purpose — the r4 origin-disagreement bug was
+    two hand-maintained copies drifting (url_host stripped ANY
+    port); any future origin-rule change lands here once."""
+    host = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = (
+        F.when(scheme == F.lit("https"), F.regexp_replace(host, r":443$", ""))
+        .when(scheme == F.lit("http"), F.regexp_replace(host, r":80$", ""))
+        .otherwise(host)
+    )
+    return F.regexp_replace(host, r"^www\.", "")
+
+
 def url_host(col: Column) -> Column:
     """Canonical host: lowercased authority with userinfo
     (``user:pass@``), the SCHEME-DEFAULT port (``:80`` http, ``:443``
@@ -42,18 +58,11 @@ def url_host(col: Column) -> Column:
     A NON-default port survives, exactly as in ``normalize_url`` —
     ``example.com:8080`` is a different origin than ``example.com``,
     and host-level grouping (per-host caps) must agree with
-    canonical-URL dedup about origin identity (ADVICE r4: the two
-    previously disagreed, url_host stripped ANY port)."""
+    canonical-URL dedup about origin identity; both call
+    :func:`_canonical_host`."""
     scheme = F.lower(F.regexp_extract(col, _PARTS, 1))
     auth = F.lower(F.regexp_extract(col, _PARTS, 2))
-    host = F.regexp_replace(auth, r"^[^@]*@", "")
-    host = (
-        F.when(scheme == F.lit("https"), F.regexp_replace(host, r":443$", ""))
-        .when(scheme == F.lit("http"), F.regexp_replace(host, r":80$", ""))
-        .otherwise(host)
-    )
-    host = F.regexp_replace(host, r"^www\.", "")
-    return F.when(F.length(auth) > 0, host)
+    return F.when(F.length(auth) > 0, _canonical_host(scheme, auth))
 
 
 def normalize_url(col: Column) -> Column:
@@ -63,19 +72,9 @@ def normalize_url(col: Column) -> Column:
     path = F.regexp_extract(col, _PARTS, 3)
     query = F.regexp_extract(col, _PARTS, 4)
 
-    # userinfo never distinguishes the resource for dedup purposes —
-    # and lowercasing it would corrupt case-sensitive credentials, so
-    # it is dropped, not kept
-    bare = F.regexp_replace(
-        F.regexp_replace(auth, r"^[^@]*@", ""), r"^www\.", ""
-    )
-    # strip only the SCHEME'S default port (a non-default port is a
-    # different origin and must survive)
-    host = (
-        F.when(scheme == F.lit("https"), F.regexp_replace(bare, r":443$", ""))
-        .when(scheme == F.lit("http"), F.regexp_replace(bare, r":80$", ""))
-        .otherwise(bare)
-    )
+    # userinfo dropped, scheme-default port stripped, www. peeled —
+    # the shared origin rule (see _canonical_host)
+    host = _canonical_host(scheme, auth)
 
     params = F.filter(
         F.split(query, "&"),

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import normalize_text
 
@@ -78,15 +79,17 @@ def bigram_lm_score(
     # corpus) so deriving c1 reuses c2's aggregation instead of
     # re-scanning + re-exploding the whole training corpus — without
     # this, Catalyst plans the c1 = groupBy(c2) lineage as a second
-    # full corpus pass. Lazy: nothing runs until the query's first
-    # action. r5 A/B at sf0.1 (idle, noop sink, best-of-5): 1.20s
-    # current vs 1.26s checkpointed — a wash locally where the corpus
-    # is page-cached; at cluster scale the saved pass is a full
-    # corpus scan and the checkpoint is model-sized.
+    # full corpus pass. persist() rather than localCheckpoint():
+    # equal locally (r5 A/B at sf0.1, idle, noop sink, best-of-5:
+    # 1.20s unmaterialized vs 1.26s — a wash with a page-cached
+    # corpus), but localCheckpoint truncates lineage onto
+    # non-reliable executor storage, so an executor loss mid-query
+    # on a real cluster aborts instead of recomputing; MEMORY_AND_DISK
+    # keeps the recompute path and the ContextCleaner reclaims it.
     c2 = (
         train_bg.groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c1 = c2.groupBy("prev").agg(F.sum("c2").cast("bigint").alias("c1"))
     vocab = (

@@ -98,13 +98,20 @@ def qsketch_build(
     deterministic (the ceil-rank rule just runs on weight units).
     Rows with NULL or non-positive weight contribute nothing.
 
-    Rows with a NULL ``value_col`` are EXCLUDED (matching
-    percentile/median semantics in both engines): left in, they'd
-    land in a NULL bucket that inflates ``n_total`` and shifts the
-    cumulative rank walk, and the NULL bucket would sort differently
-    cross-engine (Spark windows order NULLS FIRST, DuckDB NULLS
-    LAST) — ADVICE r4."""
-    df = df.where(F.expr(f"({value_col}) IS NOT NULL"))
+    Rows with a NULL or NaN ``value_col`` are EXCLUDED (matching
+    percentile/median semantics in both engines): left in, NULLs
+    would land in a NULL bucket that inflates ``n_total`` and shifts
+    the cumulative rank walk (and the NULL bucket sorts differently
+    cross-engine — Spark windows NULLS FIRST, DuckDB NULLS LAST);
+    NaNs are worse — Spark casts floor(NaN·scale) to 0 (silently
+    counted in the zero-class bucket) while DuckDB errors on
+    CAST(NaN AS BIGINT) — ADVICE r4 + r5 review."""
+    df = df.where(
+        F.expr(
+            f"({value_col}) IS NOT NULL"
+            f" AND NOT isnan(CAST(({value_col}) AS DOUBLE))"
+        )
+    )
     v = f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)"
     if weight_col is None:
         n = F.count(F.lit(1)).cast("bigint")

@@ -40,8 +40,10 @@ def split_sentences(col: Column) -> Column:
     A literal 0x1F in the input (plausible in crawl data) would
     otherwise read as a sentence boundary and skew chunk/token
     counts, so the marker byte is stripped from the input first
-    (ADVICE r4). Oracles restating this split mirror the same strip
-    (catalog31/32 share _SENT_SQL)."""
+    (ADVICE r4). TWO oracle copies restate this split and must both
+    mirror any change here: catalog32's shared ``_SENT_SQL`` and the
+    independent copy inlined in catalog31's pipe_curation_v4 oracle
+    (it threads the host column through, so it can't share)."""
     marked = F.regexp_replace(col, _MARK, "")
     for p in (".", "!", "?"):
         # capture-free: portable between Java and RE2 replacement

@@ -24,7 +24,9 @@ _SK_SQL = f"""
     sk AS (
       SELECT l_returnflag, {_bucket_expr(_V, 6)} AS bucket,
              CAST(count(*) AS BIGINT) AS n
-      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      GROUP BY 1, 2
     )
 """
 

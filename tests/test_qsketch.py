@@ -128,3 +128,17 @@ def test_null_values_excluded(spark):
     out = qsketch_quantiles(sk, ["g"], [0.5], sub_bits=6).collect()[0]
     assert out["n_total"] == 3
     assert out["q50_scaled"] == 2000  # median 20.00, not 10.00
+
+
+def test_nan_values_excluded(spark):
+    """r5 review: NaN must be excluded like NULL — Spark would cast
+    floor(NaN*scale) to 0 (silently counted in the zero-class
+    bucket) while DuckDB errors on CAST(NaN AS BIGINT)."""
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", float("nan"))],
+        "g string, v double",
+    )
+    sk = qsketch_build(df, ["g"], "v", scale=100, sub_bits=6)
+    out = qsketch_quantiles(sk, ["g"], [0.5], sub_bits=6).collect()[0]
+    assert out["n_total"] == 3
+    assert out["q50_scaled"] == 2000
