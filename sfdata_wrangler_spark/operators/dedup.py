@@ -24,6 +24,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import norm_key, normalize_text, word_shingles
 
@@ -653,11 +654,22 @@ def prefix_filter_pairs(
     Returns (id_a, id_b, inter, union_sz) for pairs with
     J ≥ threshold_pct/100, id_a < id_b.
     """
-    sh = _spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).alias("sh"),
+    # The distinct-shingle stream is consumed FIVE times (document
+    # frequencies, the ranked prefix, both sides of the intersection
+    # count, set sizes); unmaterialized, each consumer re-scans and
+    # re-shingles the corpus. Materialize it once — it is the
+    # inverted-index input every stage reads (MEMORY_AND_DISK: spills
+    # instead of OOM at corpus scale; persist keeps the lineage
+    # recompute path on executor loss).
+    sh = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+            ).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     ranked = (

@@ -55,15 +55,18 @@ def funnel_steps(
                 (F.col("__ts").cast("double") - F.col("t1").cast("double"))
                 <= float(within_seconds)
             )
-        stepped = (
-            cur.join(nxt, user_col)
-            .where(cond)
+        # ONE reference to ``cur`` per step: a left join plus
+        # conditional min. The earlier inner-join-then-join-back shape
+        # referenced ``cur`` twice per iteration, so the unshared plan
+        # subtree DOUBLED with every funnel step (2^(k-1) copies of
+        # the step-1 aggregation in a k-step funnel — r5 plan audit).
+        # Broken chains fall out naturally: no qualifying row →
+        # min(when(cond)) is null. One events scan per step remains,
+        # each with the step predicate pushed down.
+        cur = (
+            cur.join(nxt, user_col, "left")
             .groupBy(user_col, *[f"t{j}" for j in range(1, i)])
-            .agg(F.min("__ts").alias(f"t{i}"))
-        )
-        # keep users whose chain broke, with a null step time
-        cur = cur.join(
-            stepped.select(user_col, f"t{i}"), user_col, "left"
+            .agg(F.min(F.when(cond, F.col("__ts"))).alias(f"t{i}"))
         )
     return cur
 

@@ -86,3 +86,15 @@ def test_retention_daily_triangle(spark):
         for r in out.collect()
     }
     assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1, ("2024-01-03", 0): 1}
+
+
+def test_funnel_plan_is_linear_in_steps(spark):
+    """r5 regression: the old inner-join-then-join-back shape
+    referenced the running funnel frame twice per step, doubling the
+    unshared plan subtree with every step (2^(k-1) copies of the
+    step-1 aggregation). The plan must stay LINEAR: at most one scan
+    of the events source per funnel step."""
+    ev = _events(spark)
+    k4 = funnel_steps(ev, ["view", "cart", "buy", "view"])
+    plan = k4._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") + plan.count("LocalTableScan") <= 4, plan
