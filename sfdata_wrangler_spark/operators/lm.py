@@ -63,6 +63,7 @@ def bigram_lm_score(
     train: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize_model: bool = False,
 ) -> DataFrame:
     """Score each document by mean add-one-smoothed bigram likelihood.
 
@@ -71,26 +72,31 @@ def bigram_lm_score(
     ``(id_col, n_bigrams, sum_p_micro, mean_p_micro)``; documents with
     fewer than two tokens score 0 over 0 bigrams. Higher mean = more
     predictable under the reference distribution.
+
+    ``materialize_model=True`` persists the c2 pair-count table
+    (MEMORY_AND_DISK, token-type-pair sized) so deriving c1 and the
+    scoring join reuse one aggregation instead of Catalyst planning
+    the ``c1 = groupBy(c2)`` lineage as a SECOND full corpus
+    scan+explode. Default OFF after measuring both (r5, sf0.1, idle,
+    noop sink): standalone it is a wash (best 1.20s plain vs 1.30s
+    persisted), and inside pipe_curation_v3 — where the input is
+    already checkpointed, so the "extra corpus pass" is a cheap
+    cache re-read — the persist COSTS ~1.1s (4.6s → 5.75s): Spark
+    does not re-optimize through an InMemoryRelation boundary
+    (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``
+    defaults false), so the cached aggregation loses AQE coalescing.
+    Turn it ON when the training corpus is expensive to re-scan
+    (train ≠ docs reading remote storage at cluster scale) and the
+    re-read is not already covered by an upstream checkpoint.
     """
     train = docs if train is None else train
 
     train_bg = _bigrams(train, id_col, text_col)
-    # Materialize the MODEL (token-type-pair sized, tiny vs the
-    # corpus) so deriving c1 reuses c2's aggregation instead of
-    # re-scanning + re-exploding the whole training corpus — without
-    # this, Catalyst plans the c1 = groupBy(c2) lineage as a second
-    # full corpus pass. persist() rather than localCheckpoint():
-    # equal locally (r5 A/B at sf0.1, idle, noop sink, best-of-5:
-    # 1.20s unmaterialized vs 1.26s — a wash with a page-cached
-    # corpus), but localCheckpoint truncates lineage onto
-    # non-reliable executor storage, so an executor loss mid-query
-    # on a real cluster aborts instead of recomputing; MEMORY_AND_DISK
-    # keeps the recompute path and the ContextCleaner reclaims it.
-    c2 = (
-        train_bg.groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    c2 = train_bg.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
     )
+    if materialize_model:
+        c2 = c2.persist(StorageLevel.MEMORY_AND_DISK)
     c1 = c2.groupBy("prev").agg(F.sum("c2").cast("bigint").alias("c1"))
     vocab = (
         train.select(

@@ -28,6 +28,13 @@ SAMPLE = [
     "mm_image_phash_pairs",            # pigeonhole Hamming join
     "txt_sentence_chunks",             # sentence grid + window
     "qc_rolling_zscore",               # trailing-frame float z
+    # r5-touched plans: the materialization/rewrite work must not
+    # change results under any partitioning
+    "fn_funnel_steps",                 # left-join + conditional-min chain
+    "dd_prefix_jaccard",               # persisted shingle stream
+    "gr_triangle_count",               # persisted oriented edges
+    "lk_blocking_quality",             # single-pass candidate stats
+    "txt_lm_score",                    # persisted bigram model
 ]
 
 
