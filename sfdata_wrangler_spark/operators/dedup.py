@@ -631,6 +631,7 @@ def prefix_filter_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold_pct: int = 50,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-threshold similarity self-join via prefix
     filtering (PPJoin-style) — the no-false-negative alternative to
@@ -653,6 +654,14 @@ def prefix_filter_pairs(
 
     Returns (id_a, id_b, inter, union_sz) for pairs with
     J ≥ threshold_pct/100, id_a < id_b.
+
+    ``materialize`` (default on) persists the distinct-shingle stream
+    its five consumer stages read. NOTE the Spark lifetime: a
+    DataFrame persist() lives in the session's CacheManager until
+    ``spark.catalog.clearCache()`` (or session end) — repeated calls
+    in a long-lived session accumulate cache entries (our sweep tools
+    clear between queries). Pass ``materialize=False`` to keep the
+    operator cache-free.
     """
     # The distinct-shingle stream is consumed FIVE times (document
     # frequencies, the ranked prefix, both sides of the intersection
@@ -661,16 +670,14 @@ def prefix_filter_pairs(
     # inverted-index input every stage reads (MEMORY_AND_DISK: spills
     # instead of OOM at corpus scale; persist keeps the lineage
     # recompute path on executor loss).
-    sh = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.explode(
-                F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-            ).alias("sh"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
     )
+    if materialize:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     ranked = (
         sh.join(freq, "sh")

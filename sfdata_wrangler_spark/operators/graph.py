@@ -81,12 +81,18 @@ def degree_table(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """One-row frame ``(n_triangles)``.
 
     Orientation: lo -> hi by (degree, node) total order; wedges are
     built at the lo vertex and closed by an equi-join back to the
     oriented edge set. Three hash joins, no driver state.
+
+    ``materialize`` persists the oriented edge list its four
+    consumers read (cache lives in CacheManager until
+    ``spark.catalog.clearCache()``/session end — sweep tools clear
+    between queries; pass False for a cache-free plan, which leans on
+    ReusedExchange instead).
     """
     deg = degree_table(edges)
     with_rank = (
@@ -106,7 +112,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = with_rank.select(
         F.when(lo_first | tie, F.col("src")).otherwise(F.col("dst")).alias("lo"),
         F.when(lo_first | tie, F.col("dst")).otherwise(F.col("src")).alias("hi"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if materialize:
+        oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
     w1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     w2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))

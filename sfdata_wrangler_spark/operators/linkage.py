@@ -50,10 +50,16 @@ def blocked_fuzzy_pairs(
     text_col: str,
     max_distance: int = 3,
     max_block: int = 10_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate entity pairs ``(name_a, name_b, dist)`` with
     ``name_a < name_b``, edit distance <= max_distance, compared only
-    within blocks of <= max_block distinct names."""
+    within blocks of <= max_block distinct names.
+
+    ``materialize`` persists the surviving entity-grain table both
+    self-join sides read (CacheManager lifetime — released by
+    ``spark.catalog.clearCache()`` or session end; sweep tools clear
+    between queries)."""
     blocked, sizes, cap = _blocked(df, text_col, max_block)
     # Materialize the surviving entity-grain table once: both sides of
     # the within-block self-join read it, and without the persist
@@ -69,7 +75,9 @@ def blocked_fuzzy_pairs(
         F.broadcast(sizes.where(F.col("block_n") <= cap).select("block")),
         "block",
         "left_semi",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if materialize:
+        ok = ok.persist(StorageLevel.MEMORY_AND_DISK)
     a = ok.select("block", F.col("name").alias("name_a"))
     b = ok.select("block", F.col("name").alias("name_b"))
     pairs = (
@@ -112,12 +120,17 @@ def blocking_quality(
       pairs: the recall the cap/blocking traded for that efficiency.
 
     ``truth_pairs`` is a labeled sample (or a gold subset) with the
-    same (id_a < id_b) orientation. All counts BIGINT; the two ratios
-    are single divisions over exact operands. Cost: two counts + one
-    key-keyed semi join at pair grain — nothing quadratic (the
-    all-pairs denominator is n·(n−1)/2 computed from the entity
-    COUNT, never materialized).
+    same (id_a < id_b) orientation, treated as a SET — duplicate
+    labeled rows are collapsed before counting and joining, so
+    ``n_truth``, ``n_truth_found``, and the join fan-out all agree on
+    set semantics (a duplicated truth row must not inflate
+    ``n_candidates`` through the left join or halve the reported
+    completeness). All counts BIGINT; the two ratios are single
+    divisions over exact operands. Cost: two counts + one key-keyed
+    join at pair grain — nothing quadratic (the all-pairs denominator
+    is n·(n−1)/2 computed from the entity COUNT, never materialized).
     """
+    truth_pairs = truth_pairs.select(id_a, id_b).distinct()
     n = entities.select(F.count(F.lit(1)).cast("bigint").alias("n"))
     truth_n = truth_pairs.select(
         F.count(F.lit(1)).cast("bigint").alias("n_truth")

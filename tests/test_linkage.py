@@ -73,3 +73,21 @@ def test_blocking_quality_report(spark):
     assert (r.n, r.n_candidates, r.n_truth, r.n_truth_found) == (5, 3, 3, 2)
     assert abs(r.reduction_ratio - (1 - 3 / 10)) < 1e-12
     assert abs(r.pair_completeness - 2 / 3) < 1e-12
+
+
+def test_blocking_quality_truth_is_a_set(spark):
+    """r5 review: a duplicated labeled row must not inflate
+    n_candidates (left-join fan-out) or halve completeness
+    (count_distinct found vs raw truth rows)."""
+    from sfdata_wrangler_spark.operators.linkage import blocking_quality
+
+    ents = spark.createDataFrame([("a",), ("b",), ("c",)], ["name"])
+    cands = spark.createDataFrame([("a", "b")], ["name_a", "name_b"])
+    truth = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], ["name_a", "name_b"]
+    )
+    row = blocking_quality(ents, cands, truth).collect()[0]
+    assert row["n_candidates"] == 1
+    assert row["n_truth"] == 2
+    assert row["n_truth_found"] == 1
+    assert abs(row["pair_completeness"] - 0.5) < 1e-12

@@ -46,6 +46,13 @@ def _run(n_partitions: int, name: str):
         .getOrCreate()
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    # getOrCreate reuses ONE JVM session across the 3- and
+    # 17-partition runs, and CacheManager's plan-matched lookup would
+    # serve the first run's persisted intermediates (prefix-jaccard
+    # shingles, triangle orientation, linkage entities) to the second
+    # — the invariance check would partially compare the cache
+    # against itself. Same reasoning as bench.py's clearCache.
+    spark.catalog.clearCache()
     from sfdata_wrangler_spark.plans.catalog import QUERIES
 
     df = QUERIES[name]["fn"](spark, SF)

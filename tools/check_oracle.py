@@ -98,6 +98,11 @@ def main():
             continue
         t0 = time.time()
         try:
+            # operator-level persist() entries (shingle streams,
+            # oriented edges, entity blocks) live in CacheManager for
+            # the session lifetime; release them between queries so a
+            # 233-query sweep doesn't accumulate corpus-scale caches
+            spark.catalog.clearCache()
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
