@@ -98,3 +98,66 @@ def test_funnel_plan_is_linear_in_steps(spark):
     k4 = funnel_steps(ev, ["view", "cart", "buy", "view"])
     plan = k4._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ExistingRDD") + plan.count("LocalTableScan") <= 4, plan
+
+
+def test_funnel_differential_random_events(spark):
+    """Property differential for the r5 left-join+conditional-min
+    rewrite: on a deterministic pseudo-random event panel, the Spark
+    funnel must equal a sequential per-user Python reference of the
+    declared semantics (earliest step-i event at/after t_{i-1};
+    within_seconds window opened at t1; null after a break)."""
+    import random
+
+    rng = random.Random(42)
+    types = ["A", "B", "C", "D"]
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(0, 12)):
+            rows.append(
+                (
+                    u,
+                    rng.choice(types),
+                    _ts("2024-01-01 00:00:00").replace(
+                        hour=rng.randint(0, 23), minute=rng.randint(0, 59)
+                    ),
+                )
+            )
+    if not rows:
+        return
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    steps = ["A", "B", "C"]
+    within = 4 * 3600.0
+
+    def reference(rows):
+        by_user = {}
+        for u, t, ts in rows:
+            by_user.setdefault(u, []).append((t, ts))
+        out = {}
+        for u, evs in by_user.items():
+            firsts = [ts for t, ts in evs if t == steps[0]]
+            if not firsts:
+                continue
+            t1 = min(firsts)
+            chain = [t1]
+            for step in steps[1:]:
+                prev = chain[-1]
+                if prev is None:
+                    chain.append(None)
+                    continue
+                cand = [
+                    ts
+                    for t, ts in evs
+                    if t == step
+                    and ts >= prev
+                    and (ts - t1).total_seconds() <= within
+                ]
+                chain.append(min(cand) if cand else None)
+            out[u] = tuple(chain)
+        return out
+
+    expected = reference(rows)
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(ev, steps, within_seconds=within).collect()
+    }
+    assert got == expected
