@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import normalize_text
 
@@ -68,12 +69,22 @@ def duplicate_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Maximal duplicated token spans per document: ``(id, span_start,
     span_end, n_grams)`` with span_end inclusive (last covered token
     index). A span is any maximal run of k-grams each of which occurs
-    in >= min_docs distinct documents."""
+    in >= min_docs distinct documents.
+
+    ``materialize`` persists the positional k-gram stream — its two
+    consumers (the distinct-doc frequency aggregate and the
+    position-flagging semi-join) would otherwise each re-run the
+    corpus explode + per-gram md5, the dominant map cost. CacheManager
+    lifetime (released by ``spark.catalog.clearCache()``/session end;
+    sweep tools clear between queries); pass False for cache-free."""
     grams = positional_kgrams(docs, k, id_col, text_col)
+    if materialize:
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         grams.groupBy("gram_hash")
         .agg(F.countDistinct(id_col).alias("__nd"))
