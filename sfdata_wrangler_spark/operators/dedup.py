@@ -353,6 +353,7 @@ def exact_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     max_doc_freq: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """ALL pairs sharing ≥ 1 word shingle, with exact intersection /
     union counts: (id_a, id_b, inter, union_sz).
@@ -382,6 +383,16 @@ def exact_jaccard_pairs(
         sh = sh.join(
             freq.where(F.col("__df") <= max_doc_freq).select("sh"), "sh"
         )
+    # the (pruned) shingle stream feeds the size aggregate AND both
+    # sides of the intersection self-join. The knob materializes it
+    # once — default OFF here by measurement (r5, sf0.1, idle,
+    # best-of-4 noop: persist 1.73s vs recompute 1.33s — two extra
+    # cheap explodes of page-cached text beat writing/reading the
+    # corpus-scale cache; contrast prefix_filter_pairs, five
+    # consumers + windows, where the persist wins). Turn ON when the
+    # input itself is expensive (remote scan, upstream pipeline).
+    if materialize:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -483,6 +494,7 @@ def containment_pairs(
     shingle_n: int = 3,
     min_containment_pct: int = 50,
     max_doc_freq: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Asymmetric near-dup detection: pairs where one document's
     shingle set is largely CONTAINED in the other's —
@@ -509,6 +521,16 @@ def containment_pairs(
         sh = sh.join(
             freq.where(F.col("__df") <= max_doc_freq).select("sh"), "sh"
         )
+    # the (pruned) shingle stream feeds the size aggregate AND both
+    # sides of the intersection self-join. The knob materializes it
+    # once — default OFF here by measurement (r5, sf0.1, idle,
+    # best-of-4 noop: persist 1.73s vs recompute 1.33s — two extra
+    # cheap explodes of page-cached text beat writing/reading the
+    # corpus-scale cache; contrast prefix_filter_pairs, five
+    # consumers + windows, where the persist wins). Turn ON when the
+    # input itself is expensive (remote scan, upstream pipeline).
+    if materialize:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
