@@ -347,6 +347,43 @@ def contamination_check(
     )
 
 
+def _shingle_stream(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_doc_freq: int | None,
+    materialize: bool,
+) -> DataFrame:
+    """The distinct-shingle inverted-index input shared by the exact
+    pair operators: spread → explode distinct shingles → optional
+    stop-shingle prune. ``materialize`` persists the stream BEFORE
+    the prune so the expensive source explode runs once even though
+    the frequency aggregate and the prune join both read it (the
+    knob's stated scenario is an input that is expensive to re-scan).
+    Default OFF by measurement (r5, sf0.1, idle, best-of-4 noop:
+    persist 1.73s vs recompute 1.33s — two extra cheap explodes of
+    page-cached text beat writing/reading a corpus-scale cache;
+    contrast prefix_filter_pairs, five consumers + windows, where
+    the persist wins). CacheManager lifetime — released by
+    ``spark.catalog.clearCache()`` or session end; sweep tools clear
+    between queries."""
+    sh = _spread(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    )
+    if materialize:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            freq.where(F.col("__df") <= max_doc_freq).select("sh"), "sh"
+        )
+    return sh
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -372,27 +409,9 @@ def exact_jaccard_pairs(
     shingles carry ~no similarity signal anyway). Intersections and
     union sizes are then computed over the SURVIVING shingle sets, so
     the Jaccard stays internally consistent."""
-    sh = _spread(df).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).alias("sh"),
+    sh = _shingle_stream(
+        df, text_col, id_col, shingle_n, max_doc_freq, materialize
     )
-    if max_doc_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-        sh = sh.join(
-            freq.where(F.col("__df") <= max_doc_freq).select("sh"), "sh"
-        )
-    # the (pruned) shingle stream feeds the size aggregate AND both
-    # sides of the intersection self-join. The knob materializes it
-    # once — default OFF here by measurement (r5, sf0.1, idle,
-    # best-of-4 noop: persist 1.73s vs recompute 1.33s — two extra
-    # cheap explodes of page-cached text beat writing/reading the
-    # corpus-scale cache; contrast prefix_filter_pairs, five
-    # consumers + windows, where the persist wins). Turn ON when the
-    # input itself is expensive (remote scan, upstream pipeline).
-    if materialize:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -510,27 +529,9 @@ def containment_pairs(
     the threshold cannot waver across engines. ``max_doc_freq`` is
     the same stop-shingle skew guard.
     """
-    sh = _spread(df).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).alias("sh"),
+    sh = _shingle_stream(
+        df, text_col, id_col, shingle_n, max_doc_freq, materialize
     )
-    if max_doc_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-        sh = sh.join(
-            freq.where(F.col("__df") <= max_doc_freq).select("sh"), "sh"
-        )
-    # the (pruned) shingle stream feeds the size aggregate AND both
-    # sides of the intersection self-join. The knob materializes it
-    # once — default OFF here by measurement (r5, sf0.1, idle,
-    # best-of-4 noop: persist 1.73s vs recompute 1.33s — two extra
-    # cheap explodes of page-cached text beat writing/reading the
-    # corpus-scale cache; contrast prefix_filter_pairs, five
-    # consumers + windows, where the persist wins). Turn ON when the
-    # input itself is expensive (remote scan, upstream pipeline).
-    if materialize:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

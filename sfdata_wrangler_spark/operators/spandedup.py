@@ -115,6 +115,7 @@ def remove_duplicate_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Documents with every duplicated span scrubbed: the surviving
     tokens reassembled in order as ``clean_text`` (empty string if
@@ -122,7 +123,7 @@ def remove_duplicate_spans(
     span leave via one anti join; in-order reassembly is
     array_sort(collect_list(struct(pos, tok))) — per-doc, no global
     sort."""
-    spans = duplicate_spans(docs, k, min_docs, id_col, text_col)
+    spans = duplicate_spans(docs, k, min_docs, id_col, text_col, materialize)
     covered = spans.select(
         id_col,
         F.explode(F.sequence("span_start", "span_end")).alias("pos"),

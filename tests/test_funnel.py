@@ -122,8 +122,7 @@ def test_funnel_differential_random_events(spark):
                     ),
                 )
             )
-    if not rows:
-        return
+    assert rows  # Random(42) panel is deterministically non-empty
     ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
     steps = ["A", "B", "C"]
     within = 4 * 3600.0
