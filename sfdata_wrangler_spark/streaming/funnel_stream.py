@@ -25,11 +25,19 @@ time is then older than any future t1 could admit (a future step-1
 event must carry ts above the watermark that fired the GC, and
 retained times sit more than ``within`` below it).
 
-Emission is timeout-driven (append mode): one row per user with the
-greedy chain times in epoch microseconds, nulls after the break —
-computed by the SAME sequential rule the batch operator and its
-DuckDB oracle state, differential-tested in
+Emission is timeout-driven (append mode): one row per finalized
+funnel EPISODE with the greedy chain times in epoch microseconds,
+nulls after the break — computed by the SAME sequential rule the
+batch operator and its DuckDB oracle state, differential-tested in
 tests/test_streaming_funnel.py.
+
+Episode semantics (the one deliberate divergence from batch): after
+a user's funnel finalizes and its state is dropped, a LATER step-1
+event opens a fresh episode and eventually emits a second row. The
+batch operator, given the full closed dataset, keys everything off
+the single global min t1; an unbounded stream cannot (suppressing
+re-emission would need a per-user tombstone retained forever).
+Consumers wanting batch parity keep the min-t1 row per user.
 """
 
 from __future__ import annotations
@@ -39,6 +47,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -85,8 +94,9 @@ def stateful_funnel(
     ever be emitted)."""
     k = len(steps)
     within_us = int(within_seconds * 1_000_000)
+    # preserve the grouping column's real type (string ids are common)
     out_schema = StructType(
-        [StructField(user_col, LongType())]
+        [StructField(user_col, events.schema[user_col].dataType)]
         + [StructField(f"t{i}_us", LongType()) for i in range(1, k + 1)]
     )
     state_schema = StructType(
@@ -103,12 +113,10 @@ def stateful_funnel(
                 lists = [list(x) if x is not None else [] for x in state.get]
                 state.remove()
                 chain = _chain(lists, within_us)
-                if chain:
+                if chain:  # non-empty chain is always length k
                     row = {user_col: [user]}
                     for i in range(k):
-                        row[f"t{i + 1}_us"] = [
-                            chain[i] if i < len(chain) else None
-                        ]
+                        row[f"t{i + 1}_us"] = [chain[i]]
                     yield pd.DataFrame(row)
             return
 
@@ -143,16 +151,38 @@ def stateful_funnel(
             for i in range(1, k):
                 lists[i] = [t for t in lists[i] if t <= horizon]
         else:
-            # GC horizon for step-1-less users: once the watermark
-            # passes latest + within, no future t1 can admit anything
-            # retained here
-            horizon = latest + within_us
+            # GC horizon for step-1-less users, measured from the MAX
+            # retained time (not just this batch's latest): a retained
+            # step-i time t only ever qualifies under a future t1 <= t,
+            # and any future t1 arrives with ts above the watermark —
+            # so once the watermark clears max(retained) + within,
+            # nothing here can ever chain
+            retained = [t for lst in lists for t in lst]
+            horizon = max(retained + [latest]) + within_us
 
         state.update(tuple(lists))
-        state.setTimeoutTimestamp(horizon // 1000 + 1)
+        # clamp: the computed horizon can sit BELOW the current
+        # watermark (other users advanced it while this user received
+        # a post-window event) and setTimeoutTimestamp would then
+        # throw and kill the query — the classic applyInPandasWithState
+        # trap. Clamped to watermark+1 the overdue finalization fires
+        # on the next trigger instead.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(horizon // 1000 + 1, wm + 1))
 
     return (
-        events.withWatermark(ts_col, watermark)
+        # filter FIRST, watermark on the filtered stream: the stateful
+        # operator only needs the funnel's step types (anything else
+        # is shuffle volume and state churn — a user with no step
+        # events would otherwise still get state and a timeout), and
+        # Catalyst pushes the filter below withWatermark anyway, so
+        # declaring it upstream states the real semantics: event time
+        # — and therefore funnel finalization — advances on STEP
+        # events. (A watermark "fed" by non-step events upstream of a
+        # filter would be an illusion: the pushed-down filter means
+        # they never reach the watermark node.)
+        events.where(F.col(type_col).isin(list(steps)))
+        .withWatermark(ts_col, watermark)
         .groupBy(user_col)
         .applyInPandasWithState(
             proc,

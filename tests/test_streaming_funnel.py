@@ -5,7 +5,11 @@ each batch fires the event-time timeouts in the next; late sentinel
 events push every user's watermark past t1 + within so all funnel
 rows finalize. Includes an out-of-order arrival (the step-1 event
 for u4 arrives in a LATER file than its step-2 event) to exercise
-the chain-rewrite retention.
+the chain-rewrite retention — which is why the watermark DELAY is 2
+hours, not 0: allowed lateness is exactly what admits u4's A@30min
+after the first file already advanced event time to +90min (with a
+0-second watermark the engine rightly drops it and u4's funnel
+never forms — that is watermark semantics, not a bug).
 """
 
 import datetime
@@ -51,7 +55,22 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
         (4, "A", 30),  # out-of-order: earlier ts than u4's B, later file
         (4, "C", 50),
     ]
-    sentinels = [(u, "Z", SENTINEL_MIN) for u in (1, 2, 3, 4, 5)]
+    # sentinels must be STEP-typed: the operator filters to step
+    # types before the watermark (pushed-down filters mean non-step
+    # events never advance event time), so fresh far-future users
+    # carry the watermark; their own funnels never finalize (the
+    # watermark never clears their horizon) and they are excluded
+    # from the comparison below
+    sentinels = [(991, "A", SENTINEL_MIN)]
+    # a FOURTH trigger: u4's timeout is clamped to watermark+1ms
+    # during the late-file batch (its horizon equals the watermark —
+    # the exact race the clamp exists for), and timeouts in batch N
+    # fire against the watermark computed at the END of batch N-1, so
+    # the sentinel batch itself can't flush it. On a live stream the
+    # next trigger does; here that next trigger is one more file
+    # (rows filtered out pre-groupBy — timeout processing runs even
+    # for batches that deliver a group no data).
+    sentinels2 = [(992, "A", SENTINEL_MIN + 1)]
 
     src = os.path.join(tmp_path, "src")
     df_early = spark.createDataFrame(_rows(early))
@@ -59,9 +78,17 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
     df_sent = spark.createDataFrame(_rows(sentinels))
     # three files -> three triggers under maxFilesPerTrigger=1; the
     # sentinel file's watermark finalizes every funnel
+    import time
+
     df_early.coalesce(1).write.parquet(src)
+    time.sleep(0.4)  # distinct mtimes: FileStreamSource orders by them
     df_late.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.4)
     df_sent.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.4)
+    spark.createDataFrame(_rows(sentinels2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
 
     stream = (
         spark.readStream.schema(df_early.schema)
@@ -70,7 +97,7 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
     )
     q = (
         stateful_funnel(
-            stream, STEPS, within_seconds=WITHIN, watermark="0 seconds"
+            stream, STEPS, within_seconds=WITHIN, watermark="2 hours"
         )
         .writeStream.format("memory")
         .queryName("funnel_stream")
@@ -78,11 +105,12 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "streaming query did not finish in time"
 
     got = {
         (r.user_id, r.t1_us, r.t2_us, r.t3_us)
         for r in spark.sql("SELECT * FROM funnel_stream").collect()
+        if r.user_id < 900
     }
 
     batch = spark.createDataFrame(_rows(early + late))
