@@ -15,6 +15,9 @@ several genuine micro-batches:
 4. mergeable-state maintenance via foreachBatch folds: per-batch
    quantile sketches merged by the count-sum law — percentiles over
    an unbounded stream as bounded state
+5. stateful windowed-funnel completion (applyInPandasWithState):
+   signup → click → purchase chains finalized by the watermark,
+   compared against the batch funnel on the same events
 
 Every stage's streaming result is compared against the same function
 run on the batch frame: fold-equals-batch is the design law that
@@ -185,6 +188,43 @@ def main() -> None:
     batch_rows = {tuple(r) for r in batch_sk.collect()}
     print("fold == batch:", fold_rows == batch_rows)
     folded.orderBy("event_type").show()
+
+    print("== 5. stateful windowed funnel ==")
+    from sfdata_wrangler_spark.operators.funnel import funnel_steps
+    from sfdata_wrangler_spark.streaming.funnel_stream import stateful_funnel
+
+    steps = ["signup", "click", "purchase"]
+    within = 3 * 86400.0  # 3-day completion window
+    got = run_to_memory(
+        stateful_funnel(
+            stream(), steps, within_seconds=within, watermark="1 day"
+        ),
+        "funnel",
+        "append",
+    )
+    want = funnel_steps(batch, steps, within_seconds=within)
+    # finalized rows must match the batch chain exactly, user by user
+    stream_rows = {
+        (r["user_id"], r["t1_us"], r["t2_us"], r["t3_us"])
+        for r in got.collect()
+    }
+    us = lambda x: None if x is None else int(x.timestamp() * 1_000_000)  # noqa: E731
+    batch_by_user = {
+        r["user_id"]: (r["user_id"], us(r["t1"]), us(r["t2"]), us(r["t3"]))
+        for r in want.collect()
+    }
+    agree = all(
+        batch_by_user.get(row[0]) == row for row in stream_rows
+    )
+    print(
+        f"stream finalized funnels: {len(stream_rows)}  batch funnels: "
+        f"{len(batch_by_user)}  finalized==batch per user: {agree}"
+    )
+    print(
+        "(the difference is funnels whose t1+within horizon the final "
+        "watermark never cleared — still OPEN when the stream ended; "
+        "a live stream finalizes them as event time advances)"
+    )
 
     shutil.rmtree(tmp, ignore_errors=True)
 
