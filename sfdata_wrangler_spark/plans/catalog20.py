@@ -227,9 +227,13 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gr_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 PageRank parts in the co-occurrence graph: 10 damped
     power iterations as rank⨝edges shuffles (operators/graph.py).
-    Iterative → no SQL oracle (rows-only in the driver sweep); the
-    exact check is the numpy power-method differential in
-    tests/test_graph_cdc.py."""
+    Iterative float → no SQL oracle (rows-only in the driver sweep).
+
+    twins: ``gr_pagerank_micro_top`` (hash-exact, fixed-point integer
+    arithmetic — the recursive-CTE oracle replays the identical join
+    shape bit-for-bit) covers the distributed iteration; the float
+    variant here is additionally pinned by the numpy power-method
+    differential in tests/test_graph_cdc.py."""
     pr = pagerank(_part_edges(spark, sf_dir), damping=0.85, iters=10)
     return (
         pr.orderBy(F.col("rank").desc(), F.col("node"))
