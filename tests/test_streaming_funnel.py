@@ -129,3 +129,79 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
     assert by_user[3][2] is None              # window exceeded
     assert by_user[4][2] is not None          # out-of-order rewrite
     assert 5 not in by_user                   # no step-1 event
+
+
+def test_stateful_funnel_state_survives_restart(spark, tmp_path):
+    """Production concern the single-run differential can't see: the
+    per-user retained-time lists must round-trip through the state
+    store so a STOPPED query resumed from its checkpoint finalizes
+    funnels whose evidence arrived before the stop."""
+    import time
+
+    src = os.path.join(tmp_path, "src2")
+    chk = os.path.join(tmp_path, "chk2")
+    out = os.path.join(tmp_path, "out2")
+
+    first = [(1, "A", 0), (1, "B", 10), (2, "A", 5)]
+    second = [(1, "C", 20), (2, "B", 15), (2, "C", 25)]
+    sent = [(991, "A", SENTINEL_MIN)]
+    sent2 = [(992, "A", SENTINEL_MIN + 1)]
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                spark.createDataFrame(_rows(first)).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # parquet sink, not memory: the memory sink cannot recover
+        # from a checkpoint, and recovery is the point of this test
+        return (
+            stateful_funnel(
+                stream, STEPS, within_seconds=WITHIN, watermark="2 hours"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: only the first file exists; every funnel stays OPEN
+    spark.createDataFrame(_rows(first)).coalesce(1).write.parquet(src)
+    q = start()
+    assert q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 0
+
+    # run 2: completions + watermark carriers arrive; the resumed
+    # query must combine them with run 1's checkpointed state
+    time.sleep(0.4)
+    spark.createDataFrame(_rows(second)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(0.4)
+    spark.createDataFrame(_rows(sent)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(0.4)
+    spark.createDataFrame(_rows(sent2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    assert q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.t1_us, r.t2_us, r.t3_us)
+        for r in spark.read.parquet(out).collect()
+        if r.user_id < 900
+    }
+    batch = spark.createDataFrame(_rows(first + second))
+    ref = set()
+    for r in funnel_steps(batch, STEPS, within_seconds=WITHIN).collect():
+        def us(x):
+            return None if x is None else int(x.timestamp() * 1_000_000)
+
+        ref.add((r["user_id"], us(r["t1"]), us(r["t2"]), us(r["t3"])))
+    assert got == ref, (got, ref)
