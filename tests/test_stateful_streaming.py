@@ -67,3 +67,59 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery: an OPEN session accumulated in run 1 must
+    close correctly when run 2 (resumed from the checkpoint) delivers
+    the events that end it. Parquet sink — the memory sink cannot
+    recover from a checkpoint."""
+    import os
+    import time
+
+    src = os.path.join(tmp_path, "src2")
+    chk = os.path.join(tmp_path, "chk2")
+    out = os.path.join(tmp_path, "out2")
+
+    first = _mk(spark, [(1, 0), (1, 10)])            # open session
+    second = _mk(spark, [(1, 20), (1, 90)])          # extends, then breaks
+    sentinels = _mk(spark, [(1, SENTINEL_MIN)])
+
+    def start():
+        stream = spark.readStream.schema(first.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        return (
+            stateful_sessionize(stream, gap_minutes=30.0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    first.coalesce(1).write.parquet(src)
+    q = start()
+    assert q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 0      # still open
+
+    time.sleep(0.4)
+    second.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.4)
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+    q = start()
+    assert q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.n_events, r.session_value)
+        for r in spark.read.parquet(out).collect()
+        if r.session_start_us
+        < int(
+            (T0 + datetime.timedelta(minutes=SENTINEL_MIN)).timestamp()
+            * 1_000_000
+        )
+    }
+    # session 1 = minutes {0,10,20} (3 events, crossing the restart);
+    # session 2 = minute {90}
+    assert got == {(1, 3, 3.0), (1, 1, 1.0)}
