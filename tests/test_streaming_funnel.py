@@ -205,3 +205,60 @@ def test_stateful_funnel_state_survives_restart(spark, tmp_path):
 
         ref.add((r["user_id"], us(r["t1"]), us(r["t2"]), us(r["t3"])))
     assert got == ref, (got, ref)
+
+
+def test_stateful_funnel_under_rocksdb_state_store(spark, tmp_path):
+    """The state-store provider that scales: default HDFS-backed
+    state is executor-heap-bound, RocksDB spills per-partition state
+    to local disk — the 100 TB answer for corpus-sized keyspaces.
+    The operator must run identically under it (provider is read at
+    query start; this test pins the wiring, the differential above
+    pins the math)."""
+    import time
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = os.path.join(tmp_path, "src3")
+        spec = [(1, "A", 0), (1, "B", 10), (1, "C", 20)]
+        df = spark.createDataFrame(_rows(spec))
+        df.coalesce(1).write.parquet(src)
+        time.sleep(0.4)
+        spark.createDataFrame(_rows([(991, "A", SENTINEL_MIN)])).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(0.4)
+        spark.createDataFrame(
+            _rows([(992, "A", SENTINEL_MIN + 1)])
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful_funnel(
+                stream, STEPS, within_seconds=WITHIN, watermark="2 hours"
+            )
+            .writeStream.format("memory")
+            .queryName("funnel_rocks")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", os.path.join(tmp_path, "chk3")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = [
+            r
+            for r in spark.sql("SELECT * FROM funnel_rocks").collect()
+            if r.user_id < 900
+        ]
+        assert len(rows) == 1
+        assert rows[0].t3_us is not None
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
