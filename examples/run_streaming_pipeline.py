@@ -203,11 +203,18 @@ def main() -> None:
         "append",
     )
     want = funnel_steps(batch, steps, within_seconds=within)
-    # finalized rows must match the batch chain exactly, user by user
-    stream_rows = {
-        (r["user_id"], r["t1_us"], r["t2_us"], r["t3_us"])
-        for r in got.collect()
-    }
+    # finalized rows must match the batch chain exactly, user by user.
+    # Stream emission is per-EPISODE (a user whose funnel finalized
+    # can re-enter on a later step-1 event); batch parity = keep the
+    # min-t1 row per user, exactly as the operator's docstring
+    # prescribes for consumers
+    per_user = {}
+    for r in got.collect():
+        row = (r["user_id"], r["t1_us"], r["t2_us"], r["t3_us"])
+        best = per_user.get(row[0])
+        if best is None or row[1] < best[1]:
+            per_user[row[0]] = row
+    stream_rows = set(per_user.values())
     us = lambda x: None if x is None else int(x.timestamp() * 1_000_000)  # noqa: E731
     batch_by_user = {
         r["user_id"]: (r["user_id"], us(r["t1"]), us(r["t2"]), us(r["t3"]))
@@ -221,9 +228,11 @@ def main() -> None:
         f"{len(batch_by_user)}  finalized==batch per user: {agree}"
     )
     print(
-        "(the difference is funnels whose t1+within horizon the final "
-        "watermark never cleared — still OPEN when the stream ended; "
-        "a live stream finalizes them as event time advances)"
+        "(stream rows short of batch are funnels whose t1+within "
+        "horizon the final watermark never cleared — still OPEN when "
+        "the stream ended; a live stream finalizes them as event "
+        "time advances. Stream rows are per-episode, so the min-t1 "
+        "row per user above is what compares against batch)"
     )
 
     shutil.rmtree(tmp, ignore_errors=True)

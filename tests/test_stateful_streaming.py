@@ -74,7 +74,6 @@ def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
     close correctly when run 2 (resumed from the checkpoint) delivers
     the events that end it. Parquet sink — the memory sink cannot
     recover from a checkpoint."""
-    import os
     import time
 
     src = os.path.join(tmp_path, "src2")

@@ -26,6 +26,10 @@ WITHIN = 3600.0  # 1 hour
 SENTINEL_MIN = 10000
 
 
+def _us(x):
+    return None if x is None else int(x.timestamp() * 1_000_000)
+
+
 def _rows(spec):
     return [
         Row(
@@ -116,10 +120,7 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
     batch = spark.createDataFrame(_rows(early + late))
     ref = set()
     for r in funnel_steps(batch, STEPS, within_seconds=WITHIN).collect():
-        def us(x):
-            return None if x is None else int(x.timestamp() * 1_000_000)
-
-        ref.add((r["user_id"], us(r["t1"]), us(r["t2"]), us(r["t3"])))
+        ref.add((r["user_id"], _us(r["t1"]), _us(r["t2"]), _us(r["t3"])))
 
     assert got == ref, (got, ref)
     # spot-check the semantics the fixture encodes
@@ -200,10 +201,7 @@ def test_stateful_funnel_state_survives_restart(spark, tmp_path):
     batch = spark.createDataFrame(_rows(first + second))
     ref = set()
     for r in funnel_steps(batch, STEPS, within_seconds=WITHIN).collect():
-        def us(x):
-            return None if x is None else int(x.timestamp() * 1_000_000)
-
-        ref.add((r["user_id"], us(r["t1"]), us(r["t2"]), us(r["t3"])))
+        ref.add((r["user_id"], _us(r["t1"]), _us(r["t2"]), _us(r["t3"])))
     assert got == ref, (got, ref)
 
 
