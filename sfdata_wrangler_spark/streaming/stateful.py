@@ -104,7 +104,14 @@ def stateful_sessionize(
                 cur[2] += 1
                 cur[3] += float(v)
         state.update(tuple(cur))
-        # close the open session if the watermark already passed it
+        # close the open session if the watermark already passed it.
+        # No watermark clamp needed HERE (unlike funnel_stream.py):
+        # this timestamp derives from cur[1] = the last event of THIS
+        # batch, and late-row filtering guarantees every delivered
+        # event is at or above the current watermark, so end+gap is
+        # always ahead of it. The funnel's horizon, by contrast, is
+        # anchored at a possibly ancient t1 and CAN trail the
+        # watermark — that one must clamp.
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
         if closed:
             yield pd.DataFrame(
