@@ -142,3 +142,36 @@ def test_nan_values_excluded(spark):
     out = qsketch_quantiles(sk, ["g"], [0.5], sub_bits=6).collect()[0]
     assert out["n_total"] == 3
     assert out["q50_scaled"] == 2000
+
+
+def test_merge_law_with_nulls_and_nans(spark):
+    """r5: the merge law must hold with NULL/NaN pollution split
+    arbitrarily across shards — exclusion happens at BUILD time, so
+    folded shards and the batch sketch see the same clean values."""
+    import math
+
+    a_vals = [1.5, None, 700.25, float("nan"), 0.0, -3.0, 19.99]
+    b_vals = [88.0, float("nan"), None, 0.07, 123456.78, 2.0]
+
+    def df(vals):
+        return spark.createDataFrame(
+            [("g", v) for v in vals], "g string, v double"
+        )
+
+    clean = [
+        v
+        for v in a_vals + b_vals
+        if v is not None and not (isinstance(v, float) and math.isnan(v))
+    ]
+    batch = qsketch_build(df(clean), ["g"], "v")
+    merged = qsketch_merge(
+        qsketch_build(df(a_vals), ["g"], "v"),
+        qsketch_build(df(b_vals), ["g"], "v"),
+        ["g"],
+    )
+    as_map = lambda d: {  # noqa: E731
+        (r["g"], r["bucket"]): r["n"] for r in d.collect()
+    }
+    assert as_map(batch) == as_map(merged)
+    out = qsketch_quantiles(merged, ["g"], [0.5], sub_bits=6).collect()[0]
+    assert out["n_total"] == len(clean)
