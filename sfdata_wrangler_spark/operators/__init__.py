@@ -1,3 +1,4 @@
+from ._cache import release_operator_caches
 from .aggregate import AggRule, aggregate_records, update_speeds
 from .windows import (
     debounce_events,
@@ -239,4 +240,5 @@ __all__ = [
     "join_size_estimate",
     "validate_intervals",
     "debounce_events",
+    "release_operator_caches",
 ]

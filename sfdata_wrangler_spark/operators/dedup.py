@@ -24,7 +24,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+from ._cache import tracked_persist
 
 from ..functions.text import norm_key, normalize_text, word_shingles
 
@@ -375,7 +375,7 @@ def _shingle_stream(
         ).alias("sh"),
     )
     if materialize:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = tracked_persist(sh)
     if max_doc_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(
@@ -700,7 +700,7 @@ def prefix_filter_pairs(
         ).alias("sh"),
     )
     if materialize:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = tracked_persist(sh)
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     ranked = (
         sh.join(freq, "sh")

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+from ._cache import tracked_persist
 
 __all__ = [
     "cooccurrence_edges",
@@ -114,7 +114,7 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
         F.when(lo_first | tie, F.col("dst")).otherwise(F.col("src")).alias("hi"),
     )
     if materialize:
-        oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+        oriented = tracked_persist(oriented)
     w1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     w2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))

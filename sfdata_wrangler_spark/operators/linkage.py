@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+from ._cache import tracked_persist
 
 from ..functions.text import normalize_text
 
@@ -77,7 +77,7 @@ def blocked_fuzzy_pairs(
         "left_semi",
     )
     if materialize:
-        ok = ok.persist(StorageLevel.MEMORY_AND_DISK)
+        ok = tracked_persist(ok)
     a = ok.select("block", F.col("name").alias("name_a"))
     b = ok.select("block", F.col("name").alias("name_b"))
     pairs = (

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+from ._cache import tracked_persist
 
 from ..functions.text import normalize_text
 
@@ -96,7 +96,7 @@ def bigram_lm_score(
         F.count(F.lit(1)).cast("bigint").alias("c2")
     )
     if materialize_model:
-        c2 = c2.persist(StorageLevel.MEMORY_AND_DISK)
+        c2 = tracked_persist(c2)
     c1 = c2.groupBy("prev").agg(F.sum("c2").cast("bigint").alias("c1"))
     vocab = (
         train.select(

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.text import normalize_text
 
 _MARK = "\x1f"
+_ESC = "\x1e"
 
 
 def split_sentences(col: Column) -> Column:
@@ -39,19 +40,32 @@ def split_sentences(col: Column) -> Column:
 
     A literal 0x1F in the input (plausible in crawl data) would
     otherwise read as a sentence boundary and skew chunk/token
-    counts, so the marker byte is stripped from the input first
-    (ADVICE r4). TWO oracle copies restate this split and must both
-    mirror any change here: catalog32's shared ``_SENT_SQL`` and the
-    independent copy inlined in catalog31's pipe_curation_v4 oracle
-    (it threads the host column through, so it can't share)."""
-    marked = F.regexp_replace(col, _MARK, "")
+    counts — and simply stripping it (the r4 fix) silently mutated
+    document content (ADVICE r5). Content-preserving scheme instead:
+    escape the escape byte (0x1E → 0x1E'0') and the marker
+    (0x1F → 0x1E'1') before boundary markers are inserted, then
+    unescape inside each split sentence. All literal replaces plus
+    capture-free regex inserts — portable between Java and RE2. TWO
+    oracle copies restate this split and must both mirror any change
+    here: catalog32's shared ``_SENT_SQL`` and the independent copy
+    inlined in catalog31's pipe_curation_v4 oracle (it threads the
+    host column through, so it can't share)."""
+    marked = F.replace(col, F.lit(_ESC), F.lit(_ESC + "0"))
+    marked = F.replace(marked, F.lit(_MARK), F.lit(_ESC + "1"))
     for p in (".", "!", "?"):
         # capture-free: portable between Java and RE2 replacement
         marked = F.regexp_replace(
             marked, "\\" + p + r"\s+", p + _MARK
         )
     return F.filter(
-        F.transform(F.split(marked, _MARK), lambda s: F.trim(s)),
+        F.transform(
+            F.split(marked, _MARK),
+            lambda s: F.replace(
+                F.replace(F.trim(s), F.lit(_ESC + "1"), F.lit(_MARK)),
+                F.lit(_ESC + "0"),
+                F.lit(_ESC),
+            ),
+        ),
         lambda s: F.length(s) > 0,
     )
 

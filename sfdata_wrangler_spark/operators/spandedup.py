@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+from ._cache import tracked_persist
 
 from ..functions.text import normalize_text
 
@@ -84,7 +84,7 @@ def duplicate_spans(
     sweep tools clear between queries); pass False for cache-free."""
     grams = positional_kgrams(docs, k, id_col, text_col)
     if materialize:
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = tracked_persist(grams)
     dup = (
         grams.groupBy("gram_hash")
         .agg(F.countDistinct(id_col).alias("__nd"))

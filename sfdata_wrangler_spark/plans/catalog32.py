@@ -14,9 +14,10 @@ _SENT_SQL = """
     marked AS (
       SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(
+               replace(replace(
                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                 chr(31), '', 'g'),
+                 chr(30), chr(30) || '0'),
+                 chr(31), chr(30) || '1'),
                '\\.\\s+', '.' || chr(31), 'g'),
                '\\!\\s+', '!' || chr(31), 'g'),
                '\\?\\s+', '?' || chr(31), 'g') AS m
@@ -25,7 +26,9 @@ _SENT_SQL = """
     sents AS (
       SELECT doc_id,
              generate_subscripts(string_split(m, chr(31)), 1) AS sidx,
-             trim(unnest(string_split(m, chr(31)))) AS sentence
+             replace(replace(
+               trim(unnest(string_split(m, chr(31)))),
+               chr(30) || '1', chr(31)), chr(30) || '0', chr(30)) AS sentence
       FROM marked
     ),
     st AS (

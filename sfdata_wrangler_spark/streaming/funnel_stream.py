@@ -10,38 +10,40 @@ windowed-funnel one: every step must land within ``within_seconds``
 of t1, so once the event-time watermark passes ``t1 + within`` no
 admissible event can change the chain and the funnel row is FINAL.
 
-State per user is one int64 time list per step, pruned to the only
-times that can still matter:
+State per user is one int64 time list per step, pruned each batch by
+ONE retention rule that bounds state on any input (the watermark
+delay is the bound — late events below the watermark are dropped by
+the engine, so nothing below it can ever create or join an episode):
 
-- step 1 keeps its minimum only (a later arrival can only replace it
-  with an earlier time);
-- step i>1 keeps times ≤ t1 + within (t1 only moves EARLIER as data
-  arrives, so the admission window's right edge only moves earlier —
-  anything beyond it now is beyond it forever).
+- a time is retained iff it is at/above the current watermark (a
+  future step-1 event, which must arrive above the watermark, could
+  still admit it), OR it is an episode SEED (a greedy step-1 episode
+  opener), OR it falls inside a retained seed's admission window
+  ``[seed, seed + within]``.
 
-Users who never produce a step-1 event are garbage-collected by the
-same timeout horizon measured from their latest event: every retained
-time is then older than any future t1 could admit (a future step-1
-event must carry ts above the watermark that fired the GC, and
-retained times sit more than ``within`` below it).
-
-Emission is timeout-driven (append mode): one row per finalized
-funnel EPISODE with the greedy chain times in epoch microseconds,
-nulls after the break — computed by the SAME sequential rule the
-batch operator and its DuckDB oracle state, differential-tested in
+Episodes are greedy over step-1 times: the first seed is the minimum,
+the next seed is the first step-1 time beyond the previous seed's
+window, and so on — the same rule a batch replay of the full stream
+would apply per user. An episode is emitted (append mode) as soon as
+the watermark passes its horizon ``seed + within``: at timeout, or
+inline while processing a batch that observes the watermark already
+past it. Multiple pending episodes retained across triggers emit in
+order, so a step-1 event that opens a second episode is never lost to
+trigger alignment — the state transition is a pure function of
+(retained times, new events, watermark), differential-tested in
 tests/test_streaming_funnel.py.
 
-Episode semantics (the one deliberate divergence from batch): after
-a user's funnel finalizes and its state is dropped, a LATER step-1
-event opens a fresh episode and eventually emits a second row. The
+Episode semantics (the one deliberate divergence from batch): the
+stream emits ONE ROW PER EPISODE — after an episode's window closes,
+a later step-1 event opens a fresh episode and emits its own row. The
 batch operator, given the full closed dataset, keys everything off
-the single global min t1; an unbounded stream cannot (suppressing
-re-emission would need a per-user tombstone retained forever).
-Consumers wanting batch parity keep the min-t1 row per user.
+the single global min t1 and emits one row per user. Consumers
+wanting batch parity keep the min-t1 row per user.
 """
 
 from __future__ import annotations
 
+from bisect import bisect_right
 from collections.abc import Iterator
 from typing import Any
 
@@ -75,6 +77,65 @@ def _chain(step_times: list[list[int]], within_us: int) -> list[int | None]:
     return out
 
 
+def _finalize_and_retain(
+    lists: list[list[int]], wm_us: int, within_us: int
+) -> tuple[list[list[int | None]], list[list[int]], int | None]:
+    """Pure per-user state transition, unit-testable without Spark.
+
+    1. EMIT every episode whose horizon the watermark has passed
+       (greedy seed = min retained step-1 time; all times at or below
+       the horizon are consumed — nothing above the watermark can
+       rewrite a passed episode, so the row is final).
+    2. RETAIN only times that can still matter: at/above the
+       watermark (a future step-1 arrives above it and could admit
+       them), greedy episode seeds, or times inside a retained seed's
+       ``[seed, seed + within]`` window. This bounds state for EVERY
+       input shape — including users that only ever produce step-2+
+       events, whose times age out as the watermark advances.
+    3. Schedule the next wake-up: the first pending horizon when a
+       seed is retained, else ``max(retained) + within`` as the GC
+       horizon for seedless users (by then nothing retained can
+       qualify under any future seed).
+
+    Returns ``(chains, retained_lists, next_timeout_us | None)``;
+    all-empty retained lists mean the state can be removed.
+    """
+    k = len(lists)
+    lists = [sorted(set(lst)) for lst in lists]
+
+    chains: list[list[int | None]] = []
+    while lists[0] and lists[0][0] + within_us < wm_us:
+        horizon = lists[0][0] + within_us
+        chains.append(_chain(lists, within_us))
+        lists = [[t for t in lst if t > horizon] for lst in lists]
+
+    if lists[0]:
+        seeds: list[int] = []
+        window_end = None
+        for t in lists[0]:
+            if window_end is None or t > window_end:
+                seeds.append(t)
+                window_end = t + within_us
+        lists[0] = sorted({t for t in lists[0] if t >= wm_us} | set(seeds))
+
+        def admissible(t: int) -> bool:
+            if t >= wm_us:
+                return True
+            i = bisect_right(seeds, t)
+            return i > 0 and t <= seeds[i - 1] + within_us
+
+        for i in range(1, k):
+            lists[i] = [t for t in lists[i] if admissible(t)]
+        next_timeout = lists[0][0] + within_us
+    else:
+        for i in range(1, k):
+            lists[i] = [t for t in lists[i] if t >= wm_us]
+        retained = [t for lst in lists for t in lst]
+        next_timeout = (max(retained) + within_us) if retained else None
+
+    return chains, lists, next_timeout
+
+
 def stateful_funnel(
     events: DataFrame,
     steps: list[str],
@@ -84,9 +145,9 @@ def stateful_funnel(
     type_col: str = "event_type",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Streaming funnel: one FINAL row per user who produced a step-1
-    event — ``(user, t1_us, ..., tk_us)`` nullable after the chain
-    breaks — emitted once the watermark passes ``t1 + within``.
+    """Streaming funnel: one FINAL row per funnel episode —
+    ``(user, t1_us, ..., tk_us)`` nullable after the chain breaks —
+    emitted once the watermark passes ``t1 + within``.
 
     ``within_seconds`` is required: it is what makes a funnel row
     finalizable on an unbounded stream (without a window, a step
@@ -108,67 +169,55 @@ def stateful_funnel(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
-        if state.hasTimedOut:
-            if state.exists:
-                lists = [list(x) if x is not None else [] for x in state.get]
-                state.remove()
-                chain = _chain(lists, within_us)
-                if chain:  # non-empty chain is always length k
-                    row = {user_col: [user]}
-                    for i in range(k):
-                        row[f"t{i + 1}_us"] = [chain[i]]
-                    yield pd.DataFrame(row)
-            return
-
-        rows = pd.concat(list(pdfs))
-        ts_us = (
-            pd.to_datetime(rows[ts_col]).astype("datetime64[ns]").astype("int64")
-            // 1000
-        ).to_list()
-        kinds = rows[type_col].to_list()
+        wm_us = state.getCurrentWatermarkMs() * 1000
 
         lists = (
             [list(x) if x is not None else [] for x in state.get]
             if state.exists
             else [[] for _ in range(k)]
         )
-        latest = 0
-        for t, kind in zip(ts_us, kinds):
-            latest = max(latest, t)
-            i = step_index.get(kind)
-            if i is None:
-                continue
-            if i == 0:
-                # min-only retention
-                lists[0] = [min(lists[0] + [t])] if lists[0] else [t]
-            else:
-                lists[i].append(t)
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            ts_us = (
+                pd.to_datetime(rows[ts_col])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1000
+            ).to_list()
+            for t, kind in zip(ts_us, rows[type_col].to_list()):
+                i = step_index.get(kind)
+                if i is not None:
+                    lists[i].append(t)
 
-        # prune step>1 retention to the only-admissible window
-        if lists[0]:
-            t1 = lists[0][0]
-            horizon = t1 + within_us
-            for i in range(1, k):
-                lists[i] = [t for t in lists[i] if t <= horizon]
-        else:
-            # GC horizon for step-1-less users, measured from the MAX
-            # retained time (not just this batch's latest): a retained
-            # step-i time t only ever qualifies under a future t1 <= t,
-            # and any future t1 arrives with ts above the watermark —
-            # so once the watermark clears max(retained) + within,
-            # nothing here can ever chain
-            retained = [t for lst in lists for t in lst]
-            horizon = max(retained + [latest]) + within_us
+        chains, lists, next_timeout = _finalize_and_retain(
+            lists, wm_us, within_us
+        )
 
-        state.update(tuple(lists))
-        # clamp: the computed horizon can sit BELOW the current
-        # watermark (other users advanced it while this user received
-        # a post-window event) and setTimeoutTimestamp would then
-        # throw and kill the query — the classic applyInPandasWithState
-        # trap. Clamped to watermark+1 the overdue finalization fires
-        # on the next trigger instead.
-        wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(horizon // 1000 + 1, wm + 1))
+        if any(lists):
+            state.update(tuple(lists))
+            # clamp: the computed horizon can sit BELOW the current
+            # watermark (other users advanced it while this user
+            # received a post-window event) and setTimeoutTimestamp
+            # would then throw and kill the query — the classic
+            # applyInPandasWithState trap. Clamped to watermark+1 the
+            # overdue finalization fires on the next trigger instead.
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(next_timeout // 1000 + 1, wm_ms + 1)
+            )
+        elif state.exists:
+            state.remove()
+
+        if chains:
+            yield pd.DataFrame(
+                {
+                    user_col: [user] * len(chains),
+                    **{
+                        f"t{i + 1}_us": [c[i] for c in chains]
+                        for i in range(k)
+                    },
+                }
+            )
 
     return (
         # filter FIRST, watermark on the filtered stream: the stateful

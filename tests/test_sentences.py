@@ -72,11 +72,26 @@ def test_budget_exceeded_only_by_boundary_sentence(spark):
 
 
 def test_literal_marker_byte_in_input_is_not_a_boundary(spark):
-    """ADVICE r4: a literal 0x1F in crawl text must not create a
-    phantom sentence boundary (the operator uses 0x1F internally)."""
+    """ADVICE r4 + r5: a literal 0x1F in crawl text must not create a
+    phantom sentence boundary (the operator uses 0x1F internally) AND
+    must survive into the emitted sentence unchanged — the r4 strip
+    silently mutated document content."""
     from sfdata_wrangler_spark.operators.sentences import split_sentences
 
     df = spark.createDataFrame(
         [("one\x1ftwo. three.",)], "t string"
     ).select(split_sentences(F.col("t")).alias("s"))
-    assert df.collect()[0]["s"] == ["onetwo.", "three."]
+    assert df.collect()[0]["s"] == ["one\x1ftwo.", "three."]
+
+
+def test_escape_byte_roundtrips_through_the_split(spark):
+    """The escape byte 0x1E itself, and adversarial escape-like
+    sequences (0x1E'1', 0x1E'0', 0x1F), must all round-trip — the
+    escape scheme may not manufacture or drop bytes."""
+    from sfdata_wrangler_spark.operators.sentences import split_sentences
+
+    adversarial = "a\x1eb\x1e1c\x1e0d\x1fe. tail."
+    df = spark.createDataFrame([(adversarial,)], "t string").select(
+        split_sentences(F.col("t")).alias("s")
+    )
+    assert df.collect()[0]["s"] == ["a\x1eb\x1e1c\x1e0d\x1fe.", "tail."]

@@ -18,7 +18,10 @@ import os
 from pyspark.sql import Row
 
 from sfdata_wrangler_spark.operators.funnel import funnel_steps
-from sfdata_wrangler_spark.streaming.funnel_stream import stateful_funnel
+from sfdata_wrangler_spark.streaming.funnel_stream import (
+    _finalize_and_retain,
+    stateful_funnel,
+)
 
 T0 = datetime.datetime(2024, 1, 1, 10, 0)
 STEPS = ["A", "B", "C"]
@@ -260,3 +263,110 @@ def test_stateful_funnel_under_rocksdb_state_store(spark, tmp_path):
         assert rows[0].t3_us is not None
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+# ---------------------------------------------------------------- #
+# pure state-transition unit tests (no Spark)                      #
+# ---------------------------------------------------------------- #
+
+W = 100  # within_us for the unit tests
+
+
+def test_transition_prunes_seedless_state_by_watermark():
+    """ADVICE r5 (medium): a user with no step-1 event who keeps
+    producing step-2+ events must not accumulate state forever — a
+    retained time t can only qualify under a future seed s <= t, and
+    any future seed arrives above the watermark, so times below the
+    watermark are dead."""
+    lists = [[], [10, 20, 30, 40], [15]]
+    chains, retained, timeout = _finalize_and_retain(lists, wm_us=35, within_us=W)
+    assert chains == []
+    assert retained == [[], [40], []]          # 10/20/30/15 aged out
+    assert timeout == 40 + W                   # GC horizon from max retained
+    # watermark past everything -> state fully collapses
+    chains, retained, timeout = _finalize_and_retain(lists, wm_us=500, within_us=W)
+    assert chains == [] and retained == [[], [], []] and timeout is None
+
+
+def test_transition_emits_multiple_pending_episodes():
+    """Two episodes whose horizons the watermark has both passed emit
+    in order from a single transition."""
+    lists = [[0, 500], [10, 560], []]
+    chains, retained, timeout = _finalize_and_retain(lists, wm_us=1000, within_us=W)
+    assert chains == [[0, 10, None], [500, 560, None]]
+    assert retained == [[], [], []] and timeout is None
+
+
+def test_transition_retains_pending_seed_and_its_window():
+    """Episode 1 (horizon 100 < wm 200) emits and is consumed; the
+    pending seed at 500 survives with exactly the times that can
+    still matter: in-window below the watermark, or above it."""
+    lists = [[0, 500], [30, 150, 560], []]
+    chains, retained, timeout = _finalize_and_retain(lists, wm_us=200, within_us=W)
+    assert chains == [[0, 30, None]]
+    assert retained[0] == [500]
+    assert retained[1] == [560]                # 150: < wm, outside [500,600]
+    assert timeout == 500 + W
+
+
+def test_transition_seed_redundancy_prune_is_watermark_safe():
+    """A non-seed step-1 time below the watermark is dropped (greedy
+    boundaries at or below the watermark are final); one above the
+    watermark is kept even when currently redundant — an earlier
+    late seed could still shift episode boundaries under it."""
+    lists = [[0, 50, 500, 550], [], []]
+    chains, retained, _ = _finalize_and_retain(lists, wm_us=520, within_us=W)
+    assert chains == [[0, None, None]]
+    # 50 consumed with episode 1; 500 is the pending seed; 550 is
+    # redundant today but >= wm, so it must survive
+    assert retained[0] == [500, 550]
+
+
+def test_stateful_funnel_emits_second_episode(spark, tmp_path):
+    """ADVICE r5 (low): a step-1 event beyond the current episode's
+    window must open a SECOND episode and emit its own row, even when
+    it arrives in a batch before the first episode's timeout fires."""
+    import time
+
+    src = os.path.join(tmp_path, "src_ep")
+    first = [(1, "A", 0), (1, "B", 10)]
+    second = [(1, "A", 120), (1, "B", 130)]   # > 60-min window: new episode
+    df = spark.createDataFrame(_rows(first))
+    df.coalesce(1).write.parquet(src)
+    time.sleep(0.4)
+    spark.createDataFrame(_rows(second)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(0.4)
+    spark.createDataFrame(_rows([(991, "A", SENTINEL_MIN)])).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    time.sleep(0.4)
+    spark.createDataFrame(_rows([(992, "A", SENTINEL_MIN + 1)])).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_funnel(stream, STEPS, within_seconds=WITHIN, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("funnel_episodes")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.user_id, r.t1_us, r.t2_us, r.t3_us)
+        for r in spark.sql("SELECT * FROM funnel_episodes").collect()
+        if r.user_id < 900
+    }
+    t = lambda m: _us(T0 + datetime.timedelta(minutes=m))  # noqa: E731
+    assert got == {
+        (1, t(0), t(10), None),
+        (1, t(120), t(130), None),
+    }, got
