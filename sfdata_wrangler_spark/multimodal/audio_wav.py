@@ -122,3 +122,64 @@ def synth_wav_corpus(ids: DataFrame, sample_rate: int = 8000) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ids.select("media_id").mapInPandas(kernel, WAV_BLOB_SCHEMA)
+
+
+SILENCE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("run_idx", LongType()),
+        StructField("start_frame", LongType()),
+        StructField("end_frame", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def detect_silence(
+    media: DataFrame, threshold: int = 50, min_run: int = 4
+) -> DataFrame:
+    """(media_id, content: binary WAV) -> one row per SILENCE RUN:
+    a maximal stretch of >= ``min_run`` consecutive mono frames with
+    ``|sample| <= threshold`` — the segmentation primitive for
+    voice-activity gating and clip trimming in an audio curation
+    pipeline. Real decode (stdlib wave, same parser as decode_wav);
+    run detection is vectorized per file (boundaries = points where
+    the quiet mask changes), and files are independent — the kernel
+    is an Arrow-batched mapInPandas map, no shuffle."""
+    try:
+        import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {f.name: [] for f in SILENCE_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                samples = np.frombuffer(raw, dtype="<i2")
+                quiet = np.abs(samples.astype(np.int32)) <= threshold
+                # run boundaries: prepend/append False so every run
+                # has both an opening and a closing edge
+                edged = np.concatenate(([False], quiet, [False]))
+                flips = np.flatnonzero(edged[1:] != edged[:-1])
+                starts, ends = flips[0::2], flips[1::2] - 1
+                run_idx = 0
+                for s, e in zip(starts, ends):
+                    n = int(e - s + 1)
+                    if n < min_run:
+                        continue
+                    run_idx += 1
+                    out["media_id"].append(int(mid))
+                    out["run_idx"].append(run_idx)
+                    out["start_frame"].append(int(s))
+                    out["end_frame"].append(int(e))
+                    out["n_frames"].append(n)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, SILENCE_SCHEMA)

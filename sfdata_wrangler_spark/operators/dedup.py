@@ -763,3 +763,53 @@ def prefix_filter_pairs(
     return scored.where(
         F.col("inter") * 100 >= F.lit(threshold_pct) * F.col("union_sz")
     )
+
+
+def lsh_calibration(
+    spark,
+    bands: int,
+    rows_per_band: int,
+    step_pct: int = 5,
+) -> DataFrame:
+    """The MinHash-LSH S-curve as a table: for each true Jaccard
+    similarity s on a grid, the probability that a pair becomes a
+    candidate under (bands b, rows-per-band r) banding —
+    ``P = 1 - (1 - s^r)^b``. This is the number to read BEFORE
+    committing a banding scheme to a 100 TB corpus: it says exactly
+    which similarity range the blocking recalls and which it drops
+    (the curve's inflection sits near (1/b)^(1/r)).
+
+    Determinism: powers are computed by EXPLICIT square-and-multiply
+    chains (plain IEEE multiplies, bit-identical in every engine) —
+    NOT pow()/power(), whose libm implementations differ by ulps
+    between the JVM and DuckDB. Output probability is micro-unit
+    rounded. Purely analytic — a grid-sized frame, no data read."""
+    grid = spark.range(step_pct, 100, step_pct).select(
+        F.col("id").cast("int").alias("s_pct")
+    )
+    s = F.col("s_pct") / F.lit(100.0)
+
+    def ipow(base, exp: int):
+        # square-and-multiply with plain Column multiplies
+        result = None
+        acc = base
+        e = exp
+        while e:
+            if e & 1:
+                result = acc if result is None else result * acc
+            e >>= 1
+            if e:
+                acc = acc * acc
+        return result if result is not None else F.lit(1.0)
+
+    p_band = ipow(s, rows_per_band)          # s^r
+    p_miss = ipow(F.lit(1.0) - p_band, bands)  # (1-s^r)^b
+    p_cand = F.lit(1.0) - p_miss
+    return grid.select(
+        "s_pct",
+        F.lit(int(bands)).cast("int").alias("bands"),
+        F.lit(int(rows_per_band)).cast("int").alias("rows_per_band"),
+        F.floor(p_cand * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("p_candidate_micro"),
+    )

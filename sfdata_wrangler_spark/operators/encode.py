@@ -23,7 +23,7 @@ caller can coalesce onto.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,3 +73,53 @@ def target_encode_loo(
         )
     )
     return out.drop("__t", "__gsum", "__gn", "__asum", "__an")
+
+
+def woe_odds_encode(
+    df: DataFrame,
+    key_col: str,
+    target_col: str,
+    smoothing: int = 1,
+) -> DataFrame:
+    """Weight-of-evidence-style categorical encoding, in EXACT
+    integer arithmetic: per category, the odds ratio
+
+        odds(key) = (good_k / good_total) / (bad_k / bad_total)
+
+    rendered in micro-units (``odds_micro = exp(WOE) · 10^6``; the
+    logarithm is deliberately NOT taken — libm log differs by ulps
+    between engines, and any monotone transform of the feature is
+    equivalent to a tree model anyway). ``smoothing`` is added to
+    each cell (Laplace) so empty cells never divide by zero.
+
+    ``target_col`` must be 0/1 (1 = "good"). One map-side-combinable
+    aggregation to the key grain plus a key-grain window for totals —
+    the fact table is touched once; output is dimension-sized."""
+    per_key = df.groupBy(key_col).agg(
+        F.sum(F.col(target_col).cast("bigint")).alias("__g"),
+        F.sum(
+            (F.lit(1) - F.col(target_col).cast("bigint"))
+        ).alias("__b"),
+    )
+    w = Window.partitionBy()
+    s = int(smoothing)
+    enriched = per_key.select(
+        key_col,
+        "__g",
+        "__b",
+        F.sum(F.col("__g") + F.lit(s)).over(w).alias("__gt"),
+        F.sum(F.col("__b") + F.lit(s)).over(w).alias("__bt"),
+    )
+    return enriched.select(
+        key_col,
+        (F.col("__g") + F.col("__b")).cast("bigint").alias("n"),
+        F.col("__g").cast("bigint").alias("n_good"),
+        # (g·bt·1e6) div (b·gt) computed in DECIMAL(38,0)
+        # (HUGEINT on the oracle side): the BIGINT form overflows at
+        # g·bt > ~9.2e12 — a ~20M-row corpus — wrapping silently with
+        # ANSI off. Exact for products < 1e38 (corpora to ~1e15 rows).
+        F.expr(
+            f"CAST((CAST(__g + {s} AS DECIMAL(38, 0)) * __bt * 1000000)"
+            f" div (CAST(__b + {s} AS DECIMAL(38, 0)) * __gt) AS BIGINT)"
+        ).alias("odds_micro"),
+    )

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "funnel_summary", "retention_cohorts"]
+__all__ = [
+    "funnel_steps",
+    "funnel_episodes",
+    "funnel_summary",
+    "retention_cohorts",
+]
 
 
 def funnel_steps(
@@ -66,6 +71,79 @@ def funnel_steps(
         cur = (
             cur.join(nxt, user_col, "left")
             .groupBy(user_col, *[f"t{j}" for j in range(1, i)])
+            .agg(F.min(F.when(cond, F.col("__ts"))).alias(f"t{i}"))
+        )
+    return cur
+
+
+def funnel_episodes(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: float,
+    max_episodes: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-episode funnel: ``(user, episode, t1, ..., tk)`` — one
+    row per greedy funnel EPISODE, where episode 1 opens at the
+    user's earliest step-1 event and episode e+1 at the earliest
+    step-1 event strictly beyond episode e's ``within`` window. Each
+    episode's chain follows the same earliest-qualifying rule as
+    :func:`funnel_steps` (t_i >= t_{i-1}, t_i - t1 <= within; null
+    after the break).
+
+    ``max_episodes`` bounds the unroll (documented cap): both the
+    Spark plan and the SQL restatement become a FIXED number of
+    user-keyed join+agg stages — no recursion, no per-user UDF. Seed
+    stage e joins the user-grain seed table (one row per user) back
+    to the step-1 slice, so each stage is a user-hash shuffle of a
+    shrinking frame; episode e's seed subtree is referenced once by
+    stage e+1 and once by the final union (linear plan growth in
+    max_episodes, not the 2^k double-reference trap — r5 plan audit).
+
+    This is the batch twin of the streaming operator
+    (streaming/funnel_stream.stateful_funnel), which emits the same
+    per-episode rows incrementally; on any closed dataset with at
+    most ``max_episodes`` episodes per user the two agree exactly
+    (differential-tested in tests/test_streaming_funnel.py)."""
+    w = float(within_seconds)
+    s1 = events.where(F.col(type_col) == steps[0]).select(
+        user_col, F.col(ts_col).alias("__t")
+    )
+    prev = (
+        s1.groupBy(user_col)
+        .agg(F.min("__t").alias("t1"))
+        .withColumn("episode", F.lit(1))
+    )
+    seed_frames = [prev]
+    for e in range(2, max_episodes + 1):
+        prev = (
+            prev.select(user_col, "t1")
+            .join(s1, user_col)
+            .where(
+                F.col("__t").cast("double") - F.col("t1").cast("double") > w
+            )
+            .groupBy(user_col)
+            .agg(F.min("__t").alias("t1"))
+            .withColumn("episode", F.lit(e))
+        )
+        seed_frames.append(prev)
+    cur = seed_frames[0]
+    for f in seed_frames[1:]:
+        cur = cur.unionByName(f)
+    cur = cur.select(user_col, "episode", "t1")
+
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("__ts")
+        )
+        cond = (F.col("__ts") >= F.col(f"t{i - 1}")) & (
+            (F.col("__ts").cast("double") - F.col("t1").cast("double")) <= w
+        )
+        cur = (
+            cur.join(nxt, user_col, "left")
+            .groupBy(user_col, "episode", *[f"t{j}" for j in range(1, i)])
             .agg(F.min(F.when(cond, F.col("__ts"))).alias(f"t{i}"))
         )
     return cur

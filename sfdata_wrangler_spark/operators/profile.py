@@ -20,9 +20,11 @@ schema stays stable across column types).
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,3 +85,59 @@ def profile_table(
     return wide.select(
         F.explode(F.array(*entries)).alias("e")
     ).select("e.column", "e.metric", "e.value")
+
+
+# ln(1+1/d)/ln(10) in parts per million, precomputed once so both
+# engines compare against the SAME integers (no cross-engine libm)
+BENFORD_MICRO = {
+    d: round(math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the
+    classic fabricated-data / unit-mixup screen for financial-style
+    columns. Emits per digit 1-9: observed count, observed share and
+    the Benford expectation ln(1+1/d)/ln(10), both in integer
+    MICRO-UNITS (parts per million) so the comparison is exact across
+    engines (libm log differs by ulps between the JVM and DuckDB —
+    the expectations are injected as precomputed constants, see
+    BENFORD_MICRO).
+
+    Works on positive values >= 1: the first digit is read from the
+    integer part's decimal rendering (exact in both engines;
+    double-formatting of fractional parts is NOT portable). One
+    map-side-combinable digit count (9-row result), then a 9-row
+    window for the total — nothing here scales with the input."""
+    first = F.substring(
+        F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+    )
+    counts = (
+        df.where(F.col(value_col) >= 1)
+        .groupBy(first.alias("first_digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.create_map(
+        *[
+            x
+            for d, micro in BENFORD_MICRO.items()
+            for x in (F.lit(str(d)), F.lit(micro))
+        ]
+    )
+    return counts.select(
+        "first_digit",
+        "n",
+        F.expr("n * 1000000").cast("bigint").alias("__nm"),
+        total.alias("__tot"),
+        expected[F.col("first_digit")].alias("benford_micro"),
+    ).select(
+        "first_digit",
+        "n",
+        F.expr("__nm div __tot").cast("bigint").alias("share_micro"),
+        F.col("benford_micro").cast("bigint").alias("benford_micro"),
+    )
+

@@ -206,3 +206,31 @@ def pps_systematic_sample(
         F.col("__w").alias("w"),
         "n_hits",
     )
+
+
+def reservoir_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic per-group reservoir: the ``k`` rows whose
+    ``md5(key)`` fingerprints are smallest within each group — a
+    uniform-without-replacement sample (a cryptographic hash of a
+    unique key is exchangeable) with two properties an actual
+    random-state reservoir lacks at 100 TB:
+
+    - reproducible across engines, re-runs, partitionings, and
+      cluster sizes (no RNG state, no row-arrival order);
+    - MERGEABLE: this is the classic bottom-k (KMV) construction —
+      the bottom-k of a union is the bottom-k of the shards'
+      bottom-k's, so shard-level samples combine without resampling.
+
+    One hash shuffle on the group key; the per-group sort is the
+    window's local ORDER BY (no global sort). ``key_col`` must be
+    unique per row (it is the tie-breaker and the hash input)."""
+    fp = F.md5(F.col(key_col).cast("string"))
+    rk = F.row_number().over(
+        Window.partitionBy(*group_cols).orderBy(fp, F.col(key_col))
+    )
+    return df.withColumn("sample_rank", rk).where(F.col("sample_rank") <= k)

@@ -40,6 +40,54 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join for when the dim side is too big to
+    broadcast but the fact side has hot keys: replicate the dim side
+    once per salt bucket (explode over a literal range — dim-sized ×
+    ``salt_buckets``, the explicit price of skew safety) and assign
+    each fact row ONE deterministic salt, so a hot key's rows spread
+    over ``salt_buckets`` reducers instead of one straggler.
+    Semantics identical to ``fact.join(dim, key, how)``: every fact
+    row carries exactly one salt and meets exactly one dim replica.
+
+    Only ``inner`` and ``left`` compose with dim replication (a
+    right/full join would see the unreplicated dim rows
+    ``salt_buckets`` times); AQE's skew-join split covers sort-merge
+    plans reactively — this is the proactive form for when the skew
+    is known up front (SURVEY §4 trunk routes / hot users).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # any assignment works (the join RESULT is salt-invariant — each
+    # fact row meets exactly one dim replica whatever its salt, see
+    # test_salted_join_equals_plain_join). Hash only the KEY (other
+    # columns may be types xxhash64 rejects), then mix in a per-row
+    # counter so BYTE-IDENTICAL hot-key rows — the exact case salting
+    # exists for in pre-dedup event corpora — round-robin across
+    # buckets instead of re-colliding onto one reducer. The counter
+    # makes the assignment run-to-run nondeterministic, which is fine
+    # for a salt and the price of spreading true duplicates.
+    salt = F.pmod(
+        F.xxhash64(F.col(key))
+        + F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)),
+        F.lit(salt_buckets),
+    ).cast("int")
+    salted_fact = fact.withColumn("__salt", salt)
+    replicated_dim = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return salted_fact.join(replicated_dim, [key, "__salt"], how).drop(
+        "__salt"
+    )
+
+
 def skew_report(
     df: DataFrame,
     key_col: str,

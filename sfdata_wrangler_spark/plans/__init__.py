@@ -32,6 +32,7 @@ from . import catalog30 as _catalog30  # registers perceptual-hash image dedup
 from . import catalog31 as _catalog31  # registers the web-tier curation pipeline
 from . import catalog32 as _catalog32  # registers r4 pre-built operator oracles
 from . import catalog33 as _catalog33  # registers the S11 viz-ramp oracle
+from . import catalog34 as _catalog34  # registers round-6 wave (episodes, reservoir, benford, woe, lsh-calib)
 from .catalog import QUERIES, oracle_sql_map, query_map
 
 __all__ = ["QUERIES", "oracle_sql_map", "query_map"]

@@ -160,3 +160,30 @@ def test_funnel_differential_random_events(spark):
         for r in funnel_steps(ev, steps, within_seconds=within).collect()
     }
     assert got == expected
+
+
+def test_funnel_episodes_plan_growth_is_linear(spark):
+    """funnel_episodes references each seed stage once in the next
+    stage and once in the final union — plan copies of the step-1
+    slice grow LINEARLY in max_episodes (sum over the seed chain),
+    never exponentially. Pin the budget: E seed scans for the union
+    + E-1 chained re-scans (triangular reuse) + one scan per later
+    step, with headroom for Catalyst's local-relation duplication."""
+    from sfdata_wrangler_spark.operators.funnel import funnel_episodes
+
+    ev = _events(spark)
+    out = funnel_episodes(
+        ev, ["view", "cart", "buy"], within_seconds=3600.0, max_episodes=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("ExistingRDD") + plan.count("LocalTableScan")
+    # E=4 episodes: seeds contribute at most 4+3+2+1 = 10 copies of
+    # the step-1 slice; steps 2..3 add 2 more. Exponential growth
+    # (2^E) would blow well past this at E=4 and explode at E=6.
+    assert n_scans <= 12, (n_scans, plan)
+    out6 = funnel_episodes(
+        ev, ["view", "cart", "buy"], within_seconds=3600.0, max_episodes=6
+    )
+    plan6 = out6._jdf.queryExecution().executedPlan().toString()
+    n6 = plan6.count("ExistingRDD") + plan6.count("LocalTableScan")
+    assert n6 <= 23, n6  # 6+5+4+3+2+1 + 2; 2^6 shape would be >64

@@ -370,3 +370,66 @@ def test_stateful_funnel_emits_second_episode(spark, tmp_path):
         (1, t(0), t(10), None),
         (1, t(120), t(130), None),
     }, got
+
+
+def test_batch_episodes_match_streaming_episodes(spark, tmp_path):
+    """funnel_episodes (batch, bounded unroll) and stateful_funnel
+    (streaming, watermark-finalized) implement the SAME per-episode
+    semantics — on a closed dataset with <= max_episodes episodes per
+    user their row sets must agree exactly."""
+    import time
+
+    from sfdata_wrangler_spark.operators.funnel import funnel_episodes
+
+    spec = [
+        # u1: two complete episodes 2h apart (window is 1h)
+        (1, "A", 0), (1, "B", 10), (1, "C", 20),
+        (1, "A", 120), (1, "B", 130), (1, "C", 150),
+        # u2: episode 1 breaks, episode 2 completes
+        (2, "A", 0), (2, "C", 5),
+        (2, "A", 200), (2, "B", 210), (2, "C", 220),
+        # u3: single episode, window exceeded at step 3
+        (3, "A", 0), (3, "B", 30), (3, "C", 90),
+    ]
+    src = os.path.join(tmp_path, "src_diff")
+    df = spark.createDataFrame(_rows(spec))
+    df.coalesce(1).write.parquet(src)
+    time.sleep(0.4)
+    spark.createDataFrame(_rows([(991, "A", SENTINEL_MIN)])).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    time.sleep(0.4)
+    spark.createDataFrame(_rows([(992, "A", SENTINEL_MIN + 1)])).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_funnel(stream, STEPS, within_seconds=WITHIN, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("funnel_diff")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.user_id, r.t1_us, r.t2_us, r.t3_us)
+        for r in spark.sql("SELECT * FROM funnel_diff").collect()
+        if r.user_id < 900
+    }
+
+    ref = {
+        (r["user_id"], _us(r["t1"]), _us(r["t2"]), _us(r["t3"]))
+        for r in funnel_episodes(
+            df, STEPS, within_seconds=WITHIN, max_episodes=4
+        ).collect()
+    }
+    assert got == ref, (got, ref)
+    # the fixture really exercises multi-episode rows
+    assert len([g for g in got if g[0] == 1]) == 2
+    assert len([g for g in got if g[0] == 2]) == 2
