@@ -183,3 +183,41 @@ def hll_intersect_estimate(
             F.lit(0.0),
         ),
     )
+
+
+def sliding_distinct_hll(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    window_days: int = 7,
+    p_hex: int = 2,
+    tail_hex: int = 12,
+) -> DataFrame:
+    """Trailing-window distinct counts from MERGED DAILY SKETCHES:
+    ``(window_end, hll_est)`` where each day's estimate covers the
+    ``window_days`` days ending on it. This is THE pattern that makes
+    sliding distinct-counts affordable at 100 TB: the raw data is
+    read once into per-day register tables (<= 16^p_hex rows per
+    day), and the sliding windows are assembled by replicating and
+    max-merging SKETCHES, never re-scanning events. An exact sliding
+    countDistinct would re-shuffle the fact table once per window.
+
+    Only window ends that are observed days are emitted (trailing
+    partial windows past the last day would otherwise dangle)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = hll_sketch(
+        df.withColumn("__day", day), ["__day"], col, p_hex, tail_hex
+    )
+    spread = daily.withColumn(
+        "__i", F.explode(F.sequence(F.lit(0), F.lit(window_days - 1)))
+    ).withColumn("window_end", F.date_add(F.col("__day"), F.col("__i")))
+    merged = spread.groupBy("window_end", "bucket").agg(
+        F.max("max_rank").cast("int").alias("max_rank")
+    )
+    observed = daily.select(F.col("__day").alias("window_end")).distinct()
+    merged = merged.join(observed, "window_end", "left_semi")
+    est = hll_estimate(merged, ["window_end"], p_hex, tail_hex)
+    return est.select(
+        F.date_format("window_end", "yyyy-MM-dd").alias("window_end"),
+        "hll_est",
+    )

@@ -436,3 +436,70 @@ def mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_id").cast("bigint").alias("media_id"))
     )
     return detect_silence(synth_wav_corpus(ids), threshold=50, min_run=4)
+
+
+# ------------------------------------------------------------------ #
+# w23_sliding_distinct_hll — sliding distinct via merged daily       #
+# sketches (read data once; windows assembled from registers)        #
+# ------------------------------------------------------------------ #
+
+
+def _w23_oracle() -> str:
+    from ..operators.hll import HLL_ALPHA_BY_PHEX
+    from ..operators.hll import _rank_expr as rank_expr
+
+    numer = HLL_ALPHA_BY_PHEX[2] * 256.0 * 256.0 * float(2**49)
+    return f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    parts AS (
+      SELECT day, substring(hx, 1, 2) AS bucket,
+             substring(hx, 3, 12) AS tail
+      FROM h
+    ),
+    ranked AS (
+      SELECT day, bucket, {rank_expr('tail', 12)} AS rank FROM parts
+    ),
+    daily AS (
+      SELECT day, bucket, CAST(max(rank) AS INTEGER) AS max_rank
+      FROM ranked GROUP BY day, bucket
+    ),
+    spread AS (
+      SELECT d.day + CAST(t.x AS INTEGER) AS window_end, d.bucket, d.max_rank
+      FROM daily d CROSS JOIN range(0, 7) t(x)
+    ),
+    merged AS (
+      SELECT window_end, bucket, max(max_rank) AS max_rank
+      FROM spread
+      WHERE window_end IN (SELECT day FROM daily)
+      GROUP BY window_end, bucket
+    ),
+    sums AS (
+      SELECT window_end,
+             CAST(sum(CAST(1 AS BIGINT) << (49 - max_rank)) AS BIGINT)
+               + (256 - count(*)) * (CAST(1 AS BIGINT) << 49) AS sum_units
+      FROM merged GROUP BY window_end
+    )
+    SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+           {numer!r} / CAST(sum_units AS DOUBLE) AS hll_est
+    FROM sums
+    """
+
+
+@_register("w23_sliding_distinct_hll", _w23_oracle())
+def w23_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct users per day from MERGED DAILY HLL
+    sketches (operators/hll.sliding_distinct_hll): events are read
+    once into per-day register tables; each window is a register
+    max-merge of 7 sketch tables (<= 256 rows each), never a rescan.
+    The exact sliding countDistinct re-shuffles the fact table per
+    window — this is the 100 TB form, and the estimator keeps the
+    engine's BIGINT-exact unit summation so even the float estimate
+    hash-matches."""
+    from ..operators.hll import sliding_distinct_hll
+
+    ev = _events(spark, sf_dir).select("ts", "user_id")
+    return sliding_distinct_hll(ev, "ts", "user_id", window_days=7)

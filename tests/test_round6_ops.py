@@ -193,3 +193,49 @@ def test_salted_join_spreads_identical_hot_rows(spark):
     )
     n_buckets = fact.select(salt.alias("s")).distinct().count()
     assert n_buckets >= 4, n_buckets
+
+
+def test_sliding_distinct_hll_equals_window_resketch(spark):
+    """The sliding assembly (replicate + max-merge DAILY registers)
+    must equal sketching each window's raw events directly — register
+    max-merge is lossless, so the two estimates are IDENTICAL, not
+    just close."""
+    import datetime
+
+    from sfdata_wrangler_spark.operators.hll import (
+        hll_estimate,
+        hll_sketch,
+        sliding_distinct_hll,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+    # cardinality must sit ABOVE the raw-HLL small-range regime
+    # (~5/2 * m = 640 for m = 256 registers): the engine's estimator
+    # deliberately omits the HLL++ low-range correction
+    rows = [
+        Row(
+            user_id=(d * 131 + i * 17) % 4000,
+            ts=t0 + datetime.timedelta(days=d, minutes=i),
+        )
+        for d in range(10)
+        for i in range(700)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.window_end: r.hll_est
+        for r in sliding_distinct_hll(df, "ts", "user_id", window_days=7).collect()
+    }
+    assert len(got) == 10
+    for d in (0, 4, 9):
+        end = t0 + datetime.timedelta(days=d)
+        lo = end - datetime.timedelta(days=6)
+        win = df.where(
+            (F.date_trunc("day", "ts") >= lo) & (F.date_trunc("day", "ts") <= end)
+        )
+        direct = hll_estimate(
+            hll_sketch(win, [], "user_id"), []
+        ).collect()[0]["hll_est"]
+        assert got[end.strftime("%Y-%m-%d")] == direct
+        # and the estimate is sane vs exact distinct
+        exact = win.select("user_id").distinct().count()
+        assert abs(direct - exact) / exact < 0.25
