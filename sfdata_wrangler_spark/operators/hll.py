@@ -112,6 +112,7 @@ def hll_estimate(
     group_cols: list[str],
     p_hex: int = 2,
     tail_hex: int = 12,
+    extra_aggs: dict[str, "F.Column"] | None = None,
 ) -> DataFrame:
     """Raw HLL estimator per group: ``alpha_m * m^2 / sum(2^-rank)``,
     with absent registers contributing ``2^0``. All summation is
@@ -124,11 +125,13 @@ def hll_estimate(
     # BIGINT term per present register: 2^(max_rank - rank)
     # (the SQL shiftleft accepts a column shift amount; the PySpark
     # wrapper insists on a Python int, hence expr())
+    extra = dict(extra_aggs or {})
     per_group = registers.groupBy(*group_cols).agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rank} - max_rank)")
         ).alias("_present_sum"),
         F.count(F.lit(1)).alias("_present_cnt"),
+        *[c.alias(name) for name, c in extra.items()],
     )
     # absent registers each add 2^(max_rank - 0)... rank 0 never
     # occurs for a PRESENT register (ranks are 1-based); an absent
@@ -143,6 +146,7 @@ def hll_estimate(
     return total.select(
         *group_cols,
         (F.lit(numer) / F.col("_sum_units").cast("double")).alias("hll_est"),
+        *extra.keys(),
     )
 
 
@@ -212,12 +216,23 @@ def sliding_distinct_hll(
         "__i", F.explode(F.sequence(F.lit(0), F.lit(window_days - 1)))
     ).withColumn("window_end", F.date_add(F.col("__day"), F.col("__i")))
     merged = spread.groupBy("window_end", "bucket").agg(
-        F.max("max_rank").cast("int").alias("max_rank")
+        F.max("max_rank").cast("int").alias("max_rank"),
+        # did this window end's OWN day contribute (offset 0)? that is
+        # exactly "window_end is an observed day" — carrying the flag
+        # through the estimate aggregation keeps the whole query ONE
+        # consumer chain over ONE events scan (a separate observed-day
+        # frame would re-scan the fact table; pinned in
+        # tests/test_round6_ops.py)
+        F.max(F.when(F.col("__i") == 0, 1).otherwise(0)).alias("__own"),
     )
-    observed = daily.select(F.col("__day").alias("window_end")).distinct()
-    merged = merged.join(observed, "window_end", "left_semi")
-    est = hll_estimate(merged, ["window_end"], p_hex, tail_hex)
-    return est.select(
+    est = hll_estimate(
+        merged,
+        ["window_end"],
+        p_hex,
+        tail_hex,
+        extra_aggs={"__obs": F.max("__own")},
+    )
+    return est.where(F.col("__obs") == 1).select(
         F.date_format("window_end", "yyyy-MM-dd").alias("window_end"),
         "hll_est",
     )

@@ -239,3 +239,18 @@ def test_sliding_distinct_hll_equals_window_resketch(spark):
         # and the estimate is sane vs exact distinct
         exact = win.select("user_id").distinct().count()
         assert abs(direct - exact) / exact < 0.25
+
+
+def test_sliding_distinct_hll_scans_events_once(spark):
+    """The sliding assembly must be ONE consumer chain over ONE fact
+    scan — the observed-day filter rides through the estimate
+    aggregation instead of re-reading events (r6 plan audit)."""
+    from sfdata_wrangler_spark.operators.hll import sliding_distinct_hll
+
+    # read through the catalog loader (ts normalization)
+    from sfdata_wrangler_spark.plans.catalog import _events
+
+    df = _events(spark, "/root/testdata/sf0.001").select("ts", "user_id")
+    out = sliding_distinct_hll(df, "ts", "user_id", window_days=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
