@@ -503,3 +503,31 @@ def w23_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("ts", "user_id")
     return sliding_distinct_hll(ev, "ts", "user_id", window_days=7)
+
+
+# ------------------------------------------------------------------ #
+# emb_pq_recall — the missing recall telemetry for the PQ/ADC path   #
+# (LSH, IVF and matryoshka already have theirs)                      #
+# ------------------------------------------------------------------ #
+
+
+def _register_pq_recall() -> None:
+    from .catalog import QUERIES
+    from .catalog8 import _recall_sql, _topk_recall
+
+    sql = _recall_sql(
+        QUERIES["emb_cosine_topk"]["oracle"],
+        QUERIES["emb_pq_adc_topk"]["oracle"],
+    )
+
+    @_register("emb_pq_recall", sql)
+    def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """recall@5 of PQ/ADC approximate search vs brute-force
+        cosine. The corpus is unit-norm (checked: all L2 norms = 1 ±
+        1e-7), so the ADC's L2 ordering and the baseline's cosine
+        ordering rank identically and the recall is well-defined —
+        quantization loss is the only thing measured."""
+        return _topk_recall(spark, sf_dir, "emb_pq_adc_topk")
+
+
+_register_pq_recall()
