@@ -37,13 +37,15 @@ this is the at-scale replacement when exact distinct is unaffordable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "hll_sketch",
     "hll_merge",
     "hll_estimate",
+    "hll_intersect_estimate",
+    "sliding_distinct_hll",
     "HLL_ALPHA_BY_PHEX",
 ]
 
@@ -112,7 +114,6 @@ def hll_estimate(
     group_cols: list[str],
     p_hex: int = 2,
     tail_hex: int = 12,
-    extra_aggs: dict[str, "F.Column"] | None = None,
 ) -> DataFrame:
     """Raw HLL estimator per group: ``alpha_m * m^2 / sum(2^-rank)``,
     with absent registers contributing ``2^0``. All summation is
@@ -125,13 +126,11 @@ def hll_estimate(
     # BIGINT term per present register: 2^(max_rank - rank)
     # (the SQL shiftleft accepts a column shift amount; the PySpark
     # wrapper insists on a Python int, hence expr())
-    extra = dict(extra_aggs or {})
     per_group = registers.groupBy(*group_cols).agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rank} - max_rank)")
         ).alias("_present_sum"),
         F.count(F.lit(1)).alias("_present_cnt"),
-        *[c.alias(name) for name, c in extra.items()],
     )
     # absent registers each add 2^(max_rank - 0)... rank 0 never
     # occurs for a PRESENT register (ranks are 1-based); an absent
@@ -146,7 +145,6 @@ def hll_estimate(
     return total.select(
         *group_cols,
         (F.lit(numer) / F.col("_sum_units").cast("double")).alias("hll_est"),
-        *extra.keys(),
     )
 
 
@@ -206,33 +204,37 @@ def sliding_distinct_hll(
     max-merging SKETCHES, never re-scanning events. An exact sliding
     countDistinct would re-shuffle the fact table once per window.
 
-    Only window ends that are observed days are emitted (trailing
-    partial windows past the last day would otherwise dangle)."""
-    day = F.date_trunc("day", F.col(ts_col)).cast("date")
-    daily = hll_sketch(
-        df.withColumn("__day", day), ["__day"], col, p_hex, tail_hex
+    One implementation serves both public surfaces: this is
+    windows.rolling_distinct_users_hll (the single register
+    pipeline — daily sketch -> xW explode -> register max-merge ->
+    estimate) with the series CAPPED at the last observed day. The
+    uncapped form emits window ends up to last_day + W - 1 ("what the
+    trailing count will be if nothing else arrives" — mirroring the
+    exact rolling_distinct_users family); this form is the calendar
+    series a daily-telemetry consumer plots. Interior days with no
+    events of their own ARE emitted — their windows genuinely cover
+    the preceding days' users. The cap is derived from the estimate
+    frame itself (max window end minus W-1 = last observed day), so
+    the whole query stays ONE consumer chain over ONE fact scan
+    (plan-pinned)."""
+    from .windows import rolling_distinct_users_hll
+
+    est = rolling_distinct_users_hll(
+        df,
+        ts_col=ts_col,
+        user_col=col,
+        window_days=window_days,
+        p_hex=p_hex,
+        tail_hex=tail_hex,
     )
-    spread = daily.withColumn(
-        "__i", F.explode(F.sequence(F.lit(0), F.lit(window_days - 1)))
-    ).withColumn("window_end", F.date_add(F.col("__day"), F.col("__i")))
-    merged = spread.groupBy("window_end", "bucket").agg(
-        F.max("max_rank").cast("int").alias("max_rank"),
-        # did this window end's OWN day contribute (offset 0)? that is
-        # exactly "window_end is an observed day" — carrying the flag
-        # through the estimate aggregation keeps the whole query ONE
-        # consumer chain over ONE events scan (a separate observed-day
-        # frame would re-scan the fact table; pinned in
-        # tests/test_round6_ops.py)
-        F.max(F.when(F.col("__i") == 0, 1).otherwise(0)).alias("__own"),
+    last_obs = F.date_sub(
+        F.max("win_day").over(Window.partitionBy()), window_days - 1
     )
-    est = hll_estimate(
-        merged,
-        ["window_end"],
-        p_hex,
-        tail_hex,
-        extra_aggs={"__obs": F.max("__own")},
-    )
-    return est.where(F.col("__obs") == 1).select(
-        F.date_format("window_end", "yyyy-MM-dd").alias("window_end"),
-        "hll_est",
+    return (
+        est.withColumn("__last", last_obs)
+        .where(F.col("win_day") <= F.col("__last"))
+        .select(
+            F.date_format("win_day", "yyyy-MM-dd").alias("window_end"),
+            "hll_est",
+        )
     )

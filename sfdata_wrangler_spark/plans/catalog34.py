@@ -474,7 +474,7 @@ def _w23_oracle() -> str:
     merged AS (
       SELECT window_end, bucket, max(max_rank) AS max_rank
       FROM spread
-      WHERE window_end IN (SELECT day FROM daily)
+      WHERE window_end <= (SELECT max(day) FROM daily)
       GROUP BY window_end, bucket
     ),
     sums AS (
@@ -492,9 +492,13 @@ def _w23_oracle() -> str:
 @_register("w23_sliding_distinct_hll", _w23_oracle())
 def w23_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day sliding distinct users per day from MERGED DAILY HLL
-    sketches (operators/hll.sliding_distinct_hll): events are read
+    sketches (operators/hll.sliding_distinct_hll, the registered
+    surface of windows.rolling_distinct_users_hll): events are read
     once into per-day register tables; each window is a register
     max-merge of 7 sketch tables (<= 256 rows each), never a rescan.
+    The series runs from the first to the LAST OBSERVED day —
+    interior days with no events of their own are included (their
+    windows cover the preceding days), trailing projections are not.
     The exact sliding countDistinct re-shuffles the fact table per
     window — this is the 100 TB form, and the estimator keeps the
     engine's BIGINT-exact unit summation so even the float estimate

@@ -254,3 +254,26 @@ def test_sliding_distinct_hll_scans_events_once(spark):
     out = sliding_distinct_hll(df, "ts", "user_id", window_days=7)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1, plan
+
+
+def test_sliding_distinct_hll_includes_gap_days_but_not_trailing(spark):
+    """An interior day with no events of its own still gets a row
+    (its window covers the preceding days' users); window ends past
+    the last observed day do not (code-review r6 finding)."""
+    import datetime
+
+    from sfdata_wrangler_spark.operators.hll import sliding_distinct_hll
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        Row(user_id=u, ts=t0 + datetime.timedelta(days=d, minutes=u))
+        for d in (0, 1, 3)  # gap at day 2
+        for u in range(20)
+    ]
+    got = {
+        r.window_end
+        for r in sliding_distinct_hll(
+            spark.createDataFrame(rows), "ts", "user_id", window_days=7
+        ).collect()
+    }
+    assert got == {"2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"}
