@@ -35,6 +35,11 @@ SAMPLE = [
     "gr_triangle_count",               # persisted oriented edges
     "lk_blocking_quality",             # single-pass candidate stats
     "txt_lm_score",                    # persisted bigram model
+    # r6 additions: per-row salt, bounded seed unroll, sketch windows
+    "j20_salted_skew_join",            # salt must be result-invariant
+    "fn_funnel_episodes",              # chained seed stages
+    "w23_sliding_distinct_hll",        # register merge across windows
+    "smp_reservoir_per_group",         # bottom-k hash reservoir
 ]
 
 
