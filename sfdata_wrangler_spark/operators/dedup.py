@@ -66,6 +66,41 @@ def exact_dedup(
     )
 
 
+def canonical_keep(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware exact dedup: per normalized-text cluster, keep
+    the row ranked first by ``(quality DESC, id ASC)`` — the curation
+    policy form of :func:`exact_dedup` (which keeps the lowest id
+    unconditionally). Within an exact-duplicate cluster texts are
+    identical modulo case/whitespace, so quality here is about
+    PROVENANCE: keep the best-scored (longest, highest-rated, most
+    trusted source) copy and shed the rest. Emits the kept row's
+    original columns plus ``dup_count``.
+
+    One shuffle on the md5 key; rank and cluster size share the same
+    window partitioning (no second pass)."""
+    from pyspark.sql import Window
+
+    key = norm_key(F.col(text_col))
+    w = Window.partitionBy("__key")
+    rk = F.row_number().over(
+        w.orderBy(F.col(quality_col).desc(), F.col(id_col))
+    )
+    return (
+        df.withColumn("__key", key)
+        .withColumn("__rk", rk)
+        .withColumn(
+            "dup_count", F.count(F.lit(1)).over(w).cast("bigint")
+        )
+        .where(F.col("__rk") == 1)
+        .drop("__key", "__rk")
+    )
+
+
 def exact_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -535,3 +535,76 @@ def _register_pq_recall() -> None:
 
 
 _register_pq_recall()
+
+
+# ------------------------------------------------------------------ #
+# dd_canonical_keep — quality-aware representative per dup cluster   #
+# ------------------------------------------------------------------ #
+
+
+def _dd_canonical_oracle() -> str:
+    from .catalog_text import norm_sql
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      -- case-perturbed mirror: same normalized key, higher quality
+      -- score, so the canonical policy must pick the mirror
+      SELECT doc_id + 10000 AS doc_id, upper(text) AS text,
+             lang, 'mirror' AS source, n_chars + 1 AS n_chars
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5({norm_sql()}) AS k
+      FROM corpus
+    ),
+    ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY k) AS dup_count
+      FROM keyed
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(dup_count AS BIGINT) AS dup_count
+    FROM ranked WHERE rk = 1
+    """
+
+
+@_register("dd_canonical_keep", _dd_canonical_oracle())
+def dd_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (operators/dedup.canonical_keep):
+    one representative per normalized-text cluster chosen by
+    (n_chars DESC, doc_id ASC) — keep the best-scored copy, shed the
+    rest, carry the cluster size. The policy counterpart of
+    dd_exact_groups' lowest-id rule; rank and cluster size share one
+    window partitioning, so the whole operator is a single md5-key
+    shuffle. A case-perturbed mirror of every third doc makes the
+    clusters non-degenerate (the corpus itself has no exact dups)."""
+    from ..operators.dedup import canonical_keep
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    # the synthetic corpus has no exact duplicates, so the fixture
+    # unions a case-perturbed mirror of every third doc (same
+    # normalized key, quality score +1): the policy must keep the
+    # mirror and report dup_count = 2 for those clusters
+    mirrored = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.upper("text").alias("text"),
+        "lang",
+        F.lit("mirror").alias("source"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    out = canonical_keep(docs.unionByName(mirrored), quality_col="n_chars")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "dup_count",
+    )

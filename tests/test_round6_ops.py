@@ -277,3 +277,23 @@ def test_sliding_distinct_hll_includes_gap_days_but_not_trailing(spark):
         ).collect()
     }
     assert got == {"2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"}
+
+
+def test_canonical_keep_policy(spark):
+    """Per exact-dup cluster: highest quality wins, then lowest id;
+    dup_count reports cluster size; non-duplicates pass through."""
+    from sfdata_wrangler_spark.operators.dedup import canonical_keep
+
+    rows = [
+        Row(doc_id=1, text="Hello  World", q=5),
+        Row(doc_id=2, text="hello world", q=9),   # same cluster, best q
+        Row(doc_id=3, text="HELLO WORLD", q=9),   # tie -> loses on id
+        Row(doc_id=4, text="something else", q=1),
+    ]
+    out = {
+        r.doc_id: r.dup_count
+        for r in canonical_keep(
+            spark.createDataFrame(rows), quality_col="q"
+        ).collect()
+    }
+    assert out == {2: 3, 4: 1}
