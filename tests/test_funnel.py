@@ -187,3 +187,112 @@ def test_funnel_episodes_plan_growth_is_linear(spark):
     plan6 = out6._jdf.queryExecution().executedPlan().toString()
     n6 = plan6.count("ExistingRDD") + plan6.count("LocalTableScan")
     assert n6 <= 23, n6  # 6+5+4+3+2+1 + 2; 2^6 shape would be >64
+
+
+def test_funnel_episodes_differential_random_events(spark):
+    """Property differential for the episode semantics: on a
+    deterministic pseudo-random panel, funnel_episodes must equal a
+    sequential per-user Python reference of the declared greedy rule
+    (episode e+1 seeds at the earliest step-1 event strictly beyond
+    episode e's window; per-episode chains follow the funnel_steps
+    rule). The SAME reference also pins the streaming transition:
+    _finalize_and_retain at watermark=infinity must emit the same
+    episodes."""
+    import random
+
+    from sfdata_wrangler_spark.operators.funnel import funnel_episodes
+    from sfdata_wrangler_spark.streaming.funnel_stream import (
+        _finalize_and_retain,
+    )
+
+    rng = random.Random(1234)
+    types = ["A", "B", "C", "D"]
+    rows = []
+    for u in range(50):
+        for _ in range(rng.randint(0, 20)):
+            rows.append(
+                (
+                    u,
+                    rng.choice(types),
+                    _ts("2024-01-01 00:00:00").replace(
+                        day=rng.randint(1, 3),
+                        hour=rng.randint(0, 23),
+                        minute=rng.randint(0, 59),
+                    ),
+                )
+            )
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    steps = ["A", "B", "C"]
+    within = 4 * 3600.0
+
+    def reference(rows):
+        by_user = {}
+        for u, t, ts in rows:
+            by_user.setdefault(u, []).append((t, ts))
+        out = set()
+        for u, evs in by_user.items():
+            firsts = sorted(ts for t, ts in evs if t == steps[0])
+            seeds, bound = [], None
+            for ts in firsts:
+                if bound is None or (ts - bound).total_seconds() > within:
+                    seeds.append(ts)
+                    bound = ts
+            for e, t1 in enumerate(seeds, start=1):
+                chain = [t1]
+                for step in steps[1:]:
+                    prev = chain[-1]
+                    if prev is None:
+                        chain.append(None)
+                        continue
+                    cand = [
+                        ts
+                        for t, ts in evs
+                        if t == step
+                        and ts >= prev
+                        and (ts - t1).total_seconds() <= within
+                    ]
+                    chain.append(min(cand) if cand else None)
+                out.add((u, e, *chain))
+        return out
+
+    expected = reference(rows)
+    got = {
+        (r["user_id"], r["episode"], r["t1"], r["t2"], r["t3"])
+        for r in funnel_episodes(
+            ev, steps, within_seconds=within, max_episodes=12
+        ).collect()
+    }
+    assert got == expected
+    # non-degenerate: the panel must actually contain multi-episode users
+    assert any(e >= 2 for _, e, *_ in expected)
+
+    # streaming transition, closed-dataset limit: feed each user's
+    # full history, advance the watermark past everything, and the
+    # emitted chains must be the same episodes in order
+    within_us = int(within * 1_000_000)
+    by_user = {}
+    for u, t, ts in rows:
+        if t in steps:
+            by_user.setdefault(u, [[] for _ in steps])[
+                steps.index(t)
+            ].append(int(ts.timestamp() * 1_000_000))
+    stream_out = set()
+    for u, lists in by_user.items():
+        chains, retained, timeout = _finalize_and_retain(
+            lists, wm_us=2**62, within_us=within_us
+        )
+        assert retained == [[] for _ in steps] and timeout is None
+        for e, c in enumerate(chains, start=1):
+            stream_out.add((u, e, *c))
+    expected_us = {
+        (
+            u,
+            e,
+            *[
+                None if t is None else int(t.timestamp() * 1_000_000)
+                for t in chain
+            ],
+        )
+        for (u, e, *chain) in expected
+    }
+    assert stream_out == expected_us
