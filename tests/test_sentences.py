@@ -95,3 +95,50 @@ def test_escape_byte_roundtrips_through_the_split(spark):
         split_sentences(F.col("t")).alias("s")
     )
     assert df.collect()[0]["s"] == ["a\x1eb\x1e1c\x1e0d\x1fe.", "tail."]
+
+
+def test_sentence_split_preserves_bytes_property(spark):
+    """Property (hypothesis): the escape/split/unescape pipeline may
+    consume only boundary whitespace — concatenating the emitted
+    sentences and deleting spaces must reproduce the normalized input
+    with spaces deleted, for ANY input over an adversarial alphabet
+    (marker byte, escape byte, escape-like digit sequences,
+    terminators, whitespace runs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sfdata_wrangler_spark.functions.text import normalize_text
+    from sfdata_wrangler_spark.operators.sentences import split_sentences
+
+    alphabet = st.sampled_from(
+        list("ab.!? \t\n01") + ["\x1e", "\x1f"]
+    )
+    texts = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts)
+    def run(batch):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "i int, t string"
+        ).select(
+            "i",
+            normalize_text(F.col("t")).alias("norm"),
+            split_sentences(normalize_text(F.col("t"))).alias("s"),
+        )
+        for r in df.collect():
+            joined = "".join(r.s).replace(" ", "")
+            assert joined == r.norm.replace(" ", ""), (
+                batch[r.i],
+                r.norm,
+                r.s,
+            )
+
+    run()
