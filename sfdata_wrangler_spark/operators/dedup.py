@@ -83,8 +83,6 @@ def canonical_keep(
 
     One shuffle on the md5 key; rank and cluster size share the same
     window partitioning (no second pass)."""
-    from pyspark.sql import Window
-
     key = norm_key(F.col(text_col))
     w = Window.partitionBy("__key")
     rk = F.row_number().over(

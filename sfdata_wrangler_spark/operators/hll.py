@@ -210,10 +210,14 @@ def sliding_distinct_hll(
     estimate) with the series CAPPED at the last observed day. The
     uncapped form emits window ends up to last_day + W - 1 ("what the
     trailing count will be if nothing else arrives" — mirroring the
-    exact rolling_distinct_users family); this form is the calendar
-    series a daily-telemetry consumer plots. Interior days with no
-    events of their own ARE emitted — their windows genuinely cover
-    the preceding days' users. The cap is derived from the estimate
+    exact rolling_distinct_users family); this form ends where the
+    data ends. Interior days with no events of their own ARE emitted
+    as long as their window covers SOME activity (gaps shorter than
+    ``window_days``); a gap of ``window_days`` or more produces no
+    registers and therefore no rows — the same "no activity in
+    window, no row" rule as rolling_distinct_users, so a consumer
+    plotting by calendar day should left-join a date spine. The cap
+    is derived from the estimate
     frame itself (max window end minus W-1 = last observed day), so
     the whole query stays ONE consumer chain over ONE fact scan
     (plan-pinned)."""

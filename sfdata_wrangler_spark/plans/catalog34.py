@@ -497,8 +497,10 @@ def w23_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     once into per-day register tables; each window is a register
     max-merge of 7 sketch tables (<= 256 rows each), never a rescan.
     The series runs from the first to the LAST OBSERVED day —
-    interior days with no events of their own are included (their
-    windows cover the preceding days), trailing projections are not.
+    interior days with no events of their own are included while
+    their window still covers some activity (gaps >= the window
+    length produce no rows, like the exact rolling form), and
+    trailing projections past the last day are not emitted.
     The exact sliding countDistinct re-shuffles the fact table per
     window — this is the 100 TB form, and the estimator keeps the
     engine's BIGINT-exact unit summation so even the float estimate
