@@ -433,3 +433,81 @@ def test_batch_episodes_match_streaming_episodes(spark, tmp_path):
     # the fixture really exercises multi-episode rows
     assert len([g for g in got if g[0] == 1]) == 2
     assert len([g for g in got if g[0] == 2]) == 2
+
+
+def test_stateful_funnel_random_split_matches_batch_episodes(spark, tmp_path):
+    """Trigger-alignment independence, randomized: a pseudo-random
+    event panel is SHUFFLED and split arbitrarily across five files
+    (five micro-batches in arbitrary event-time order); with a
+    watermark delay longer than the panel's span nothing is late, so
+    the stream must emit EXACTLY the batch funnel_episodes rows —
+    whatever landed in whichever trigger."""
+    import random
+    import time
+
+    from sfdata_wrangler_spark.operators.funnel import funnel_episodes
+
+    rng = random.Random(77)
+    spec = []
+    for u in range(1, 25):
+        for _ in range(rng.randint(0, 14)):
+            spec.append(
+                (u, rng.choice(["A", "B", "C", "D"]), rng.randint(0, 600))
+            )
+    rng.shuffle(spec)
+    chunks = [spec[i::5] for i in range(5)]
+
+    src = os.path.join(tmp_path, "src_rand")
+    first = True
+    for chunk in chunks:
+        if not chunk:
+            continue
+        mode = "overwrite" if first else "append"
+        spark.createDataFrame(_rows(chunk)).coalesce(1).write.mode(
+            mode
+        ).parquet(src)
+        first = False
+        time.sleep(0.4)
+    for sentinel in [(991, "A", SENTINEL_MIN), (992, "A", SENTINEL_MIN + 1)]:
+        spark.createDataFrame(_rows([sentinel])).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.4)
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(_rows(spec)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_funnel(
+            # 11-hour delay > the 10-hour panel span: nothing is late
+            stream, STEPS, within_seconds=WITHIN, watermark="11 hours"
+        )
+        .writeStream.format("memory")
+        .queryName("funnel_rand")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.user_id, r.t1_us, r.t2_us, r.t3_us)
+        for r in spark.sql("SELECT * FROM funnel_rand").collect()
+        if r.user_id < 900
+    }
+    ref = {
+        (r["user_id"], _us(r["t1"]), _us(r["t2"]), _us(r["t3"]))
+        for r in funnel_episodes(
+            spark.createDataFrame(_rows(spec)),
+            STEPS,
+            within_seconds=WITHIN,
+            max_episodes=16,
+        ).collect()
+    }
+    assert got == ref, (got - ref, ref - got)
+    # panel must be non-trivial: multi-episode users present
+    from collections import Counter
+
+    per_user = Counter(u for u, *_ in got)
+    assert any(c >= 2 for c in per_user.values())
