@@ -610,3 +610,72 @@ def dd_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         "dup_count",
     )
+
+
+# ------------------------------------------------------------------ #
+# fn_funnel_episode_summary — conversion by episode index            #
+# ------------------------------------------------------------------ #
+
+
+@_register(
+    "fn_funnel_episode_summary",
+    f"""
+    WITH s1 AS MATERIALIZED (
+      SELECT user_id, ts FROM events WHERE event_type = 'signup'
+    ),
+    e1 AS MATERIALIZED (
+      SELECT user_id, min(ts) AS t1 FROM s1 GROUP BY user_id
+    ),
+    {_EP_SEEDS_SQL}
+    seeds AS ({_EP_UNION_SQL}),
+    c2 AS (
+      SELECT s.user_id, s.episode, s.t1,
+             min(CASE WHEN e.ts >= s.t1
+                       AND epoch(e.ts) - epoch(s.t1) <= {_EP_W}
+                      THEN e.ts END) AS t2
+      FROM seeds s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'click'
+      GROUP BY s.user_id, s.episode, s.t1
+    ),
+    c3 AS (
+      SELECT c.user_id, c.episode, c.t1, c.t2,
+             min(CASE WHEN e.ts >= c.t2
+                       AND epoch(e.ts) - epoch(c.t1) <= {_EP_W}
+                      THEN e.ts END) AS t3
+      FROM c2 c LEFT JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+      GROUP BY c.user_id, c.episode, c.t1, c.t2
+    )
+    SELECT CAST(episode AS INT) AS episode,
+           CAST(count(*) AS BIGINT) AS n_opened,
+           CAST(count(t2) AS BIGINT) AS n_step2,
+           CAST(count(t3) AS BIGINT) AS n_completed,
+           CAST((count(t3) * 10000) // count(*) AS BIGINT)
+             AS completion_bp
+    FROM c3 GROUP BY episode
+    """,
+)
+def fn_funnel_episode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion by EPISODE INDEX: of the users opening their e-th
+    funnel episode, how many reach each step — the re-engagement
+    question (does conversion decay or recover on later attempts?)
+    that the single-funnel summary cannot answer. Rolls the
+    user-grain episode frame (already dimension-sized) to a
+    max_episodes-row table; completion in integer basis points."""
+    from ..operators.funnel import funnel_episodes
+
+    ev = _events(spark, sf_dir)
+    eps = funnel_episodes(
+        ev,
+        ["signup", "click", "purchase"],
+        within_seconds=_EP_W,
+        max_episodes=_EP_MAX,
+    )
+    return eps.groupBy(F.col("episode").cast("int").alias("episode")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_opened"),
+        F.count("t2").cast("bigint").alias("n_step2"),
+        F.count("t3").cast("bigint").alias("n_completed"),
+        F.expr("(count(t3) * 10000) div count(1)")
+        .cast("bigint")
+        .alias("completion_bp"),
+    )
