@@ -145,7 +145,13 @@ def detect_silence(
     pipeline. Real decode (stdlib wave, same parser as decode_wav);
     run detection is vectorized per file (boundaries = points where
     the quiet mask changes), and files are independent — the kernel
-    is an Arrow-batched mapInPandas map, no shuffle."""
+    is an Arrow-batched mapInPandas map, no shuffle.
+
+    Multi-channel input: a FRAME is silent only if EVERY channel is
+    within the threshold (frame indices stay frame-granular, not
+    interleaved-sample-granular). Only 16-bit PCM is supported —
+    other sample widths raise ValueError per file rather than
+    decoding garbage."""
     try:
         import cloudpickle
 
@@ -161,9 +167,21 @@ def detect_silence(
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
                     nf = w.getnframes()
+                    nch = w.getnchannels()
+                    width = w.getsampwidth()
                     raw = w.readframes(nf)
+                if width != 2:
+                    raise ValueError(
+                        f"media_id={int(mid)}: detect_silence supports"
+                        f" 16-bit PCM only, got sample width {width}"
+                    )
                 samples = np.frombuffer(raw, dtype="<i2")
-                quiet = np.abs(samples.astype(np.int32)) <= threshold
+                # (frames, channels): a frame is quiet only if every
+                # channel is — keeps run indices frame-granular
+                frames = np.abs(
+                    samples.astype(np.int32).reshape(-1, nch)
+                )
+                quiet = frames.max(axis=1) <= threshold
                 # run boundaries: prepend/append False so every run
                 # has both an opening and a closing edge
                 edged = np.concatenate(([False], quiet, [False]))

@@ -50,15 +50,22 @@ def funnel_steps(
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t1"))
     )
+    # window arithmetic in EXACT integer microseconds, the same units
+    # the streaming twin's state transition uses — double epoch-second
+    # comparisons can flip at exact-boundary timestamps (rounding of
+    # micros/1e6 carries ~7e-7 s of error), breaking batch==stream
+    # parity precisely on the boundary the semantics define
+    within_us = (
+        None if within_seconds is None else int(within_seconds * 1_000_000)
+    )
     for i, step in enumerate(steps[1:], start=2):
         nxt = events.where(F.col(type_col) == step).select(
             user_col, F.col(ts_col).alias("__ts")
         )
         cond = F.col("__ts") >= F.col(f"t{i - 1}")
-        if within_seconds is not None:
+        if within_us is not None:
             cond = cond & (
-                (F.col("__ts").cast("double") - F.col("t1").cast("double"))
-                <= float(within_seconds)
+                F.unix_micros("__ts") - F.unix_micros("t1") <= within_us
             )
         # ONE reference to ``cur`` per step: a left join plus
         # conditional min. The earlier inner-join-then-join-back shape
@@ -84,6 +91,7 @@ def funnel_episodes(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    materialize: bool = True,
 ) -> DataFrame:
     """Multi-episode funnel: ``(user, episode, t1, ..., tk)`` — one
     row per greedy funnel EPISODE, where episode 1 opens at the
@@ -97,17 +105,23 @@ def funnel_episodes(
     Spark plan and the SQL restatement become a FIXED number of
     user-keyed join+agg stages — no recursion, no per-user UDF. Seed
     stage e joins the user-grain seed table (one row per user) back
-    to the step-1 slice, so each stage is a user-hash shuffle of a
-    shrinking frame; episode e's seed subtree is referenced once by
-    stage e+1 and once by the final union (linear plan growth in
-    max_episodes, not the 2^k double-reference trap — r5 plan audit).
+    to the step-1 slice. Each seed frame is referenced twice (next
+    stage + final union), so WITHOUT materialization stage e
+    re-executes stages 1..e-1 — triangular recomputation of the
+    step-1 scan, O(E^2) at the cap. ``materialize`` (default on)
+    persists each user-grain seed frame (tracked —
+    operators.release_operator_caches frees them), making the work
+    linear in max_episodes: the oracle's MATERIALIZED CTEs state the
+    same choice. Pass ``materialize=False`` for a fully lazy plan on
+    small inputs.
 
     This is the batch twin of the streaming operator
     (streaming/funnel_stream.stateful_funnel), which emits the same
     per-episode rows incrementally; on any closed dataset with at
     most ``max_episodes`` episodes per user the two agree exactly
     (differential-tested in tests/test_streaming_funnel.py)."""
-    w = float(within_seconds)
+    # exact integer microseconds — see funnel_steps' boundary note
+    within_us = int(within_seconds * 1_000_000)
     s1 = events.where(F.col(type_col) == steps[0]).select(
         user_col, F.col(ts_col).alias("__t")
     )
@@ -116,18 +130,24 @@ def funnel_episodes(
         .agg(F.min("__t").alias("t1"))
         .withColumn("episode", F.lit(1))
     )
+    if materialize:
+        from ._cache import tracked_persist
+
+        prev = tracked_persist(prev)
     seed_frames = [prev]
     for e in range(2, max_episodes + 1):
         prev = (
             prev.select(user_col, "t1")
             .join(s1, user_col)
             .where(
-                F.col("__t").cast("double") - F.col("t1").cast("double") > w
+                F.unix_micros("__t") - F.unix_micros("t1") > within_us
             )
             .groupBy(user_col)
             .agg(F.min("__t").alias("t1"))
             .withColumn("episode", F.lit(e))
         )
+        if materialize:
+            prev = tracked_persist(prev)
         seed_frames.append(prev)
     cur = seed_frames[0]
     for f in seed_frames[1:]:
@@ -139,7 +159,7 @@ def funnel_episodes(
             user_col, F.col(ts_col).alias("__ts")
         )
         cond = (F.col("__ts") >= F.col(f"t{i - 1}")) & (
-            (F.col("__ts").cast("double") - F.col("t1").cast("double")) <= w
+            F.unix_micros("__ts") - F.unix_micros("t1") <= within_us
         )
         cur = (
             cur.join(nxt, user_col, "left")

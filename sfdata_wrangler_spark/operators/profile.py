@@ -131,13 +131,17 @@ def benford_first_digit(
     return counts.select(
         "first_digit",
         "n",
-        F.expr("n * 1000000").cast("bigint").alias("__nm"),
+        F.expr("CAST(n AS DECIMAL(38, 0)) * 1000000").alias("__nm"),
         total.alias("__tot"),
         expected[F.col("first_digit")].alias("benford_micro"),
     ).select(
         "first_digit",
         "n",
-        F.expr("__nm div __tot").cast("bigint").alias("share_micro"),
+        # DECIMAL(38,0): n * 1e6 overflows BIGINT past ~9.2e12 rows
+        # per digit (digit 1 holds ~30% of a Benford-ish corpus) —
+        # same idiom as encode.woe_odds_encode
+        F.expr("CAST(CAST(__nm AS DECIMAL(38, 0)) div __tot AS BIGINT)")
+        .alias("share_micro"),
         F.col("benford_micro").cast("bigint").alias("benford_micro"),
     )
 

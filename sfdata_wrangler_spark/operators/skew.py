@@ -46,6 +46,7 @@ def salted_join(
     key: str,
     salt_buckets: int = 8,
     how: str = "inner",
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Skew-safe equi join for when the dim side is too big to
     broadcast but the fact side has hot keys: replicate the dim side
@@ -64,20 +65,28 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    # any assignment works (the join RESULT is salt-invariant — each
-    # fact row meets exactly one dim replica whatever its salt, see
-    # test_salted_join_equals_plain_join). Hash only the KEY (other
-    # columns may be types xxhash64 rejects), then mix in a per-row
-    # counter so BYTE-IDENTICAL hot-key rows — the exact case salting
-    # exists for in pre-dedup event corpora — round-robin across
-    # buckets instead of re-colliding onto one reducer. The counter
-    # makes the assignment run-to-run nondeterministic, which is fine
-    # for a salt and the price of spreading true duplicates.
-    salt = F.pmod(
-        F.xxhash64(F.col(key))
-        + F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)),
-        F.lit(salt_buckets),
-    ).cast("int")
+    # the salt must be DETERMINISTIC on recompute: a per-row counter
+    # (monotonically_increasing_id / rand) as part of a SHUFFLE KEY
+    # is a correctness bug under task retry — recomputed map tasks
+    # re-assign ids to reordered rows, so a fact row can land in two
+    # salt partitions or in none (dropped or duplicated join rows,
+    # the SPARK-23207 class). Hash every hashable fact column
+    # instead: stable across retries, and a hot key's DISTINCT rows
+    # still spread over the buckets. The residual limitation — rows
+    # that are byte-identical share a salt — is inherent to any
+    # deterministic function of the row; pass ``row_id_col`` (a
+    # unique id) to spread exact duplicates too.
+    if row_id_col is not None:
+        hash_cols = [F.col(key), F.col(row_id_col)]
+    else:
+        from pyspark.sql.types import MapType
+
+        hash_cols = [
+            F.col(f.name)
+            for f in fact.schema.fields
+            if not isinstance(f.dataType, MapType)  # xxhash64 rejects maps
+        ]
+    salt = F.pmod(F.xxhash64(*hash_cols), F.lit(salt_buckets)).cast("int")
     salted_fact = fact.withColumn("__salt", salt)
     replicated_dim = dim.withColumn(
         "__salt",

@@ -573,14 +573,14 @@ s2 AS (
   SELECT e.user_id, s1.t1, min(e.ts) AS t2
   FROM events e JOIN s1 ON e.user_id = s1.user_id
   WHERE e.event_type = 'click' AND e.ts >= s1.t1
-    AND epoch(e.ts) - epoch(s1.t1) <= 259200.0
+    AND epoch_us(e.ts) - epoch_us(s1.t1) <= 259200000000
   GROUP BY e.user_id, s1.t1
 ),
 s3 AS (
   SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3
   FROM events e JOIN s2 ON e.user_id = s2.user_id
   WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
-    AND epoch(e.ts) - epoch(s2.t1) <= 259200.0
+    AND epoch_us(e.ts) - epoch_us(s2.t1) <= 259200000000
   GROUP BY e.user_id, s2.t1, s2.t2
 ),
 chain AS (

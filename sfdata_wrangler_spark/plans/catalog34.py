@@ -24,11 +24,13 @@ from .catalog import _events, _msum2_sql, _register, _t
 _EP_W = 259200.0  # 3 days, same window as fn_funnel_steps
 _EP_MAX = 4
 
+_EP_W_US = int(_EP_W * 1_000_000)
+
 _EP_SEEDS_SQL = "\n".join(
     f"""e{e} AS MATERIALIZED (
   SELECT s1.user_id, min(s1.ts) AS t1
   FROM s1 JOIN e{e - 1} USING (user_id)
-  WHERE epoch(s1.ts) - epoch(e{e - 1}.t1) > {_EP_W}
+  WHERE epoch_us(s1.ts) - epoch_us(e{e - 1}.t1) > {_EP_W_US}
   GROUP BY s1.user_id
 ),"""
     for e in range(2, _EP_MAX + 1)
@@ -50,7 +52,7 @@ seeds AS ({_EP_UNION_SQL}),
 c2 AS (
   SELECT s.user_id, s.episode, s.t1,
          min(CASE WHEN e.ts >= s.t1
-                   AND epoch(e.ts) - epoch(s.t1) <= {_EP_W}
+                   AND epoch_us(e.ts) - epoch_us(s.t1) <= {_EP_W_US}
                   THEN e.ts END) AS t2
   FROM seeds s LEFT JOIN events e
     ON e.user_id = s.user_id AND e.event_type = 'click'
@@ -59,7 +61,7 @@ c2 AS (
 c3 AS (
   SELECT c.user_id, c.episode, c.t1, c.t2,
          min(CASE WHEN e.ts >= c.t2
-                   AND epoch(e.ts) - epoch(c.t1) <= {_EP_W}
+                   AND epoch_us(e.ts) - epoch_us(c.t1) <= {_EP_W_US}
                   THEN e.ts END) AS t3
   FROM c2 c LEFT JOIN events e
     ON e.user_id = c.user_id AND e.event_type = 'purchase'
@@ -245,9 +247,10 @@ def _benford_case_sql() -> str:
              CAST(count(*) AS BIGINT) AS n
       FROM base GROUP BY 1
     ),
-    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt)
+    tot AS (SELECT CAST(sum(n) AS HUGEINT) AS t FROM cnt)
     SELECT first_digit, n,
-           CAST((n * 1000000) // t AS BIGINT) AS share_micro,
+           CAST((CAST(n AS HUGEINT) * 1000000) // t AS BIGINT)
+             AS share_micro,
            CAST({_benford_case_sql()} AS BIGINT) AS benford_micro
     FROM cnt, tot
     """,
@@ -620,39 +623,13 @@ def dd_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "fn_funnel_episode_summary",
     f"""
-    WITH s1 AS MATERIALIZED (
-      SELECT user_id, ts FROM events WHERE event_type = 'signup'
-    ),
-    e1 AS MATERIALIZED (
-      SELECT user_id, min(ts) AS t1 FROM s1 GROUP BY user_id
-    ),
-    {_EP_SEEDS_SQL}
-    seeds AS ({_EP_UNION_SQL}),
-    c2 AS (
-      SELECT s.user_id, s.episode, s.t1,
-             min(CASE WHEN e.ts >= s.t1
-                       AND epoch(e.ts) - epoch(s.t1) <= {_EP_W}
-                      THEN e.ts END) AS t2
-      FROM seeds s LEFT JOIN events e
-        ON e.user_id = s.user_id AND e.event_type = 'click'
-      GROUP BY s.user_id, s.episode, s.t1
-    ),
-    c3 AS (
-      SELECT c.user_id, c.episode, c.t1, c.t2,
-             min(CASE WHEN e.ts >= c.t2
-                       AND epoch(e.ts) - epoch(c.t1) <= {_EP_W}
-                      THEN e.ts END) AS t3
-      FROM c2 c LEFT JOIN events e
-        ON e.user_id = c.user_id AND e.event_type = 'purchase'
-      GROUP BY c.user_id, c.episode, c.t1, c.t2
-    )
-    SELECT CAST(episode AS INT) AS episode,
+    SELECT episode,
            CAST(count(*) AS BIGINT) AS n_opened,
-           CAST(count(t2) AS BIGINT) AS n_step2,
-           CAST(count(t3) AS BIGINT) AS n_completed,
-           CAST((count(t3) * 10000) // count(*) AS BIGINT)
+           CAST(count(t2_us) AS BIGINT) AS n_step2,
+           CAST(count(t3_us) AS BIGINT) AS n_completed,
+           CAST((count(t3_us) * 10000) // count(*) AS BIGINT)
              AS completion_bp
-    FROM c3 GROUP BY episode
+    FROM ({_FN_EPISODES_ORACLE}) GROUP BY episode
     """,
 )
 def fn_funnel_episode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -175,24 +175,35 @@ def test_woe_odds_encode_survives_bigint_overflow_scale(spark):
     assert out["A"] > 0  # the wrapped BIGINT form went negative
 
 
-def test_salted_join_spreads_identical_hot_rows(spark):
-    """Byte-identical rows on the hot key must not all hash to one
-    salt bucket (code-review r6 finding)."""
+def test_salted_join_spreads_hot_key_rows(spark):
+    """A hot key's DISTINCT rows must spread across salt buckets
+    (deterministic row hash), and byte-identical duplicates spread
+    when the caller names a unique row id. The salt expression must
+    be DETERMINISTIC (no per-row counter): a nondeterministic shuffle
+    key drops/duplicates rows under task retry (review r6)."""
     from pyspark.sql import Row as R
 
-    fact = spark.createDataFrame([R(k=1, v=9)] * 64)
+    # distinct rows on one hot key -> full-row hash spreads them
+    fact = spark.createDataFrame([R(k=1, v=i) for i in range(64)])
     dim = spark.createDataFrame([R(k=1, name="hot")])
-    joined = salted_join(fact, dim, "k", salt_buckets=8)
-    assert joined.count() == 64
-    # observe the spread through the same salt expression the
-    # operator uses: re-derive buckets on the fact side
-    salt = F.pmod(
-        F.xxhash64(F.col("k"))
-        + F.pmod(F.monotonically_increasing_id(), F.lit(8)),
-        F.lit(8),
-    )
-    n_buckets = fact.select(salt.alias("s")).distinct().count()
-    assert n_buckets >= 4, n_buckets
+    assert salted_join(fact, dim, "k", salt_buckets=8).count() == 64
+    from pyspark.sql.types import MapType
+
+    cols = [
+        F.col(f.name)
+        for f in fact.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
+    salt = F.pmod(F.xxhash64(*cols), F.lit(8))
+    assert fact.select(salt.alias("s")).distinct().count() >= 4
+
+    # byte-identical duplicates: share a salt by default (documented),
+    # spread when a unique row id is supplied
+    dups = spark.createDataFrame([R(k=1, rid=i) for i in range(64)])
+    out = salted_join(dups, dim, "k", salt_buckets=8, row_id_col="rid")
+    assert out.count() == 64
+    rid_salt = F.pmod(F.xxhash64(F.col("k"), F.col("rid")), F.lit(8))
+    assert dups.select(rid_salt.alias("s")).distinct().count() >= 4
 
 
 def test_sliding_distinct_hll_equals_window_resketch(spark):
@@ -297,3 +308,59 @@ def test_canonical_keep_policy(spark):
         ).collect()
     }
     assert out == {2: 3, 4: 1}
+
+
+def test_detect_silence_stereo_and_width_guard(spark):
+    """Stereo frames are silent only when BOTH channels are (frame
+    indices stay frame-granular), and non-16-bit input raises instead
+    of decoding garbage (code-review r6)."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from sfdata_wrangler_spark.multimodal.audio_wav import detect_silence
+
+    def stereo_wav(pairs):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            flat = [s for pair in pairs for s in pair]
+            w.writeframes(struct.pack(f"<{len(flat)}h", *flat))
+        return buf.getvalue()
+
+    # frames: 3 loud, 5 both-quiet, 2 one-channel-loud, 4 both-quiet
+    pairs = (
+        [(500, 0)] * 3
+        + [(10, -10)] * 5
+        + [(0, 900)] * 2
+        + [(5, 5)] * 4
+    )
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(stereo_wav(pairs)))]
+    )
+    rows = sorted(
+        detect_silence(df, threshold=50, min_run=4).collect(),
+        key=lambda r: r.run_idx,
+    )
+    assert [
+        (r.run_idx, r.start_frame, r.end_frame, r.n_frames) for r in rows
+    ] == [(1, 3, 7, 5), (2, 10, 13, 4)]
+
+    def wav8(n):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(bytes([128] * n))
+        return buf.getvalue()
+
+    bad = spark.createDataFrame(
+        [Row(media_id=2, content=bytearray(wav8(16)))]
+    )
+    with pytest.raises(Exception, match="16-bit"):
+        detect_silence(bad).collect()
