@@ -11,6 +11,8 @@ the bounded unrolls.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -655,4 +657,89 @@ def fn_funnel_episode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(count(t3) * 10000) div count(1)")
         .cast("bigint")
         .alias("completion_bp"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# s18_jsonl_quarantine — malformed-line routing for JSONL ingest     #
+# ------------------------------------------------------------------ #
+
+_DIRTY_JSONL = os.path.join(
+    os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ),
+    "tests",
+    "fixtures",
+    "dirty_events.jsonl",
+)
+_DIRTY_JSONL_SCHEMA = (
+    "event_id BIGINT, user_id BIGINT, amount DOUBLE, note STRING"
+)
+
+
+def _dirty_jsonl_split(spark: SparkSession):
+    from ..sources.quarantine import read_jsonl_with_quarantine
+
+    return read_jsonl_with_quarantine(
+        spark, _DIRTY_JSONL, _DIRTY_JSONL_SCHEMA
+    )
+
+
+@_register(
+    "s18_jsonl_quarantine",
+    """
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), CAST(11 AS BIGINT), CAST(NULL AS DOUBLE),
+       'bad-amount',
+       '{"event_id": 2, "user_id": 11, "amount": "oops", "note": "bad-amount"}'),
+      (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR),
+       '{"event_id": 4, "user_id": 13, "amount": 2.00, "note": "ok2"'),
+      (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), 'not json at all'),
+      (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), '[1, 2, 3]'),
+      (CAST(NULL AS BIGINT), CAST(14 AS BIGINT), CAST(3.0 AS DOUBLE),
+       'bad-id',
+       '{"event_id": "five", "user_id": 14, "amount": 3.00, "note": "bad-id"}')
+    ) AS t(event_id, user_id, amount, note, raw_record)
+    """,
+)
+def s18_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL bad-record quarantine (sources/quarantine.
+    read_jsonl_with_quarantine): PERMISSIVE from_json over a text
+    scan routes the committed dirty fixture's malformed lines — type
+    mismatch WITH partial parse, truncated document, non-JSON text,
+    top-level array — to the side table with raw text; a MISSING
+    field stays clean (absence is legal JSON). The oracle restates
+    the expected quarantine verbatim, pinning those semantics."""
+    _, quar = _dirty_jsonl_split(spark)
+    return quar.select(
+        "event_id", "user_id", "amount", "note", "raw_record"
+    )
+
+
+@_register(
+    "s18_jsonl_quarantine_clean",
+    """
+    SELECT CAST(3 AS BIGINT) AS n_clean,
+           CAST(11 AS BIGINT) AS sum_event_id,
+           CAST(1150 AS BIGINT) AS sum_amount_cents,
+           CAST(1 AS BIGINT) AS n_missing_note
+    """,
+)
+def s18_jsonl_quarantine_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clean side of the same scan: exact-cents checksum proving
+    no good line leaked into quarantine and no bad line leaked out,
+    plus the count of legally-absent fields (missing != malformed)."""
+    clean, _ = _dirty_jsonl_split(spark)
+    return clean.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clean"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        F.sum(F.floor(F.col("amount") * 100 + 0.5))
+        .cast("bigint")
+        .alias("sum_amount_cents"),
+        F.count(F.when(F.col("note").isNull(), 1))
+        .cast("bigint")
+        .alias("n_missing_note"),
     )

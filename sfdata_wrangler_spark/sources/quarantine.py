@@ -95,3 +95,50 @@ def read_csv_with_quarantine(
         F.col("__src").alias("src_file"),
     )
     return clean, quarantine
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+) -> tuple[DataFrame, DataFrame]:
+    """One text scan → (clean, quarantine) for JSON-lines ingest —
+    the web-crawl sibling of :func:`read_csv_with_quarantine` (JSONL
+    is the lingua franca of training-data interchange, and at 100 TB
+    a malformed line must be ROUTED, not silently dropped).
+
+    ``spark.read.text`` + PERMISSIVE ``from_json``; the split rule is
+    identical to the CSV path. JSON-specific semantics (pinned by the
+    s18 oracle): a MISSING field is null and CLEAN (absence is legal
+    JSON); a type-mismatched field quarantines the record WITH its
+    partial parse (the repair starting point); truncated documents,
+    non-JSON lines, and top-level arrays quarantine all-null. Blank
+    lines are skipped (not records)."""
+    fields = [f.name for f in StructType.fromDDL(schema).fields]
+    full_schema = f"{schema}, {CORRUPT_COL} STRING"
+
+    lines = spark.read.text(path).select(
+        F.col("value").alias("__raw"),
+        F.input_file_name().alias("__src"),
+    )
+    lines = lines.where(F.length(F.trim("__raw")) > 0)
+    parsed = lines.select(
+        "__raw",
+        "__src",
+        F.from_json(
+            F.col("__raw"),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("__p"),
+    )
+    clean = parsed.where(F.col(f"__p.{CORRUPT_COL}").isNull()).select(
+        *[F.col(f"__p.{c}").alias(c) for c in fields]
+    )
+    quarantine = parsed.where(
+        F.col(f"__p.{CORRUPT_COL}").isNotNull()
+    ).select(
+        *[F.col(f"__p.{c}").alias(c) for c in fields],
+        F.col("__raw").alias("raw_record"),
+        F.col("__src").alias("src_file"),
+    )
+    return clean, quarantine
