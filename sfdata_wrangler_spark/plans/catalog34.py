@@ -699,6 +699,8 @@ def _dirty_jsonl_split(spark: SparkSession):
        CAST(NULL AS VARCHAR), 'not json at all'),
       (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), '[1, 2, 3]'),
+      (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), 'null'),
       (CAST(NULL AS BIGINT), CAST(14 AS BIGINT), CAST(3.0 AS DOUBLE),
        'bad-id',
        '{"event_id": "five", "user_id": 14, "amount": 3.00, "note": "bad-id"}')
@@ -710,7 +712,8 @@ def s18_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_jsonl_with_quarantine): PERMISSIVE from_json over a text
     scan routes the committed dirty fixture's malformed lines — type
     mismatch WITH partial parse, truncated document, non-JSON text,
-    top-level array — to the side table with raw text; a MISSING
+    top-level array, literal JSON null — to the side table with raw
+    text; a MISSING
     field stays clean (absence is legal JSON). The oracle restates
     the expected quarantine verbatim, pinning those semantics."""
     _, quar = _dirty_jsonl_split(spark)

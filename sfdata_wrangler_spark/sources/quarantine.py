@@ -26,6 +26,37 @@ from pyspark.sql.types import StructType
 CORRUPT_COL = "_corrupt_record"
 
 
+def _read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Text scan with provenance; blank lines are not records (a
+    PERMISSIVE parser would type them as all-NULL rows with a NULL
+    corrupt column, leaking phantom rows into CLEAN — spark.read.csv
+    also skips blank lines)."""
+    lines = spark.read.text(path).select(
+        F.col("value").alias("__raw"),
+        F.input_file_name().alias("__src"),
+    )
+    return lines.where(F.length(F.trim("__raw")) > 0)
+
+
+def _split_on_parse(lines: DataFrame, parse_expr, fields):
+    """The shared split rule: a record is QUARANTINED when the
+    corrupt column is set OR when the parse produced a NULL struct —
+    the latter catches inputs the parser accepts as a top-level JSON
+    ``null`` (no BadRecordException, so no corrupt column), which
+    would otherwise leak into CLEAN as phantom all-null rows."""
+    parsed = lines.select("__raw", "__src", parse_expr.alias("__p"))
+    bad = F.col(f"__p.{CORRUPT_COL}").isNotNull() | F.col("__p").isNull()
+    clean = parsed.where(~bad).select(
+        *[F.col(f"__p.{c}").alias(c) for c in fields]
+    )
+    quarantine = parsed.where(bad).select(
+        *[F.col(f"__p.{c}").alias(c) for c in fields],
+        F.col("__raw").alias("raw_record"),
+        F.col("__src").alias("src_file"),
+    )
+    return clean, quarantine
+
+
 def read_csv_with_quarantine(
     spark: SparkSession,
     path: str,
@@ -50,14 +81,7 @@ def read_csv_with_quarantine(
     fields = [f.name for f in StructType.fromDDL(schema).fields]
     full_schema = f"{schema}, {CORRUPT_COL} STRING"
 
-    lines = spark.read.text(path).select(
-        F.col("value").alias("__raw"),
-        F.input_file_name().alias("__src"),
-    )
-    # blank lines are not records: PERMISSIVE from_csv would type them
-    # as all-NULL rows with a NULL corrupt column, leaking phantom
-    # rows into CLEAN (spark.read.csv also skips blank lines)
-    lines = lines.where(F.length(F.trim("__raw")) > 0)
+    lines = _read_lines(spark, path)
     if header:
         # drop lines matching a CLOSED set of header shapes: the bare
         # names, fully-quoted names, and spaces after commas — each
@@ -75,26 +99,15 @@ def read_csv_with_quarantine(
             ", ".join(f'"{f}"' for f in lf),
         ]
         lines = lines.where(~F.lower(F.col("__raw")).isin(variants))
-    parsed = lines.select(
-        "__raw",
-        "__src",
+    return _split_on_parse(
+        lines,
         F.from_csv(
             F.col("__raw"),
             full_schema,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ).alias("__p"),
+        ),
+        fields,
     )
-    clean = parsed.where(F.col(f"__p.{CORRUPT_COL}").isNull()).select(
-        *[F.col(f"__p.{c}").alias(c) for c in fields]
-    )
-    quarantine = parsed.where(
-        F.col(f"__p.{CORRUPT_COL}").isNotNull()
-    ).select(
-        *[F.col(f"__p.{c}").alias(c) for c in fields],
-        F.col("__raw").alias("raw_record"),
-        F.col("__src").alias("src_file"),
-    )
-    return clean, quarantine
 
 
 def read_jsonl_with_quarantine(
@@ -108,37 +121,23 @@ def read_jsonl_with_quarantine(
     a malformed line must be ROUTED, not silently dropped).
 
     ``spark.read.text`` + PERMISSIVE ``from_json``; the split rule is
-    identical to the CSV path. JSON-specific semantics (pinned by the
-    s18 oracle): a MISSING field is null and CLEAN (absence is legal
-    JSON); a type-mismatched field quarantines the record WITH its
-    partial parse (the repair starting point); truncated documents,
-    non-JSON lines, and top-level arrays quarantine all-null. Blank
-    lines are skipped (not records)."""
+    identical to the CSV path (shared helper). JSON-specific
+    semantics (pinned by the s18 oracle): a MISSING field is null and
+    CLEAN (absence is legal JSON); a type-mismatched field
+    quarantines the record WITH its partial parse (the repair
+    starting point); truncated documents, non-JSON lines, top-level
+    arrays, and a literal top-level ``null`` (which from_json accepts
+    as a NULL struct, setting no corrupt column) all quarantine
+    all-null. Blank lines are skipped (not records)."""
     fields = [f.name for f in StructType.fromDDL(schema).fields]
     full_schema = f"{schema}, {CORRUPT_COL} STRING"
 
-    lines = spark.read.text(path).select(
-        F.col("value").alias("__raw"),
-        F.input_file_name().alias("__src"),
-    )
-    lines = lines.where(F.length(F.trim("__raw")) > 0)
-    parsed = lines.select(
-        "__raw",
-        "__src",
+    return _split_on_parse(
+        _read_lines(spark, path),
         F.from_json(
             F.col("__raw"),
             full_schema,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ).alias("__p"),
+        ),
+        fields,
     )
-    clean = parsed.where(F.col(f"__p.{CORRUPT_COL}").isNull()).select(
-        *[F.col(f"__p.{c}").alias(c) for c in fields]
-    )
-    quarantine = parsed.where(
-        F.col(f"__p.{CORRUPT_COL}").isNotNull()
-    ).select(
-        *[F.col(f"__p.{c}").alias(c) for c in fields],
-        F.col("__raw").alias("raw_record"),
-        F.col("__src").alias("src_file"),
-    )
-    return clean, quarantine

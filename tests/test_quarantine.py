@@ -85,3 +85,21 @@ def test_quoted_data_row_resembling_header_kept(spark, tmp_path):
     got = sorted((r.a, r.b) for r in clean.collect())
     assert got == [("1", "2"), ("a ", "b")]
     assert quar.count() == 0
+
+
+def test_jsonl_literal_null_line_is_quarantined(spark, tmp_path):
+    """A line containing the literal JSON `null` parses to a NULL
+    struct with NO corrupt column — it must be routed to quarantine,
+    not leak into CLEAN as a phantom all-null row (review r6)."""
+    import os
+
+    from sfdata_wrangler_spark.sources.quarantine import (
+        read_jsonl_with_quarantine,
+    )
+
+    p = os.path.join(tmp_path, "nulls.jsonl")
+    with open(p, "w") as f:
+        f.write('{"a": 1}\nnull\n  null\n{"a": 2}\n')
+    clean, quar = read_jsonl_with_quarantine(spark, p, "a BIGINT")
+    assert sorted(r.a for r in clean.collect()) == [1, 2]
+    assert sorted(r.raw_record for r in quar.collect()) == ["  null", "null"]
