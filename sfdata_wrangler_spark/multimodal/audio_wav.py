@@ -136,7 +136,10 @@ SILENCE_SCHEMA = StructType(
 
 
 def detect_silence(
-    media: DataFrame, threshold: int = 50, min_run: int = 4
+    media: DataFrame,
+    threshold: int = 50,
+    min_run: int = 4,
+    on_error: str = "route",
 ) -> DataFrame:
     """(media_id, content: binary WAV) -> one row per SILENCE RUN:
     a maximal stretch of >= ``min_run`` consecutive mono frames with
@@ -149,9 +152,19 @@ def detect_silence(
 
     Multi-channel input: a FRAME is silent only if EVERY channel is
     within the threshold (frame indices stay frame-granular, not
-    interleaved-sample-granular). Only 16-bit PCM is supported —
-    other sample widths raise ValueError per file rather than
-    decoding garbage."""
+    interleaved-sample-granular). Only 16-bit PCM decodes; other
+    widths and undecodable blobs follow ``on_error``:
+
+    - ``"route"`` (default): the bad file emits ONE marker row with
+      ``run_idx = -1`` and null frame columns, and the job keeps
+      going — the same route-don't-crash contract as the CSV/JSONL
+      quarantine readers (one bad blob must not kill a corpus-scale
+      scan). Split downstream with ``run_idx >= 1`` vs
+      ``run_idx = -1`` — one pass, one scan, no re-decode.
+    - ``"raise"``: fail fast per file (trusted synthetic corpora /
+      debugging)."""
+    if on_error not in ("route", "raise"):
+        raise ValueError(f"on_error must be 'route' or 'raise': {on_error!r}")
     try:
         import cloudpickle
 
@@ -165,16 +178,26 @@ def detect_silence(
         for pdf in batches:
             out = {f.name: [] for f in SILENCE_SCHEMA.fields}
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
-                    nf = w.getnframes()
-                    nch = w.getnchannels()
-                    width = w.getsampwidth()
-                    raw = w.readframes(nf)
-                if width != 2:
-                    raise ValueError(
-                        f"media_id={int(mid)}: detect_silence supports"
-                        f" 16-bit PCM only, got sample width {width}"
-                    )
+                try:
+                    with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                        nf = w.getnframes()
+                        nch = w.getnchannels()
+                        width = w.getsampwidth()
+                        raw = w.readframes(nf)
+                    if width != 2:
+                        raise ValueError(
+                            f"media_id={int(mid)}: detect_silence supports"
+                            f" 16-bit PCM only, got sample width {width}"
+                        )
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    out["media_id"].append(int(mid))
+                    out["run_idx"].append(-1)
+                    out["start_frame"].append(None)
+                    out["end_frame"].append(None)
+                    out["n_frames"].append(None)
+                    continue
                 samples = np.frombuffer(raw, dtype="<i2")
                 # (frames, channels): a frame is quiet only if every
                 # channel is — keeps run indices frame-granular

@@ -1,4 +1,4 @@
-from ._cache import release_operator_caches
+from ._cache import cache_scope, release_operator_caches
 from .aggregate import AggRule, aggregate_records, update_speeds
 from .windows import (
     debounce_events,
@@ -240,5 +240,6 @@ __all__ = [
     "join_size_estimate",
     "validate_intervals",
     "debounce_events",
+    "cache_scope",
     "release_operator_caches",
 ]

@@ -55,8 +55,11 @@ def funnel_steps(
     # comparisons can flip at exact-boundary timestamps (rounding of
     # micros/1e6 carries ~7e-7 s of error), breaking batch==stream
     # parity precisely on the boundary the semantics define
+    # round, don't truncate: int() floors 4.1 s to 4_099_999 µs for
+    # floats with inexact binary representation, shifting the inclusive
+    # boundary by 1 µs (ADVICE r6)
     within_us = (
-        None if within_seconds is None else int(within_seconds * 1_000_000)
+        None if within_seconds is None else round(within_seconds * 1_000_000)
     )
     for i, step in enumerate(steps[1:], start=2):
         nxt = events.where(F.col(type_col) == step).select(
@@ -121,7 +124,8 @@ def funnel_episodes(
     most ``max_episodes`` episodes per user the two agree exactly
     (differential-tested in tests/test_streaming_funnel.py)."""
     # exact integer microseconds — see funnel_steps' boundary note
-    within_us = int(within_seconds * 1_000_000)
+    # (round, not int: truncation shifts fractional windows by 1 µs)
+    within_us = round(within_seconds * 1_000_000)
     s1 = events.where(F.col(type_col) == steps[0]).select(
         user_col, F.col(ts_col).alias("__t")
     )

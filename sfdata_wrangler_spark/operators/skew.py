@@ -79,12 +79,24 @@ def salted_join(
     if row_id_col is not None:
         hash_cols = [F.col(key), F.col(row_id_col)]
     else:
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _has_map(dt) -> bool:
+            # xxhash64 rejects maps at ANY nesting depth
+            # (array<map<...>>, struct<..., map<...>>), not just
+            # top-level MapType (ADVICE r6)
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _has_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_has_map(f.dataType) for f in dt.fields)
+            return False
 
         hash_cols = [
             F.col(f.name)
             for f in fact.schema.fields
-            if not isinstance(f.dataType, MapType)  # xxhash64 rejects maps
+            if not _has_map(f.dataType)
         ]
     salt = F.pmod(F.xxhash64(*hash_cols), F.lit(salt_buckets)).cast("int")
     salted_fact = fact.withColumn("__salt", salt)

@@ -154,7 +154,8 @@ def stateful_funnel(
     could complete arbitrarily far in the future and no row could
     ever be emitted)."""
     k = len(steps)
-    within_us = int(within_seconds * 1_000_000)
+    # round, not int: truncation shifts fractional windows by 1 µs
+    within_us = round(within_seconds * 1_000_000)
     # preserve the grouping column's real type (string ids are common)
     out_schema = StructType(
         [StructField(user_col, events.schema[user_col].dataType)]

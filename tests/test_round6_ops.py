@@ -362,5 +362,9 @@ def test_detect_silence_stereo_and_width_guard(spark):
     bad = spark.createDataFrame(
         [Row(media_id=2, content=bytearray(wav8(16)))]
     )
+    # default routes the bad file to a marker row (ADVICE r6);
+    # on_error="raise" keeps the fail-fast contract
+    routed = detect_silence(bad).collect()
+    assert [(r.media_id, r.run_idx) for r in routed] == [(2, -1)]
     with pytest.raises(Exception, match="16-bit"):
-        detect_silence(bad).collect()
+        detect_silence(bad, on_error="raise").collect()
