@@ -115,28 +115,41 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``queries()``, so ordering is the only lever for which declared
 # queries get a driver-verified row each round: push names without a
 # green row in ANY committed CORRECTNESS_r*.json (plus anything newly
-# registered) to the front; already-green names rotate to the back.
-# Reading the committed driver reports keeps the rotation automatic —
-# no per-round hand-maintained name set.
-_GREEN_CACHE: set[str] | None = None
+# registered) to the front; already-green names rotate by STALENESS —
+# greens whose implementing files changed after their last sweep come
+# first, then oldest-sweep-first. Reading the committed driver reports
+# (and the committed SWEEP_FRESHNESS.json manifest, regenerated by
+# tools/update_sweep_freshness.py) keeps the rotation automatic — no
+# per-round hand-maintained name set.
+_GREEN_ROUNDS_CACHE: dict[str, int] | None = None
 
 
-def driver_green() -> set[str]:
-    """Names with a green row in any committed CORRECTNESS_r*.json:
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def driver_green_rounds() -> dict[str, int]:
+    """Map of name -> LATEST round with a green driver row for it:
     hash-exact for oracle-backed queries, a recorded row count for
     declared-no-oracle ones (re-sweeping those can't upgrade them)."""
-    global _GREEN_CACHE
-    if _GREEN_CACHE is not None:
-        return _GREEN_CACHE
+    global _GREEN_ROUNDS_CACHE
+    if _GREEN_ROUNDS_CACHE is not None:
+        return _GREEN_ROUNDS_CACHE
     import glob
     import json
     import os
+    import re
 
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    green: dict[str, int] = {}
+    for path in sorted(
+        glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))
+    ):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -154,26 +167,173 @@ def driver_green() -> set[str]:
                 if row.get("spark_rows") is not None and not QUERIES.get(
                     name, {}
                 ).get("oracle"):
-                    green.add(name)
+                    green[name] = max(green.get(name, 0), rnd)
             elif (
                 row.get("err") is None
                 and row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
-    _GREEN_CACHE = green
+                green[name] = max(green.get(name, 0), rnd)
+    _GREEN_ROUNDS_CACHE = green
     return green
 
 
+def driver_green() -> set[str]:
+    """Names with a green row in any committed CORRECTNESS_r*.json."""
+    return set(driver_green_rounds())
+
+
+# --- staleness: which package files implement each query ------------- #
+# Query callables import their operators lazily inside the function
+# body, so runtime module globals don't expose the dependency graph.
+# Instead, statically AST-scan each catalog/operator file for package
+# imports and take the transitive closure: a query's implementing
+# files = everything reachable from its defining module. Coarse
+# (file-, not symbol-grained) but exactly the right direction of
+# error: a changed dependency can only rotate a query FORWARD for an
+# extra re-verification.
+_IMPORT_CLOSURE_CACHE: dict[str, frozenset[str]] = {}
+_PKG = __name__.split(".")[0]  # sfdata_wrangler_spark
+
+
+def _dotted_to_relpath(dotted: str) -> str | None:
+    import os
+
+    base = dotted.replace(".", "/")
+    for cand in (f"{base}.py", f"{base}/__init__.py"):
+        if os.path.exists(os.path.join(_repo_root(), cand)):
+            return cand
+    return None
+
+
+def _direct_imports(relpath: str) -> set[str]:
+    """Package-internal relpaths directly imported by ``relpath``
+    (module-level AND nested imports — ast.walk sees both)."""
+    import ast
+    import os
+
+    try:
+        with open(os.path.join(_repo_root(), relpath)) as fh:
+            tree = ast.parse(fh.read())
+    except (OSError, SyntaxError):
+        return set()
+    # dotted module name of this file, e.g. a/b.py -> a.b; a/b/__init__.py -> a.b
+    parts = relpath[: -len(".py")].split("/")
+    is_pkg_init = parts[-1] == "__init__"
+    if is_pkg_init:
+        parts = parts[:-1]
+    out: set[str] = set()
+
+    def _add(dotted: str) -> None:
+        p = _dotted_to_relpath(dotted)
+        if p is not None:
+            out.add(p)
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.split(".")[0] == _PKG:
+                    _add(alias.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level == 0:
+                if node.module and node.module.split(".")[0] == _PKG:
+                    _add(node.module)
+                continue
+            # relative: climb (level) packages from the module's own
+            # package (__init__.py counts as the package itself)
+            up = node.level if not is_pkg_init else node.level - 1
+            base = parts[: len(parts) - up] if up else list(parts)
+            if not base or base[0] != _PKG:
+                continue
+            if node.module:
+                _add(".".join(base + node.module.split(".")))
+            else:  # from . import x  -> each alias is a submodule
+                for alias in node.names:
+                    _add(".".join(base + [alias.name]))
+    return out
+
+
+def _import_closure(relpath: str) -> frozenset[str]:
+    cached = _IMPORT_CLOSURE_CACHE.get(relpath)
+    if cached is not None:
+        return cached
+    seen: set[str] = {relpath}
+    frontier = [relpath]
+    while frontier:
+        nxt = _direct_imports(frontier.pop())
+        for p in nxt:
+            if p not in seen:
+                seen.add(p)
+                frontier.append(p)
+    closure = frozenset(seen)
+    _IMPORT_CLOSURE_CACHE[relpath] = closure
+    return closure
+
+
+def _load_freshness() -> dict | None:
+    """Committed SWEEP_FRESHNESS.json: ``files`` maps package relpath
+    -> last-commit unix time; ``reports`` maps CORRECTNESS_r*.json ->
+    its commit time. Regenerated by tools/update_sweep_freshness.py;
+    absent or unreadable -> staleness falls back to sweep-round age."""
+    import json
+    import os
+
+    path = os.path.join(_repo_root(), "SWEEP_FRESHNESS.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(data, dict) or "files" not in data:
+        return None
+    return data
+
+
+def _impl_changed_since(name: str, last_round: int, fresh: dict) -> bool:
+    fn = QUERIES[name]["fn"]
+    mod = getattr(fn, "__module__", None)
+    if not mod:
+        return False
+    relpath = _dotted_to_relpath(mod)
+    if relpath is None:
+        return False
+    report_ts = fresh.get("reports", {}).get(
+        f"CORRECTNESS_r{last_round:02d}.json"
+    )
+    if report_ts is None:
+        return False
+    files = fresh.get("files", {})
+    impl_ts = max(
+        (files.get(p, 0) for p in _import_closure(relpath)), default=0
+    )
+    return impl_ts > report_ts
+
+
 def sweep_order() -> list[str]:
-    """Declared names, never-driver-swept first (registration order
-    preserved within each group)."""
+    """Declared names: never-driver-swept first (registration order),
+    then greens by staleness — implementation changed since their
+    last sweep first, oldest last-sweep-round first within each
+    group. With zero backlog all 50 driver slots become
+    re-verification, so they should go to the names whose green row
+    is least likely to still reflect the code."""
     names = list(QUERIES)
-    swept = driver_green()
-    return [n for n in names if n not in swept] + [
-        n for n in names if n in swept
-    ]
+    rounds = driver_green_rounds()
+    idx = {n: i for i, n in enumerate(names)}
+    unswept = [n for n in names if n not in rounds]
+    green = [n for n in names if n in rounds]
+    fresh = _load_freshness()
+    if fresh is not None:
+        green.sort(
+            key=lambda n: (
+                0 if _impl_changed_since(n, rounds[n], fresh) else 1,
+                rounds[n],
+                idx[n],
+            )
+        )
+    else:
+        green.sort(key=lambda n: (rounds[n], idx[n]))
+    return unswept + green
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

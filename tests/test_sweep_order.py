@@ -101,3 +101,64 @@ def test_maps_follow_sweep_order():
 
 def test_all_declared_names_survive_reorder():
     assert sorted(query_map()) == sorted(QUERIES)
+
+
+def test_greens_rotate_stalest_first():
+    """Round-7 rotation: with zero backlog, sweep slots go to greens
+    whose implementation changed since their last sweep, then oldest
+    last-sweep-round — never newest-green-first."""
+    from sfdata_wrangler_spark.plans.catalog import (
+        _impl_changed_since,
+        _load_freshness,
+        driver_green_rounds,
+        sweep_order,
+    )
+
+    rounds = driver_green_rounds()
+    order = [n for n in sweep_order() if n in rounds]
+    if not order:
+        return
+    fresh = _load_freshness()
+    if fresh is not None:
+        keys = [
+            (
+                0 if _impl_changed_since(n, rounds[n], fresh) else 1,
+                rounds[n],
+            )
+            for n in order
+        ]
+    else:
+        keys = [(0, rounds[n]) for n in order]
+    assert keys == sorted(keys), "green rotation must be stalest-first"
+
+
+def test_import_closure_finds_lazy_operator_imports():
+    """The staleness graph must see imports INSIDE function bodies —
+    catalogs import their operators lazily."""
+    from sfdata_wrangler_spark.plans.catalog import _import_closure
+
+    closure = _import_closure("sfdata_wrangler_spark/plans/catalog34.py")
+    assert "sfdata_wrangler_spark/operators/funnel.py" in closure
+    assert "sfdata_wrangler_spark/plans/catalog.py" in closure
+    # transitive: funnel.py imports _cache lazily
+    assert "sfdata_wrangler_spark/operators/_cache.py" in closure
+
+
+def test_impl_changed_since_reads_manifest():
+    from sfdata_wrangler_spark.plans.catalog import (
+        QUERIES,
+        _dotted_to_relpath,
+        _impl_changed_since,
+    )
+
+    name = next(iter(QUERIES))
+    mod = QUERIES[name]["fn"].__module__
+    rel = _dotted_to_relpath(mod)
+    fresh = {
+        "files": {rel: 100},
+        "reports": {"CORRECTNESS_r01.json": 50, "CORRECTNESS_r02.json": 200},
+    }
+    assert _impl_changed_since(name, 1, fresh) is True
+    assert _impl_changed_since(name, 2, fresh) is False
+    # missing report timestamp -> not stale (fall back quietly)
+    assert _impl_changed_since(name, 3, fresh) is False
