@@ -35,7 +35,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pq_codebooks", "pq_encode", "pq_adc_topk"]
+__all__ = [
+    "pq_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivf_coarse_centroids",
+    "ivf_coarse_distances",
+    "ivfpq_codebooks",
+    "ivfpq_encode",
+    "ivfpq_topk",
+]
 
 
 def _long_form(emb: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int):
@@ -138,4 +147,270 @@ def pq_adc_topk(
             query_id, corpus_id, "adc_d2", F.row_number().over(w).alias("rank")
         )
         .where(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------- #
+# IVF-PQ: the composed serving shape (Jégou et al. 2011 "IVFADC").      #
+# pq_adc_topk alone ADC-scans EVERY corpus code per query; at 100 TB    #
+# the scan must first prune to the n_probe coarse cells the query      #
+# lands in, ADC-rank only those lists, then exact-rerank a shortlist.  #
+# Everything below stays in exact BIGINT micro-units (same device as   #
+# the PQ family above), so the full composition is oracle-checkable    #
+# bit-for-bit: coarse assign -> residual PQ encode -> probed-list ADC  #
+# -> exact rerank.                                                     #
+# --------------------------------------------------------------------- #
+
+
+def ivf_coarse_centroids(
+    corpus: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Coarse (cell) centroids ``(cid, subspace, dim, c_micro)``:
+    per-label integer-division means over micro coordinates — the
+    deterministic stand-in for a k-means coarse quantizer (swap in
+    ``similarity.kmeans_centroids`` when cross-engine hash parity is
+    not required). Output is L·d rows — broadcast-sized."""
+    lf = _long_form(
+        corpus.select(id_col, vec_col), id_col, vec_col, m, sub_dim
+    )
+    labeled = lf.join(
+        corpus.select(id_col, F.col(label_col).alias("cid")), id_col
+    )
+    return labeled.groupBy("cid", "subspace", "dim").agg(
+        F.expr("sum(x_micro) div count(1)").cast("bigint").alias("c_micro")
+    )
+
+
+def ivf_coarse_distances(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact integer squared-L2 to EVERY coarse centroid:
+    ``(id, cid, d2)``. The standard IVF assignment cost n·L·d with
+    map-side partial aggregation — the shuffle carries only n·L
+    (id, cid) partials, and the centroid table broadcasts."""
+    lf = _long_form(vecs.select(id_col, vec_col), id_col, vec_col, m, sub_dim)
+    return (
+        lf.join(F.broadcast(centroids), ["subspace", "dim"])
+        .groupBy(id_col, "cid")
+        .agg(
+            F.sum(
+                (F.col("x_micro") - F.col("c_micro"))
+                * (F.col("x_micro") - F.col("c_micro"))
+            ).alias("d2")
+        )
+    )
+
+
+def _coarse_assign(dists: DataFrame, id_col: str) -> DataFrame:
+    """argmin cell per vector with (d2, cid) total order."""
+    best = dists.groupBy(id_col).agg(F.min(F.struct("d2", "cid")).alias("__b"))
+    return best.select(id_col, F.col("__b.cid").alias("cid"))
+
+
+def _residual_lf(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assign: DataFrame,
+    m: int,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cid, subspace, dim, r_micro): micro coordinates minus the
+    ASSIGNED cell's centroid — the residual stream IVF-PQ quantizes
+    (encoding residuals, not raw vectors, is what lets a small
+    codebook stay accurate across cells)."""
+    lf = _long_form(corpus.select(id_col, vec_col), id_col, vec_col, m, sub_dim)
+    return lf.join(assign, id_col).join(
+        F.broadcast(centroids), ["cid", "subspace", "dim"]
+    ).select(
+        id_col,
+        "cid",
+        "subspace",
+        "dim",
+        (F.col("x_micro") - F.col("c_micro")).alias("r_micro"),
+    )
+
+
+def ivfpq_codebooks(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_codes: int = 16,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual PQ codebooks ``(code, subspace, dim, c_micro)``:
+    integer-division means of residuals grouped by the deterministic
+    pseudo-label ``id % n_codes`` — the same label-mean quantizer
+    device as :func:`pq_codebooks`, applied to residuals (grouping by
+    the REAL label would zero the residual means, since the coarse
+    centroids are exactly those label means). A trained k-means
+    codebook drops in unchanged where hash parity isn't needed."""
+    dists = ivf_coarse_distances(
+        corpus, centroids, m, sub_dim, id_col, vec_col
+    )
+    assign = _coarse_assign(dists, id_col)
+    res = _residual_lf(
+        corpus, centroids, assign, m, sub_dim, id_col, vec_col
+    )
+    return res.groupBy(
+        (F.col(id_col) % n_codes).cast("int").alias("code"),
+        F.col("subspace"),
+        F.col("dim"),
+    ).agg(
+        F.expr("sum(r_micro) div count(1)").cast("bigint").alias("c_micro")
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ index entries ``(id, cid, subspace, code)``: each vector
+    carries its coarse cell plus m residual codes. This is the table
+    a 100 TB deployment writes PARTITIONED BY cid, so a query's scan
+    prunes to its n_probe cells at the source."""
+    dists = ivf_coarse_distances(
+        corpus, centroids, m, sub_dim, id_col, vec_col
+    )
+    assign = _coarse_assign(dists, id_col)
+    res = _residual_lf(
+        corpus, centroids, assign, m, sub_dim, id_col, vec_col
+    )
+    j = res.join(F.broadcast(codebooks), ["subspace", "dim"])
+    d2 = j.groupBy(id_col, "cid", "subspace", "code").agg(
+        F.sum(
+            (F.col("r_micro") - F.col("c_micro"))
+            * (F.col("r_micro") - F.col("c_micro"))
+        ).alias("d2")
+    )
+    best = d2.groupBy(id_col, "cid", "subspace").agg(
+        F.min(F.struct("d2", "code")).alias("__b")
+    )
+    return best.select(
+        id_col, "cid", "subspace", F.col("__b.code").alias("code")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 32,
+    m: int = 8,
+    sub_dim: int = 8,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: ``(query_id, vec_id, adc_d2, exact_d2, rank)``.
+
+    1. PROBE: each query ranks the (broadcast) coarse centroids by
+       exact integer L2 and keeps its ``n_probe`` nearest cells.
+    2. ADC over probed lists ONLY: the per-(query, cell) residual LUT
+       (nq·n_probe·m·n_codes rows — broadcast) joins the code table
+       on (cid, subspace, code), so codes outside probed cells drop
+       at the broadcast hash join with no shuffle of the code table;
+       with the code table stored partitioned by cid the scan itself
+       prunes. This is the composition pq_adc_topk lacks (its LUT
+       join touches every corpus code per query).
+    3. EXACT RERANK: only the ``shortlist`` best ADC candidates per
+       query rejoin the raw vectors (broadcast shortlist filters the
+       corpus scan) for exact integer squared-L2; final top-k orders
+       by (exact_d2, id).
+
+    All-BIGINT arithmetic end to end — bitwise-stable ranking, no
+    IEEE accumulation-order analysis."""
+    qdists = ivf_coarse_distances(
+        queries, centroids, m, sub_dim, query_id, vec_col
+    )
+    wq = Window.partitionBy(query_id).orderBy("d2", "cid")
+    probes = (
+        qdists.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= n_probe)
+        .select(query_id, "cid")
+    )
+
+    # per-(query, probed-cell) residual LUT against the residual codebook
+    qlf = _long_form(
+        queries.select(query_id, vec_col), query_id, vec_col, m, sub_dim
+    )
+    qres = qlf.join(probes, query_id).join(
+        F.broadcast(centroids), ["cid", "subspace", "dim"]
+    ).select(
+        query_id,
+        "cid",
+        "subspace",
+        "dim",
+        (F.col("x_micro") - F.col("c_micro")).alias("r_micro"),
+    )
+    lut = (
+        qres.join(F.broadcast(codebooks), ["subspace", "dim"])
+        .groupBy(query_id, "cid", "subspace", "code")
+        .agg(
+            F.sum(
+                (F.col("r_micro") - F.col("c_micro"))
+                * (F.col("r_micro") - F.col("c_micro"))
+            ).alias("lut_d2")
+        )
+    )
+
+    # ADC over probed lists: cell-equi join, LUT broadcast
+    adc = (
+        encoded.join(F.broadcast(lut), ["cid", "subspace", "code"])
+        .where(F.col(query_id) != F.col(corpus_id))
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum("lut_d2").alias("adc_d2"))
+    )
+    ws = Window.partitionBy(query_id).orderBy("adc_d2", corpus_id)
+    short = (
+        adc.withColumn("__rn", F.row_number().over(ws))
+        .where(F.col("__rn") <= shortlist)
+        .select(query_id, corpus_id, "adc_d2")
+    )
+
+    # exact rerank of the shortlist only
+    clf = _long_form(
+        corpus.select(corpus_id, vec_col), corpus_id, vec_col, m, sub_dim
+    )
+    qx = qlf.select(
+        query_id, "subspace", "dim", F.col("x_micro").alias("q_micro")
+    )
+    exact = (
+        clf.join(F.broadcast(short), corpus_id)
+        .join(F.broadcast(qx), [query_id, "subspace", "dim"])
+        .groupBy(query_id, corpus_id, "adc_d2")
+        .agg(
+            F.sum(
+                (F.col("q_micro") - F.col("x_micro"))
+                * (F.col("q_micro") - F.col("x_micro"))
+            ).alias("exact_d2")
+        )
+    )
+    wk = Window.partitionBy(query_id).orderBy("exact_d2", corpus_id)
+    return (
+        exact.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "adc_d2", "exact_d2", "rank")
     )

@@ -33,6 +33,7 @@ from . import catalog31 as _catalog31  # registers the web-tier curation pipelin
 from . import catalog32 as _catalog32  # registers r4 pre-built operator oracles
 from . import catalog33 as _catalog33  # registers the S11 viz-ramp oracle
 from . import catalog34 as _catalog34  # registers round-6 wave (episodes, reservoir, benford, woe, lsh-calib)
+from . import catalog35 as _catalog35  # registers round-7 wave (IVF-PQ composed ANN)
 from .catalog import QUERIES, oracle_sql_map, query_map
 
 __all__ = ["QUERIES", "oracle_sql_map", "query_map"]

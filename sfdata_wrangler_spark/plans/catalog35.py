@@ -1,0 +1,217 @@
+"""Catalog wave 35 (round 7): IVF-PQ composed ANN serving.
+
+Closes the one 100 TB gap the round-6 verdict named in the ANN
+family: ``pq_adc_topk`` ADC-scans every corpus code per query, and
+``ivf_topk`` prunes lists but reranks raw vectors. ``ivfpq_topk``
+(operators/pq.py) is the composition — coarse-cell probe, residual-PQ
+ADC over probed lists only, exact rerank of a shortlist — in exact
+BIGINT micro-units end to end, so the whole pipeline is
+oracle-checkable bit-for-bit (same determinism device as the PQ
+family: integer-division label means, (d2, id) total orders).
+
+Oracle layout mirrors catalog19's PQ corpus: DuckDB restates the
+identical integer pipeline with MATERIALIZED CTEs (the doubly-
+referenced chain rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import _register, _t
+
+_N_PROBE = 2
+_N_CODES = 16
+_SHORTLIST = 32
+_K = 5
+
+# long form with BOTH subspace/dim split and micro quantization —
+# identical to operators/pq._long_form's arithmetic
+_IVFPQ_LF = """
+lf AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(((i - 1) // 8) AS INT) AS subspace,
+         CAST(((i - 1) % 8) AS INT) AS dim,
+         CAST(floor(CAST(u AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS x_micro
+  FROM (SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS u
+        FROM embeddings)
+)
+"""
+
+_IVFPQ_INDEX = f"""
+{_IVFPQ_LF},
+cc AS MATERIALIZED (
+  SELECT e.label AS cid, l.subspace, l.dim,
+         sum(l.x_micro) // count(*) AS c_micro
+  FROM lf l JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2, 3
+),
+ad AS MATERIALIZED (
+  SELECT l.vec_id, c.cid,
+         sum((l.x_micro - c.c_micro) * (l.x_micro - c.c_micro)) AS d2
+  FROM lf l JOIN cc c ON l.subspace = c.subspace AND l.dim = c.dim
+  GROUP BY 1, 2
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM ad)
+  WHERE rn = 1
+),
+res AS MATERIALIZED (
+  SELECT l.vec_id, a.cid, l.subspace, l.dim,
+         l.x_micro - c.c_micro AS r_micro
+  FROM lf l
+  JOIN assign a USING (vec_id)
+  JOIN cc c ON c.cid = a.cid AND c.subspace = l.subspace AND c.dim = l.dim
+),
+cb AS MATERIALIZED (
+  SELECT CAST(vec_id % {_N_CODES} AS INT) AS code, subspace, dim,
+         sum(r_micro) // count(*) AS c_micro
+  FROM res GROUP BY 1, 2, 3
+),
+enc0 AS (
+  SELECT r.vec_id, r.cid, r.subspace, c.code,
+         sum((r.r_micro - c.c_micro) * (r.r_micro - c.c_micro)) AS d2
+  FROM res r JOIN cb c ON r.subspace = c.subspace AND r.dim = c.dim
+  GROUP BY 1, 2, 3, 4
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, cid, subspace, code
+  FROM (SELECT vec_id, cid, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2, code) AS rn
+        FROM enc0)
+  WHERE rn = 1
+)
+"""
+
+_IVFPQ_TOPK_ORACLE = f"""
+WITH {_IVFPQ_INDEX},
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cid
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM ad WHERE vec_id < 3)
+  WHERE rn <= {_N_PROBE}
+),
+qres AS MATERIALIZED (
+  SELECT p.query_id, p.cid, l.subspace, l.dim,
+         l.x_micro - c.c_micro AS r_micro
+  FROM probes p
+  JOIN lf l ON l.vec_id = p.query_id
+  JOIN cc c ON c.cid = p.cid AND c.subspace = l.subspace AND c.dim = l.dim
+),
+lut AS MATERIALIZED (
+  SELECT q.query_id, q.cid, q.subspace, c.code,
+         sum((q.r_micro - c.c_micro) * (q.r_micro - c.c_micro)) AS lut_d2
+  FROM qres q JOIN cb c ON q.subspace = c.subspace AND q.dim = c.dim
+  GROUP BY 1, 2, 3, 4
+),
+adc AS MATERIALIZED (
+  SELECT l.query_id, e.vec_id, sum(l.lut_d2) AS adc_d2
+  FROM enc e
+  JOIN lut l ON e.cid = l.cid AND e.subspace = l.subspace
+            AND e.code = l.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+short AS MATERIALIZED (
+  SELECT query_id, vec_id, adc_d2
+  FROM (SELECT query_id, vec_id, adc_d2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, vec_id) AS rn
+        FROM adc)
+  WHERE rn <= {_SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.vec_id, s.adc_d2,
+         sum((q.x_micro - x.x_micro) * (q.x_micro - x.x_micro)) AS exact_d2
+  FROM short s
+  JOIN lf x ON x.vec_id = s.vec_id
+  JOIN lf q ON q.vec_id = s.query_id
+           AND q.subspace = x.subspace AND q.dim = x.dim
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(adc_d2 AS BIGINT) AS adc_d2,
+       CAST(exact_d2 AS BIGINT) AS exact_d2,
+       CAST(rank AS INT) AS rank
+FROM (SELECT query_id, vec_id, adc_d2, exact_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY exact_d2, vec_id) AS rank
+      FROM exact)
+WHERE rank <= {_K}
+"""
+
+
+def _ivfpq_parts(spark: SparkSession, sf_dir: str):
+    from ..operators.pq import (
+        ivf_coarse_centroids,
+        ivfpq_codebooks,
+        ivfpq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_coarse_centroids(emb)
+    cb = ivfpq_codebooks(emb, cents, n_codes=_N_CODES)
+    enc = ivfpq_encode(emb, cents, cb)
+    return emb, cents, cb, enc
+
+
+@_register("emb_ivfpq_topk", _IVFPQ_TOPK_ORACLE, bench=True)
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN serving (operators/pq.ivfpq_topk): coarse-cell
+    probe -> residual-PQ ADC over the probed lists ONLY (cell-equi
+    join against the broadcast per-(query, cell) LUT — no full code
+    scan) -> exact integer rerank of the 32-candidate shortlist.
+    The composition the round-6 verdict named as the one remaining
+    100 TB ANN gap; all BIGINT micro-unit arithmetic, hash-exact."""
+    from ..operators.pq import ivfpq_topk
+
+    emb, cents, cb, enc = _ivfpq_parts(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        queries,
+        enc,
+        cents,
+        cb,
+        emb,
+        k=_K,
+        n_probe=_N_PROBE,
+        shortlist=_SHORTLIST,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("adc_d2").cast("bigint").alias("adc_d2"),
+        F.col("exact_d2").cast("bigint").alias("exact_d2"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _register_ivfpq_recall() -> None:
+    from .catalog import QUERIES
+    from .catalog8 import _recall_sql, _topk_recall
+
+    sql = _recall_sql(
+        QUERIES["emb_cosine_topk"]["oracle"], _IVFPQ_TOPK_ORACLE
+    )
+
+    @_register("emb_ivfpq_recall", sql)
+    def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """recall@5 of IVF-PQ (probed-list ADC + exact rerank) vs
+        brute-force cosine, per query — the telemetry row that makes
+        compression+pruning recall drift visible, like emb_pq_recall
+        and emb_ivf_recall before it."""
+        return _topk_recall(spark, sf_dir, "emb_ivfpq_topk")
+
+
+_register_ivfpq_recall()
