@@ -215,3 +215,99 @@ def _register_ivfpq_recall() -> None:
 
 
 _register_ivfpq_recall()
+
+
+# ------------------------------------------------------------------ #
+# fn_funnel_stream_replay — the streaming funnel's pure state        #
+# transition promoted to a driver-visible CORRECTNESS row            #
+# ------------------------------------------------------------------ #
+
+
+def _register_stream_replay() -> None:
+    from .catalog34 import _EP_MAX, _EP_W, _FN_EPISODES_ORACLE
+
+    @_register("fn_funnel_stream_replay", _FN_EPISODES_ORACLE)
+    def fn_funnel_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch replay of the STREAMING funnel's state transition
+        (streaming/funnel_stream._finalize_and_retain): per user, the
+        exact per-episode finalization the live query runs — applied
+        once with the watermark past everything, via applyInPandas —
+        must reproduce fn_funnel_episodes' rows bit-for-bit. This
+        promotes batch==stream parity from the randomized pytest
+        differentials into a hash-checked driver row (the oracle IS
+        the episodes SQL; only the engine under it changed)."""
+        import pandas as pd
+
+        from .catalog import _events
+        from ..streaming import funnel_stream as _fs
+
+        try:
+            import sys as _sys
+
+            import cloudpickle
+
+            cloudpickle.register_pickle_by_value(
+                _sys.modules[_fs.__name__]
+            )
+        except Exception:
+            pass
+
+        steps = ["signup", "click", "purchase"]
+        within_us = round(_EP_W * 1_000_000)
+        k = len(steps)
+        step_index = {s: i for i, s in enumerate(steps)}
+        finalize = _fs._finalize_and_retain
+
+        def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+            lists: list[list[int]] = [[] for _ in range(k)]
+            ts_us = (
+                pd.to_datetime(pdf["ts"])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1000
+            ).to_list()
+            for t, et in zip(ts_us, pdf["event_type"]):
+                idx = step_index.get(et)
+                if idx is not None:
+                    lists[idx].append(int(t))
+            # watermark beyond every event: the single transition must
+            # finalize ALL episodes, exactly as the live stream would
+            # have across its triggers
+            wm = max((t for lst in lists for t in lst), default=0) + within_us + 1
+            chains, retained, _ = finalize(lists, wm, within_us)
+            assert all(not lst for lst in retained)
+            user = pdf["user_id"].iloc[0] if len(pdf) else None
+            rows = {
+                "user_id": [],
+                "episode": [],
+                "t1_us": [],
+                "t2_us": [],
+                "t3_us": [],
+            }
+            for e, chain in enumerate(chains[:_EP_MAX], start=1):
+                rows["user_id"].append(user)
+                rows["episode"].append(e)
+                for i in range(k):
+                    rows[f"t{i + 1}_us"].append(
+                        chain[i] if i < len(chain) else None
+                    )
+            return pd.DataFrame(rows)
+
+        ev = _events(spark, sf_dir).where(
+            F.col("event_type").isin(*steps)
+        ).select("user_id", "ts", "event_type")
+        out = ev.groupBy("user_id").applyInPandas(
+            replay,
+            "user_id bigint, episode int, t1_us bigint, "
+            "t2_us bigint, t3_us bigint",
+        )
+        return out.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("episode").cast("int").alias("episode"),
+            "t1_us",
+            "t2_us",
+            "t3_us",
+        )
+
+
+_register_stream_replay()
