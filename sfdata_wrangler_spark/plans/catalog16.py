@@ -142,15 +142,18 @@ def pipe_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized size. At cluster scale localCheckpoint's
     # executor-local blocks trade fault-tolerance for exactly this
     # speedup (a lost executor forces a job restart); checkpoint() to
-    # reliable storage is the durable variant of the same cut.
-    # eager=False: materialize on the FIRST ACTION, not at
+    # reliable storage is the durable variant of the same cut —
+    # cut_lineage keeps both behind one knob (SFDW_RELIABLE_CHECKPOINT;
+    # A/B numbers in ARCHITECTURE.md round-7 notes). Both modes are
+    # lazy: materialize on the FIRST ACTION, not at
     # DataFrame-construction time — plan-only consumers (plan-shape
     # tests, tools/plan_digest.py) must not trigger the pipeline job.
-    cleaned = (
+    from ..operators.checkpointing import cut_lineage
+
+    cleaned = cut_lineage(
         drop_boilerplate_lines(ml, min_docs=2)
         .where(F.col("n_kept") > 0)
         .select("doc_id", "text")
-        .localCheckpoint(eager=False)
     )
     scores = bigram_lm_score(cleaned)
     lmkept = cleaned.join(
