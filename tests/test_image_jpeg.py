@@ -1,0 +1,146 @@
+"""Baseline-JPEG codec (multimodal/image_jpeg.py): entropy layer is
+lossless over quantized coefficients on random images (Huffman, DC
+DPCM, run/size with ZRL/EOB, 0xFF stuffing), the tile corpus decodes
+to the documented closed form, marker parsing rejects what it cannot
+honestly decode, restart intervals work, and the Spark surface sums
+pixels exactly."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from sfdata_wrangler_spark.multimodal.image_jpeg import (
+    _M,
+    QTABLE,
+    _dims,
+    _quantize,
+    _tile_image,
+    decode_baseline_jpeg,
+    decode_quantized_blocks,
+    encode_baseline_jpeg,
+)
+
+
+def _coef_blocks(img: np.ndarray):
+    q2d = QTABLE.reshape(8, 8).astype(np.float64)
+    h, w = img.shape
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            ys = np.minimum(np.arange(by * 8, by * 8 + 8), h - 1)
+            xs = np.minimum(np.arange(bx * 8, bx * 8 + 8), w - 1)
+            block = img[np.ix_(ys, xs)].astype(np.float64) - 128.0
+            yield by, bx, _quantize(_M @ block @ _M.T, q2d)
+
+
+def test_entropy_roundtrip_is_lossless_on_random_images():
+    rng = np.random.default_rng(42)
+    for shape in ((8, 8), (24, 40), (13, 21)):
+        img = rng.integers(0, 256, shape, dtype=np.int64).astype(np.uint8)
+        blocks = decode_quantized_blocks(encode_baseline_jpeg(img))
+        for by, bx, qc in _coef_blocks(img):
+            assert (blocks[1][by][bx] == qc).all(), (shape, by, bx)
+
+
+def test_tile_corpus_matches_closed_form():
+    for m in range(40):
+        w, h = _dims(m)
+        dec = decode_baseline_jpeg(
+            encode_baseline_jpeg(_tile_image(m, w, h))
+        ).astype(np.int64)
+        assert dec.shape == (h, w)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = (m * 7 + bx * 13 + by * 29) % 256
+                px = min(255, max(0, 2 * math.floor((v - 127) / 2) + 128))
+                tile = dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (tile == px).all(), (m, bx, by, v)
+
+
+def test_color_444_roundtrip_and_quant_error_bound():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.int64).astype(np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(img))
+    assert dec.shape == (16, 24, 3)
+    # entropy layer must still be lossless per component
+    blocks = decode_quantized_blocks(encode_baseline_jpeg(img))
+    assert sorted(blocks) == [1, 2, 3]
+    for cid in (1, 2, 3):
+        for by, bx, qc in _coef_blocks(img[:, :, cid - 1]):
+            assert (blocks[cid][by][bx] == qc).all()
+
+
+def test_progressive_and_garbage_rejected():
+    img = _tile_image(1, 16, 16)
+    blob = bytearray(encode_baseline_jpeg(img))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_baseline_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_baseline_jpeg(b"not a jpeg")
+
+
+def test_restart_interval_decoding():
+    """Insert a DRI segment + RST markers between MCUs by re-encoding
+    manually: encode two single-MCU images and splice. Simpler and
+    spec-true: build a 2-MCU image, encode normally, then verify a
+    DRI-carrying variant decodes identically by constructing it from
+    per-MCU encodes."""
+    img = _tile_image(3, 16, 8)  # two horizontal MCUs
+    base = decode_baseline_jpeg(encode_baseline_jpeg(img))
+
+    # encode each MCU as its own 8x8 image, then splice the entropy
+    # segments with DRI=1 and an RST0 marker between them; DC DPCM
+    # resets at the restart, which per-block encodes satisfy
+    left = encode_baseline_jpeg(img[:, :8])
+    right = encode_baseline_jpeg(img[:, 8:])
+
+    def entropy(blob: bytes) -> bytes:
+        i = blob.find(b"\xff\xda")
+        ln = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+        return blob[i + 2 + ln : -2]  # strip EOI
+
+    head = left[: left.find(b"\xff\xda")]
+    i = left.find(b"\xff\xda")
+    ln = struct.unpack(">H", left[i + 2 : i + 4])[0]
+    sos = left[i : i + 2 + ln]
+    # patch SOF width 8 -> 16
+    j = head.find(b"\xff\xc0")
+    head = bytearray(head)
+    head[j + 7 : j + 9] = struct.pack(">H", 16)
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    spliced = (
+        bytes(head)
+        + dri
+        + sos
+        + entropy(left)
+        + b"\xff\xd0"
+        + entropy(right)
+        + b"\xff\xd9"
+    )
+    dec = decode_baseline_jpeg(spliced)
+    assert (dec == base).all()
+
+
+def test_spark_surface_sums_match_numpy(spark):
+    from sfdata_wrangler_spark.multimodal.image_jpeg import (
+        decode_jpeg,
+        synth_jpeg_corpus,
+    )
+
+    ids = spark.createDataFrame([Row(media_id=i) for i in range(12)])
+    rows = decode_jpeg(synth_jpeg_corpus(ids)).collect()
+    assert len(rows) == 12
+    for r in rows:
+        w, h = _dims(r["media_id"])
+        dec = decode_baseline_jpeg(
+            encode_baseline_jpeg(_tile_image(r["media_id"], w, h))
+        )
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_components"] == 1
+        assert r["sum_px"] == int(dec.astype(np.int64).sum())
