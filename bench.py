@@ -79,25 +79,39 @@ def main() -> None:
     # expression trees), which amortizes to nothing at real scale —
     # steady-state throughput is the meaningful number.
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     noop: dict[str, float] = {}
     for name, fn in bench_queries.items():
         runs = []
         n = 0
-        # best-of-3: host-load variance between rounds was measured at
+        # best-of-N: host-load variance between rounds was measured at
         # +/-30% on single runs; the extra repetition stabilizes the
-        # reported best at ~8s added bench wall.
+        # reported best at ~8s added bench wall. The comparable-r2 set
+        # gets one extra run so its WARM-run spread (mean +/- stddev,
+        # first run excluded — it pays one-time codegen compile) has 3
+        # points: VERDICT r6 #6 asked for variance bands so real
+        # regressions separate from environment noise.
         # clearCache before every timed run: operators that persist()
         # model-sized intermediates (bigram LM c2, pagerank adjacency,
         # triangle orientation) would otherwise be re-served from the
         # previous run's cache by plan-matching CacheManager lookup,
         # and best-of-N would report the cache-hit cost, not the
         # declared plan's cost.
-        for _ in range(3):
+        n_runs = 4 if name in R2_HEADLINE else 3
+        for _ in range(n_runs):
             spark.catalog.clearCache()
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
+        warm = runs[1:]
+        mean = sum(warm) / len(warm)
+        var = sum((r - mean) ** 2 for r in warm) / len(warm)
+        spread[name] = {
+            "mean_warm": round(mean, 3),
+            "std_warm": round(var**0.5, 3),
+            "runs": [round(r, 3) for r in runs],
+        }
         nruns = []
         for _ in range(2):
             spark.catalog.clearCache()
@@ -135,6 +149,25 @@ def main() -> None:
         # see module docstring
         "value_noop_sink": round(sum(noop.values()), 3),
         "queries_noop_sink": noop,
+        # per-query variance bands (VERDICT r6 #6): warm-run mean/std
+        # plus all raw runs, so a +7% mover can be classified as real
+        # or noise without re-running the bench
+        "queries_spread": spread,
+        "comparable_r2_mean_warm": round(
+            sum(spread[q]["mean_warm"] for q in R2_HEADLINE if q in spread),
+            3,
+        ),
+        # independent-noise band for the subtotal: sqrt of summed
+        # per-query variances
+        "comparable_r2_std_warm": round(
+            sum(
+                spread[q]["std_warm"] ** 2
+                for q in R2_HEADLINE
+                if q in spread
+            )
+            ** 0.5,
+            3,
+        ),
     }
 
     # Secondary scale point (VERDICT r1 item 7): same query set at a
@@ -186,6 +219,8 @@ def main() -> None:
         "sf": result["sf"],
         "value_comparable_r2": result["value_comparable_r2"],
         "value_noop_sink": result["value_noop_sink"],
+        "comparable_r2_mean_warm": result["comparable_r2_mean_warm"],
+        "comparable_r2_std_warm": result["comparable_r2_std_warm"],
     }
     line = json.dumps(compact)
     if len(line) >= 1900:

@@ -61,4 +61,16 @@ def cut_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
         sc.setCheckpointDir(
             os.environ.get("SFDW_CHECKPOINT_DIR", "/tmp/sfdw_checkpoints")
         )
+        # Spark never deletes reliable checkpoint data (and it is
+        # unusable after the app exits), so when WE install the
+        # default dir, remove this app's UUID subdir at interpreter
+        # exit — otherwise every run leaks the full materialized
+        # stage to /tmp. A user-provided SFDW_CHECKPOINT_DIR is left
+        # alone: durable stores may have their own retention.
+        if "SFDW_CHECKPOINT_DIR" not in os.environ:
+            import atexit
+            import shutil
+
+            app_dir = sc._jsc.sc().getCheckpointDir().get()
+            atexit.register(shutil.rmtree, app_dir, True)
     return df.checkpoint(eager=False)

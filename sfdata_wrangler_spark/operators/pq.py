@@ -43,6 +43,7 @@ __all__ = [
     "ivf_coarse_distances",
     "ivfpq_codebooks",
     "ivfpq_encode",
+    "ivfpq_index",
     "ivfpq_topk",
 ]
 
@@ -242,6 +243,73 @@ def _residual_lf(
     )
 
 
+def _codebooks_from_residuals(
+    res: DataFrame, n_codes: int, id_col: str
+) -> DataFrame:
+    return res.groupBy(
+        (F.col(id_col) % n_codes).cast("int").alias("code"),
+        F.col("subspace"),
+        F.col("dim"),
+    ).agg(
+        F.expr("sum(r_micro) div count(1)").cast("bigint").alias("c_micro")
+    )
+
+
+def _encode_from_residuals(
+    res: DataFrame, codebooks: DataFrame, id_col: str
+) -> DataFrame:
+    j = res.join(F.broadcast(codebooks), ["subspace", "dim"])
+    d2 = j.groupBy(id_col, "cid", "subspace", "code").agg(
+        F.sum(
+            (F.col("r_micro") - F.col("c_micro"))
+            * (F.col("r_micro") - F.col("c_micro"))
+        ).alias("d2")
+    )
+    best = d2.groupBy(id_col, "cid", "subspace").agg(
+        F.min(F.struct("d2", "code")).alias("__b")
+    )
+    return best.select(
+        id_col, "cid", "subspace", F.col("__b.code").alias("code")
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_codes: int = 16,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the full index in ONE pass over the shared lineage:
+    returns ``(codebooks, encoded)``. The coarse assignment (the
+    n·L·d aggregation) and the residual stream feed BOTH outputs, so
+    building them separately re-executes that work 2-3x per action;
+    ``materialize`` (default on, tracked — release via
+    operators.release_operator_caches) persists the id-grain
+    assignment so the coarse aggregation runs once per build."""
+    dists = ivf_coarse_distances(
+        corpus, centroids, m, sub_dim, id_col, vec_col
+    )
+    assign = _coarse_assign(dists, id_col)
+    if materialize:
+        from ._cache import tracked_persist
+
+        assign = tracked_persist(assign)
+    res = _residual_lf(
+        corpus, centroids, assign, m, sub_dim, id_col, vec_col
+    )
+    cb = _codebooks_from_residuals(res, n_codes, id_col)
+    if materialize:
+        from ._cache import tracked_persist
+
+        cb = tracked_persist(cb)  # codebook-sized; enc re-reads it
+    enc = _encode_from_residuals(res, cb, id_col)
+    return cb, enc
+
+
 def ivfpq_codebooks(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -257,7 +325,9 @@ def ivfpq_codebooks(
     device as :func:`pq_codebooks`, applied to residuals (grouping by
     the REAL label would zero the residual means, since the coarse
     centroids are exactly those label means). A trained k-means
-    codebook drops in unchanged where hash parity isn't needed."""
+    codebook drops in unchanged where hash parity isn't needed.
+    Building codebooks AND codes? Use :func:`ivfpq_index` — it shares
+    the coarse-assignment lineage instead of recomputing it."""
     dists = ivf_coarse_distances(
         corpus, centroids, m, sub_dim, id_col, vec_col
     )
@@ -265,13 +335,7 @@ def ivfpq_codebooks(
     res = _residual_lf(
         corpus, centroids, assign, m, sub_dim, id_col, vec_col
     )
-    return res.groupBy(
-        (F.col(id_col) % n_codes).cast("int").alias("code"),
-        F.col("subspace"),
-        F.col("dim"),
-    ).agg(
-        F.expr("sum(r_micro) div count(1)").cast("bigint").alias("c_micro")
-    )
+    return _codebooks_from_residuals(res, n_codes, id_col)
 
 
 def ivfpq_encode(
@@ -286,7 +350,8 @@ def ivfpq_encode(
     """IVF-PQ index entries ``(id, cid, subspace, code)``: each vector
     carries its coarse cell plus m residual codes. This is the table
     a 100 TB deployment writes PARTITIONED BY cid, so a query's scan
-    prunes to its n_probe cells at the source."""
+    prunes to its n_probe cells at the source. Prefer
+    :func:`ivfpq_index` when also building the codebooks."""
     dists = ivf_coarse_distances(
         corpus, centroids, m, sub_dim, id_col, vec_col
     )
@@ -294,19 +359,7 @@ def ivfpq_encode(
     res = _residual_lf(
         corpus, centroids, assign, m, sub_dim, id_col, vec_col
     )
-    j = res.join(F.broadcast(codebooks), ["subspace", "dim"])
-    d2 = j.groupBy(id_col, "cid", "subspace", "code").agg(
-        F.sum(
-            (F.col("r_micro") - F.col("c_micro"))
-            * (F.col("r_micro") - F.col("c_micro"))
-        ).alias("d2")
-    )
-    best = d2.groupBy(id_col, "cid", "subspace").agg(
-        F.min(F.struct("d2", "code")).alias("__b")
-    )
-    return best.select(
-        id_col, "cid", "subspace", F.col("__b.code").alias("code")
-    )
+    return _encode_from_residuals(res, codebooks, id_col)
 
 
 def ivfpq_topk(
@@ -352,18 +405,11 @@ def ivfpq_topk(
         .select(query_id, "cid")
     )
 
-    # per-(query, probed-cell) residual LUT against the residual codebook
-    qlf = _long_form(
-        queries.select(query_id, vec_col), query_id, vec_col, m, sub_dim
-    )
-    qres = qlf.join(probes, query_id).join(
-        F.broadcast(centroids), ["cid", "subspace", "dim"]
-    ).select(
-        query_id,
-        "cid",
-        "subspace",
-        "dim",
-        (F.col("x_micro") - F.col("c_micro")).alias("r_micro"),
+    # per-(query, probed-cell) residual LUT against the residual
+    # codebook — same residual join as the corpus side (probes plays
+    # the assignment table: one row per (query, probed cell))
+    qres = _residual_lf(
+        queries, centroids, probes, m, sub_dim, query_id, vec_col
     )
     lut = (
         qres.join(F.broadcast(codebooks), ["subspace", "dim"])
@@ -393,6 +439,9 @@ def ivfpq_topk(
     # exact rerank of the shortlist only
     clf = _long_form(
         corpus.select(corpus_id, vec_col), corpus_id, vec_col, m, sub_dim
+    )
+    qlf = _long_form(
+        queries.select(query_id, vec_col), query_id, vec_col, m, sub_dim
     )
     qx = qlf.select(
         query_id, "subspace", "dim", F.col("x_micro").alias("q_micro")

@@ -239,6 +239,12 @@ def _direct_imports(relpath: str) -> set[str]:
             if node.level == 0:
                 if node.module and node.module.split(".")[0] == _PKG:
                     _add(node.module)
+                    # `from pkg.sub import mod` may name a SUBMODULE,
+                    # not a symbol — missing it would leave that
+                    # file's edits invisible to staleness (the one
+                    # direction of error this module must not have)
+                    for alias in node.names:
+                        _add(f"{node.module}.{alias.name}")
                 continue
             # relative: climb (level) packages from the module's own
             # package (__init__.py counts as the package itself)
@@ -248,6 +254,8 @@ def _direct_imports(relpath: str) -> set[str]:
                 continue
             if node.module:
                 _add(".".join(base + node.module.split(".")))
+                for alias in node.names:  # submodule aliases too
+                    _add(".".join(base + node.module.split(".") + [alias.name]))
             else:  # from . import x  -> each alias is a submodule
                 for alias in node.names:
                     _add(".".join(base + [alias.name]))

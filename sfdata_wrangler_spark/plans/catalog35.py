@@ -151,16 +151,13 @@ WHERE rank <= {_K}
 
 
 def _ivfpq_parts(spark: SparkSession, sf_dir: str):
-    from ..operators.pq import (
-        ivf_coarse_centroids,
-        ivfpq_codebooks,
-        ivfpq_encode,
-    )
+    from ..operators.pq import ivf_coarse_centroids, ivfpq_index
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = ivf_coarse_centroids(emb)
-    cb = ivfpq_codebooks(emb, cents, n_codes=_N_CODES)
-    enc = ivfpq_encode(emb, cents, cb)
+    # one shared build: codebooks and codes reuse the coarse
+    # assignment instead of re-running the n·L·d aggregation 3x
+    cb, enc = ivfpq_index(emb, cents, n_codes=_N_CODES)
     return emb, cents, cb, enc
 
 

@@ -144,3 +144,19 @@ def test_spark_surface_sums_match_numpy(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["n_components"] == 1
         assert r["sum_px"] == int(dec.astype(np.int64).sum())
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; parsers that read a length where the fill byte sits
+    misalign (code-review r7)."""
+    img = _tile_image(2, 16, 16)
+    blob = encode_baseline_jpeg(img)
+    base = decode_baseline_jpeg(blob)
+    # inject fill bytes before DQT, DHT and SOS markers
+    padded = (
+        blob.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+        .replace(b"\xff\xc4", b"\xff\xff\xff\xff\xc4", 1)
+        .replace(b"\xff\xda", b"\xff\xff\xda", 1)
+    )
+    assert (decode_baseline_jpeg(padded) == base).all()

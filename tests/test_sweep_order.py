@@ -162,3 +162,53 @@ def test_impl_changed_since_reads_manifest():
     assert _impl_changed_since(name, 2, fresh) is False
     # missing report timestamp -> not stale (fall back quietly)
     assert _impl_changed_since(name, 3, fresh) is False
+
+
+def test_freshness_manifest_is_current():
+    """SWEEP_FRESHNESS.json must cover every tracked package file with
+    a timestamp no older than its last commit — otherwise staleness
+    rotation silently misses exactly the files changed most recently
+    (regenerate with tools/update_sweep_freshness.py)."""
+    import subprocess
+
+    try:
+        log = subprocess.check_output(
+            ["git", "log", "--format=\x01%ct", "--name-only"],
+            cwd=_ROOT,
+            text=True,
+            stderr=subprocess.DEVNULL,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        import pytest
+
+        pytest.skip("git unavailable")
+    manifest = json.load(open(os.path.join(_ROOT, "SWEEP_FRESHNESS.json")))
+    files = manifest["files"]
+    ts = 0
+    last: dict[str, int] = {}
+    for line in log.splitlines():
+        if line.startswith("\x01"):
+            ts = int(line[1:])
+            continue
+        p = line.strip()
+        if (
+            p.startswith("sfdata_wrangler_spark/")
+            and p.endswith(".py")
+            and p not in last
+            and os.path.exists(os.path.join(_ROOT, p))
+        ):
+            last[p] = ts
+    missing = sorted(set(last) - set(files))
+    assert not missing, f"files absent from manifest: {missing[:5]}"
+    stale = sorted(p for p in last if files[p] < last[p])
+    assert not stale, f"manifest older than last commit for: {stale[:5]}"
+
+
+def test_import_closure_sees_from_package_import_submodule():
+    """`from ..streaming import funnel_stream` names a SUBMODULE via
+    the alias list — the closure must include funnel_stream.py, not
+    just streaming/__init__.py (code-review r7)."""
+    from sfdata_wrangler_spark.plans.catalog import _import_closure
+
+    closure = _import_closure("sfdata_wrangler_spark/plans/catalog35.py")
+    assert "sfdata_wrangler_spark/streaming/funnel_stream.py" in closure
