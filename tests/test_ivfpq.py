@@ -134,3 +134,23 @@ def test_coarse_assignment_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_encoded_table_partition_pruning(spark, tmp_path):
+    """The 100 TB serving path: ivfpq_encode's output written
+    PARTITIONED BY cid lets a query's probed-cell filter prune at the
+    SCAN (PartitionFilters), so unprobed lists are never read at all
+    — stronger than the broadcast-join drop the inline plan shows."""
+    from pyspark.sql import functions as F
+
+    emb = _clustered(spark)
+    cents, cb, enc = _index(spark, emb)
+    path = str(tmp_path / "ivfpq_codes")
+    enc.write.partitionBy("cid").parquet(path)
+
+    codes = spark.read.parquet(path).where(F.col("cid").isin(0, 2))
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:120]
+    assert "cid" in seg, seg
+    assert codes.select("cid").distinct().count() == 2
