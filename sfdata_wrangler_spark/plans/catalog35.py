@@ -41,12 +41,19 @@ lf AS MATERIALIZED (
 )
 """
 
-_IVFPQ_INDEX = f"""
+def _ivfpq_index_sql(train_pred: str = "TRUE") -> str:
+    """The shared index CTE chain. ``train_pred`` (over bare
+    ``vec_id``) restricts which vectors TRAIN the quantizers (coarse
+    centroids + residual codebooks); every vector is still assigned
+    and encoded against the trained tables — the frozen-quantizer
+    contract of incremental index maintenance."""
+    return f"""
 {_IVFPQ_LF},
 cc AS MATERIALIZED (
   SELECT e.label AS cid, l.subspace, l.dim,
          sum(l.x_micro) // count(*) AS c_micro
   FROM lf l JOIN embeddings e USING (vec_id)
+  WHERE {train_pred.replace('vec_id', 'l.vec_id')}
   GROUP BY 1, 2, 3
 ),
 ad AS MATERIALIZED (
@@ -72,7 +79,7 @@ res AS MATERIALIZED (
 cb AS MATERIALIZED (
   SELECT CAST(vec_id % {_N_CODES} AS INT) AS code, subspace, dim,
          sum(r_micro) // count(*) AS c_micro
-  FROM res GROUP BY 1, 2, 3
+  FROM res WHERE {train_pred} GROUP BY 1, 2, 3
 ),
 enc0 AS (
   SELECT r.vec_id, r.cid, r.subspace, c.code,
@@ -90,8 +97,13 @@ enc AS MATERIALIZED (
 )
 """
 
-_IVFPQ_TOPK_ORACLE = f"""
-WITH {_IVFPQ_INDEX},
+
+_IVFPQ_INDEX = _ivfpq_index_sql()
+
+
+def _ivfpq_search_sql(index_sql: str) -> str:
+    return f"""
+WITH {index_sql},
 probes AS MATERIALIZED (
   SELECT vec_id AS query_id, cid
   FROM (SELECT vec_id, cid,
@@ -148,6 +160,9 @@ FROM (SELECT query_id, vec_id, adc_d2, exact_d2,
       FROM exact)
 WHERE rank <= {_K}
 """
+
+
+_IVFPQ_TOPK_ORACLE = _ivfpq_search_sql(_IVFPQ_INDEX)
 
 
 def _ivfpq_parts(spark: SparkSession, sf_dir: str):
@@ -372,4 +387,63 @@ def mm_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_components",
         "sum_px",
+    )
+
+
+# ------------------------------------------------------------------ #
+# emb_ivfpq_incremental — frozen-quantizer index maintenance          #
+# ------------------------------------------------------------------ #
+
+_INC_BASE = 400  # vectors below train the quantizers; the rest append
+
+_IVFPQ_INC_ORACLE = _ivfpq_search_sql(
+    _ivfpq_index_sql(f"vec_id < {_INC_BASE}")
+)
+
+
+@_register("emb_ivfpq_incremental", _IVFPQ_INC_ORACLE)
+def emb_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ maintenance, the production append path: a
+    100 TB index is built ONCE (coarse centroids + residual codebooks
+    trained on the base corpus) and new batches are encoded against
+    the FROZEN quantizers — no retrain, one pass over the increment,
+    codes appended to the cid-partitioned table. Here the base
+    (vec_id < 400) trains, the tail appends via ivfpq_encode with the
+    base's tables, and search runs over the union — the oracle
+    restates the same split (train_pred in the shared CTE chain), so
+    the frozen-quantizer contract is hash-checked end to end. Sibling
+    of dd_incremental (the MinHash band-index append path)."""
+    from ..operators.pq import (
+        ivf_coarse_centroids,
+        ivfpq_encode,
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < _INC_BASE)
+    inc = emb.where(F.col("vec_id") >= _INC_BASE)
+    cents = ivf_coarse_centroids(base)
+    cb, enc_base = ivfpq_index(base, cents, n_codes=_N_CODES)
+    enc_inc = ivfpq_encode(inc, cents, cb)
+    enc = enc_base.unionByName(enc_inc)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        queries,
+        enc,
+        cents,
+        cb,
+        emb,
+        k=_K,
+        n_probe=_N_PROBE,
+        shortlist=_SHORTLIST,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("adc_d2").cast("bigint").alias("adc_d2"),
+        F.col("exact_d2").cast("bigint").alias("exact_d2"),
+        F.col("rank").cast("int").alias("rank"),
     )
