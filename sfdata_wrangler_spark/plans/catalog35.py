@@ -447,3 +447,45 @@ def emb_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_d2").cast("bigint").alias("exact_d2"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ------------------------------------------------------------------ #
+# emb_ivfpq_stats — inverted-list balance telemetry                   #
+# ------------------------------------------------------------------ #
+
+
+@_register(
+    "emb_ivfpq_stats",
+    f"""
+    WITH {{index_sql}},
+    sizes AS (
+      SELECT cid, count(*) AS n_vecs FROM assign GROUP BY cid
+    ),
+    tot AS (SELECT sum(n_vecs) AS n FROM sizes)
+    SELECT CAST(s.cid AS BIGINT) AS cid,
+           CAST(s.n_vecs AS BIGINT) AS n_vecs,
+           CAST(s.n_vecs * 1000000 // t.n AS BIGINT) AS share_ppm
+    FROM sizes s, tot t
+    """.format(index_sql=_ivfpq_index_sql()),
+)
+def emb_ivfpq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance: per coarse cell, how many vectors
+    landed there and its corpus share in exact ppm — the number to
+    check BEFORE deploying an IVF index (a hot cell is a straggler
+    probe and a recall sink, the ANN-family sibling of
+    operators/skew.skew_report). Cell-sized output; one coarse
+    assignment pass."""
+    from ..operators.pq import _coarse_assign, ivf_coarse_centroids, ivf_coarse_distances
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_coarse_centroids(emb)
+    assign = _coarse_assign(ivf_coarse_distances(emb, cents), "vec_id")
+    sizes = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    total = sizes.agg(F.sum("n_vecs").alias("__n"))
+    return sizes.crossJoin(F.broadcast(total)).select(
+        F.col("cid").cast("bigint").alias("cid"),
+        "n_vecs",
+        F.expr("n_vecs * 1000000 div __n").cast("bigint").alias("share_ppm"),
+    )
