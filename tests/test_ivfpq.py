@@ -154,3 +154,39 @@ def test_encoded_table_partition_pruning(spark, tmp_path):
     seg = plan.split("PartitionFilters")[1][:120]
     assert "cid" in seg, seg
     assert codes.select("cid").distinct().count() == 2
+
+
+def test_search_against_stored_index_matches_inline(spark, tmp_path):
+    """Production flow: build once with ivfpq_index, store codes
+    (partitioned by cid), centroids and codebooks; serve searches
+    from the STORED tables. Results must match the inline build
+    bit-for-bit, and the probed-cell filter must reach the code
+    table's scan as a partition filter."""
+    from pyspark.sql import functions as F
+
+    from sfdata_wrangler_spark.operators.pq import ivf_coarse_centroids, ivfpq_index
+
+    emb = _clustered(spark)
+    cents = ivf_coarse_centroids(emb, m=2, sub_dim=8)
+    cb, enc = ivfpq_index(emb, cents, n_codes=4, m=2, sub_dim=8)
+    enc.write.partitionBy("cid").parquet(str(tmp_path / "codes"))
+    cents.write.parquet(str(tmp_path / "cents"))
+    cb.write.parquet(str(tmp_path / "cb"))
+
+    codes_stored = spark.read.parquet(str(tmp_path / "codes"))
+    cents_stored = spark.read.parquet(str(tmp_path / "cents"))
+    cb_stored = spark.read.parquet(str(tmp_path / "cb"))
+
+    queries = emb.where(F.col("vec_id").isin(0, 100)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inline = ivfpq_topk(
+        queries, enc, cents, cb, emb, k=3, n_probe=2, m=2, sub_dim=8
+    )
+    stored = ivfpq_topk(
+        queries, codes_stored, cents_stored, cb_stored, emb,
+        k=3, n_probe=2, m=2, sub_dim=8,
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
