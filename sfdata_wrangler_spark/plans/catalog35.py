@@ -489,3 +489,56 @@ def emb_ivfpq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         F.expr("n_vecs * 1000000 div __n").cast("bigint").alias("share_ppm"),
     )
+
+
+# ------------------------------------------------------------------ #
+# txt_nfc_normalize — Unicode canonicalization before dedup keys      #
+# ------------------------------------------------------------------ #
+
+
+@_register(
+    "txt_nfc_normalize",
+    """
+    WITH decorated AS (
+      SELECT doc_id,
+             text || ' caf' || chr(101) || chr(769)
+                  || ' ' || chr(65) || chr(776)
+                  || ' ' || chr(4352) || chr(4449) || chr(4520) AS raw
+      FROM documents WHERE doc_id < 500
+    ),
+    n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM decorated)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(length(nfc) AS BIGINT) AS len_nfc,
+           md5(nfc) AS nfc_md5
+    FROM n
+    """,
+)
+def txt_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (functions/unicode_norm.py): the
+    dedup-key prerequisite for crawl corpora that mix composed and
+    decomposed forms. Each document is decorated with decomposed
+    sequences — e + combining acute, A + combining diaeresis, and a
+    decomposed Hangul syllable (conjoining jamo) — then NFC-composed;
+    the oracle runs DuckDB's nfc_normalize over the same bytes.
+    Parity holds by the Unicode stability policy, so the md5 of the
+    normalized text hash-checks the full composition behavior, and
+    the length drop (3 chars per doc here) pins that composition
+    actually happened. Map-only projection, Arrow-batched."""
+    from ..functions.unicode_norm import nfc
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" caf" + chr(101) + chr(769)),
+        F.lit(" " + chr(65) + chr(776)),
+        F.lit(" " + chr(4352) + chr(4449) + chr(4520)),
+    )
+    d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), raw.alias("raw"))
+    n = d.select("doc_id", "raw", nfc(F.col("raw")).alias("nfc"))
+    return n.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("len_raw"),
+        F.length("nfc").cast("bigint").alias("len_nfc"),
+        F.md5(F.col("nfc")).alias("nfc_md5"),
+    )
