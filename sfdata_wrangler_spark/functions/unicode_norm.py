@@ -25,27 +25,24 @@ import unicodedata
 
 import pandas as pd
 from pyspark.sql import Column
-from pyspark.sql import functions as F
 
 _FORMS = ("NFC", "NFKC", "NFD", "NFKD")
-_UDFS: dict[str, object] = {}
 
 
 def _udf_for(form: str):
-    """pandas_udf construction is deferred (needs no live session,
-    but building one per call would re-register the function)."""
-    if form not in _UDFS:
-        from pyspark.sql.functions import pandas_udf
+    """Built per call on purpose: a pandas_udf lazily binds its Java
+    handle to the session that first evaluates it, so a module-level
+    cache would go stale (dead-JVM py4j errors) after a session
+    restart in a long-lived driver. Construction is cheap — a column
+    expression registers nothing."""
+    from pyspark.sql.functions import pandas_udf
 
-        def _norm(s: pd.Series) -> pd.Series:
-            return s.map(
-                lambda x: None
-                if x is None
-                else unicodedata.normalize(form, x)
-            )
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
 
-        _UDFS[form] = pandas_udf(_norm, "string")
-    return _UDFS[form]
+    return pandas_udf(_norm, "string")
 
 
 def unicode_normalize(col: Column, form: str = "NFC") -> Column:
@@ -68,7 +65,6 @@ def nfkc(col: Column) -> Column:
 
 def is_nfc(col: Column) -> Column:
     """True when the value is already NFC — the cheap audit column
-    (count the violators before paying for a rewrite)."""
-    return F.when(col.isNull(), F.lit(None)).otherwise(
-        col == unicode_normalize(col, "NFC")
-    )
+    (count the violators before paying for a rewrite). Null input
+    yields null via SQL null-equality semantics."""
+    return col == unicode_normalize(col, "NFC")

@@ -41,19 +41,22 @@ lf AS MATERIALIZED (
 )
 """
 
-def _ivfpq_index_sql(train_pred: str = "TRUE") -> str:
-    """The shared index CTE chain. ``train_pred`` (over bare
-    ``vec_id``) restricts which vectors TRAIN the quantizers (coarse
-    centroids + residual codebooks); every vector is still assigned
-    and encoded against the trained tables — the frozen-quantizer
-    contract of incremental index maintenance."""
+def _ivfpq_assign_sql(train_pred: str = "TRUE") -> str:
+    """lf -> coarse centroids -> all-pairs distances -> assignment.
+    ``train_pred`` is a template over the placeholder ``{col}``
+    (e.g. ``"{col} < 400"``) naming which vectors TRAIN the
+    quantizers — a placeholder, not a textual rewrite, so qualified
+    or composite predicates can't be silently corrupted. Split from
+    the encode chain because DuckDB EXECUTES unreferenced
+    MATERIALIZED CTEs: assignment-only consumers (emb_ivfpq_stats)
+    must not pay the encode blowup."""
     return f"""
 {_IVFPQ_LF},
 cc AS MATERIALIZED (
   SELECT e.label AS cid, l.subspace, l.dim,
          sum(l.x_micro) // count(*) AS c_micro
   FROM lf l JOIN embeddings e USING (vec_id)
-  WHERE {train_pred.replace('vec_id', 'l.vec_id')}
+  WHERE {train_pred.format(col='l.vec_id')}
   GROUP BY 1, 2, 3
 ),
 ad AS MATERIALIZED (
@@ -68,7 +71,17 @@ assign AS MATERIALIZED (
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         FROM ad)
   WHERE rn = 1
-),
+)
+"""
+
+
+def _ivfpq_index_sql(train_pred: str = "TRUE") -> str:
+    """Assignment chain + residual-PQ encode: the full index build.
+    Every vector is assigned and encoded against quantizers trained
+    on the ``train_pred`` subset — the frozen-quantizer contract of
+    incremental index maintenance."""
+    return f"""
+{_ivfpq_assign_sql(train_pred).rstrip()},
 res AS MATERIALIZED (
   SELECT l.vec_id, a.cid, l.subspace, l.dim,
          l.x_micro - c.c_micro AS r_micro
@@ -79,7 +92,7 @@ res AS MATERIALIZED (
 cb AS MATERIALIZED (
   SELECT CAST(vec_id % {_N_CODES} AS INT) AS code, subspace, dim,
          sum(r_micro) // count(*) AS c_micro
-  FROM res WHERE {train_pred} GROUP BY 1, 2, 3
+  FROM res WHERE {train_pred.format(col='vec_id')} GROUP BY 1, 2, 3
 ),
 enc0 AS (
   SELECT r.vec_id, r.cid, r.subspace, c.code,
@@ -397,7 +410,7 @@ def mm_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_BASE = 400  # vectors below train the quantizers; the rest append
 
 _IVFPQ_INC_ORACLE = _ivfpq_search_sql(
-    _ivfpq_index_sql(f"vec_id < {_INC_BASE}")
+    _ivfpq_index_sql(f"{{col}} < {_INC_BASE}")
 )
 
 
@@ -466,7 +479,7 @@ def emb_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.n_vecs AS BIGINT) AS n_vecs,
            CAST(s.n_vecs * 1000000 // t.n AS BIGINT) AS share_ppm
     FROM sizes s, tot t
-    """.format(index_sql=_ivfpq_index_sql()),
+    """.format(index_sql=_ivfpq_assign_sql()),
 )
 def emb_ivfpq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list balance: per coarse cell, how many vectors
@@ -523,7 +536,8 @@ def txt_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle runs DuckDB's nfc_normalize over the same bytes.
     Parity holds by the Unicode stability policy, so the md5 of the
     normalized text hash-checks the full composition behavior, and
-    the length drop (3 chars per doc here) pins that composition
+    the length drop (4 chars per doc here: two accents compose,
+    the L+V+T jamo triple becomes one syllable) pins that composition
     actually happened. Map-only projection, Arrow-batched."""
     from ..functions.unicode_norm import nfc
 

@@ -150,9 +150,11 @@ def test_encoded_table_partition_pruning(spark, tmp_path):
 
     codes = spark.read.parquet(path).where(F.col("cid").isin(0, 2))
     plan = codes._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    seg = plan.split("PartitionFilters")[1][:120]
-    assert "cid" in seg, seg
+    # assert on the BRACKET CONTENT: "PartitionFilters: [], Pushed
+    # Filters: [In(cid,...)]" would pass a substring-window check
+    # while pruning nothing (code-review r7)
+    part = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cid" in part and part.strip(), part
     assert codes.select("cid").distinct().count() == 2
 
 
@@ -190,3 +192,10 @@ def test_search_against_stored_index_matches_inline(spark, tmp_path):
     assert sorted(map(tuple, inline.collect())) == sorted(
         map(tuple, stored.collect())
     )
+    # the stored code table must reach the ADC join without any
+    # cid/code shuffle (LUT broadcasts), same pin as the inline plan
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "cid" not in line and "code" not in line, line
