@@ -182,15 +182,18 @@ def sample_video_frames(
     mapInPandas yielding more rows than it receives).
 
     Real frame sampling lives in :func:`.video_avi.sample_avi_frames`
-    (genuine RIFF/AVI chunk walk); general codecs (MP4 etc.) need
-    ffmpeg, absent from this container, so the default here raises.
-    ``fake=True`` keeps the deterministic synthetic sampler for
-    plumbing tests over arbitrary payload bytes."""
+    (uncompressed DIB) and :func:`.video_mjpeg.sample_mjpeg_frames`
+    (Motion-JPEG, full baseline-JPEG decode per sampled frame) —
+    both genuine RIFF/AVI chunk walks. INTER-CODED codecs (H.264/MP4
+    etc.) need ffmpeg, absent from this container, so the default
+    here raises. ``fake=True`` keeps the deterministic synthetic
+    sampler for plumbing tests over arbitrary payload bytes."""
     if not fake:
         raise NotImplementedError(
-            "real frame sampling needs ffmpeg for general codecs; use "
-            "video_avi.sample_avi_frames for AVI, or fake=True for the "
-            "synthetic plumbing path"
+            "real frame sampling needs ffmpeg for inter-coded codecs; "
+            "use video_avi.sample_avi_frames (DIB) or "
+            "video_mjpeg.sample_mjpeg_frames (MJPEG) for AVI, or "
+            "fake=True for the synthetic plumbing path"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

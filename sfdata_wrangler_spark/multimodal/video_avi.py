@@ -158,10 +158,13 @@ def parse_avi(blob: bytes) -> tuple[int, int, int, int, list[tuple[int, int]]]:
                         elif cc3 == b"strf":
                             _, w, h = struct.unpack_from("<Iii", blob, p3)
         elif list_type == b"movi":
+            # 00db = uncompressed DIB frame, 00dc = compressed frame
+            # (MJPEG etc. — decoded by .video_mjpeg); both index the
+            # same stream positions
             frames = [
                 (p2, s2)
                 for cc2, p2, s2 in _walk_chunks(blob, p + 4, p + size)
-                if cc2 == b"00db"
+                if cc2 in (b"00db", b"00dc")
             ]
     if w is None or fps is None or n_frames is None:
         raise ValueError("malformed AVI: missing hdrl headers")

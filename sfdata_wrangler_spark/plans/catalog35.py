@@ -556,3 +556,65 @@ def txt_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("nfc").cast("bigint").alias("len_nfc"),
         F.md5(F.col("nfc")).alias("nfc_md5"),
     )
+
+
+# ------------------------------------------------------------------ #
+# mm_video_mjpeg — REAL compressed video decode (MJPEG in RIFF/AVI)  #
+# ------------------------------------------------------------------ #
+
+
+@_register(
+    "mm_video_mjpeg",
+    """
+    WITH ids AS (
+      SELECT CAST(event_id AS BIGINT) AS m
+      FROM events WHERE event_id < 150
+    ),
+    clips AS (
+      SELECT m, 16 + (m % 3) * 8 AS w, 16 + (m % 2) * 8 AS h,
+             3 + (m % 3) AS n
+      FROM ids
+    ),
+    fr AS (SELECT m, w, h, unnest(range(0, n, 2)) AS t FROM clips),
+    blocks AS (
+      SELECT m, w, h, t, bx, unnest(range(0, h // 8)) AS by
+      FROM (SELECT m, w, h, t, unnest(range(0, w // 8)) AS bx FROM fr)
+    ),
+    tiles AS (
+      SELECT m, w, h, t,
+             LEAST(255, GREATEST(0,
+               2 * CAST(floor((((m * 7 + bx * 13 + by * 29 + t * 31) % 256)
+                               - 127) / 2.0) AS BIGINT) + 128)) AS px
+      FROM blocks
+    )
+    SELECT m AS media_id,
+           CAST(t AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(sum(64 * px) AS BIGINT) AS sum_px
+    FROM tiles GROUP BY m, t, w, h
+    """,
+)
+def mm_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video frame sampling (multimodal/video_mjpeg):
+    Motion-JPEG clips — the RIFF/AVI container with one complete
+    baseline JPEG per 00dc chunk, handler and biCompression 'MJPG' —
+    sampled every 2nd frame; ONLY sampled chunks are entropy-decoded
+    (the 1-fps-from-each-clip training-data shape). Decode runs the
+    full image_jpeg marker/Huffman/IDCT path per frame; uniform-tile
+    frames keep the lossy pipeline in closed form (same device as
+    mm_image_jpeg), so per-frame pixel sums hash-check. The honest
+    NotImplementedError surface is now inter-coded video only
+    (H.264/MP4 — no ffmpeg in the container)."""
+    from ..multimodal.video_mjpeg import sample_mjpeg_frames, synth_mjpeg_corpus
+
+    from .catalog import _events
+
+    ids = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") < 150)
+        .select(F.col("event_id").cast("bigint").alias("media_id"))
+    )
+    return sample_mjpeg_frames(synth_mjpeg_corpus(ids), every=2).select(
+        "media_id", "frame_idx", "width", "height", "sum_px"
+    )
