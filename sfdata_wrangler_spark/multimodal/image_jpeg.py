@@ -270,25 +270,91 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
-def encode_baseline_jpeg(img: np.ndarray) -> bytes:
+def _encode_block(plane: np.ndarray, y0: int, x0: int, pred: int,
+                  wtr: _BitWriter, q2d: np.ndarray) -> int:
+    """DCT/quantize/entropy-encode one 8x8 block (edge-replicated at
+    plane borders); returns the new DC predictor."""
+    ph, pw = plane.shape
+    ys = np.minimum(np.arange(y0, y0 + 8), ph - 1)
+    xs = np.minimum(np.arange(x0, x0 + 8), pw - 1)
+    block = plane[np.ix_(ys, xs)].astype(np.float64) - 128.0
+    qc = _quantize(_M @ block @ _M.T, q2d)
+    diff = int(qc[0, 0]) - pred
+    s, amp = _magnitude(diff)
+    code, length = _DC_ENC[s]
+    wtr.write(code, length)
+    if s:
+        wtr.write(amp, s)
+    zz = [int(qc.flat[ZIGZAG[k]]) for k in range(1, 64)]
+    run = 0
+    last_nz = max((i for i, v in enumerate(zz) if v), default=-1)
+    for i, v in enumerate(zz):
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = _AC_ENC[0xF0]  # ZRL
+            wtr.write(code, length)
+            run -= 16
+        s, amp = _magnitude(v)
+        code, length = _AC_ENC[(run << 4) | s]
+        wtr.write(code, length)
+        wtr.write(amp, s)
+        run = 0
+    if last_nz < 62:
+        code, length = _AC_ENC[0x00]  # EOB
+        wtr.write(code, length)
+    return int(qc[0, 0])
+
+
+def _downsample2(comp: np.ndarray) -> np.ndarray:
+    """2x2 box downsample with integer round-half-up (edge-replicate
+    odd dims first) — the 4:2:0 chroma path. Constant 2x2 regions
+    survive exactly, which is what keeps the macro-tile corpus in
+    closed form."""
+    h, w = comp.shape
+    if h % 2:
+        comp = np.vstack([comp, comp[-1:, :]])
+    if w % 2:
+        comp = np.hstack([comp, comp[:, -1:]])
+    c = comp.astype(np.int64)
+    s = c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]
+    return ((s + 2) // 4).astype(np.uint8)
+
+
+def encode_baseline_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
     """(h, w) uint8 grayscale or (h, w, 3) uint8 planes-as-components
-    (4:4:4, no color transform — components are stored verbatim) ->
-    baseline JFIF bytes. Edge blocks pad by edge replication."""
+    (no color transform — components are stored verbatim; compose
+    with :func:`rgb_to_ycbcr` for JFIF color) -> baseline JFIF bytes.
+    ``subsample=True`` (3-component only) writes 4:2:0 — Y at 2x2
+    sampling, chroma box-downsampled — the layout virtually every
+    real-world photo uses. Edge blocks pad by edge replication."""
     if img.ndim == 2:
         comps = [img]
     else:
-        comps = [img[:, :, c] for c in range(img.shape[2])]
+        comps = [np.ascontiguousarray(img[:, :, c]) for c in range(img.shape[2])]
+    nc = len(comps)
+    if subsample and nc != 3:
+        raise ValueError("4:2:0 subsampling needs exactly 3 components")
     h, w = comps[0].shape
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * nc
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    planes = [
+        comp if (hi, vi) == (hmax, vmax) else _downsample2(comp)
+        for comp, (hi, vi) in zip(comps, samp)
+    ]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     zz_q = bytes(int(QTABLE[ZIGZAG[k]]) for k in range(64))
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q  # DQT id 0
-    nc = len(comps)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for cid in range(nc):
-        out += bytes([cid + 1, 0x11, 0])  # 1x1 sampling, qtable 0
+        hi, vi = samp[cid]
+        out += bytes([cid + 1, (hi << 4) | vi, 0])
     for cls, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
         payload = bytes([cls << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
@@ -300,45 +366,22 @@ def encode_baseline_jpeg(img: np.ndarray) -> bytes:
     q2d = QTABLE.reshape(8, 8).astype(np.float64)
     wtr = _BitWriter()
     pred = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, comp in enumerate(comps):
-                # edge replication pad
-                ys = np.minimum(np.arange(by * 8, by * 8 + 8), h - 1)
-                xs = np.minimum(np.arange(bx * 8, bx * 8 + 8), w - 1)
-                block = comp[np.ix_(ys, xs)].astype(np.float64) - 128.0
-                coef = _M @ block @ _M.T
-                qc = _quantize(coef, q2d)
-                # DC DPCM
-                diff = int(qc[0, 0]) - pred[ci]
-                pred[ci] = int(qc[0, 0])
-                s, amp = _magnitude(diff)
-                code, length = _DC_ENC[s]
-                wtr.write(code, length)
-                if s:
-                    wtr.write(amp, s)
-                # AC run/size
-                zz = [int(qc.flat[ZIGZAG[k]]) for k in range(1, 64)]
-                run = 0
-                last_nz = max((i for i, v in enumerate(zz) if v), default=-1)
-                for i, v in enumerate(zz):
-                    if i > last_nz:
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = _AC_ENC[0xF0]  # ZRL
-                        wtr.write(code, length)
-                        run -= 16
-                    s, amp = _magnitude(v)
-                    code, length = _AC_ENC[(run << 4) | s]
-                    wtr.write(code, length)
-                    wtr.write(amp, s)
-                    run = 0
-                if last_nz < 62:
-                    code, length = _AC_ENC[0x00]  # EOB
-                    wtr.write(code, length)
+    mcw = (w + 8 * hmax - 1) // (8 * hmax)
+    mch = (h + 8 * vmax - 1) // (8 * vmax)
+    for my in range(mch):
+        for mx in range(mcw):
+            for ci in range(nc):
+                hi, vi = samp[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        pred[ci] = _encode_block(
+                            planes[ci],
+                            (my * vi + v) * 8,
+                            (mx * hi + u) * 8,
+                            pred[ci],
+                            wtr,
+                            q2d,
+                        )
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"  # EOI
@@ -387,9 +430,9 @@ def _parse_jpeg(blob: bytes):
             nc = seg[5]
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                if not (1 <= samp >> 4 <= 2 and 1 <= samp & 0xF <= 2):
                     raise ValueError(
-                        "only 4:4:4 (1x1 sampling) supported"
+                        "sampling factors beyond 2x2 unsupported"
                     )
                 comps.append((cid, samp, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
@@ -421,44 +464,61 @@ def _parse_jpeg(blob: bytes):
 
     if not comps or h == 0:
         raise ValueError("missing SOF0 before SOS")
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(s >> 4 for _, s, _ in comps)
+    vmax = max(s & 0xF for _, s, _ in comps)
+    mcw = (w + 8 * hmax - 1) // (8 * hmax)
+    mch = (h + 8 * vmax - 1) // (8 * vmax)
     rdr = _BitReader(data, pos)
     pred = {cid: 0 for cid, _, _ in comps}
+    # per-comp block grid in COMPONENT-PLANE coordinates (the MCU
+    # scan covers mch*vi rows x mcw*hi cols of 8x8 blocks per comp)
     blocks: dict[int, list[list[np.ndarray]]] = {
-        cid: [[None] * bw for _ in range(bh)] for cid, _, _ in comps
+        cid: [
+            [None] * (mcw * (s >> 4)) for _ in range(mch * (s & 0xF))
+        ]
+        for cid, s, _ in comps
     }
     sel_by_cid = {cid: (d, a) for cid, d, a in sel}
+
+    def _one_block(d_id: int, a_id: int, cid: int) -> np.ndarray:
+        qc = np.zeros(64, dtype=np.int64)
+        s = rdr.huff(dc_tabs[d_id])
+        diff = _extend(rdr.bits(s), s) if s else 0
+        pred[cid] += diff
+        qc[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = rdr.huff(ac_tabs[a_id])
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            s = rs & 0xF
+            if k > 63:
+                raise ValueError("AC index overrun")
+            qc[k] = _extend(rdr.bits(s), s)
+            k += 1
+        dz = np.zeros((8, 8), dtype=np.int64)
+        for kk in range(64):
+            dz.flat[ZIGZAG[kk]] = qc[kk]
+        return dz
+
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mch):
+        for mx in range(mcw):
             if restart and mcu and mcu % restart == 0:
                 rdr.align_restart()
                 pred = {cid: 0 for cid, _, _ in comps}
-            for cid, _, _tq in comps:
+            for cid, samp, _tq in comps:
+                hi, vi = samp >> 4, samp & 0xF
                 d_id, a_id = sel_by_cid[cid]
-                qc = np.zeros(64, dtype=np.int64)
-                s = rdr.huff(dc_tabs[d_id])
-                diff = _extend(rdr.bits(s), s) if s else 0
-                pred[cid] += diff
-                qc[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    rs = rdr.huff(ac_tabs[a_id])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    s = rs & 0xF
-                    if k > 63:
-                        raise ValueError("AC index overrun")
-                    qc[k] = _extend(rdr.bits(s), s)
-                    k += 1
-                dz = np.zeros((8, 8), dtype=np.int64)
-                for kk in range(64):
-                    dz.flat[ZIGZAG[kk]] = qc[kk]
-                blocks[cid][by][bx] = dz
+                for v in range(vi):
+                    for u in range(hi):
+                        blocks[cid][my * vi + v][mx * hi + u] = _one_block(
+                            d_id, a_id, cid
+                        )
             mcu += 1
     return h, w, comps, qtables, blocks
 
@@ -466,24 +526,63 @@ def _parse_jpeg(blob: bytes):
 def decode_baseline_jpeg(blob: bytes) -> np.ndarray:
     """JFIF bytes -> (h, w) uint8 (1 component) or (h, w, n) uint8.
     Components are returned verbatim (the encoder stores planes with
-    no color transform)."""
+    no color transform; compose with :func:`ycbcr_to_rgb` for JFIF
+    color). Subsampled components (4:2:0) are reconstructed at their
+    native resolution and upsampled by replication to full size."""
     h, w, comps, qtables, blocks = _parse_jpeg(blob)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(s >> 4 for _, s, _ in comps)
+    vmax = max(s & 0xF for _, s, _ in comps)
     planes = []
-    for cid, _, tq in comps:
+    for cid, samp, tq in comps:
+        hi, vi = samp >> 4, samp & 0xF
+        grid = blocks[cid]
+        n_brows, n_bcols = len(grid), len(grid[0])
         q2d = qtables[tq].reshape(8, 8).astype(np.float64)
-        full = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        for by in range(bh):
-            for bx in range(bw):
-                deq = blocks[cid][by][bx].astype(np.float64) * q2d
+        full = np.zeros((n_brows * 8, n_bcols * 8), dtype=np.float64)
+        for by in range(n_brows):
+            for bx in range(n_bcols):
+                deq = grid[by][bx].astype(np.float64) * q2d
                 px = _M.T @ deq @ _M + 128.0
                 full[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-        planes.append(
-            np.clip(np.floor(full[:h, :w] + 0.5), 0, 255).astype(np.uint8)
-        )
+        plane = np.clip(np.floor(full + 0.5), 0, 255).astype(np.uint8)
+        # crop to the component's native dims, then replicate-upsample
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        plane = plane[:ch, :cw]
+        if (hi, vi) != (hmax, vmax):
+            ys = (np.arange(h) * vi) // vmax
+            xs = (np.arange(w) * hi) // hmax
+            plane = plane[np.ix_(ys, xs)]
+        else:
+            plane = plane[:h, :w]
+        planes.append(plane)
     if len(planes) == 1:
         return planes[0]
     return np.stack(planes, axis=-1)
+
+
+# JFIF color transform (ITU-R BT.601 full-range), round-half-up on
+# both sides — compose with encode/decode when components are RGB
+def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
+    y = img[:, :, 0].astype(np.float64)
+    cb = img[:, :, 1].astype(np.float64) - 128.0
+    cr = img[:, :, 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
 def decode_quantized_blocks(blob: bytes):
@@ -550,3 +649,74 @@ def decode_jpeg(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(gen, JPEG_META_SCHEMA)
+
+
+JPEG3_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_c1", LongType()),
+        StructField("sum_c2", LongType()),
+        StructField("sum_c3", LongType()),
+    ]
+)
+
+
+def _macro_tile_image(m: int, w: int, h: int) -> np.ndarray:
+    """3-component image of uniform 16x16 macro-tiles: channel c of
+    tile (bx, by) = (m*7 + bx*13 + by*29 + c*41) % 256. Constant
+    macroblocks make 4:2:0 EXACT: the 2x2 chroma box average of a
+    constant is that constant, every 8x8 block (Y and chroma) is
+    DC-only, and replication-upsampling restores the same value."""
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for by in range(h // 16):
+        for bx in range(w // 16):
+            for c in range(3):
+                img[
+                    by * 16 : by * 16 + 16, bx * 16 : bx * 16 + 16, c
+                ] = (m * 7 + bx * 13 + by * 29 + c * 41) % 256
+    return img
+
+
+def _dims420(m: int) -> tuple[int, int]:
+    return 32 + (m % 3) * 16, 16 + (m % 2) * 16
+
+
+def synth_jpeg420_corpus(ids: DataFrame) -> DataFrame:
+    """(media_id) -> (media_id, content: real 4:2:0 baseline JPEG)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = _dims420(m)
+                out["media_id"].append(m)
+                out["content"].append(
+                    encode_baseline_jpeg(
+                        _macro_tile_image(m, w, h), subsample=True
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(gen, JPEG_BLOB_SCHEMA)
+
+
+def decode_jpeg_channels(blobs: DataFrame) -> DataFrame:
+    """(media_id, content) -> dims + exact PER-CHANNEL pixel sums
+    for 3-component JPEGs (the 4:2:0 audit surface)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in JPEG3_META_SCHEMA.fields}
+            for m, blob in zip(pdf["media_id"], pdf["content"]):
+                px = decode_baseline_jpeg(bytes(blob)).astype(np.int64)
+                out["media_id"].append(int(m))
+                out["width"].append(int(px.shape[1]))
+                out["height"].append(int(px.shape[0]))
+                for c in range(3):
+                    out[f"sum_c{c + 1}"].append(int(px[:, :, c].sum()))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(gen, JPEG3_META_SCHEMA)

@@ -618,3 +618,65 @@ def mm_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_mjpeg_frames(synth_mjpeg_corpus(ids), every=2).select(
         "media_id", "frame_idx", "width", "height", "sum_px"
     )
+
+
+# ------------------------------------------------------------------ #
+# mm_image_jpeg420 — 4:2:0 chroma-subsampled decode                   #
+# ------------------------------------------------------------------ #
+
+
+@_register(
+    "mm_image_jpeg420",
+    """
+    WITH ids AS (
+      SELECT CAST(event_id AS BIGINT) AS m
+      FROM events WHERE event_id < 150
+    ),
+    dims AS (
+      SELECT m, 32 + (m % 3) * 16 AS w, 16 + (m % 2) * 16 AS h FROM ids
+    ),
+    blocks AS (
+      SELECT m, w, h, bx, unnest(range(0, h // 16)) AS by
+      FROM (SELECT m, w, h, unnest(range(0, w // 16)) AS bx FROM dims)
+    ),
+    tiles AS (
+      SELECT m, w, h, c,
+             LEAST(255, GREATEST(0,
+               2 * CAST(floor((((m * 7 + bx * 13 + by * 29 + c * 41) % 256)
+                               - 127) / 2.0) AS BIGINT) + 128)) AS px
+      FROM blocks, (SELECT unnest(range(0, 3)) AS c)
+    ),
+    sums AS (
+      SELECT m, w, h, c, sum(256 * px) AS s
+      FROM tiles GROUP BY m, w, h, c
+    )
+    SELECT m AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(max(CASE WHEN c = 0 THEN s END) AS BIGINT) AS sum_c1,
+           CAST(max(CASE WHEN c = 1 THEN s END) AS BIGINT) AS sum_c2,
+           CAST(max(CASE WHEN c = 2 THEN s END) AS BIGINT) AS sum_c3
+    FROM sums GROUP BY m, w, h
+    """,
+)
+def mm_image_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled baseline JPEG — the layout virtually
+    every real-world photo uses: Y at 2x2 sampling, chroma
+    box-downsampled, interleaved 16x16 MCUs (4 Y + Cb + Cr blocks
+    each). Uniform 16x16 macro-tiles keep the WHOLE pipeline exact —
+    the 2x2 box average of a constant is that constant, every block
+    is DC-only, replication-upsampling restores the value — so
+    per-channel pixel sums hash-check in closed form (same px formula
+    as mm_image_jpeg). Decoder handles any 1x1..2x2 sampling grid."""
+    from ..multimodal.image_jpeg import decode_jpeg_channels, synth_jpeg420_corpus
+
+    from .catalog import _events
+
+    ids = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") < 150)
+        .select(F.col("event_id").cast("bigint").alias("media_id"))
+    )
+    return decode_jpeg_channels(synth_jpeg420_corpus(ids)).select(
+        "media_id", "width", "height", "sum_c1", "sum_c2", "sum_c3"
+    )

@@ -160,3 +160,48 @@ def test_fill_bytes_before_markers_are_skipped():
         .replace(b"\xff\xda", b"\xff\xff\xda", 1)
     )
     assert (decode_baseline_jpeg(padded) == base).all()
+
+
+def test_420_macro_tiles_equal_444_exactly():
+    """Constant 16x16 macroblocks survive 4:2:0 bit-for-bit: the 2x2
+    chroma box average of a constant is that constant and every block
+    is DC-only, so subsampled and full-resolution encodes decode to
+    the identical image."""
+    from sfdata_wrangler_spark.multimodal.image_jpeg import _macro_tile_image
+
+    for m in (0, 3, 8):
+        w, h = 48, 32
+        img = _macro_tile_image(m, w, h)
+        d420 = decode_baseline_jpeg(encode_baseline_jpeg(img, subsample=True))
+        d444 = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        assert (d420 == d444).all()
+
+
+def test_420_roundtrip_shapes_and_y_plane_parity():
+    """4:2:0 Y is NOT subsampled: its decoded plane must equal the
+    4:4:4 decode of the same single-channel image; odd dims crop."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (13, 21, 3), dtype=np.int64).astype(np.uint8)
+    d = decode_baseline_jpeg(encode_baseline_jpeg(img, subsample=True))
+    assert d.shape == (13, 21, 3)
+    y_only = decode_baseline_jpeg(encode_baseline_jpeg(img[:, :, 0]))
+    assert (d[:, :, 0] == y_only).all()
+
+
+def test_ycbcr_transform_roundtrip_bound():
+    from sfdata_wrangler_spark.multimodal.image_jpeg import (
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.int64).astype(np.uint8)
+    rt = ycbcr_to_rgb(rgb_to_ycbcr(img))
+    assert np.abs(rt.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_420_rejects_wrong_component_count():
+    rng = np.random.default_rng(1)
+    gray = rng.integers(0, 256, (16, 16), dtype=np.int64).astype(np.uint8)
+    with pytest.raises(ValueError, match="3 components"):
+        encode_baseline_jpeg(gray, subsample=True)
