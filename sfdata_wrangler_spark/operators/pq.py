@@ -376,6 +376,7 @@ def ivfpq_topk(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-PQ search: ``(query_id, vec_id, adc_d2, exact_d2, rank)``.
 
@@ -393,8 +394,20 @@ def ivfpq_topk(
        corpus scan) for exact integer squared-L2; final top-k orders
        by (exact_d2, id).
 
+    ``broadcast_queries`` (default) fits the serving regime: a query
+    BATCH small enough that its LUT (nq·n_probe·m·n_codes rows) and
+    shortlist (nq·shortlist) broadcast. For OFFLINE bulk search — a
+    million-query backfill where those no longer fit one executor —
+    pass ``False``: the same plan runs with shuffled hash joins
+    (query-side tables repartition on the join keys; the code table
+    shuffles once on (cid, subspace, code)). Identical results
+    (equivalence-tested); the knob only moves the join strategy.
+
     All-BIGINT arithmetic end to end — bitwise-stable ranking, no
     IEEE accumulation-order analysis."""
+
+    def _qside(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_queries else df
     qdists = ivf_coarse_distances(
         queries, centroids, m, sub_dim, query_id, vec_col
     )
@@ -424,7 +437,7 @@ def ivfpq_topk(
 
     # ADC over probed lists: cell-equi join, LUT broadcast
     adc = (
-        encoded.join(F.broadcast(lut), ["cid", "subspace", "code"])
+        encoded.join(_qside(lut), ["cid", "subspace", "code"])
         .where(F.col(query_id) != F.col(corpus_id))
         .groupBy(query_id, corpus_id)
         .agg(F.sum("lut_d2").alias("adc_d2"))
@@ -447,8 +460,8 @@ def ivfpq_topk(
         query_id, "subspace", "dim", F.col("x_micro").alias("q_micro")
     )
     exact = (
-        clf.join(F.broadcast(short), corpus_id)
-        .join(F.broadcast(qx), [query_id, "subspace", "dim"])
+        clf.join(_qside(short), corpus_id)
+        .join(_qside(qx), [query_id, "subspace", "dim"])
         .groupBy(query_id, corpus_id, "adc_d2")
         .agg(
             F.sum(
