@@ -45,6 +45,7 @@ __all__ = [
     "ivfpq_encode",
     "ivfpq_index",
     "ivfpq_topk",
+    "centroids_to_micro",
 ]
 
 
@@ -475,4 +476,28 @@ def ivfpq_topk(
         exact.withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, "adc_d2", "exact_d2", "rank")
+    )
+
+
+def centroids_to_micro(
+    centroids: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "centroid_id",
+    vec_col: str = "centroid",
+) -> DataFrame:
+    """Adapter: a float centroid table (similarity.kmeans_centroids'
+    ``(centroid_id, centroid array<double>)``) -> the micro-unit long
+    form every IVF-PQ stage consumes ``(cid, subspace, dim,
+    c_micro)``. This is the drop-in seam for a TRAINED coarse
+    quantizer where cross-engine hash parity is not required — the
+    rest of the pipeline is unchanged."""
+    lf = _long_form(
+        centroids.select(id_col, vec_col), id_col, vec_col, m, sub_dim
+    )
+    return lf.select(
+        F.col(id_col).alias("cid"),
+        "subspace",
+        "dim",
+        F.col("x_micro").alias("c_micro"),
     )

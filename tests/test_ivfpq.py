@@ -220,3 +220,30 @@ def test_bulk_search_knob_is_result_identical(spark):
     assert sorted(map(tuple, serve.collect())) == sorted(
         map(tuple, bulk.collect())
     )
+
+
+def test_kmeans_coarse_quantizer_drops_in(spark):
+    """The documented drop-in: a TRAINED k-means coarse quantizer
+    (similarity.kmeans_centroids) replaces the label-mean one through
+    the centroids_to_micro adapter; the whole IVF-PQ pipeline runs
+    unchanged and still finds same-cluster neighbors."""
+    from sfdata_wrangler_spark.operators.pq import (
+        centroids_to_micro,
+        ivfpq_index,
+    )
+    from sfdata_wrangler_spark.operators.similarity import kmeans_centroids
+
+    emb = _clustered(spark)
+    trained = kmeans_centroids(emb, k=4, iterations=3)
+    cents = centroids_to_micro(trained, m=2, sub_dim=8)
+    cb, enc = ivfpq_index(emb, cents, n_codes=4, m=2, sub_dim=8)
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        queries, enc, cents, cb, emb, k=5, n_probe=1, m=2, sub_dim=8
+    ).collect()
+    assert len(out) == 5
+    # well-separated planted clusters: k-means recovers them, so the
+    # probed cell contains exactly the query's own cluster
+    assert all(r["vec_id"] < 100 for r in out)
