@@ -1,0 +1,75 @@
+"""Streaming IVF-PQ ingest (streaming/ann_stream.py): micro-batches
+encode against FROZEN quantizers through a real readStream ->
+foreachBatch cycle, codes match the batch encode bit-for-bit, and an
+end-to-end search over base + streamed appends equals the all-batch
+build with the same frozen tables."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from sfdata_wrangler_spark.operators.pq import (
+    ivf_coarse_centroids,
+    ivfpq_encode,
+    ivfpq_index,
+    ivfpq_topk,
+)
+from sfdata_wrangler_spark.streaming.ann_stream import stream_ivfpq_ingest
+from tests.test_ivfpq import _clustered
+
+
+def test_streamed_codes_match_batch_encode(spark, tmp_path):
+    emb = _clustered(spark)
+    base = emb.where(F.col("vec_id") % 100 < 6)  # train subset
+    inc = emb.where(F.col("vec_id") % 100 >= 6)  # streamed appends
+
+    cents = ivf_coarse_centroids(base, m=2, sub_dim=8)
+    cb, enc_base = ivfpq_index(base, cents, n_codes=4, m=2, sub_dim=8)
+    cents = cents.localCheckpoint(eager=True)
+    cb = cb.localCheckpoint(eager=True)
+
+    src = os.path.join(tmp_path, "vecsrc")
+    inc.select("vec_id", "embedding").write.parquet(src)
+    stream = spark.readStream.schema(
+        inc.select("vec_id", "embedding").schema
+    ).parquet(src)
+
+    out_dir = os.path.join(tmp_path, "codes")
+
+    def sink(codes, batch_id):
+        codes.write.partitionBy("cid").mode("append").parquet(out_dir)
+
+    q = (
+        stream_ivfpq_ingest(stream, cents, cb, sink, m=2, sub_dim=8)
+        .option("checkpointLocation", os.path.join(tmp_path, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        map(tuple, spark.read.parquet(out_dir)
+            .select("vec_id", "cid", "subspace", "code").collect())
+    )
+    batch = sorted(
+        map(tuple, ivfpq_encode(inc, cents, cb, m=2, sub_dim=8)
+            .select("vec_id", "cid", "subspace", "code").collect())
+    )
+    assert streamed == batch and len(streamed) > 0
+
+    # end-to-end: search over base + streamed appends == all-batch
+    # encode with the SAME frozen tables
+    union_codes = enc_base.select(
+        "vec_id", "cid", "subspace", "code"
+    ).unionByName(spark.read.parquet(out_dir).select(
+        "vec_id", "cid", "subspace", "code"
+    ))
+    all_codes = ivfpq_encode(emb, cents, cb, m=2, sub_dim=8)
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivfpq_topk(queries, union_codes, cents, cb, emb,
+                   k=3, n_probe=2, m=2, sub_dim=8)
+    b = ivfpq_topk(queries, all_codes, cents, cb, emb,
+                   k=3, n_probe=2, m=2, sub_dim=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
