@@ -6,8 +6,8 @@ wire format is implemented, not faked): genuine JFIF byte layout —
 SOI/APP0/DQT/SOF0/DHT/SOS/EOI markers, Annex-K luminance quantization
 and Huffman tables, zigzag scan, DC DPCM, AC run/size entropy coding
 with ZRL/EOB, 0xFF byte stuffing, restart-interval support — plus the
-float DCT/IDCT pipeline on both sides. Baseline sequential only
-(SOF0); progressive (SOF2) raises honestly.
+float DCT/IDCT pipeline on both sides. Baseline sequential here;
+progressive (SOF2) decodes in :mod:`.image_jpeg_progressive`.
 
 Exactness device for the oracle (JPEG is lossy, so closed-form pixel
 parity needs care): the synthetic corpus is built from UNIFORM 8x8
@@ -435,7 +435,12 @@ def _parse_jpeg(blob: bytes):
                         "sampling factors beyond 2x2 unsupported"
                     )
                 comps.append((cid, samp, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:
+            raise ValueError(
+                "progressive JPEG (SOF2) — use "
+                "image_jpeg_progressive.decode_progressive_jpeg"
+            )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
             )

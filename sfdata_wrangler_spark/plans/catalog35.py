@@ -680,3 +680,92 @@ def mm_image_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_channels(synth_jpeg420_corpus(ids)).select(
         "media_id", "width", "height", "sum_c1", "sum_c2", "sum_c3"
     )
+
+
+# ------------------------------------------------------------------ #
+# mm_image_jpeg_progressive — SOF2 multi-scan decode                  #
+# ------------------------------------------------------------------ #
+
+
+def _register_jpeg_progressive() -> None:
+    from .catalog import QUERIES
+
+    # same tile corpus, same closed form — only the wire format (and
+    # the whole scan-reassembly machinery under it) changes
+    sql = QUERIES["mm_image_jpeg"]["oracle"]
+
+    @_register("mm_image_jpeg_progressive", sql)
+    def mm_image_jpeg_progressive(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Progressive JPEG (SOF2) decode
+        (multimodal/image_jpeg_progressive.py): the same tile corpus
+        as mm_image_jpeg encodes as genuine multi-scan files — DC
+        first pass + refinement, per-component AC spectral bands with
+        successive approximation, EOBRUN/ZRL/correction-bit entropy
+        per T.81 Annex G — and the reassembled coefficient grid must
+        reproduce the identical closed-form pixels (the oracle IS
+        mm_image_jpeg's). Coefficient-level parity vs the baseline
+        quantization path is additionally pinned in pytest, so
+        mirrored bit-plane bugs can't cancel."""
+        import pandas as pd
+
+        from ..multimodal import image_jpeg_progressive as _prog
+        from ..multimodal.image_jpeg import (
+            JPEG_BLOB_SCHEMA,
+            JPEG_META_SCHEMA,
+            _dims,
+            _tile_image,
+        )
+        from .catalog import _events
+
+        try:
+            import sys as _sys
+
+            import cloudpickle
+
+            cloudpickle.register_pickle_by_value(
+                _sys.modules[_prog.__name__]
+            )
+        except Exception:
+            pass
+
+        import numpy as np
+
+        enc = _prog.encode_progressive_jpeg
+        dec = _prog.decode_progressive_jpeg
+
+        def gen(batches):
+            for pdf in batches:
+                out = {"media_id": [], "content": []}
+                for m in pdf["media_id"]:
+                    m = int(m)
+                    w, h = _dims(m)
+                    out["media_id"].append(m)
+                    out["content"].append(enc(_tile_image(m, w, h)))
+                yield pd.DataFrame(out)
+
+        def meta(batches):
+            for pdf in batches:
+                out = {f.name: [] for f in JPEG_META_SCHEMA.fields}
+                for m, blob in zip(pdf["media_id"], pdf["content"]):
+                    px = dec(bytes(blob))
+                    out["media_id"].append(int(m))
+                    out["width"].append(int(px.shape[1]))
+                    out["height"].append(int(px.shape[0]))
+                    out["n_components"].append(1)
+                    out["sum_px"].append(int(px.astype(np.int64).sum()))
+                yield pd.DataFrame(out)
+
+        ids = (
+            _events(spark, sf_dir)
+            .where(F.col("event_id") < 200)
+            .select(F.col("event_id").cast("bigint").alias("media_id"))
+        )
+        blobs = ids.mapInPandas(gen, JPEG_BLOB_SCHEMA)
+        return blobs.mapInPandas(meta, JPEG_META_SCHEMA).select(
+            "media_id", "width", "height", "n_components", "sum_px"
+        )
+
+
+_register_jpeg_progressive()

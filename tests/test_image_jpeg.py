@@ -79,6 +79,9 @@ def test_progressive_and_garbage_rejected():
     blob = bytearray(encode_baseline_jpeg(img))
     i = blob.find(b"\xff\xc0")
     blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive"):
+        decode_baseline_jpeg(bytes(blob))
+    blob[i + 1] = 0xC3  # lossless SOF3 stays honestly unsupported
     with pytest.raises(ValueError, match="non-baseline"):
         decode_baseline_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
