@@ -511,6 +511,26 @@ def _parse_jpeg(blob: bytes):
         return dz
 
     mcu = 0
+    if len(sel) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved —
+        # one data unit per MCU over the COMPONENT's own block grid,
+        # regardless of the SOF sampling factors (a grayscale file
+        # declaring 2x2 factors decodes block-raster, not 4-per-MCU)
+        (scid, d_id, a_id) = sel[0]
+        samp = next(s for cid, s, _ in comps if cid == scid)
+        hi, vi = samp >> 4, samp & 0xF
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        bhc, bwc = (ch + 7) // 8, (cw + 7) // 8
+        blocks[scid] = [[None] * bwc for _ in range(bhc)]
+        for by in range(bhc):
+            for bx in range(bwc):
+                if restart and mcu and mcu % restart == 0:
+                    rdr.align_restart()
+                    pred = {cid: 0 for cid, _, _ in comps}
+                blocks[scid][by][bx] = _one_block(d_id, a_id, scid)
+                mcu += 1
+        return h, w, comps, qtables, blocks
     for my in range(mch):
         for mx in range(mcw):
             if restart and mcu and mcu % restart == 0:

@@ -45,6 +45,20 @@ from .image_jpeg import (
 
 __all__ = ["encode_progressive_jpeg", "decode_progressive_jpeg"]
 
+
+def _register_by_value() -> None:
+    try:
+        import sys as _sys
+
+        import cloudpickle
+
+        cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+
+_register_by_value()
+
 # Progressive AC scans need EOBn symbols (r<<4 for r=1..14), which the
 # baseline Annex-K table does not define — real progressive encoders
 # ship their own DHT, and so does this one: every run/size symbol

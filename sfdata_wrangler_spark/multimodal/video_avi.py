@@ -135,9 +135,15 @@ def _walk_chunks(buf: bytes, start: int, end: int):
         pos += 8 + size + (size % 2)
 
 
-def parse_avi(blob: bytes) -> tuple[int, int, int, int, list[tuple[int, int]]]:
+def parse_avi(
+    blob: bytes,
+    chunk_types: tuple[bytes, ...] = (b"00db", b"00dc"),
+) -> tuple[int, int, int, int, list[tuple[int, int]]]:
     """Real RIFF walk → (width, height, fps, n_frames, frame chunk
-    offsets [(start, size), ...] in stream order)."""
+    offsets [(start, size), ...] in stream order). ``chunk_types``
+    selects which movi chunks count as frames — DIB consumers pass
+    ``(b"00db",)``, MJPEG consumers ``(b"00dc",)`` — so one codec's
+    sampler can never misread the other's payload bytes."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
         raise ValueError("not an AVI: missing RIFF/'AVI ' magic")
     w = h = fps = n_frames = None
@@ -159,16 +165,40 @@ def parse_avi(blob: bytes) -> tuple[int, int, int, int, list[tuple[int, int]]]:
                             _, w, h = struct.unpack_from("<Iii", blob, p3)
         elif list_type == b"movi":
             # 00db = uncompressed DIB frame, 00dc = compressed frame
-            # (MJPEG etc. — decoded by .video_mjpeg); both index the
-            # same stream positions
+            # (MJPEG etc. — decoded by .video_mjpeg)
             frames = [
                 (p2, s2)
                 for cc2, p2, s2 in _walk_chunks(blob, p + 4, p + size)
-                if cc2 in (b"00db", b"00dc")
+                if cc2 in chunk_types
             ]
     if w is None or fps is None or n_frames is None:
         raise ValueError("malformed AVI: missing hdrl headers")
     return w, abs(h), fps, n_frames, frames
+
+
+def video_stream_compression(blob: bytes) -> bytes:
+    """biCompression fourcc of the VIDEO stream ('vids' strh) —
+    ``b"\\x00\\x00\\x00\\x00"`` for uncompressed DIB, ``b"MJPG"`` for
+    Motion-JPEG. Walks every strl and keys on the stream TYPE, so a
+    preceding audio stream (common in capture-pipeline muxes, whose
+    strf is a WAVEFORMATEX) cannot be misread as the video format."""
+    data = bytes(blob)
+    for fourcc, p, size in _walk_chunks(data, 12, len(data)):
+        if fourcc != b"LIST" or data[p : p + 4] != b"hdrl":
+            continue
+        for cc2, p2, s2 in _walk_chunks(data, p + 4, p + size):
+            if cc2 != b"LIST" or data[p2 : p2 + 4] != b"strl":
+                continue
+            is_vids = False
+            strf_comp = None
+            for cc3, p3, _s3 in _walk_chunks(data, p2 + 4, p2 + s2):
+                if cc3 == b"strh":
+                    is_vids = data[p3 : p3 + 4] == b"vids"
+                elif cc3 == b"strf":
+                    strf_comp = data[p3 + 16 : p3 + 20]
+            if is_vids and strf_comp is not None:
+                return strf_comp
+    raise ValueError("no video ('vids') stream found")
 
 
 def synth_avi_corpus(ids: DataFrame, fps: int = 10) -> DataFrame:
@@ -216,7 +246,16 @@ def sample_avi_frames(media: DataFrame, every: int = 2) -> DataFrame:
             out = {f.name: [] for f in AVI_FRAME_SCHEMA.fields}
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(blob)
-                w, h, fps, n_frames, chunks = parse_avi(blob)
+                comp = video_stream_compression(blob)
+                if comp != b"\x00\x00\x00\x00":
+                    raise ValueError(
+                        f"media_id={int(mid)}: compressed video stream "
+                        f"({comp!r}) — use video_mjpeg.sample_mjpeg_frames "
+                        "for MJPG"
+                    )
+                w, h, fps, n_frames, chunks = parse_avi(
+                    blob, chunk_types=(b"00db",)
+                )
                 for idx in range(0, len(chunks), every):
                     p, size = chunks[idx]
                     img = _undib(blob[p : p + size], w, h)

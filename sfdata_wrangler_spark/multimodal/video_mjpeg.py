@@ -32,8 +32,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .image_jpeg import decode_baseline_jpeg, encode_baseline_jpeg
-from .video_avi import AVI_FRAME_SCHEMA as _BASE_SCHEMA  # noqa: F401
-from .video_avi import _chunk, _list, _walk_chunks, parse_avi
+from .video_avi import (
+    _chunk,
+    _list,
+    parse_avi,
+    video_stream_compression,
+)
 
 from pyspark.sql.types import (
     BinaryType,
@@ -111,17 +115,13 @@ def encode_mjpeg_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
 
 
 def is_mjpeg(blob: bytes) -> bool:
-    """True when the AVI's strf declares biCompression 'MJPG'."""
-    data = bytes(blob)
-    for fourcc, p, size in _walk_chunks(data, 12, len(data)):
-        if fourcc != b"LIST" or data[p : p + 4] != b"hdrl":
-            continue
-        for cc2, p2, s2 in _walk_chunks(data, p + 4, p + size):
-            if cc2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
-                for cc3, p3, _s3 in _walk_chunks(data, p2 + 4, p2 + s2):
-                    if cc3 == b"strf":
-                        return data[p3 + 16 : p3 + 20] == b"MJPG"
-    return False
+    """True when the VIDEO stream's strf declares biCompression
+    'MJPG' — keyed on the 'vids' strh, so a preceding audio stream
+    (a WAVEFORMATEX strf) cannot be misread as the video format."""
+    try:
+        return video_stream_compression(blob) == b"MJPG"
+    except ValueError:
+        return False
 
 
 # deterministic synth corpus: per clip m, n = 3 + m % 3 frames of
@@ -180,7 +180,9 @@ def sample_mjpeg_frames(media: DataFrame, every: int = 2) -> DataFrame:
                         f"media_id={int(m)}: not an MJPEG AVI (use "
                         "video_avi.sample_avi_frames for DIB streams)"
                     )
-                _w, _h, _fps, _n, chunks = parse_avi(data)
+                _w, _h, _fps, _n, chunks = parse_avi(
+                    data, chunk_types=(b"00dc",)
+                )
                 for idx in range(0, len(chunks), every):
                     p, s = chunks[idx]
                     px = decode_baseline_jpeg(data[p : p + s])

@@ -719,17 +719,6 @@ def _register_jpeg_progressive() -> None:
         )
         from .catalog import _events
 
-        try:
-            import sys as _sys
-
-            import cloudpickle
-
-            cloudpickle.register_pickle_by_value(
-                _sys.modules[_prog.__name__]
-            )
-        except Exception:
-            pass
-
         import numpy as np
 
         enc = _prog.encode_progressive_jpeg

@@ -42,8 +42,19 @@ def stream_ivfpq_ingest(
 
     Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
     and ``.start()``s it.
+
+    The quantizer frames are materialized HERE (eager local
+    checkpoint) before the stream starts: foreachBatch re-evaluates
+    captured DataFrames every trigger, so un-materialized quantizers
+    would re-run their training job per micro-batch — and, worse, if
+    their lineage read a table that grows during the stream, the
+    "frozen" quantizer would silently drift between batches,
+    assigning inconsistent cids to identical vectors.
     """
     from ..operators.pq import ivfpq_encode
+
+    centroids = centroids.localCheckpoint(eager=True)
+    codebooks = codebooks.localCheckpoint(eager=True)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         codes = ivfpq_encode(

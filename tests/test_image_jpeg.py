@@ -208,3 +208,17 @@ def test_420_rejects_wrong_component_count():
     gray = rng.integers(0, 256, (16, 16), dtype=np.int64).astype(np.uint8)
     with pytest.raises(ValueError, match="3 components"):
         encode_baseline_jpeg(gray, subsample=True)
+
+
+def test_grayscale_with_2x2_factors_decodes_non_interleaved():
+    """T.81 A.2.2: single-component scans are non-interleaved even
+    when SOF declares 2x2 sampling (code-review r7) — rewrite the
+    sampling byte of a grayscale file and expect an identical decode
+    (the component grid, not a padded MCU grid)."""
+    img = _tile_image(4, 16, 16)
+    blob = bytearray(encode_baseline_jpeg(img))
+    base = decode_baseline_jpeg(bytes(blob))
+    i = blob.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) [cid samp tq]
+    blob[i + 11] = 0x22  # 1x1 -> 2x2 sampling for the only component
+    assert (decode_baseline_jpeg(bytes(blob)) == base).all()

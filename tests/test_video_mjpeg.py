@@ -77,3 +77,45 @@ def test_spark_sampling_decodes_every_second_frame(spark):
     per = Counter(r["media_id"] for r in rows)
     for m in range(9):
         assert per[m] == (_mj_frames(m) + 1) // 2
+
+
+def test_mjpeg_avi_rejected_by_dib_sampler_with_clear_error(spark):
+    """The reciprocal of the MJPEG-side guard (code-review r7): the
+    DIB sampler must route a compressed stream to a clear error, not
+    feed JPEG bytes to _undib."""
+    from sfdata_wrangler_spark.multimodal.video_avi import sample_avi_frames
+
+    w, h = _mj_dims(1)
+    blob = encode_mjpeg_avi([_mj_frame(1, w, h, 0)])
+    media = spark.createDataFrame([Row(media_id=1, content=bytearray(blob))])
+    with pytest.raises(Exception, match="MJPG"):
+        sample_avi_frames(media).collect()
+
+
+def test_is_mjpeg_keys_on_the_video_stream():
+    """A leading audio strl (WAVEFORMATEX strf) must not be misread
+    as the video format (code-review r7): splice an 'auds' strl ahead
+    of the video one and re-check."""
+    import struct
+
+    from sfdata_wrangler_spark.multimodal.video_avi import _chunk, _list
+
+    w, h = _mj_dims(2)
+    blob = encode_mjpeg_avi([_mj_frame(2, w, h, 0)])
+    # minimal audio strl: strh fccType 'auds' + 16-byte WAVEFORMAT-ish
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x01\x00\x00\x00",
+                       0, 0, 0, 0, 1, 8000, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    strf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    audio_strl = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    i = blob.find(b"LIST")  # hdrl LIST
+    # insert the audio strl right after avih inside hdrl: rebuild by
+    # splicing before the video strl
+    j = blob.find(b"strl")
+    j = blob.rfind(b"LIST", 0, j)  # the video strl's LIST header
+    patched = bytearray(blob[:j] + audio_strl + blob[j:])
+    # fix the hdrl LIST size and RIFF size
+    hd = patched.find(b"LIST")
+    old = struct.unpack_from("<I", patched, hd + 4)[0]
+    struct.pack_into("<I", patched, hd + 4, old + len(audio_strl))
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+    assert is_mjpeg(bytes(patched))
