@@ -530,6 +530,17 @@ def _parse_jpeg(blob: bytes):
                     pred = {cid: 0 for cid, _, _ in comps}
                 blocks[scid][by][bx] = _one_block(d_id, a_id, scid)
                 mcu += 1
+        if len(comps) > 1:
+            # a multi-component SOF0 encoded as sequential
+            # per-component scans would need the SECOND and later SOS
+            # segments parsed too; returning here would hand
+            # decode_baseline_jpeg grids still full of None (opaque
+            # AttributeError downstream) — fail with the real reason
+            raise ValueError(
+                "multi-scan sequential JPEG unsupported: "
+                f"{len(comps)} components, first scan covers only "
+                f"component {scid}"
+            )
         return h, w, comps, qtables, blocks
     for my in range(mch):
         for mx in range(mcw):

@@ -61,6 +61,7 @@ from .similarity import (
     semdedup_prune,
 )
 from .pca import pca_fit, pca_project
+from .privacy import equivalence_classes, k_anonymity_report
 from .zorder import add_zorder_key, zorder_layout
 from .repetition import domain_cap, repetition_stats
 from .skew import join_size_estimate, salted_agg, skew_report
@@ -168,6 +169,9 @@ __all__ = [
     "semdedup_prune",
     "pca_fit",
     "pca_project",
+    # privacy preflight
+    "equivalence_classes",
+    "k_anonymity_report",
     # layout / skew
     "add_zorder_key",
     "zorder_layout",

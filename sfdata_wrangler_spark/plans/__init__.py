@@ -34,6 +34,7 @@ from . import catalog32 as _catalog32  # registers r4 pre-built operator oracles
 from . import catalog33 as _catalog33  # registers the S11 viz-ramp oracle
 from . import catalog34 as _catalog34  # registers round-6 wave (episodes, reservoir, benford, woe, lsh-calib)
 from . import catalog35 as _catalog35  # registers round-7 wave (IVF-PQ composed ANN)
+from . import catalog36 as _catalog36  # registers round-8 wave (privacy, NFKC fixture, IVF-PQ lake)
 from .catalog import QUERIES, oracle_sql_map, query_map
 
 __all__ = ["QUERIES", "oracle_sql_map", "query_map"]

@@ -287,7 +287,7 @@ _HTML_STRIP_STAGES_SQL = """
                      regexp_replace(html,
                        '(?is)<(script|style)[^>]*>.*?</(script|style)>',
                        ' ', 'g'),
-                     '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1), ' '),
+                     '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '),
                    '<[^>]*>', ' ', 'g'),
                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                  '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),

@@ -56,7 +56,7 @@ _ANCHOR_SRC = (
     # not NULL-out of the gate
     "coalesce(array_to_string(regexp_extract_all(regexp_replace(html, "
     "'(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'), "
-    "'(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1), ' '), '')"
+    "'(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '), '')"
 )
 _ANCHOR_STRIP = _STRIP.format(src=_ANCHOR_SRC)
 

@@ -114,14 +114,14 @@ enc AS MATERIALIZED (
 _IVFPQ_INDEX = _ivfpq_index_sql()
 
 
-def _ivfpq_search_sql(index_sql: str) -> str:
+def _ivfpq_search_sql(index_sql: str, query_pred: str = "vec_id < 3") -> str:
     return f"""
 WITH {index_sql},
 probes AS MATERIALIZED (
   SELECT vec_id AS query_id, cid
   FROM (SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        FROM ad WHERE vec_id < 3)
+        FROM ad WHERE {query_pred})
   WHERE rn <= {_N_PROBE}
 ),
 qres AS MATERIALIZED (

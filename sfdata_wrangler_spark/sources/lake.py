@@ -72,6 +72,31 @@ def with_year_month(df: DataFrame, date_col: str) -> DataFrame:
     )
 
 
+def scan_file_metrics(df: DataFrame) -> dict:
+    """Execute ``df`` and report what its file scan actually touched:
+    ``{"num_files", "num_partitions", "rows"}``.
+
+    The measured half of every partition-pruning claim: Spark's
+    ``inputFiles()`` lists the relation's files BEFORE pruning (a
+    filtered read reports the full file set), so the only honest
+    numbers are the FileSourceScan's own execution metrics. Collects
+    the frame to run it — meant for scan-shaped frames at test scale,
+    not for production fact tables."""
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    out = {"num_files": 0, "num_partitions": 0, "rows": len(rows)}
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "FileSourceScan" not in node.getClass().getName():
+            continue
+        m = node.metrics()
+        out["num_files"] += int(m.apply("numFiles").value())
+        if m.contains("numPartitions"):
+            out["num_partitions"] += int(m.apply("numPartitions").value())
+    return out
+
+
 def compact_partitions(
     path: str,
     spark,

@@ -210,6 +210,22 @@ def test_420_rejects_wrong_component_count():
         encode_baseline_jpeg(gray, subsample=True)
 
 
+def test_multiscan_sequential_color_rejected_with_clear_error():
+    """ADVICE r7: a 3-component SOF0 whose first SOS covers only one
+    component (a sequential per-component-scan file) used to return a
+    partially-filled block grid and crash downstream with an opaque
+    AttributeError on None. Splice a grayscale scan (same shared
+    Annex-K table ids) under a color header and expect the explicit
+    ValueError instead."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.int64).astype(np.uint8)
+    color = encode_baseline_jpeg(img)
+    gray = encode_baseline_jpeg(np.ascontiguousarray(img[:, :, 0]))
+    spliced = color[: color.find(b"\xff\xda")] + gray[gray.find(b"\xff\xda") :]
+    with pytest.raises(ValueError, match="multi-scan sequential"):
+        decode_baseline_jpeg(spliced)
+
+
 def test_grayscale_with_2x2_factors_decodes_non_interleaved():
     """T.81 A.2.2: single-component scans are non-interleaved even
     when SOF declares 2x2 sampling (code-review r7) — rewrite the
