@@ -112,11 +112,13 @@ def check_structural_tests() -> list[str]:
 
 
 def check_clean_tree() -> list[str]:
-    out = _run(["git", "status", "--porcelain"]).strip()
+    out = _run(["git", "status", "--porcelain"])
     dirty = [
         ln
         for ln in out.splitlines()
-        if not ln.startswith("?? ") and ln[3:] not in ALLOWED_DIRTY
+        if ln.strip()
+        and not ln.startswith("?? ")
+        and ln[3:] not in ALLOWED_DIRTY
     ]
     return [f"working tree not clean: {ln}" for ln in dirty]
 
