@@ -484,6 +484,17 @@ def _parse_jpeg(blob: bytes):
         for cid, s, _ in comps
     }
     sel_by_cid = {cid: (d, a) for cid, d, a in sel}
+    if len(comps) > 1 and len(sel) < len(comps):
+        # a first SOS covering only SOME frame components means a
+        # sequential per-component-scan file: the later SOS segments
+        # are unparsed here, so decoding would hand downstream a grid
+        # still full of None (opaque AttributeError/KeyError). Fail
+        # fast, before paying for the partial entropy decode.
+        raise ValueError(
+            "multi-scan sequential JPEG unsupported: "
+            f"{len(comps)} components, first scan covers only "
+            f"{sorted(c for c, _, _ in sel)}"
+        )
 
     def _one_block(d_id: int, a_id: int, cid: int) -> np.ndarray:
         qc = np.zeros(64, dtype=np.int64)
@@ -530,17 +541,6 @@ def _parse_jpeg(blob: bytes):
                     pred = {cid: 0 for cid, _, _ in comps}
                 blocks[scid][by][bx] = _one_block(d_id, a_id, scid)
                 mcu += 1
-        if len(comps) > 1:
-            # a multi-component SOF0 encoded as sequential
-            # per-component scans would need the SECOND and later SOS
-            # segments parsed too; returning here would hand
-            # decode_baseline_jpeg grids still full of None (opaque
-            # AttributeError downstream) — fail with the real reason
-            raise ValueError(
-                "multi-scan sequential JPEG unsupported: "
-                f"{len(comps)} components, first scan covers only "
-                f"component {scid}"
-            )
         return h, w, comps, qtables, blocks
     for my in range(mch):
         for mx in range(mcw):

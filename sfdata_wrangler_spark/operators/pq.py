@@ -363,6 +363,33 @@ def ivfpq_encode(
     return _encode_from_residuals(res, codebooks, id_col)
 
 
+def probed_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    m: int = 8,
+    sub_dim: int = 8,
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Each query's ``n_probe`` nearest coarse cells
+    ``(query_id, cid)`` by exact integer L2 with the (d2, cid) total
+    order. THE probe step — :func:`ivfpq_topk` runs it internally,
+    and callers that need the probe list FIRST (to statically prune a
+    cid-partitioned code lake before searching, s19_ivfpq_lake) call
+    it directly: one definition keeps the pruning filter and the
+    search's own probe tie-break identical by construction."""
+    qdists = ivf_coarse_distances(
+        queries, centroids, m, sub_dim, query_id, vec_col
+    )
+    wq = Window.partitionBy(query_id).orderBy("d2", "cid")
+    return (
+        qdists.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= n_probe)
+        .select(query_id, "cid")
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     encoded: DataFrame,
@@ -409,14 +436,9 @@ def ivfpq_topk(
 
     def _qside(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_queries else df
-    qdists = ivf_coarse_distances(
-        queries, centroids, m, sub_dim, query_id, vec_col
-    )
-    wq = Window.partitionBy(query_id).orderBy("d2", "cid")
-    probes = (
-        qdists.withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= n_probe)
-        .select(query_id, "cid")
+
+    probes = probed_cells(
+        queries, centroids, n_probe, m, sub_dim, query_id, vec_col
     )
 
     # per-(query, probed-cell) residual LUT against the residual

@@ -223,48 +223,18 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_pagerank_top() -> None:
-    # the same recursive-CTE replay as gr_pagerank_micro_top (defined
-    # below with the shared _PRM_* constants), surfaced as a float
-    # rank column: BIGINT -> DOUBLE conversion and division by the
-    # exactly-representable 1e12 are correctly-rounded IEEE ops, so
-    # the hash check survives the unit change
-    oracle = f"""
-    WITH RECURSIVE {{edges}},
-    both_e AS (
-      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
-    ),
-    outdeg AS (
-      SELECT src, CAST(count(*) AS BIGINT) AS outd FROM both_e GROUP BY src
-    ),
-    consts AS (
-      SELECT CAST({{scale}} // count(DISTINCT src) AS BIGINT) AS init,
-             CAST(({{base_num}} * {{scale}}::BIGINT)
-                  // (100 * count(DISTINCT src)) AS BIGINT) AS base
-      FROM both_e
-    ),
-    pr(it, node, r) AS (
-      SELECT 0, src, c.init
-      FROM (SELECT DISTINCT src FROM both_e), consts c
-      UNION ALL
-      SELECT it + 1, be.dst,
-             c.base + ({{d}} * sum(pr.r // od.outd)) // 100
-      FROM pr
-      JOIN both_e be ON be.src = pr.node
-      JOIN outdeg od ON od.src = pr.node
-      CROSS JOIN consts c
-      WHERE it < {{iters}}
-      GROUP BY it + 1, be.dst, c.base
-    )
+    # the same recursive-CTE replay as gr_pagerank_micro_top (ONE
+    # shared body — _pagerank_micro_cte — so the twins cannot drift),
+    # surfaced as a float rank column: BIGINT -> DOUBLE conversion and
+    # division by the exactly-representable 1e12 are correctly-rounded
+    # IEEE ops, so the hash check survives the unit change
+    oracle = _pagerank_micro_cte(
+        f"""
     SELECT CAST(node AS BIGINT) AS node,
-           CAST(r AS DOUBLE) / {{scale}}.0 AS rank
-    FROM pr WHERE it = {{iters}}
+           CAST(r AS DOUBLE) / {_PRM_SCALE}.0 AS rank
+    FROM pr WHERE it = {_PRM_ITERS}
     ORDER BY r DESC, node LIMIT 25
-    """.format(
-        edges=_EDGES_SQL,
-        scale=_PRM_SCALE,
-        base_num=100 - _PRM_D,
-        d=_PRM_D,
-        iters=_PRM_ITERS,
+    """
     )
 
     @_register("gr_pagerank_top", oracle)
@@ -423,12 +393,14 @@ _PRM_SCALE = 10**12
 _PRM_ITERS = 10
 _PRM_D = 85
 
-_register_pagerank_top()
 
-
-@_register(
-    "gr_pagerank_micro_top",
-    f"""
+def _pagerank_micro_cte(final_select: str) -> str:
+    """The ONE fixed-point PageRank recursive-CTE body (all 10 damped
+    rounds in exact integer arithmetic). Both registered twins
+    (gr_pagerank_top float units, gr_pagerank_micro_top raw integers)
+    append their final SELECT to this — a single definition so an
+    arithmetic tweak cannot silently diverge them (code-review r8)."""
+    return f"""
     WITH RECURSIVE {_EDGES_SQL},
     both_e AS (
       SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
@@ -455,10 +427,22 @@ _register_pagerank_top()
       WHERE it < {_PRM_ITERS}
       GROUP BY it + 1, be.dst, c.base
     )
+    {final_select}
+    """
+
+
+_register_pagerank_top()
+
+
+@_register(
+    "gr_pagerank_micro_top",
+    _pagerank_micro_cte(
+        f"""
     SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro
     FROM pr WHERE it = {_PRM_ITERS}
     ORDER BY r DESC, node LIMIT 25
-    """,
+    """
+    ),
 )
 def gr_pagerank_micro_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 PageRank parts under the EXACT fixed-point variant

@@ -23,9 +23,7 @@ Three round-7 verdict asks become driver-verified queries:
 
 from __future__ import annotations
 
-import unicodedata
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import _register, _t
@@ -95,17 +93,18 @@ def qc_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reordering (q + dot-above + dot-below). Starts with a starter
 # codepoint so normalize(prefix || SEQ) == prefix || normalize(SEQ)
 # for any ASCII prefix (asserted in tests/test_unicode_norm_fixture.py).
-_UN_SEQ = (
-    "Ａ１ ﬁ x² ㎞ ½ café "
-    "한 q̣̇"
-)
-# Committed ground truth, generated once from stdlib unicodedata
-# (Unicode stability policy: normalized forms of assigned codepoints
-# never change between versions). test_unicode_norm_fixture.py
-# re-derives these live so fixture drift fails loudly.
+_UN_SEQ = "\uff21\uff11 \ufb01 x\u00b2 \u339e \u00bd caf\u00e9 \ud55c q\u0307\u0323"
+# COMMITTED ground truth -- literal escaped codepoints, NOT
+# recomputed (a live unicodedata call here would replay the same
+# library the engine's pandas UDF uses, checking nothing --
+# code-review r8 finding). The Unicode stability policy makes
+# these version-stable; tests/test_unicode_norm_fixture.py
+# compares them against a live unicodedata derivation so genuine
+# drift fails loudly.
 _UN_EXPECTED = {
-    form: unicodedata.normalize(form, _UN_SEQ)
-    for form in ("NFKC", "NFD", "NFKD")
+    "NFKC": "A1 fi x2 km 1\u20442 caf\u00e9 \ud55c q\u0323\u0307",
+    "NFD": "\uff21\uff11 \ufb01 x\u00b2 \u339e \u00bd cafe\u0301 \u1112\u1161\u11ab q\u0323\u0307",
+    "NFKD": "A1 fi x2 km 1\u20442 cafe\u0301 \u1112\u1161\u11ab q\u0323\u0307",
 }
 
 
@@ -219,10 +218,7 @@ def _register_s19() -> None:
         import os
         import tempfile
 
-        from ..operators.pq import (
-            ivf_coarse_distances,
-            ivfpq_topk,
-        )
+        from ..operators.pq import ivfpq_topk, probed_cells
         from ..sources.lake import write_partitioned
         from .catalog35 import _K, _N_PROBE, _SHORTLIST, _ivfpq_parts
 
@@ -232,26 +228,30 @@ def _register_s19() -> None:
             "sfdata_ivfpq_lake",
             os.path.basename(os.path.normpath(sf_dir)),
         )
-        write_partitioned(enc, path, partition_cols=("cid",))
+        # dynamic=False: FULL overwrite. The path is stable across
+        # sweep runs and rounds; dynamic overwrite would keep any cid
+        # partition absent from the CURRENT index (constants changed,
+        # cell emptied on reassignment) as stale rows from a previous
+        # build, and a probe into such a cell would search dead codes
+        write_partitioned(
+            enc, path, partition_cols=("cid",), dynamic=False
+        )
 
         queries = emb.where(
             (F.col("vec_id") >= _S19_Q_LO) & (F.col("vec_id") < _S19_Q_HI)
         ).select(F.col("vec_id").alias("query_id"), "embedding")
 
-        # serving-path probe: rank coarse cells per query, keep
-        # n_probe — the SAME step ivfpq_topk runs internally; done
-        # here first because its output is the static partition filter
-        qd = ivf_coarse_distances(
-            queries, cents, id_col="query_id", vec_col="embedding"
-        )
-        wq = Window.partitionBy("query_id").orderBy("d2", "cid")
-        probed = (
-            qd.withColumn("__rn", F.row_number().over(wq))
-            .where(F.col("__rn") <= _N_PROBE)
+        # serving-path probe: the SAME probed_cells step ivfpq_topk
+        # runs internally (one definition — the pruning filter and
+        # the search's probe tie-break cannot drift apart); run here
+        # first because its output is the static partition filter
+        cids = sorted(
+            r["cid"]
+            for r in probed_cells(queries, cents, n_probe=_N_PROBE)
             .select("cid")
             .distinct()
+            .collect()
         )
-        cids = sorted(r["cid"] for r in probed.collect())
 
         cid_type = dict(enc.dtypes)["cid"]
         lake = (

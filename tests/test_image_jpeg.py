@@ -225,6 +225,19 @@ def test_multiscan_sequential_color_rejected_with_clear_error():
     with pytest.raises(ValueError, match="multi-scan sequential"):
         decode_baseline_jpeg(spliced)
 
+    # the interleaved shape too: a first SOS covering 2 of 3
+    # components (Ns=2) used to reach the MCU loop and die with a
+    # KeyError on the absent component's table selector
+    i = color.find(b"\xff\xda")
+    two = bytearray(color)
+    # SOS: FF DA len(2) Ns(1) [cid tabs]*Ns spectral(3) — drop comp 3
+    assert two[i + 4] == 3
+    two[i + 3] = 10  # len 12 -> 10
+    two[i + 4] = 2  # Ns 3 -> 2
+    del two[i + 9 : i + 11]  # third (cid, tabs) pair
+    with pytest.raises(ValueError, match="multi-scan sequential"):
+        decode_baseline_jpeg(bytes(two))
+
 
 def test_grayscale_with_2x2_factors_decodes_non_interleaved():
     """T.81 A.2.2: single-component scans are non-interleaved even

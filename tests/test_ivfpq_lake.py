@@ -6,14 +6,13 @@ change the search result."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sfdata_wrangler_spark.operators.pq import (
     ivf_coarse_centroids,
-    ivf_coarse_distances,
     ivfpq_index,
     ivfpq_topk,
+    probed_cells,
 )
 from sfdata_wrangler_spark.sources.lake import (
     scan_file_metrics,
@@ -34,14 +33,9 @@ def _lake(spark, tmp_path_factory):
 
 
 def _probed_cids(queries, cents):
-    qd = ivf_coarse_distances(
-        queries, cents, id_col="query_id", vec_col="embedding"
-    )
-    wq = Window.partitionBy("query_id").orderBy("d2", "cid")
     return sorted(
         r["cid"]
-        for r in qd.withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= N_PROBE)
+        for r in probed_cells(queries, cents, n_probe=N_PROBE)
         .select("cid")
         .distinct()
         .collect()

@@ -61,14 +61,20 @@ def regenerate_manifest() -> list[str]:
 
 
 def check_untracked() -> list[str]:
-    out = _run(["git", "status", "--porcelain"])
+    # -uall: without it porcelain collapses a wholly-untracked
+    # directory to one '?? dir/' entry and a new module inside it —
+    # the exact round-7 failure shape — would pass silently
+    out = _run(["git", "status", "--porcelain", "-uall"])
     untracked = [
         ln[3:]
         for ln in out.splitlines()
         if ln.startswith("?? ")
         and ln[3:].endswith(".py")
-        and ln[3:].split("/")[0]
-        in ("sfdata_wrangler_spark", "tests", "tools", "examples")
+        and (
+            "/" not in ln[3:]  # a new root-level .py (bench helpers)
+            or ln[3:].split("/")[0]
+            in ("sfdata_wrangler_spark", "tests", "tools", "examples")
+        )
     ]
     return [f"untracked source file: {p}" for p in untracked]
 
@@ -83,16 +89,31 @@ def check_operator_reachability() -> list[str]:
         for f in os.listdir(op_dir)
         if f.endswith(".py") and not f.startswith("_")
     ]
+    import re
+
     hay = []
     for base in ("sfdata_wrangler_spark", "tests"):
         for dirpath, _dirs, files in os.walk(os.path.join(ROOT, base)):
             for f in files:
                 if f.endswith(".py"):
-                    hay.append(open(os.path.join(dirpath, f)).read())
+                    with open(
+                        os.path.join(dirpath, f), encoding="utf-8"
+                    ) as fh:
+                        hay.append(fh.read())
     blob = "\n".join(hay)
     problems = []
     for m in mods:
-        if f"operators.{m}" not in blob and f"from .{m} import" not in blob:
+        # actual import statements only — a docstring mentioning
+        # 'operators.privacy' must not mark the module reachable
+        pat = re.compile(
+            rf"^\s*(?:from\s+\S*operators\.{m}\s+import"
+            rf"|from\s+\S*operators\s+import\s+[^\n]*\b{m}\b"
+            rf"|import\s+\S*operators\.{m}\b"
+            rf"|from\s+\.\s*import\s+[^\n]*\b{m}\b"
+            rf"|from\s+\.{m}\s+import)",
+            re.MULTILINE,
+        )
+        if not pat.search(blob):
             problems.append(
                 f"operators/{m}.py is imported by nothing (dead module)"
             )
