@@ -129,6 +129,166 @@ def logreg_train(
     return weights
 
 
+def hashed_token_features_micro(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Integer-micro variant of :func:`hashed_token_features` for the
+    DETERMINISTIC trainer: ``(id_col, bucket, x_micro)`` with
+    ``x_micro = (count * 1e6) div doc_len`` (exact BIGINT — no float
+    division anywhere) and an md5-derived bucket
+    (``conv(substr(md5(tok), 1, 4), 16, 10) % n_buckets``) that an
+    external SQL engine can replay, unlike xxhash64. Bias row:
+    ``(bucket = -1, x_micro = 1e6)``."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
+        % n_buckets
+    )
+    counts = toks.groupBy(id_col, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    dl = counts.groupBy(id_col).agg(F.sum("cnt").alias("dl"))
+    tf = counts.join(dl, id_col).select(
+        id_col,
+        "bucket",
+        F.expr("(cnt * 1000000) div dl").cast("bigint").alias("x_micro"),
+    )
+    bias = docs.select(
+        F.col(id_col),
+        F.lit(BIAS_BUCKET).cast("bigint").alias("bucket"),
+        F.lit(1_000_000).cast("bigint").alias("x_micro"),
+    )
+    return tf.unionByName(bias)
+
+
+def logreg_train_micro(
+    features: DataFrame,
+    labels: DataFrame,
+    iterations: int = 10,
+    lr: int = 2,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+) -> DataFrame:
+    """DETERMINISTIC distributed trainer: batch GD over integer-micro
+    features with a hard-sigmoid link, all arithmetic in exact BIGINTs.
+
+    Why this exists next to :func:`logreg_train`: the float trainer's
+    gradient SUMS depend on reduce order, so two runs of the same job
+    on a many-executor cluster can ship (slightly) different models —
+    operationally poisonous for reproducible data-curation lineage,
+    and un-oracle-able. Quantized training fixes both: per-iteration
+    state is ``(bucket, w_micro)`` BIGINTs, every sum is an integer
+    sum (shuffle-order independent), and the full trajectory replays
+    bit-for-bit in external SQL (txt_quality_distill_det's chained-CTE
+    oracle — the BPE-unroll device applied to gradient descent).
+
+    The link is the hard sigmoid ``p = clamp(m/4 + 1/2, 0, 1)`` (the
+    standard quantized-inference surrogate): linear, so it stays in
+    integer arithmetic; its GD is a robust squared-loss-style trainer
+    for the same linear decision boundary. Scales: x 1e6, w 1e6,
+    margins/gradients 1e12 — bounded well inside BIGINT for any
+    corpus size (the 1e12-scale sums are per-doc / per-bucket, and
+    ``n_docs`` rescales the gradient before it ever reaches 1e18).
+
+    Same shuffle shape as the float trainer: two compact-key shuffles
+    per iteration, model stays broadcast-sized, lineage truncated per
+    step."""
+    feats = features.join(
+        labels.select(
+            F.col(id_col), F.col(label_col).cast("bigint").alias("__y")
+        ),
+        id_col,
+    ).localCheckpoint(eager=True)
+    n_docs = feats.select(id_col).distinct().count()
+
+    weights = (
+        feats.select("bucket")
+        .distinct()
+        .withColumn("w_micro", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        resid = (
+            feats.join(F.broadcast(weights), "bucket")
+            .groupBy(id_col, "__y")
+            .agg(F.sum(F.col("x_micro") * F.col("w_micro")).alias("m12"))
+            .select(
+                id_col,
+                (
+                    F.least(
+                        F.lit(1_000_000).cast("bigint"),
+                        F.greatest(
+                            F.lit(0).cast("bigint"),
+                            F.expr("m12 div 4000000") + F.lit(500_000),
+                        ),
+                    )
+                    - F.col("__y") * F.lit(1_000_000)
+                ).alias("resid_micro"),
+            )
+        )
+        grad = (
+            feats.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.col("x_micro") * F.col("resid_micro")).alias("g12")
+            )
+            .select(
+                "bucket",
+                # denominator precomputed in Python: an INT*INT literal
+                # product inside the SQL string overflows int32 under
+                # ANSI once n_docs > 2147 (hit at the sf0.5 probe)
+                F.expr(f"g12 div {n_docs * 1_000_000}")
+                .cast("bigint")
+                .alias("g_micro"),
+            )
+        )
+        weights = (
+            weights.join(grad, "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    F.col("w_micro")
+                    - F.lit(int(lr)) * F.coalesce("g_micro", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("w_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return weights
+
+
+def logreg_predict_micro(
+    features: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score integer-micro features against a micro weight table:
+    ``(id_col, margin_micro12, pred)`` — the margin in 1e12 units
+    (exact BIGINT) and ``pred = margin >= 0``. Bitwise-stable: the
+    same inputs score identically on any cluster layout."""
+    return (
+        features.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("x_micro") * F.col("w_micro"))
+            .cast("bigint")
+            .alias("margin_micro12")
+        )
+        .select(
+            id_col,
+            "margin_micro12",
+            (F.col("margin_micro12") >= 0).alias("pred"),
+        )
+    )
+
+
 def logreg_predict(
     features: DataFrame,
     weights: DataFrame,

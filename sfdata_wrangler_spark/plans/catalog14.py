@@ -36,11 +36,15 @@ def txt_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     holdout. Corpus work per GD step is two compact-key shuffles; the
     model stays a broadcast-size (bucket, w) table.
 
-    twins: ``qc_classification_report`` / ``qc_calibration_table``
+    twins: ``txt_quality_distill_det`` (hash-exact, round 8) replays
+    the SAME pipeline with the integer-micro deterministic trainer —
+    the whole GD trajectory is oracle-checked bit-for-bit there;
+    ``qc_classification_report`` / ``qc_calibration_table``
     (hash-exact, driver-green r4) verify the scorer-evaluation math;
-    holdout accuracy ≥ 0.95 is pinned in tests/test_classifier.py —
-    gradient-descent training itself is iterative float work no SQL
-    oracle can replay, hence rows-only here."""
+    holdout accuracy ≥ 0.95 on planted signal is pinned in
+    tests/test_classifier.py. This float-sigmoid variant stays
+    rows-only: its gradient sums are reduce-order dependent by
+    construction."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "y", (quality_score(F.col("text")) >= F.lit(1.0)).cast("int")
     )

@@ -185,6 +185,160 @@ def txt_nfkc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# txt_quality_distill_det — DETERMINISTIC distributed training, hash-exact    #
+# --------------------------------------------------------------------------- #
+
+_DET_BUCKETS = 64
+_DET_ITERS = 10
+_DET_LR = 2
+
+
+def _det_oracle() -> str:
+    """Chained-CTE replay of the integer-micro GD trajectory
+    (operators/classifier.logreg_train_micro) — the BPE-unroll device
+    applied to gradient descent: every iteration is two MATERIALIZED
+    stages (per-doc hard-sigmoid residuals, per-bucket weight update),
+    all BIGINT, so the model replays bit-for-bit."""
+    from .catalog_text import _NORM, _QUALITY
+
+    # conv(substr(md5(tok),1,4),16,10): DuckDB has no conv(); unroll
+    # the 4 hex digits via strpos (identical value by construction)
+    hx = "substr(md5(tok), {i}, 1)"
+    digit = "(strpos('0123456789abcdef', " + hx + ") - 1)"
+    hex4 = " + ".join(
+        f"{digit.format(i=i)} * {16 ** (4 - i)}" for i in range(1, 5)
+    )
+
+    head = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+),
+cnts AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(({hex4}) % {_DET_BUCKETS} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE length(tok) > 0 GROUP BY 1, 2
+),
+tf_all AS MATERIALIZED (
+  SELECT doc_id, bucket,
+         CAST((cnt * 1000000) // dl AS BIGINT) AS x_micro
+  FROM (SELECT doc_id, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY doc_id) AS dl
+        FROM cnts)
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(-1 AS BIGINT),
+         CAST(1000000 AS BIGINT)
+  FROM documents
+),
+lab AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CASE WHEN {_QUALITY} >= 1.0 THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT f.doc_id, f.bucket, f.x_micro, l.y
+  FROM tf_all f JOIN lab l USING (doc_id)
+  WHERE f.doc_id % 5 <> 4
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+w0 AS MATERIALIZED (
+  SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w_micro FROM tf
+)"""
+
+    its = []
+    for k in range(1, _DET_ITERS + 1):
+        its.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT f.doc_id, f.y,
+         CAST(LEAST(1000000, GREATEST(0,
+                CAST(sum(f.x_micro * w.w_micro) AS BIGINT) // 4000000
+                + 500000))
+              - f.y * 1000000 AS BIGINT) AS resid_micro
+  FROM tf f JOIN w{k - 1} w USING (bucket)
+  GROUP BY 1, 2
+),
+w{k} AS MATERIALIZED (
+  SELECT w.bucket,
+         CAST(w.w_micro - {_DET_LR} * COALESCE(
+                CAST(g.g12 AS BIGINT) // (nd.n * 1000000), 0)
+              AS BIGINT) AS w_micro
+  FROM w{k - 1} w
+  LEFT JOIN (SELECT f.bucket, sum(f.x_micro * m.resid_micro) AS g12
+             FROM tf f JOIN m{k} m USING (doc_id) GROUP BY 1) g
+    ON w.bucket = g.bucket
+  CROSS JOIN nd
+)""")
+
+    return (
+        "WITH "
+        + head
+        + ","
+        + ",".join(its)
+        + f"""
+SELECT s.doc_id,
+       l.y AS label,
+       CAST(CASE WHEN s.m12 >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       s.m12 AS margin_micro12
+FROM (
+  SELECT f.doc_id, CAST(sum(f.x_micro * w.w_micro) AS BIGINT) AS m12
+  FROM tf_all f JOIN w{_DET_ITERS} w USING (bucket)
+  WHERE f.doc_id % 5 = 4
+  GROUP BY 1
+) s
+JOIN lab l ON l.doc_id = s.doc_id
+"""
+    )
+
+
+def _register_det() -> None:
+    @_register("txt_quality_distill_det", _det_oracle())
+    def txt_quality_distill_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DETERMINISTIC quality-filter distillation
+        (operators/classifier.logreg_train_micro): the same
+        train-on-rule / score-holdout pipeline as txt_quality_distill,
+        but every gradient, weight, and margin is an exact BIGINT in
+        micro units with a hard-sigmoid link — so the trained model is
+        identical on any cluster layout, any reduce order, any retry
+        (the float trainer's gradient sums are not), and the ENTIRE
+        10-iteration training trajectory replays bit-for-bit in the
+        chained-CTE oracle. Reproducible-training lineage is a real
+        100 TB requirement: a curation filter that ships different
+        weights per run cannot be audited. Hash-exact twin of the
+        rows-only txt_quality_distill (which keeps the classical
+        float-sigmoid semantics)."""
+        from ..functions.text import quality_score
+        from ..operators.classifier import (
+            hashed_token_features_micro,
+            logreg_predict_micro,
+            logreg_train_micro,
+        )
+
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "y", (quality_score(F.col("text")) >= F.lit(1.0)).cast("int")
+        )
+        train = docs.where(F.col("doc_id") % 5 != 4)
+        holdout = docs.where(F.col("doc_id") % 5 == 4)
+        w = logreg_train_micro(
+            hashed_token_features_micro(train, n_buckets=_DET_BUCKETS),
+            train.select("doc_id", "y"),
+            iterations=_DET_ITERS,
+            lr=_DET_LR,
+        )
+        scored = logreg_predict_micro(
+            hashed_token_features_micro(holdout, n_buckets=_DET_BUCKETS), w
+        )
+        return scored.join(holdout.select("doc_id", "y"), "doc_id").select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("y").cast("bigint").alias("label"),
+            F.col("pred").cast("bigint").alias("pred"),
+            F.col("margin_micro12").cast("bigint").alias("margin_micro12"),
+        )
+
+
+_register_det()
+
+
+# --------------------------------------------------------------------------- #
 # s19_ivfpq_lake — the ANN serving layout, written and pruned for real        #
 # --------------------------------------------------------------------------- #
 
