@@ -339,6 +339,122 @@ _register_det()
 
 
 # --------------------------------------------------------------------------- #
+# dd_incremental_stream_replay — the self-maintaining ingest loop, replayed   #
+# --------------------------------------------------------------------------- #
+
+
+def _incr_replay_oracle() -> str:
+    """Three chained ingest stages over md5 LSH bands: batch k's
+    near-dup flags are computed against the index of everything
+    ACCEPTED in batches 0..k-1, then the accepted docs' bands extend
+    the index — the exact per-trigger transition of
+    streaming/dedup_stream.stream_selfmaintaining_neardup."""
+    from .catalog_text import _BANDS_SQL, _SIG_SQL
+
+    parts = [
+        f"""
+sig AS MATERIALIZED ({_SIG_SQL}),
+bands AS MATERIALIZED ({_BANDS_SQL}),
+out0 AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS batch_no,
+         CAST(0 AS BIGINT) AS n_index_hits,
+         CAST(NULL AS BIGINT) AS first_hit_id, TRUE AS is_new
+  FROM documents WHERE doc_id % 3 = 0
+),
+idx1 AS MATERIALIZED (
+  SELECT doc_id, band, bh FROM bands WHERE doc_id % 3 = 0
+)"""
+    ]
+    for k in (1, 2):
+        parts.append(f"""
+hits{k} AS MATERIALIZED (
+  SELECT b.doc_id, CAST(count(DISTINCT i.doc_id) AS BIGINT) AS n_index_hits,
+         CAST(min(i.doc_id) AS BIGINT) AS first_hit_id
+  FROM (SELECT * FROM bands WHERE doc_id % 3 = {k}) b
+  JOIN idx{k} i ON b.band = i.band AND b.bh = i.bh
+  GROUP BY 1
+),
+out{k} AS MATERIALIZED (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST({k} AS BIGINT) AS batch_no,
+         COALESCE(h.n_index_hits, 0) AS n_index_hits,
+         h.first_hit_id,
+         h.doc_id IS NULL AS is_new
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = {k}) d
+  LEFT JOIN hits{k} h ON h.doc_id = d.doc_id
+)""")
+        if k < 2:
+            parts.append(f"""
+idx{k + 1} AS MATERIALIZED (
+  SELECT * FROM idx{k}
+  UNION ALL
+  SELECT b.doc_id, b.band, b.bh
+  FROM bands b JOIN out{k} o ON b.doc_id = o.doc_id AND o.is_new
+)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+SELECT doc_id, batch_no, n_index_hits, first_hit_id,
+       CAST(CASE WHEN is_new THEN 1 ELSE 0 END AS BIGINT) AS is_new
+FROM (SELECT * FROM out0 UNION ALL SELECT * FROM out1
+      UNION ALL SELECT * FROM out2)
+"""
+    )
+
+
+def _register_incr_replay() -> None:
+    @_register("dd_incremental_stream_replay", _incr_replay_oracle())
+    def dd_incremental_stream_replay(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The self-maintaining streaming near-dup ingest loop
+        (streaming/dedup_stream.stream_selfmaintaining_neardup),
+        replayed batch-mode as a driver-checkable record — the same
+        promotion device as fn_funnel_stream_replay: the documents
+        table arrives as three batches (doc_id % 3); each batch runs
+        operators/dedup.incremental_dedup against the band index of
+        everything accepted so far, then the accepted docs' bands
+        extend the index. md5 hash family so the oracle replays the
+        banding; the streaming path is pinned equivalent to exactly
+        this sequential transition in tests/test_streaming_dedup.py.
+        Per-batch cost is O(batch) — nothing already indexed is ever
+        re-hashed, the only admissible ingest shape at 100 TB."""
+        from ..operators.dedup import incremental_dedup, minhash_band_index
+
+        docs = _t(spark, sf_dir, "documents")
+        kw = dict(num_hashes=8, bands=4, hash_fn="md5")
+        index = minhash_band_index(docs.where(F.lit(False)), **kw)
+        outs = []
+        for k in range(3):
+            batch = docs.where(F.col("doc_id") % 3 == k)
+            flags = incremental_dedup(index, batch, **kw).localCheckpoint(
+                eager=True
+            )
+            outs.append(
+                flags.select(
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.lit(k).cast("bigint").alias("batch_no"),
+                    "n_index_hits",
+                    F.col("first_hit_id").cast("bigint").alias("first_hit_id"),
+                    F.col("is_new").cast("bigint").alias("is_new"),
+                )
+            )
+            accepted = batch.join(
+                flags.where(F.col("is_new")).select("doc_id"), "doc_id"
+            )
+            index = index.unionByName(
+                minhash_band_index(accepted, **kw)
+            ).localCheckpoint(eager=True)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+
+_register_incr_replay()
+
+
+# --------------------------------------------------------------------------- #
 # s19_ivfpq_lake — the ANN serving layout, written and pruned for real        #
 # --------------------------------------------------------------------------- #
 

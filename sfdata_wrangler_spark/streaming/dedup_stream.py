@@ -96,3 +96,76 @@ def stream_incremental_neardup(
         append_sink(new_docs, batch_id)
 
     return stream_docs.writeStream.foreachBatch(_process)
+
+
+def stream_selfmaintaining_neardup(
+    stream_docs: DataFrame,
+    index_path: str,
+    accepted_sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+):
+    """The CLOSED ingest loop :func:`stream_incremental_neardup`
+    leaves to the caller: each micro-batch near-dup-checks against the
+    band index ON DISK (``index_path`` — a parquet dir seeded with the
+    corpus snapshot's :func:`~...operators.dedup.minhash_band_index`),
+    hands accepted docs to ``accepted_sink(new_docs_df, batch_id)``,
+    and APPENDS the accepted docs' own band rows back to the index —
+    so batch N dedups against the snapshot PLUS batches 1..N-1, with
+    zero re-hash of anything already indexed (O(batch) per trigger,
+    the only admissible cost at 100 TB).
+
+    Semantics contract (same as ``incremental_dedup``, now applied
+    per trigger): duplicates WITHIN one micro-batch are not resolved
+    against each other — both pass if neither collides with the index
+    as of the trigger start. Run :func:`stream_dedup_exact` upstream
+    for exact within-stream dupes, or shrink the trigger to tighten
+    the window; the per-batch granularity is the standard
+    index-staleness/latency trade stated honestly. Deterministic
+    given the same batch boundaries (equivalence with a sequential
+    batch replay is pinned in tests/test_streaming_dedup.py).
+
+    The batch frame is pinned (eager localCheckpoint) before use: the
+    accepted set is read TWICE (sink + index append), and the second
+    read must not recompute against the index rows the first just
+    appended — the foreachBatch re-evaluation trap from
+    streaming/ann_stream.py, here with a self-feedback edge.
+
+    Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
+    and ``.start()``s it.
+    """
+    from ..operators.dedup import incremental_dedup, minhash_band_index
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        spark = batch_df.sparkSession
+        index = spark.read.parquet(index_path)
+        flags = incremental_dedup(
+            index,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            hash_fn=hash_fn,
+        )
+        new_docs = batch_df.join(
+            flags.where(F.col("is_new")).select(id_col), id_col
+        ).localCheckpoint(eager=True)
+        minhash_band_index(
+            new_docs,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            hash_fn=hash_fn,
+        ).write.mode("append").parquet(index_path)
+        accepted_sink(new_docs, batch_id)
+
+    return stream_docs.writeStream.foreachBatch(_process)

@@ -107,3 +107,89 @@ def test_stream_neardup_matches_batch_incremental(spark, tmp_path):
         for r in incremental_dedup(index, batch).where("is_new").collect()
     }
     assert set(accepted) == expected == {102, 104}
+
+
+def test_selfmaintaining_neardup_dedups_across_batches(spark, tmp_path):
+    """The closed ingest loop: batch N must reject near-dups of docs
+    ACCEPTED in batches 1..N-1 (not just of the seed corpus), and the
+    stream must equal a sequential batch replay with the same batch
+    boundaries."""
+    import time
+
+    from sfdata_wrangler_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_band_index,
+    )
+    from sfdata_wrangler_spark.streaming.dedup_stream import (
+        stream_selfmaintaining_neardup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again")],
+        ["doc_id", "text"],
+    )
+    batches = [
+        [
+            (101, "the quick brown fox jumps over the lazy dog again"),  # dup of seed
+            (102, "totally novel payload about glaciers and volcanoes"),
+        ],
+        [
+            (201, "totally novel payload about glaciers and volcanoes"),  # dup of 102!
+            (202, "another unseen document with fresh content entirely"),
+        ],
+        [
+            (301, "another unseen document with fresh content entirely"),  # dup of 202!
+            (302, "final wave of genuinely new text about tide pools"),
+        ],
+    ]
+
+    src = os.path.join(tmp_path, "smsrc")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # file-source trigger order follows mtimes
+
+    index_path = os.path.join(tmp_path, "smindex")
+    minhash_band_index(corpus).write.parquet(index_path)
+
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.extend(r["doc_id"] for r in df.collect())
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_selfmaintaining_neardup(stream, index_path, sink)
+        .option("checkpointLocation", os.path.join(tmp_path, "smckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # cross-batch near-dups (201 of 102, 301 of 202) must be rejected:
+    # exactly what the static-index variant cannot do
+    assert sorted(accepted) == [101 + 1, 202, 302]
+
+    # sequential batch replay with the same boundaries agrees
+    replay_index = minhash_band_index(corpus)
+    replay_accepted = []
+    for rows in batches:
+        b = spark.createDataFrame(rows, schema)
+        flags = incremental_dedup(replay_index, b)
+        new = b.join(flags.where("is_new").select("doc_id"), "doc_id")
+        replay_accepted.extend(r["doc_id"] for r in new.collect())
+        replay_index = replay_index.unionByName(
+            minhash_band_index(new)
+        ).localCheckpoint(eager=True)
+    assert sorted(accepted) == sorted(replay_accepted)
+
+    # and the on-disk index now carries bands for seed + all accepted
+    idx = spark.read.parquet(index_path)
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {
+        1, 102, 202, 302,
+    }
