@@ -189,7 +189,151 @@ def test_selfmaintaining_neardup_dedups_across_batches(spark, tmp_path):
     assert sorted(accepted) == sorted(replay_accepted)
 
     # and the on-disk index now carries bands for seed + all accepted
-    idx = spark.read.parquet(index_path)
+    # (read via the layout-aware reader: increments live under
+    # _batches/, hidden from a plain root read)
+    from sfdata_wrangler_spark.streaming.dedup_stream import read_band_index
+
+    idx = read_band_index(spark, index_path)
     assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {
         1, 102, 202, 302,
     }
+
+
+def _run_sm_stream(spark, tmp_path, batches, corpus, **kw):
+    """Shared harness: write batches as mtime-ordered files, seed the
+    index, run the self-maintaining stream to completion; returns
+    (accepted doc ids in arrival order, index_path, start_fn) where
+    start_fn re-starts the same stream on the same checkpoint."""
+    import time
+
+    from sfdata_wrangler_spark.operators.dedup import minhash_band_index
+    from sfdata_wrangler_spark.streaming.dedup_stream import (
+        stream_selfmaintaining_neardup,
+    )
+
+    src = os.path.join(tmp_path, "smsrc2")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    index_path = os.path.join(tmp_path, "smindex2")
+    minhash_band_index(corpus).write.parquet(index_path)
+    ckpt = os.path.join(tmp_path, "smckpt2")
+    accepted = []
+
+    def sink(df, batch_id):
+        accepted.extend((batch_id, r["doc_id"]) for r in df.collect())
+
+    def start():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream_selfmaintaining_neardup(stream, index_path, sink, **kw)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    start()
+    return accepted, index_path, ckpt, start
+
+
+_SM_BATCHES = [
+    [
+        (101, "the quick brown fox jumps over the lazy dog again"),
+        (102, "totally novel payload about glaciers and volcanoes"),
+    ],
+    [
+        (201, "totally novel payload about glaciers and volcanoes"),
+        (202, "another unseen document with fresh content entirely"),
+    ],
+    [
+        (301, "another unseen document with fresh content entirely"),
+        (302, "final wave of genuinely new text about tide pools"),
+    ],
+]
+
+
+def test_selfmaintaining_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r8 #1 (the data-loss-on-restart shape): replay the LAST
+    trigger — whose index append already landed — by deleting its
+    commit marker and restarting on the same checkpoint. The replayed
+    batch must NOT collide with its own band rows: the sink must see
+    the same accepted docs again, and the index must not change."""
+    from sfdata_wrangler_spark.streaming.dedup_stream import read_band_index
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again")],
+        ["doc_id", "text"],
+    )
+    accepted, index_path, ckpt, start = _run_sm_stream(
+        spark, tmp_path, _SM_BATCHES, corpus
+    )
+    assert sorted(d for _b, d in accepted) == [102, 202, 302]
+    idx_before = sorted(
+        map(tuple, read_band_index(spark, index_path).collect())
+    )
+
+    # simulate the at-least-once crash window: append + sink done,
+    # checkpoint commit for batch 2 never landed
+    os.remove(os.path.join(ckpt, "commits", "2"))
+    crc = os.path.join(ckpt, "commits", ".2.crc")  # local-FS checksum twin
+    if os.path.exists(crc):
+        os.remove(crc)
+    accepted.clear()
+    start()
+    # the replayed trigger re-emits ITS batch's accepted docs — before
+    # the per-batch-dir exclusion they self-collided and vanished
+    assert accepted == [(2, 302)]
+    idx_after = sorted(
+        map(tuple, read_band_index(spark, index_path).collect())
+    )
+    assert idx_after == idx_before
+
+
+def test_selfmaintaining_compaction_preserves_search(spark, tmp_path):
+    """compact_every folds batch dirs into a generation dir: accepted
+    set and index CONTENT are unchanged vs the uncompacted run, and
+    the number of batch dirs drops (VERDICT r8 gap #2)."""
+    from sfdata_wrangler_spark.operators.dedup import incremental_dedup
+    from sfdata_wrangler_spark.streaming.dedup_stream import (
+        _BATCHES_SUBDIR,
+        read_band_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again")],
+        ["doc_id", "text"],
+    )
+    accepted, index_path, _ckpt, _start = _run_sm_stream(
+        spark, tmp_path, _SM_BATCHES, corpus, compact_every=2
+    )
+    assert sorted(d for _b, d in accepted) == [102, 202, 302]
+
+    # content unchanged: every accepted doc's bands present exactly once
+    idx = read_band_index(spark, index_path)
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {
+        1, 102, 202, 302,
+    }
+    assert idx.count() == idx.distinct().count()
+
+    # structural: folded — fewer batch dirs than triggers
+    bdir = os.path.join(index_path, _BATCHES_SUBDIR)
+    dirs = [d for d in os.listdir(bdir) if d.startswith("batch_id=")]
+    assert len(dirs) < len(_SM_BATCHES)
+    assert any(int(d.split("=")[1]) < 0 for d in dirs)  # generation dir
+
+    # search equivalence: a near-dup of an early accepted doc is
+    # still rejected against the compacted index
+    probe = spark.createDataFrame(
+        [(901, "totally novel payload about glaciers and volcanoes")],
+        ["doc_id", "text"],
+    )
+    flags = incremental_dedup(idx, probe)
+    assert [r["is_new"] for r in flags.collect()] == [False]
