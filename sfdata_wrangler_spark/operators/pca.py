@@ -151,3 +151,132 @@ def pca_project(
             )
         )
     return emb.select(F.col(id_col), F.array(*projs).alias(out_col))
+
+
+# --------------------------------------------------------------------------- #
+# Integer fixed-point basis — the hash-exact promotion device (round 9)       #
+# --------------------------------------------------------------------------- #
+
+Q_BASIS = 10_000  # basis fixed-point scale: keeps every distributed
+# projection term inside BIGINT through sf0.5 (|q|*n*Q*d ~ 7.7e17);
+# at true 100 TB row counts the projection sum moves to DECIMAL(38,0)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — Python ``//``
+    floors, but Spark ``div`` and DuckDB ``//`` both truncate
+    (verified: -7 div 2 == -7 // 2 == -3), and the fixed point must
+    replay bit-identically in all three."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _rescale(u: list[int], q: int = Q_BASIS) -> list[int]:
+    mx = max(max(abs(x) for x in u), 1)
+    return [_tdiv(x * q, mx) for x in u]
+
+
+def _sign_fix(v: list[int]) -> list[int]:
+    mx = max(abs(x) for x in v)
+    lead = next(x for x in v if abs(x) == mx)  # lowest index among ties
+    return [-x for x in v] if lead < 0 else list(v)
+
+
+def pca_fit_int(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Top-``k`` principal directions as an INTEGER FIXED POINT —
+    the oracle-replayable twin of :func:`pca_fit` (same promotion
+    device as the integer pagerank / GD / k-means queries).
+
+    The scatter matrix ``M = n·S2 − s1·s1ᵀ`` (∝ covariance, exact
+    Python big-ints from the same distributed sufficient statistics
+    :func:`gram_micro` / :func:`col_sums_micro` collect — d(d+1)/2
+    rows to the driver, never the corpus) drives orthogonal power
+    iteration where EVERY step is integer: mat-vec, rescale to
+    ``Q_BASIS`` by truncating division, previous-component removal
+    as ``u·(w·w) − (u·w)·w``, final deterministic sign fix (leading
+    max-|coefficient| entry positive, lowest index on ties). With
+    ``iterations`` fixed, the basis is a pure integer function of
+    the data — bit-identical under any partitioning, and replayable
+    by an external SQL engine as unrolled CTEs. Convergence to the
+    true eigh basis is approximate (quantization + finite T) and is
+    pinned ≥ 0.98 |cosine| per component in tests/test_pca.py.
+
+    Returns ``(basis, s1, n)``: ``basis`` is k integer vectors at
+    scale ``Q_BASIS``; ``s1``/``n`` are the exact micro column sums
+    and row count (the rational mean ``s1/n`` for centering).
+    """
+    sums = col_sums_micro(emb, vec_col, id_col).collect()
+    d = len(sums)
+    n = int(sums[0]["n"])
+    s1 = [0] * d
+    for r in sums:
+        s1[r["i"]] = int(r["s_x"])
+    m = [[0] * d for _ in range(d)]
+    for r in gram_micro(emb, vec_col, id_col).collect():
+        v = n * int(r["s_xy"]) - s1[r["i"]] * s1[r["j"]]
+        m[r["i"]][r["j"]] = v
+        m[r["j"]][r["i"]] = v
+
+    basis: list[list[int]] = []
+    for _comp in range(k):
+        u = [Q_BASIS] * d
+        for w in basis:  # orthogonalize the start vector too
+            ww = sum(x * x for x in w)
+            uw = sum(a * b for a, b in zip(u, w))
+            u = _rescale([x * ww - uw * y for x, y in zip(u, w)])
+        for _it in range(iterations):
+            u = _rescale([sum(m[i][j] * u[j] for j in range(d)) for i in range(d)])
+            for w in basis:
+                ww = sum(x * x for x in w)
+                uw = sum(a * b for a, b in zip(u, w))
+                u = _rescale([x * ww - uw * y for x, y in zip(u, w)])
+        basis.append(_sign_fix(u))
+    return basis, s1, n
+
+
+def pca_project_int(
+    emb: DataFrame,
+    basis: list[list[int]],
+    s1: list[int],
+    n: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact fixed-point projection onto the integer basis:
+    ``proj_q = (Σ_i (q_i·n − s1_i)·w_i) div n`` — the centered dot
+    product scaled by ``n·Q_BASIS`` so it stays integer end to end
+    (``q_i·n − s1_i`` is the exactly-centered micro coordinate times
+    n). Basis and sums travel as column literals; the fold is
+    aggregate-over-zip_with, JVM-side, no UDF, no shuffle. Output is
+    posexploded ``(id, dim, proj_q BIGINT)`` scalars — atomic schema
+    for the driver canon, per-axis true scale recoverable as
+    ``proj_q·MICRO⁻¹ / ‖w‖`` for consumers that want floats."""
+    nq = F.lit(n).cast("bigint")
+    s1_arr = F.array(*[F.lit(x).cast("bigint") for x in s1])
+    centered = F.zip_with(
+        _quantized(vec_col), s1_arr, lambda q, s: q * nq - s
+    )
+    projs = []
+    for w in basis:
+        w_arr = F.array(*[F.lit(x).cast("bigint") for x in w])
+        num = F.aggregate(
+            F.zip_with(centered, w_arr, lambda c, ww: c * ww),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        projs.append(num)
+    out = emb.select(
+        F.col(id_col),
+        F.posexplode(F.array(*projs)).alias("dim", "__num"),
+    )
+    return out.select(
+        id_col,
+        F.col("dim").cast("int").alias("dim"),
+        F.expr("__num div " + str(int(n))).cast("bigint").alias("proj_q"),
+    )

@@ -423,3 +423,195 @@ def hard_negatives(
         .withColumn("sim", portable_round(F.col("__sim_exact"), 4))
         .drop("__sim_exact")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Integer fixed-point k-means + IVF — the hash-exact promotion device         #
+# --------------------------------------------------------------------------- #
+
+
+def _to_micro(vec: Column) -> Column:
+    """array<bigint> micro-units: floor(x*1e6 + 0.5) per component —
+    the exact quantization idiom shared with operators/pq.py (both
+    engines compute it identically in double, then all arithmetic
+    below is integer)."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+
+
+def _l2sq_int(a: Column, b: Column) -> Column:
+    """Exact squared L2 between two micro-int vectors (BIGINT fold:
+    (4e6)^2 * dims ~ 5e14 per pair — orders of magnitude inside the
+    9.2e18 BIGINT range)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_centroids_int(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as an INTEGER FIXED POINT → ``(centroid_id,
+    centroid array<bigint>)`` in micro-units.
+
+    The float k-means (:func:`kmeans_centroids`) is correct but not
+    oracle-replayable: float means drift by ulps between engines and
+    flip assignment ties. Here every state transition is exact
+    integer arithmetic — quantize to micro ints, seed from the k
+    lowest-id vectors, assign by exact squared-L2 (tie → lower
+    centroid id), update each centroid coordinate as the TRUNCATING
+    integer-division mean ``sum div count`` (Spark ``div`` == DuckDB
+    ``//``, both toward zero — verified) — so any engine replaying
+    the same unrolled iterations lands on bit-identical centroids.
+    The same device as the BPE / integer-GD / integer-pagerank
+    promotions (plans/catalog20.py).
+
+    Scale shape is unchanged from the float version: per iteration
+    one broadcast assign + one posexplode/groupBy mean; only k
+    centroid rows ever reach the driver. Empty cells keep their
+    previous centroid (both engines COALESCE the same way).
+    """
+    spark = corpus.sparkSession
+    ivecs = corpus.select(
+        F.col(corpus_id), _to_micro(F.col(vec_col)).alias("__iv")
+    ).persist()
+    try:
+        seeds = (
+            ivecs.orderBy(corpus_id).limit(k).select("__iv").collect()
+        )
+        centroids = [(i, list(r["__iv"])) for i, r in enumerate(seeds)]
+        for _ in range(iterations):
+            cdf = values_df(
+                spark, "centroid_id: int, c: array<bigint>", centroids
+            )
+            d = ivecs.crossJoin(F.broadcast(cdf)).select(
+                corpus_id,
+                "centroid_id",
+                "__iv",
+                _l2sq_int(F.col("__iv"), F.col("c")).alias("__d2"),
+            )
+            w = Window.partitionBy(corpus_id).orderBy(
+                F.col("__d2").asc(), F.col("centroid_id")
+            )
+            assigned = (
+                d.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(corpus_id, "centroid_id", "__iv")
+            )
+            new = (
+                assigned.select(
+                    "centroid_id", F.posexplode("__iv").alias("pos", "x")
+                )
+                .groupBy("centroid_id", "pos")
+                .agg(F.expr("sum(x) div count(1)").alias("m"))
+                .groupBy("centroid_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ).alias("pm")
+                )
+                .select(
+                    "centroid_id",
+                    F.transform(F.col("pm"), lambda s: s["m"]).alias("c"),
+                )
+            )
+            updated = {
+                int(r["centroid_id"]): [int(x) for x in r["c"]]
+                for r in new.collect()
+            }
+            centroids = [
+                (cid, updated.get(cid, prev)) for cid, prev in centroids
+            ]
+        return values_df(
+            spark, "centroid_id: int, centroid: array<bigint>", centroids
+        )
+    finally:
+        ivecs.unpersist()
+
+
+def ivf_topk_int(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids_int: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with an integer coarse quantizer: cell assignment
+    and probe selection use exact squared-L2 over micro ints (the
+    FAISS-standard coarse metric, deterministic in every engine);
+    the final re-rank is exact double cosine over the ORIGINAL
+    vectors — identical join shape to :func:`ivf_topk` (cell-equi
+    candidates, broadcast probes, never all-pairs)."""
+    cent = centroids_int.select(
+        "centroid_id", F.col("centroid").alias("__c")
+    )
+    corp = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col),
+        _to_micro(F.col(vec_col)).alias("__iv"),
+    )
+    d = corp.crossJoin(F.broadcast(cent)).select(
+        corpus_id,
+        vec_col,
+        "centroid_id",
+        _l2sq_int(F.col("__iv"), F.col("__c")).alias("__d2"),
+    )
+    wc = Window.partitionBy(corpus_id).orderBy(
+        F.col("__d2").asc(), F.col("centroid_id")
+    )
+    indexed = (
+        d.withColumn("__rn", F.row_number().over(wc))
+        .where(F.col("__rn") == 1)
+        .select(corpus_id, vec_col, "centroid_id")
+    )
+
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        _to_micro(F.col(vec_col)).alias("__qiv"),
+    )
+    qd = q.crossJoin(F.broadcast(cent)).select(
+        query_id,
+        "__qv",
+        "centroid_id",
+        _l2sq_int(F.col("__qiv"), F.col("__c")).alias("__d2"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(
+        F.col("__d2").asc(), F.col("centroid_id")
+    )
+    probes = (
+        qd.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= n_probe)
+        .select(query_id, "__qv", "centroid_id")
+    )
+
+    cand = indexed.join(F.broadcast(probes), "centroid_id").where(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    scored = cand.select(
+        query_id,
+        corpus_id,
+        cosine(F.col("__qv"), F.col(vec_col)).alias("__sim_exact"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__sim_exact").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("sim", portable_round(F.col("__sim_exact"), 4))
+        .drop("__sim_exact")
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.pca import gram_micro, pca_fit, pca_project
+from ..operators.pca import gram_micro
 from ..functions.metrics import portable_round as _pr17
 from .catalog import _events, _register, _t
 
@@ -46,30 +46,134 @@ def emb_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("emb_pca_project", None)
-def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-4 principal projection of every embedding: fit from the
-    distributed statistics (driver eigh over d×d, sign-fixed), project
-    via broadcast basis literals + zip_with folds. Iterative linear
-    algebra — rows-only; exactness vs a numpy replica is pinned in
-    tests/test_pca.py. Twin: emb_pca_gram (hash-exact) pins the
-    sufficient statistics the fit consumes.
+def _pca_int_oracle(k: int = 4, iterations: int = 6, q: int = 10_000) -> str:
+    """Unrolled-CTE replay of operators/pca.pca_fit_int: integer
+    orthogonal power iteration over the exact scatter matrix
+    M = n·S2 − s1·s1ᵀ (HUGEINT), every rescale a truncating ``//``
+    (== Spark ``div`` — both toward zero, verified incl. HUGEINT),
+    deterministic sign fix, then the exact fixed-point projection
+    ``(q_i·n − s1_i)·w_i // n``. ~140 tiny CTEs over 64-row vectors
+    and the 4096-cell matrix — the BPE/GD/Lloyd's unroll device."""
+    ctes = [
+        """
+flat AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+s1 AS MATERIALIZED (
+  SELECT i, CAST(sum(q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM flat GROUP BY i
+),
+nr AS (SELECT max(n) AS n FROM s1),
+g AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s_xy
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+mm AS MATERIALIZED (
+  SELECT t.i, t.j,
+         (SELECT CAST(n AS HUGEINT) FROM nr) * t.s_xy
+           - CAST(sa.s AS HUGEINT) * CAST(sb.s AS HUGEINT) AS m
+  FROM (SELECT i, j, s_xy FROM g
+        UNION ALL
+        SELECT j AS i, i AS j, s_xy FROM g WHERE i < j) t
+  JOIN s1 sa ON sa.i = t.i
+  JOIN s1 sb ON sb.i = t.j
+)"""
+    ]
+    ctr = 0
 
-    Output is posexploded to (vec_id, dim, proj_r6) SCALARS — the
-    driver's canonicalizer sorts rows with pandas and cannot sort
-    array-typed columns (round-4 sweep crash); every registered query
-    must keep an atomic output schema (tests/test_output_schemas.py).
-    """
+    def emit(body: str) -> str:
+        nonlocal ctr
+        name = f"t{ctr}"
+        ctr += 1
+        ctes.append(f"{name} AS MATERIALIZED ({body})")
+        return name
+
+    def rescale(cur: str) -> str:
+        return emit(
+            f"SELECT i, CAST(val * {q} // "
+            f"GREATEST((SELECT max(abs(val)) FROM {cur}), 1) AS HUGEINT)"
+            f" AS val FROM {cur}"
+        )
+
+    def project_out(cur: str, w: str) -> str:
+        p = emit(
+            f"SELECT v.i, v.val * (SELECT sum(val * val) FROM {w})"
+            f" - (SELECT sum(a.val * b.val) FROM {cur} a"
+            f"    JOIN {w} b ON a.i = b.i) * wv.val AS val"
+            f" FROM {cur} v JOIN {w} wv ON v.i = wv.i"
+        )
+        return rescale(p)
+
+    comps: list[str] = []
+    for _m in range(k):
+        cur = emit(f"SELECT i, CAST({q} AS HUGEINT) AS val FROM s1")
+        for w in comps:
+            cur = project_out(cur, w)
+        for _t in range(iterations):
+            cur = emit(
+                "SELECT mm.i AS i, sum(mm.m * v.val) AS val"
+                f" FROM mm JOIN {cur} v ON mm.j = v.i GROUP BY 1"
+            )
+            cur = rescale(cur)
+            for w in comps:
+                cur = project_out(cur, w)
+        signed = emit(
+            f"SELECT i, val * (SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END"
+            f" FROM {cur} WHERE abs(val) = (SELECT max(abs(val)) FROM {cur})"
+            f" ORDER BY i LIMIT 1) AS val FROM {cur}"
+        )
+        comps.append(signed)
+    w_all = emit(
+        " UNION ALL ".join(
+            f"SELECT {m} AS dim, i, val FROM {w}" for m, w in enumerate(comps)
+        )
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT CAST(f.vec_id AS BIGINT) AS vec_id,
+       CAST(w.dim AS INT) AS dim,
+       CAST(CAST(sum((f.q * (SELECT n FROM nr) - s1.s) * w.val) AS HUGEINT)
+            // (SELECT CAST(n AS HUGEINT) FROM nr) AS BIGINT) AS proj_q
+FROM flat f
+JOIN s1 ON s1.i = f.i
+JOIN {w_all} w ON w.i = f.i
+GROUP BY f.vec_id, w.dim
+"""
+    )
+
+
+@_register("emb_pca_project", _pca_int_oracle())
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 principal projection of every embedding, hash-exact
+    (promoted r9, VERDICT r8 ask #5): the basis is the INTEGER
+    ORTHOGONAL-ITERATION fixed point of operators/pca.pca_fit_int —
+    exact big-int power iteration over the scatter matrix collected
+    from the distributed sufficient statistics (d(d+1)/2 rows to the
+    driver, never the corpus), truncating-division rescales, integer
+    previous-component removal, deterministic sign fix — so the
+    oracle replays the identical unrolled iterations and the output
+    is exact BIGINT fixed-point values (scale n·MICRO·Q_BASIS·‖w‖;
+    closeness to the true eigh basis is pinned ≥0.98 |cos| per
+    component in tests/test_pca.py, alongside the float
+    :func:`pca_fit`/:func:`pca_project` numpy differential).
+    Projection is broadcast-literal zip_with folds, map-only, output
+    posexploded to atomic (vec_id, dim, proj_q) scalars."""
+    from ..operators.pca import pca_fit_int, pca_project_int
+
     emb = _t(spark, sf_dir, "embeddings")
-    means, comps, _ = pca_fit(emb, k=4)
-    out = pca_project(emb, means, comps)
+    basis, s1, n = pca_fit_int(emb, k=4, iterations=6)
+    out = pca_project_int(emb, basis, s1, n)
     return out.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.posexplode(F.col("proj")).alias("dim", "proj_val"),
-    ).select(
-        "vec_id",
         F.col("dim").cast("int").alias("dim"),
-        F.round("proj_val", 6).alias("proj_r6"),
+        F.col("proj_q").cast("bigint").alias("proj_q"),
     )
 
 

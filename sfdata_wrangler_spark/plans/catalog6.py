@@ -73,25 +73,127 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(_pr(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
 
 
-@_register("emb_ivf_topk", None)
-def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (rows-only: k-means training is iterative, not
-    SQL-expressible): deterministic centroids (fixed seeds/iteration
-    count) → cell-equi candidate join → per-query rank. Recall vs
-    brute force asserted in tests/test_similarity.py.
+def _ivf_kmeans_oracle(k: int = 8, iterations: int = 2) -> str:
+    """Chained MATERIALIZED-CTE replay of the integer fixed-point
+    Lloyd's in operators/similarity.kmeans_centroids_int: micro-int
+    quantize → seed from k lowest ids → per iteration exact-L2
+    assign (tie: lower cid) + truncating integer-division mean
+    (DuckDB ``//`` == Spark ``div``, both toward zero), empty cells
+    keep their centroid — bit-identical state both engines."""
+    parts = [
+        """
+el AS MATERIALIZED (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1e6 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings
+),
+e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT """
+        + str(k)
+        + """)
+),
+c0 AS MATERIALIZED (
+  SELECT s.cid, el.dim, el.x AS c
+  FROM seeds s JOIN el ON el.vec_id = s.vec_id
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT el.vec_id, c.cid, sum((el.x - c.c) * (el.x - c.c)) AS d2
+  FROM el JOIN c{i - 1} c ON el.dim = c.dim
+  GROUP BY 1, 2
+),
+a{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+),
+m{i} AS MATERIALIZED (
+  SELECT a.cid, el.dim, CAST(sum(el.x) // count(*) AS BIGINT) AS c
+  FROM a{i} a JOIN el ON el.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+c{i} AS MATERIALIZED (
+  SELECT p.cid, p.dim, COALESCE(m{i}.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN m{i} ON m{i}.cid = p.cid AND m{i}.dim = p.dim
+)""")
+    fin = f"c{iterations}"
+    parts.append(f"""
+dcell AS MATERIALIZED (
+  SELECT el.vec_id, c.cid, sum((el.x - c.c) * (el.x - c.c)) AS d2
+  FROM el JOIN {fin} c ON el.dim = c.dim
+  GROUP BY 1, 2
+),
+cells AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dcell
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dcell WHERE vec_id < 3
+  ) WHERE rn <= 2
+)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       CAST(c.vec_id AS BIGINT) AS vec_id,
+       CAST(round(list_cosine_similarity(qe.v, c.v), 4) AS DOUBLE) AS sim,
+       CAST(row_number() OVER (
+         PARTITION BY q.query_id
+         ORDER BY list_cosine_similarity(qe.v, c.v) DESC, c.vec_id
+       ) AS INT) AS rank
+FROM probes q
+  JOIN cells a ON a.cid = q.cid
+  JOIN e c ON c.vec_id = a.vec_id AND c.vec_id <> q.query_id
+  JOIN e qe ON qe.vec_id = q.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY q.query_id
+  ORDER BY list_cosine_similarity(qe.v, c.v) DESC, c.vec_id
+) <= 5
+"""
+    )
 
-    twins: ``emb_label_centroids`` + ``emb_ivf_labels_topk``
-    (hash-exact) run the identical assign→cell-join→rank plan with a
-    label quantizer instead of the k-means one; ``emb_ivf_recall``
-    (driver-green r3) pins this query's recall vs brute force."""
-    from ..operators.similarity import ivf_topk, kmeans_centroids
+
+@_register("emb_ivf_topk", _ivf_kmeans_oracle())
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer, hash-exact (promoted
+    r9, VERDICT r8 ask #2): Lloyd's k-means runs as an integer fixed
+    point (operators/similarity.kmeans_centroids_int — micro-int
+    quantize, exact squared-L2 assignment, truncating integer-division
+    centroid means), so the oracle replays the identical iterations as
+    chained MATERIALIZED CTEs — the same promotion device as the BPE /
+    integer-GD / integer-pagerank queries. Squared L2 over micro ints
+    is the coarse metric (the standard IVF cell metric); the final
+    re-rank is exact double cosine, rounded to 4 dp. Cell-equi
+    candidate join, broadcast probes — never all-pairs; probes are
+    the nq x n_probe serving shape s19_ivfpq_lake prunes partitions
+    with. Recall vs brute force pinned in tests/test_similarity.py;
+    twins emb_label_centroids / emb_ivf_labels_topk keep the
+    label-quantizer variant green alongside."""
+    from ..operators.similarity import ivf_topk_int, kmeans_centroids_int
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cents = kmeans_centroids(emb, k=8, iterations=3)
-    out = ivf_topk(queries, emb, cents, k=5, n_probe=2)
+    cents = kmeans_centroids_int(emb, k=8, iterations=2)
+    out = ivf_topk_int(queries, emb, cents, k=5, n_probe=2)
     return out.select(
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("vec_id").cast("bigint").alias("vec_id"),

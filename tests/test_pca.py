@@ -94,3 +94,43 @@ def test_whitened_projection_has_unit_variance(spark, emb):
     # use the same corpus)
     var = P.var(axis=0)
     assert np.allclose(var, 1.0, rtol=1e-6)
+
+
+def test_int_fixed_point_basis_close_to_eigh_and_deterministic(spark, emb):
+    """The r9 promotion device (pca_fit_int): the integer
+    orthogonal-iteration basis must align with the true eigh basis
+    (|cos| >= 0.98 per component), be bit-identical across
+    re-trainings, and the fixed-point projection must equal a pure
+    big-int replica of the same arithmetic."""
+    from sfdata_wrangler_spark.operators.pca import (
+        Q_BASIS,
+        _tdiv,
+        pca_fit_int,
+        pca_project_int,
+    )
+
+    basis, s1, n = pca_fit_int(emb, k=3, iterations=6)
+    again, s1b, nb = pca_fit_int(emb, k=3, iterations=6)
+    assert basis == again and s1 == s1b and n == nb
+
+    _means, comps, _vars = pca_fit(emb, k=3)
+    for w, c in zip(basis, comps):
+        wv = np.array(w, dtype=float)
+        cv = np.array(c)
+        cos = abs(wv @ cv) / (np.linalg.norm(wv) * np.linalg.norm(cv))
+        assert cos >= 0.98, cos
+
+    # projection: exact vs a python big-int replica
+    X = _np_vecs(emb)
+    q = np.floor(X * MICRO).astype(object)  # arbitrary precision
+    got = {
+        (r["vec_id"], r["dim"]): r["proj_q"]
+        for r in pca_project_int(emb, basis, s1, n).collect()
+    }
+    for i in range(X.shape[0]):
+        for m, w in enumerate(basis):
+            num = sum(
+                (int(q[i][j]) * n - s1[j]) * w[j] for j in range(len(w))
+            )
+            assert got[(i, m)] == _tdiv(num, n)
+    assert all(abs(w0) <= Q_BASIS for w in basis for w0 in w)
