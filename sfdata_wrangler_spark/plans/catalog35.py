@@ -25,6 +25,12 @@ _N_PROBE = 2
 _N_CODES = 16
 _SHORTLIST = 32
 _K = 5
+# PQ geometry, shared by EVERY call site (ADVICE r8 #3: probed_cells
+# and ivfpq_topk previously agreed on m/sub_dim only via silent
+# defaults — a future non-default index would let the s19 static
+# partition filter diverge from the search's internal probe)
+_M = 8
+_SUB_DIM = 8
 
 # long form with BOTH subspace/dim split and micro quantization —
 # identical to operators/pq._long_form's arithmetic
@@ -182,10 +188,12 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str):
     from ..operators.pq import ivf_coarse_centroids, ivfpq_index
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = ivf_coarse_centroids(emb)
+    cents = ivf_coarse_centroids(emb, m=_M, sub_dim=_SUB_DIM)
     # one shared build: codebooks and codes reuse the coarse
     # assignment instead of re-running the n·L·d aggregation 3x
-    cb, enc = ivfpq_index(emb, cents, n_codes=_N_CODES)
+    cb, enc = ivfpq_index(
+        emb, cents, n_codes=_N_CODES, m=_M, sub_dim=_SUB_DIM
+    )
     return emb, cents, cb, enc
 
 
@@ -212,6 +220,8 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K,
         n_probe=_N_PROBE,
         shortlist=_SHORTLIST,
+        m=_M,
+        sub_dim=_SUB_DIM,
     )
     return out.select(
         F.col("query_id").cast("bigint").alias("query_id"),
@@ -452,6 +462,8 @@ def emb_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K,
         n_probe=_N_PROBE,
         shortlist=_SHORTLIST,
+        m=_M,
+        sub_dim=_SUB_DIM,
     )
     return out.select(
         F.col("query_id").cast("bigint").alias("query_id"),

@@ -486,17 +486,27 @@ def _register_s19() -> None:
         cycle is value-checked; tests/test_ivfpq_lake.py pins the
         pruned scan's file metrics (zorder-style measured skipping)."""
         import os
-        import tempfile
 
         from ..operators.pq import ivfpq_topk, probed_cells
-        from ..sources.lake import write_partitioned
-        from .catalog35 import _K, _N_PROBE, _SHORTLIST, _ivfpq_parts
+        from ..sources.lake import session_scratch, write_partitioned
+        from .catalog35 import (
+            _K,
+            _M,
+            _N_PROBE,
+            _SHORTLIST,
+            _SUB_DIM,
+            _ivfpq_parts,
+        )
 
         emb, cents, cb, enc = _ivfpq_parts(spark, sf_dir)
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "sfdata_ivfpq_lake",
+        # app-id-scoped scratch (ADVICE r8 #2): the old fixed
+        # tempdir path was world-shared — squattable and racy across
+        # concurrent sweeps; single-writer is now structural
+        path = session_scratch(
+            spark,
+            "ivfpq_lake",
             os.path.basename(os.path.normpath(sf_dir)),
+            "codes",
         )
         # dynamic=False: FULL overwrite. The path is stable across
         # sweep runs and rounds; dynamic overwrite would keep any cid
@@ -517,7 +527,9 @@ def _register_s19() -> None:
         # first because its output is the static partition filter
         cids = sorted(
             r["cid"]
-            for r in probed_cells(queries, cents, n_probe=_N_PROBE)
+            for r in probed_cells(
+                queries, cents, n_probe=_N_PROBE, m=_M, sub_dim=_SUB_DIM
+            )
             .select("cid")
             .distinct()
             .collect()
@@ -538,6 +550,8 @@ def _register_s19() -> None:
             k=_K,
             n_probe=_N_PROBE,
             shortlist=_SHORTLIST,
+            m=_M,
+            sub_dim=_SUB_DIM,
         )
         return out.select(
             F.col("query_id").cast("bigint").alias("query_id"),
@@ -549,3 +563,119 @@ def _register_s19() -> None:
 
 
 _register_s19()
+
+
+# --------------------------------------------------------------------------- #
+# emb_ivfpq_serve — probe + search ONLY, against persisted artifacts          #
+# --------------------------------------------------------------------------- #
+
+_SERVE_Q_LO, _SERVE_Q_HI = 6, 9  # disjoint from topk (<3) and s19 (3..6)
+
+
+def _ivfpq_artifacts(spark: SparkSession, sf_dir: str) -> str:
+    """Build the IVF-PQ index artifacts (cid-partitioned code lake,
+    coarse centroids, residual codebooks) ONCE per session under the
+    app-scoped scratch dir, and return the artifact root. Subsequent
+    calls in the same session see the _BUILT marker and touch
+    nothing — that is the amortization a deployed index has: train
+    and encode once, serve many query batches."""
+    import os
+
+    from ..sources.lake import session_scratch, write_partitioned
+    from .catalog35 import _M, _SUB_DIM, _ivfpq_parts
+
+    root = session_scratch(
+        spark,
+        "ivfpq_serve",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "x",
+    )
+    root = os.path.dirname(root)
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        _emb, cents, cb, enc = _ivfpq_parts(spark, sf_dir)
+        write_partitioned(
+            enc, os.path.join(root, "codes"), ("cid",), dynamic=False
+        )
+        cents.write.mode("overwrite").parquet(os.path.join(root, "cents"))
+        cb.write.mode("overwrite").parquet(os.path.join(root, "cb"))
+        with open(marker, "w") as fh:
+            fh.write(f"m={_M} sub_dim={_SUB_DIM}\n")
+    return root
+
+
+def _register_serve() -> None:
+    from .catalog35 import _IVFPQ_INDEX, _ivfpq_search_sql
+
+    sql = _ivfpq_search_sql(
+        _IVFPQ_INDEX,
+        query_pred=f"vec_id >= {_SERVE_Q_LO} AND vec_id < {_SERVE_Q_HI}",
+    )
+
+    @_register("emb_ivfpq_serve", sql, bench=True)
+    def emb_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SERVE-ONLY IVF-PQ search (VERDICT r8 ask #4): probe +
+        pruned ADC + exact rerank against the PERSISTED index
+        artifacts — quantizer training and corpus encoding excluded
+        (built once per session by :func:`_ivfpq_artifacts`, exactly
+        as a deployment trains/encodes once and serves many batches).
+        emb_ivfpq_topk pays the full inline build every run (~70% of
+        its bench wall); THIS query's warm bench number is the cost a
+        100 TB deployment actually sees per query batch: read coarse
+        centroids + codebooks (broadcast-sized), derive the nq x
+        n_probe probed cells, statically prune the cid-partitioned
+        code lake, cell-equi ADC join, exact integer rerank. The
+        oracle rebuilds the identical index in SQL (integer PQ is a
+        pure function of the data, so build-then-serve and
+        serve-from-artifacts are value-identical by construction).
+        bench=True: run 1 of the bench triple pays the bootstrap,
+        runs 2-3 are pure serving — min() reports the serve cost."""
+        import os
+
+        from ..operators.pq import ivfpq_topk, probed_cells
+        from .catalog35 import _K, _M, _N_PROBE, _SHORTLIST, _SUB_DIM
+
+        root = _ivfpq_artifacts(spark, sf_dir)
+        emb = _t(spark, sf_dir, "embeddings")
+        cents = spark.read.parquet(os.path.join(root, "cents"))
+        cb = spark.read.parquet(os.path.join(root, "cb"))
+        queries = emb.where(
+            (F.col("vec_id") >= _SERVE_Q_LO) & (F.col("vec_id") < _SERVE_Q_HI)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+        cids = sorted(
+            r["cid"]
+            for r in probed_cells(
+                queries, cents, n_probe=_N_PROBE, m=_M, sub_dim=_SUB_DIM
+            )
+            .select("cid")
+            .distinct()
+            .collect()
+        )
+        lake = (
+            spark.read.parquet(os.path.join(root, "codes"))
+            .where(F.col("cid").isin(cids))
+            .withColumn("cid", F.col("cid").cast("int"))
+        )
+        out = ivfpq_topk(
+            queries,
+            lake,
+            cents,
+            cb,
+            emb,
+            k=_K,
+            n_probe=_N_PROBE,
+            shortlist=_SHORTLIST,
+            m=_M,
+            sub_dim=_SUB_DIM,
+        )
+        return out.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("adc_d2").cast("bigint").alias("adc_d2"),
+            F.col("exact_d2").cast("bigint").alias("exact_d2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+
+_register_serve()

@@ -145,3 +145,36 @@ def compact_partitions(
         .parquet(path)
     )
     return {"files_before": len(before), "files_after": len(_files())}
+
+
+_SCRATCH_CLEANUP_REGISTERED: set[str] = set()
+
+
+def session_scratch(spark, *parts: str) -> str:
+    """A session-scoped scratch directory for derived lake artifacts
+    (IVF-PQ code lakes, persisted index parts): ``<repo>/.scratch/
+    <spark application id>/<parts...>``.
+
+    Fixes ADVICE r8 #2: the old fixed path under tempfile.gettempdir()
+    was world-shared (squattable on a multi-user host) and raced when
+    two sweeps/bench runs wrote the same sf concurrently. The app-id
+    key guarantees single-writer per path (one SparkContext = one
+    writer); the repo-owned parent removes the /tmp trust problem.
+    Artifacts amortize across calls WITHIN a session — the serving
+    regime bench measures — and the whole app dir is removed at
+    interpreter exit (atexit, same device as the r7 checkpoint
+    cleanup) so repeated sessions do not accrete."""
+    import atexit
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    app_dir = os.path.join(
+        repo_root, ".scratch", spark.sparkContext.applicationId
+    )
+    if app_dir not in _SCRATCH_CLEANUP_REGISTERED:
+        _SCRATCH_CLEANUP_REGISTERED.add(app_dir)
+        atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
+    path = os.path.join(app_dir, *parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path

@@ -93,3 +93,30 @@ def test_pruned_lake_search_equals_unpruned(spark, tmp_path_factory):
     a = _search(lake_pruned)
     assert a == _search(lake_full) == _search(enc)
     assert len(a) == 10  # 2 queries x k=5
+
+
+def test_serve_artifacts_amortize_within_session(spark):
+    """emb_ivfpq_serve (r9): the first call builds the persisted
+    artifacts, later calls in the same session serve without
+    rebuilding (the _BUILT marker pins the bootstrap), and results
+    are identical either way."""
+    import os
+
+    from sfdata_wrangler_spark.plans.catalog36 import _ivfpq_artifacts
+    from sfdata_wrangler_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    root = _ivfpq_artifacts(spark, sf)
+    marker = os.path.join(root, "_BUILT")
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(marker)
+
+    fn = QUERIES["emb_ivfpq_serve"]["fn"]
+    first = sorted(map(tuple, fn(spark, sf).collect()))
+    assert os.path.getmtime(marker) == mtime  # no rebuild
+    second = sorted(map(tuple, fn(spark, sf).collect()))
+    assert first == second
+    # artifacts live under the repo-owned app-scoped scratch, not a
+    # world-shared tempdir (ADVICE r8 #2)
+    assert spark.sparkContext.applicationId in root
+    assert "/.scratch/" in root
