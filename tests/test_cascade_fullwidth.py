@@ -118,12 +118,14 @@ def _pandas_aggregate(pdf: pd.DataFrame, keys, rules, weight) -> pd.DataFrame:
             out[rule.out] = g[src].agg(lambda s: int((s != 0).sum()))
         elif rule.method == "wgtSum":
             out[rule.out] = g.apply(
-                lambda d: (d[src] * d[weight]).sum()
+                lambda d: (d[src] * d[weight]).sum(),
+                include_groups=False,
             )
         elif rule.method == "wgtAvg":
             out[rule.out] = g.apply(
                 lambda d: (d[src] * d[weight]).sum()
-                / d.loc[d[src].notna(), weight].sum()
+                / d.loc[d[src].notna(), weight].sum(),
+                include_groups=False,
             )
         else:  # pragma: no cover
             raise AssertionError(rule.method)
