@@ -508,11 +508,12 @@ def _register_s19() -> None:
             os.path.basename(os.path.normpath(sf_dir)),
             "codes",
         )
-        # dynamic=False: FULL overwrite. The path is stable across
-        # sweep runs and rounds; dynamic overwrite would keep any cid
-        # partition absent from the CURRENT index (constants changed,
-        # cell emptied on reassignment) as stale rows from a previous
-        # build, and a probe into such a cell would search dead codes
+        # dynamic=False: FULL overwrite. The app-scoped dir starts
+        # empty each session, so this guards only WITHIN-session
+        # re-runs: dynamic overwrite would keep a cid partition
+        # emptied by reassignment (e.g. after a constants change in
+        # the same session) as stale rows, and a probe into such a
+        # cell would search dead codes
         write_partitioned(
             enc, path, partition_cols=("cid",), dynamic=False
         )
@@ -584,13 +585,13 @@ def _ivfpq_artifacts(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.lake import session_scratch, write_partitioned
     from .catalog35 import _M, _SUB_DIM, _ivfpq_parts
 
-    root = session_scratch(
+    codes_path = session_scratch(
         spark,
         "ivfpq_serve",
         os.path.basename(os.path.normpath(sf_dir)),
-        "x",
+        "codes",
     )
-    root = os.path.dirname(root)
+    root = os.path.dirname(codes_path)
     marker = os.path.join(root, "_BUILT")
     if not os.path.exists(marker):
         _emb, cents, cb, enc = _ivfpq_parts(spark, sf_dir)

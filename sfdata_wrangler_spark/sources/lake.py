@@ -165,16 +165,30 @@ def session_scratch(spark, *parts: str) -> str:
     interpreter exit (atexit, same device as the r7 checkpoint
     cleanup) so repeated sessions do not accrete."""
     import atexit
+    import time
 
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    app_dir = os.path.join(
-        repo_root, ".scratch", spark.sparkContext.applicationId
-    )
+    scratch_root = os.path.join(repo_root, ".scratch")
+    app_dir = os.path.join(scratch_root, spark.sparkContext.applicationId)
     if app_dir not in _SCRATCH_CLEANUP_REGISTERED:
         _SCRATCH_CLEANUP_REGISTERED.add(app_dir)
         atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
+        # atexit never fires for OOM-killed/SIGKILLed sessions
+        # (code-review r9 #4): sweep stale sibling app dirs on first
+        # use. App ids embed no liveness, so age is the signal — an
+        # hour-old dir here is a dead session's leftovers (sessions
+        # in this environment live minutes, and a same-host live app
+        # keeps its artifacts' mtimes fresh by rewriting markers).
+        cutoff = time.time() - 6 * 3600
+        try:
+            for entry in os.listdir(scratch_root):
+                p = os.path.join(scratch_root, entry)
+                if p != app_dir and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     path = os.path.join(app_dir, *parts)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     return path

@@ -111,33 +111,29 @@ def _fs_for(spark, path: str):
     return fs, hpath, jvm
 
 
-def _list_batch_dirs(fs, batches_hpath) -> dict[int, object]:
-    """{batch_id value -> hadoop Path} for every ``batch_id=K`` child."""
-    out: dict[int, object] = {}
+def _list_batch_dirs(fs, batches_hpath) -> dict[str, object]:
+    """{batch_id key (string) -> hadoop Path} for every
+    ``batch_id=<key>`` child. Keys are ``<run>-<n>`` for per-trigger
+    appends, ``g-...`` for tier-1 generations, ``h-...`` for tier-2."""
+    out: dict[str, object] = {}
     for st in fs.listStatus(batches_hpath):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("batch_id="):
-            try:
-                out[int(name.split("=", 1)[1])] = st.getPath()
-            except ValueError:
-                continue
+            out[name.split("=", 1)[1]] = st.getPath()
     return out
 
 
-def read_band_index(
-    spark, index_path: str, exclude_batch_id: int | None = None
-) -> DataFrame:
+def read_band_index(spark, index_path: str) -> DataFrame:
     """The full LSH band index at ``index_path``: the seed snapshot at
-    the root plus every streaming batch appended under
-    ``_batches/batch_id=K`` by :func:`stream_selfmaintaining_neardup`
+    the root plus every streaming increment appended under
+    ``_batches/batch_id=<key>`` by :func:`stream_selfmaintaining_neardup`
     (the underscore prefix hides the subdir from a plain parquet read
     of the root, so seed and increments never mix layouts).
 
-    ``exclude_batch_id`` drops one batch's rows — the replay guard:
-    when foreachBatch re-runs a trigger whose index append already
-    landed (at-least-once semantics), the batch must not collide with
-    its OWN band rows and silently drop every replayed doc (ADVICE
-    r8 #1, the data-loss-on-restart shape).
+    Duplicate band rows across increment dirs are ALLOWED and
+    semantically harmless — ``incremental_dedup`` counts DISTINCT
+    index docs and takes the min hit id — which is what makes the
+    maintenance below crash-safe without transactional renames.
     """
     seed = spark.read.parquet(index_path)
     batches_dir = index_path.rstrip("/") + "/" + _BATCHES_SUBDIR
@@ -145,65 +141,42 @@ def read_band_index(
     if not fs.exists(bpath) or not _list_batch_dirs(fs, bpath):
         return seed
     # explicit schema (seed columns + the batch_id partition column):
-    # inference would fail if every remaining batch dir were empty
-    from pyspark.sql.types import LongType, StructField, StructType
+    # inference would fail if every remaining increment dir were empty
+    from pyspark.sql.types import StringType, StructField, StructType
 
     app_schema = StructType(
-        list(seed.schema.fields) + [StructField("batch_id", LongType())]
+        list(seed.schema.fields) + [StructField("batch_id", StringType())]
     )
     appended = spark.read.schema(app_schema).parquet(batches_dir)
-    if exclude_batch_id is not None:
-        appended = appended.where(F.col("batch_id") != exclude_batch_id)
     return seed.unionByName(appended.drop("batch_id"))
 
 
-def _compact_batches(
-    spark, batches_dir: str, current_batch_id: int, compact_every: int
-) -> None:
-    """Fold the accumulated per-trigger batch dirs into one generation
-    dir once ``compact_every`` of them exist — without this the index
-    accretes one small parquet dir per trigger unboundedly (VERDICT r8
-    gap #2). Crash-safe by construction:
-
-    - output goes to a FRESH id ``-(current_batch_id+1)`` (negative =
-      generation, never collides with a real future batch id), written
-      to a hidden tmp dir then renamed in — a crash before the rename
-      changes nothing;
-    - covered dirs are deleted only AFTER the rename — a crash between
-      leaves duplicate band rows, which are semantically harmless
-      (``incremental_dedup`` counts DISTINCT index docs / takes min),
-      and the next compaction sweeps them;
-    - on replay of the same trigger the generation dir already exists,
-      so the fold is skipped and only leftover covered dirs are
-      re-deleted (idempotent).
-
-    The current batch's own dir is NEVER covered: folding it would
-    re-tag its rows with the generation id and defeat the replay
-    exclusion in :func:`read_band_index`.
+def _fold_dirs(spark, batches_dir: str, covered: dict, gen_key: str) -> None:
+    """Fold ``covered`` increment dirs into ``batch_id=<gen_key>``:
+    write the union to a hidden tmp dir, rename in, THEN delete the
+    covered dirs. Crash windows leave either the old state (tmp is
+    underscore-hidden from every read) or duplicate band rows
+    (harmless — see :func:`read_band_index`); a replayed trigger sees
+    the deterministic gen_key already present and only finishes the
+    deletions. The rename's RETURN VALUE is checked (Hadoop
+    FileSystems report most failures as ``false``, not exceptions) —
+    on failure nothing is deleted and the fold retries next cadence
+    (code-review r9 #1: deleting after an unchecked rename is silent
+    index loss).
 
     Output file count comes from :func:`operators.compaction.
     plan_compaction` over the covered dirs' file manifest (metadata
-    only, driver-side — bounded by file count, not data size).
-    """
+    only, driver-side — bounded by file count, not data size)."""
     from ..operators.compaction import plan_compaction
 
-    gen_id = -(current_batch_id + 1)
     fs, bpath, jvm = _fs_for(spark, batches_dir)
-    if not fs.exists(bpath):
-        return
-    dirs = _list_batch_dirs(fs, bpath)
     gen_path = jvm.org.apache.hadoop.fs.Path(
-        batches_dir + f"/batch_id={gen_id}"
+        batches_dir + f"/batch_id={gen_key}"
     )
-    covered = {
-        k: p for k, p in dirs.items() if k not in (current_batch_id, gen_id)
-    }
     if fs.exists(gen_path):
         # replayed trigger: the fold landed; finish the deletions
         for p in covered.values():
             fs.delete(p, True)
-        return
-    if len(covered) < compact_every:
         return
     files = []
     for p in covered.values():
@@ -232,9 +205,61 @@ def _compact_batches(
     )
     tmp = batches_dir + "/_compact_tmp"
     union.coalesce(int(n_groups)).write.mode("overwrite").parquet(tmp)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), gen_path)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), gen_path):
+        import warnings
+
+        warnings.warn(
+            f"band-index compaction rename failed for {gen_key}; "
+            "covered dirs left intact, fold will retry",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
     for p in covered.values():
         fs.delete(p, True)
+
+
+def _compact_batches(
+    spark, batches_dir: str, current_key: str, compact_every: int
+) -> None:
+    """Tiered fold of the accumulated increment dirs (VERDICT r8 gap
+    #2; tiering per code-review r9 #3 — a single tier re-reads the
+    whole accumulated increment set on nearly every fold once the
+    first generation exists, O(T²) lifetime I/O):
+
+    - tier 1: once ``compact_every`` per-trigger dirs exist, fold
+      THEM (never existing generations) into ``g-<current_key>`` —
+      the routine fold touches only rows accepted since the last one;
+    - tier 2: once ``compact_every`` generation dirs (``g-``/``h-``)
+      exist, fold those into ``h-<current_key>`` — this one re-reads
+      the accumulated increments, but only every ~compact_every²
+      triggers, so lifetime I/O is O(T²/N²) instead of O(T²) and the
+      steady-state dir count is < 2·compact_every + 1.
+
+    The current trigger's own append dir (and a generation created
+    by tier 1 THIS trigger) is never covered — folding it would hide
+    rows a same-trigger replay still needs to self-exclude by
+    content, and the gen keys are derived from ``current_key`` so
+    replays regenerate identical names (idempotent)."""
+    fs, bpath, _jvm = _fs_for(spark, batches_dir)
+    if not fs.exists(bpath):
+        return
+    dirs = _list_batch_dirs(fs, bpath)
+    plain = {
+        k: p
+        for k, p in dirs.items()
+        if not k.startswith(("g-", "h-")) and k != current_key
+    }
+    if len(plain) >= compact_every:
+        _fold_dirs(spark, batches_dir, plain, f"g-{current_key}")
+    dirs = _list_batch_dirs(fs, bpath)
+    gens = {
+        k: p
+        for k, p in dirs.items()
+        if k.startswith(("g-", "h-")) and k != f"g-{current_key}"
+    }
+    if len(gens) >= compact_every:
+        _fold_dirs(spark, batches_dir, gens, f"h-{current_key}")
 
 
 def stream_selfmaintaining_neardup(
@@ -260,16 +285,27 @@ def stream_selfmaintaining_neardup(
     the only admissible cost at 100 TB).
 
     Index layout and replay safety (ADVICE r8 #1): each batch's band
-    rows land in their OWN partition dir
-    (``index_path/_batches/batch_id=N``) with overwrite semantics, and
-    the per-trigger index read excludes the current batch id. So when
-    foreachBatch replays a trigger whose append already landed (crash
-    after append, before the checkpoint commit — at-least-once), the
-    replayed docs do not collide with their own band rows, the
-    accepted set is recomputed byte-identically, the overwrite is a
-    no-op, and ``accepted_sink`` sees the same frame again. The sink
-    itself must be idempotent per ``batch_id`` (the universal
-    foreachBatch contract — e.g. overwrite-by-batch or merge-on-key).
+    rows land in their OWN increment dir
+    (``index_path/_batches/batch_id=<run>-<N>``, overwrite mode) keyed
+    by a per-writer run token plus the trigger's batch id, and the
+    collision check IGNORES IDENTITY HITS (index doc id == probing doc
+    id, ``incremental_dedup(ignore_identity_hits=True)``). Two failure
+    shapes are covered:
+
+    - same-run replay (crash after append, before checkpoint commit):
+      the replayed docs' own band rows are already indexed, but the
+      identity filter drops those hits, the accepted set recomputes
+      byte-identically, and the overwrite of the same dir is a no-op;
+    - restart with a ROTATED checkpoint (batch ids restart at 0): the
+      new run token means old increment dirs are never overwritten
+      (code-review r9 #2 — int-keyed dirs silently destroyed the old
+      run's rows), re-fed docs are re-accepted via the identity
+      filter, and the duplicate band rows that creates are harmless
+      (DISTINCT-count semantics) until compaction sweeps them.
+
+    ``accepted_sink`` itself must be idempotent per ``batch_id`` (the
+    universal foreachBatch contract — e.g. overwrite-by-batch or
+    merge-on-key).
 
     ``compact_every``: after that many batch dirs accumulate, they are
     folded into one generation dir (see :func:`_compact_batches`) so a
@@ -301,14 +337,21 @@ def stream_selfmaintaining_neardup(
     Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
     and ``.start()``s it.
     """
+    import uuid
+
     from ..operators.dedup import incremental_dedup, minhash_band_index
 
     batches_dir = index_path.rstrip("/") + "/" + _BATCHES_SUBDIR
+    # per-writer run token: stable across a trigger's in-run replays
+    # (same _process closure), distinct across stream (re)starts — so
+    # a rotated checkpoint can never overwrite an older run's dirs
+    run_token = uuid.uuid4().hex[:12]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"{run_token}-{batch_id}"
         batch_df = batch_df.localCheckpoint(eager=True)
         spark = batch_df.sparkSession
-        index = read_band_index(spark, index_path, exclude_batch_id=batch_id)
+        index = read_band_index(spark, index_path)
         flags = incremental_dedup(
             index,
             batch_df,
@@ -318,6 +361,7 @@ def stream_selfmaintaining_neardup(
             bands=bands,
             shingle_n=shingle_n,
             hash_fn=hash_fn,
+            ignore_identity_hits=True,
         )
         new_docs = batch_df.join(
             flags.where(F.col("is_new")).select(id_col), id_col
@@ -332,10 +376,10 @@ def stream_selfmaintaining_neardup(
                 shingle_n=shingle_n,
                 hash_fn=hash_fn,
             ).write.mode("overwrite").parquet(
-                batches_dir + f"/batch_id={batch_id}"
+                batches_dir + f"/batch_id={key}"
             )
         accepted_sink(new_docs, batch_id)
         if compact_every is not None:
-            _compact_batches(spark, batches_dir, batch_id, compact_every)
+            _compact_batches(spark, batches_dir, key, compact_every)
 
     return stream_docs.writeStream.foreachBatch(_process)
