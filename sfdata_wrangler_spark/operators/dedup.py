@@ -205,7 +205,6 @@ def incremental_dedup(
     bands: int = 4,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
-    ignore_identity_hits: bool = False,
 ) -> DataFrame:
     """Near-dedup a NEW batch against an EXISTING corpus's LSH band
     index (from :func:`minhash_band_index`) without touching the
@@ -222,15 +221,6 @@ def incremental_dedup(
     no collision — the ones to append. Batch-internal duplicates are
     NOT resolved here (run exact/minhash dedup on the batch first, or
     after appending).
-
-    ``ignore_identity_hits``: drop collisions where the index doc IS
-    the probing doc (same id). The streaming self-maintaining loop
-    needs this — under foreachBatch's at-least-once semantics a
-    replayed batch probes an index that may already hold its OWN band
-    rows, and without the identity filter every replayed doc
-    self-collides and silently disappears from the accepted output
-    (ADVICE r8 #1). Leave False for batch pipelines where index and
-    batch id spaces are unrelated.
     """
     new_buckets = minhash_band_index(
         new_docs, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
@@ -243,8 +233,6 @@ def incremental_dedup(
         ),
         ["band", "bh"],
     )
-    if ignore_identity_hits:
-        joined = joined.where(F.col("__index_id") != F.col(id_col))
     hits = (
         joined.groupBy(id_col)
         .agg(

@@ -177,10 +177,12 @@ def session_scratch(spark, *parts: str) -> str:
         atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
         # atexit never fires for OOM-killed/SIGKILLed sessions
         # (code-review r9 #4): sweep stale sibling app dirs on first
-        # use. App ids embed no liveness, so age is the signal — an
-        # hour-old dir here is a dead session's leftovers (sessions
-        # in this environment live minutes, and a same-host live app
-        # keeps its artifacts' mtimes fresh by rewriting markers).
+        # use. App ids embed no liveness, so age is the signal: a
+        # sibling top-level dir untouched for > 6h is a dead
+        # session's leftovers. Liveness is kept true by the utime
+        # below — every session_scratch call refreshes the calling
+        # app dir's own mtime, so a long-lived session that keeps
+        # using its artifacts is never swept by a newcomer.
         cutoff = time.time() - 6 * 3600
         try:
             for entry in os.listdir(scratch_root):
@@ -191,4 +193,5 @@ def session_scratch(spark, *parts: str) -> str:
             pass
     path = os.path.join(app_dir, *parts)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.utime(app_dir)  # liveness heartbeat for the stale sweep above
     return path

@@ -123,17 +123,34 @@ def _list_batch_dirs(fs, batches_hpath) -> dict[str, object]:
     return out
 
 
-def read_band_index(spark, index_path: str) -> DataFrame:
+def read_band_index(
+    spark, index_path: str, exclude_batch_no: int | None = None
+) -> DataFrame:
     """The full LSH band index at ``index_path``: the seed snapshot at
     the root plus every streaming increment appended under
     ``_batches/batch_id=<key>`` by :func:`stream_selfmaintaining_neardup`
     (the underscore prefix hides the subdir from a plain parquet read
     of the root, so seed and increments never mix layouts).
 
+    ``exclude_batch_no`` drops every PER-TRIGGER increment dir whose
+    trailing batch number matches — regardless of run token. This is
+    the replay guard (ADVICE r8 #1 + code-review r9 pass-2 #1): when
+    foreachBatch re-runs trigger N whose append already landed, the
+    probing docs must see neither their OWN band rows nor their
+    replayed SIBLINGS' (mutually-near-dup docs accepted together in
+    the first attempt would otherwise kill each other on replay), and
+    the first attempt's dir may carry a different run token when the
+    process restarted. Generation dirs (``g-``/``h-``) are never
+    excluded — they only ever fold triggers OTHER than the current
+    one. Same-id re-deliveries in LATER triggers still collide
+    normally (no identity filtering — a re-fed duplicate is a
+    duplicate).
+
     Duplicate band rows across increment dirs are ALLOWED and
     semantically harmless — ``incremental_dedup`` counts DISTINCT
     index docs and takes the min hit id — which is what makes the
-    maintenance below crash-safe without transactional renames.
+    maintenance below crash-safe without transactional renames;
+    compaction folds them away with a distinct().
     """
     seed = spark.read.parquet(index_path)
     batches_dir = index_path.rstrip("/") + "/" + _BATCHES_SUBDIR
@@ -148,6 +165,15 @@ def read_band_index(spark, index_path: str) -> DataFrame:
         list(seed.schema.fields) + [StructField("batch_id", StringType())]
     )
     appended = spark.read.schema(app_schema).parquet(batches_dir)
+    if exclude_batch_no is not None:
+        key = F.col("batch_id")
+        is_gen = key.startswith("g-") | key.startswith("h-")
+        # element_at(split, -1), not endswith: "-1" would also match
+        # the "-11" suffix
+        last = F.element_at(F.split(key, "-"), -1)
+        appended = appended.where(
+            is_gen | (last != F.lit(str(exclude_batch_no)))
+        )
     return seed.unionByName(appended.drop("batch_id"))
 
 
@@ -200,8 +226,14 @@ def _fold_dirs(spark, batches_dir: str, covered: dict, gen_key: str) -> None:
     seed_schema = spark.read.parquet(
         batches_dir.rsplit("/" + _BATCHES_SUBDIR, 1)[0]
     ).schema
-    union = spark.read.schema(seed_schema).parquet(
-        *[str(p) for p in covered.values()]
+    union = (
+        spark.read.schema(seed_schema)
+        .parquet(*[str(p) for p in covered.values()])
+        # folds are where duplicate band rows (replay/rotation
+        # leftovers — harmless to reads) actually get swept, so the
+        # index does not bloat under restart-heavy operation
+        # (code-review r9 pass-2 #5)
+        .distinct()
     )
     tmp = batches_dir + "/_compact_tmp"
     union.coalesce(int(n_groups)).write.mode("overwrite").parquet(tmp)
@@ -256,7 +288,13 @@ def _compact_batches(
     gens = {
         k: p
         for k, p in dirs.items()
-        if k.startswith(("g-", "h-")) and k != f"g-{current_key}"
+        if k.startswith(("g-", "h-"))
+        # exclude BOTH of this trigger's own outputs: folding
+        # g-<current> is wasted double work, and on replay an
+        # unexcluded h-<current> would appear in its own covered set
+        # and be deleted by the finish-deletions branch — destroying
+        # the whole folded history (code-review r9 pass-2 #3)
+        and k not in (f"g-{current_key}", f"h-{current_key}")
     }
     if len(gens) >= compact_every:
         _fold_dirs(spark, batches_dir, gens, f"h-{current_key}")
@@ -288,24 +326,32 @@ def stream_selfmaintaining_neardup(
     rows land in their OWN increment dir
     (``index_path/_batches/batch_id=<run>-<N>``, overwrite mode) keyed
     by a per-writer run token plus the trigger's batch id, and the
-    collision check IGNORES IDENTITY HITS (index doc id == probing doc
-    id, ``incremental_dedup(ignore_identity_hits=True)``). Two failure
-    shapes are covered:
+    per-trigger index read EXCLUDES every per-trigger dir whose batch
+    NUMBER matches the current trigger — across run tokens
+    (:func:`read_band_index`'s ``exclude_batch_no``). Failure shapes:
 
-    - same-run replay (crash after append, before checkpoint commit):
-      the replayed docs' own band rows are already indexed, but the
-      identity filter drops those hits, the accepted set recomputes
-      byte-identically, and the overwrite of the same dir is a no-op;
+    - replay of trigger N (crash after append, before checkpoint
+      commit — same process or a restarted one): the first attempt's
+      dir carries batch number N and is excluded, so the replayed
+      docs see neither their own band rows nor their batch SIBLINGS'
+      (mutually-near-dup docs accepted together must not kill each
+      other on replay); the accepted set recomputes byte-identically;
     - restart with a ROTATED checkpoint (batch ids restart at 0): the
-      new run token means old increment dirs are never overwritten
-      (code-review r9 #2 — int-keyed dirs silently destroyed the old
-      run's rows), re-fed docs are re-accepted via the identity
-      filter, and the duplicate band rows that creates are harmless
-      (DISTINCT-count semantics) until compaction sweeps them.
+      new run token means old increment dirs are never overwritten;
+      trigger K of the new run ignores exactly the old run's trigger-K
+      dir — full-reprocess of the same source recomputes the same
+      accepted sets, and the duplicate band rows that creates are
+      harmless (DISTINCT-count semantics) until a fold's distinct()
+      sweeps them. (If the old run COMPACTED, its early triggers'
+      rows live in generation dirs, which are never excluded — re-fed
+      docs then count as duplicates of their indexed selves, the
+      correct steady-state reading.)
 
-    ``accepted_sink`` itself must be idempotent per ``batch_id`` (the
-    universal foreachBatch contract — e.g. overwrite-by-batch or
-    merge-on-key).
+    Same-id re-deliveries in LATER triggers are NOT special-cased: a
+    duplicate arriving three triggers later collides with its indexed
+    self and is dropped, as a dedup gate must. ``accepted_sink``
+    itself must be idempotent per ``batch_id`` (the universal
+    foreachBatch contract — e.g. overwrite-by-batch or merge-on-key).
 
     ``compact_every``: after that many batch dirs accumulate, they are
     folded into one generation dir (see :func:`_compact_batches`) so a
@@ -351,7 +397,9 @@ def stream_selfmaintaining_neardup(
         key = f"{run_token}-{batch_id}"
         batch_df = batch_df.localCheckpoint(eager=True)
         spark = batch_df.sparkSession
-        index = read_band_index(spark, index_path)
+        index = read_band_index(
+            spark, index_path, exclude_batch_no=batch_id
+        )
         flags = incremental_dedup(
             index,
             batch_df,
@@ -361,7 +409,6 @@ def stream_selfmaintaining_neardup(
             bands=bands,
             shingle_n=shingle_n,
             hash_fn=hash_fn,
-            ignore_identity_hits=True,
         )
         new_docs = batch_df.join(
             flags.where(F.col("is_new")).select(id_col), id_col

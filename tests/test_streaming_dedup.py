@@ -409,3 +409,40 @@ def test_selfmaintaining_checkpoint_rotation_loses_nothing(spark, tmp_path):
         .select("doc_id").distinct().collect()
     }
     assert docs_after == docs_before == {1, 102, 202, 302}
+
+
+def test_selfmaintaining_replay_preserves_mutual_neardup_siblings(
+    spark, tmp_path
+):
+    """code-review r9 pass-2 #1: a batch whose accepted docs are
+    near-dups OF EACH OTHER (batch-internal dups are documented as
+    unresolved — both pass) must survive a replay of that trigger:
+    with only identity filtering each sibling would collide with the
+    other's replayed band rows and the whole batch would vanish. The
+    batch-number exclusion drops the first attempt's dir wholesale,
+    so the accepted set recomputes identically."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again")],
+        ["doc_id", "text"],
+    )
+    batches = [
+        [(101, "totally novel payload about glaciers and volcanoes")],
+        [
+            # mutual near-dups, both new vs the index as of trigger 1
+            (201, "twin documents that mirror each other almost fully"),
+            (202, "twin documents that mirror each other almost fully"),
+        ],
+    ]
+    accepted, index_path, ckpt, start = _run_sm_stream(
+        spark, tmp_path, batches, corpus
+    )
+    assert sorted(d for _b, d in accepted) == [101, 201, 202]
+
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    accepted.clear()
+    start()
+    # BOTH siblings re-emitted — neither killed by the other's rows
+    assert sorted(accepted) == [(1, 201), (1, 202)]
