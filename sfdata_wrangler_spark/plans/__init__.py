@@ -35,6 +35,7 @@ from . import catalog33 as _catalog33  # registers the S11 viz-ramp oracle
 from . import catalog34 as _catalog34  # registers round-6 wave (episodes, reservoir, benford, woe, lsh-calib)
 from . import catalog35 as _catalog35  # registers round-7 wave (IVF-PQ composed ANN)
 from . import catalog36 as _catalog36  # registers round-8 wave (privacy, NFKC fixture, IVF-PQ lake)
+from . import catalog37 as _catalog37  # registers round-9 wave (trained-quantizer IVF-PQ)
 from .catalog import QUERIES, oracle_sql_map, query_map
 
 __all__ = ["QUERIES", "oracle_sql_map", "query_map"]

@@ -31,6 +31,10 @@ _K = 5
 # partition filter diverge from the search's internal probe)
 _M = 8
 _SUB_DIM = 8
+# trained-coarse-quantizer geometry (catalog37 + catalog6's
+# emb_ivf_topk share the same integer Lloyd's configuration)
+_KM_K = 8
+_KM_ITERS = 2
 
 # long form with BOTH subspace/dim split and micro quantization —
 # identical to operators/pq._long_form's arithmetic
@@ -46,6 +50,26 @@ lf AS MATERIALIZED (
         FROM embeddings)
 )
 """
+
+# assignment given an existing `cc` (cid, subspace, dim, c_micro)
+# CTE — shared verbatim by the label-quantizer chain below and the
+# trained-k-means chain in catalog37, so the two variants cannot
+# drift in distance/tie-break semantics
+_IVFPQ_AD_ASSIGN = """ad AS MATERIALIZED (
+  SELECT l.vec_id, c.cid,
+         sum((l.x_micro - c.c_micro) * (l.x_micro - c.c_micro)) AS d2
+  FROM lf l JOIN cc c ON l.subspace = c.subspace AND l.dim = c.dim
+  GROUP BY 1, 2
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM ad)
+  WHERE rn = 1
+)
+"""
+
 
 def _ivfpq_assign_sql(train_pred: str = "TRUE") -> str:
     """lf -> coarse centroids -> all-pairs distances -> assignment.
@@ -65,30 +89,15 @@ cc AS MATERIALIZED (
   WHERE {train_pred.format(col='l.vec_id')}
   GROUP BY 1, 2, 3
 ),
-ad AS MATERIALIZED (
-  SELECT l.vec_id, c.cid,
-         sum((l.x_micro - c.c_micro) * (l.x_micro - c.c_micro)) AS d2
-  FROM lf l JOIN cc c ON l.subspace = c.subspace AND l.dim = c.dim
-  GROUP BY 1, 2
-),
-assign AS MATERIALIZED (
-  SELECT vec_id, cid
-  FROM (SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        FROM ad)
-  WHERE rn = 1
-)
-"""
+{_IVFPQ_AD_ASSIGN}"""
 
 
-def _ivfpq_index_sql(train_pred: str = "TRUE") -> str:
-    """Assignment chain + residual-PQ encode: the full index build.
-    Every vector is assigned and encoded against quantizers trained
-    on the ``train_pred`` subset — the frozen-quantizer contract of
-    incremental index maintenance."""
-    return f"""
-{_ivfpq_assign_sql(train_pred).rstrip()},
-res AS MATERIALIZED (
+def _ivfpq_encode_tail(train_pred: str = "TRUE") -> str:
+    """residual-PQ encode given `lf`/`assign`/`cc`: res -> codebooks
+    -> per-subspace nearest code. The shared back half of every
+    index-build oracle (label-quantizer here, trained-k-means in
+    catalog37)."""
+    return f"""res AS MATERIALIZED (
   SELECT l.vec_id, a.cid, l.subspace, l.dim,
          l.x_micro - c.c_micro AS r_micro
   FROM lf l
@@ -115,6 +124,16 @@ enc AS MATERIALIZED (
   WHERE rn = 1
 )
 """
+
+
+def _ivfpq_index_sql(train_pred: str = "TRUE") -> str:
+    """Assignment chain + residual-PQ encode: the full index build.
+    Every vector is assigned and encoded against quantizers trained
+    on the ``train_pred`` subset — the frozen-quantizer contract of
+    incremental index maintenance."""
+    return f"""
+{_ivfpq_assign_sql(train_pred).rstrip()},
+{_ivfpq_encode_tail(train_pred)}"""
 
 
 _IVFPQ_INDEX = _ivfpq_index_sql()

@@ -1,0 +1,125 @@
+"""Catalog wave 37 (round 9): IVF-PQ with a TRAINED coarse quantizer.
+
+Every IVF-PQ query so far coarse-quantizes with per-label means — a
+deterministic stand-in that leans on the testdata's `label` column,
+which a production corpus does not have. Round 9's integer
+fixed-point Lloyd's (operators/similarity.kmeans_centroids_int, the
+emb_ivf_topk promotion) removes the crutch: the coarse cells are now
+LEARNED from the vectors alone, and because the training is exact
+integer arithmetic, the full composition — k-means training ->
+residual-PQ encode -> probed ADC -> exact rerank — is still
+hash-exact against a DuckDB replay. The oracle composes three
+existing fragments verbatim (the k-means CTE chain from catalog6, the
+assignment and encode fragments from catalog35), so the trained and
+label variants cannot drift in distance or tie-break semantics.
+
+Scale shape unchanged from catalog35: training collects only k
+centroid rows per Lloyd's iteration, the code table joins a broadcast
+per-(query, cell) LUT cell-equi, and the rerank touches a
+shortlist-bounded candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import _register, _t
+from .catalog6 import kmeans_cte_chain
+from .catalog35 import (
+    _IVFPQ_AD_ASSIGN,
+    _IVFPQ_LF,
+    _K,
+    _KM_ITERS,
+    _KM_K,
+    _M,
+    _N_CODES,
+    _N_PROBE,
+    _SHORTLIST,
+    _SUB_DIM,
+    _ivfpq_encode_tail,
+    _ivfpq_search_sql,
+)
+
+
+def _trained_index_sql() -> str:
+    """k-means chain -> long form -> cc from the final centroids ->
+    shared assignment + encode fragments. The k-means chain's `el`
+    carries full-vector dims (1-based); `cc` re-splits them into the
+    (subspace, dim) geometry the PQ fragments expect — same micro
+    units on both sides (floor(x*1e6 + 0.5))."""
+    chain, fin = kmeans_cte_chain(k=_KM_K, iterations=_KM_ITERS)
+    return f"""{chain},{_IVFPQ_LF},
+cc AS MATERIALIZED (
+  SELECT cid, CAST((dim - 1) // {_SUB_DIM} AS INT) AS subspace,
+         CAST((dim - 1) % {_SUB_DIM} AS INT) AS dim,
+         CAST(c AS BIGINT) AS c_micro
+  FROM {fin}
+),
+{_IVFPQ_AD_ASSIGN.rstrip()},
+{_ivfpq_encode_tail()}"""
+
+
+def trained_coarse_centroids(
+    spark: SparkSession, emb: DataFrame
+) -> DataFrame:
+    """kmeans_centroids_int output adapted to the PQ long-form
+    centroid shape ``(cid, subspace, dim, c_micro)`` — the drop-in
+    replacement for operators/pq.ivf_coarse_centroids' label means."""
+    from ..operators.similarity import kmeans_centroids_int
+
+    ci = kmeans_centroids_int(emb, k=_KM_K, iterations=_KM_ITERS)
+    return ci.select(
+        F.col("centroid_id").alias("cid"),
+        F.posexplode("centroid").alias("pos", "c_micro"),
+    ).select(
+        "cid",
+        (F.col("pos") / _SUB_DIM).cast("int").alias("subspace"),
+        (F.col("pos") % _SUB_DIM).cast("int").alias("dim"),
+        F.col("c_micro").cast("bigint").alias("c_micro"),
+    )
+
+
+@_register(
+    "emb_ivfpq_trained_topk",
+    _ivfpq_search_sql(_trained_index_sql()),
+)
+def emb_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with a LEARNED coarse quantizer (round 9): the
+    integer fixed-point k-means trains the cells from the vectors
+    alone — no label column, the production shape — then the standard
+    composition runs unchanged (residual-PQ encode, probed-cell ADC
+    against the broadcast LUT, exact integer rerank). Hash-exact
+    end to end: training, assignment, encoding, and search are all
+    exact BIGINT arithmetic, and the oracle replays the identical
+    unrolled Lloyd's + the byte-identical assignment/encode fragments
+    the label variant uses."""
+    from ..operators.pq import ivfpq_index, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = trained_coarse_centroids(spark, emb)
+    cb, enc = ivfpq_index(
+        emb, cents, n_codes=_N_CODES, m=_M, sub_dim=_SUB_DIM
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        queries,
+        enc,
+        cents,
+        cb,
+        emb,
+        k=_K,
+        n_probe=_N_PROBE,
+        shortlist=_SHORTLIST,
+        m=_M,
+        sub_dim=_SUB_DIM,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("adc_d2").cast("bigint").alias("adc_d2"),
+        F.col("exact_d2").cast("bigint").alias("exact_d2"),
+        F.col("rank").cast("int").alias("rank"),
+    )

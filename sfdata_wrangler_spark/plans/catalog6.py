@@ -73,13 +73,17 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(_pr(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
 
 
-def _ivf_kmeans_oracle(k: int = 8, iterations: int = 2) -> str:
-    """Chained MATERIALIZED-CTE replay of the integer fixed-point
-    Lloyd's in operators/similarity.kmeans_centroids_int: micro-int
-    quantize → seed from k lowest ids → per iteration exact-L2
-    assign (tie: lower cid) + truncating integer-division mean
-    (DuckDB ``//`` == Spark ``div``, both toward zero), empty cells
-    keep their centroid — bit-identical state both engines."""
+def kmeans_cte_chain(k: int = 8, iterations: int = 2) -> tuple[str, str]:
+    """The integer fixed-point Lloyd's as a reusable CTE fragment
+    (``el`` micro long-form, seed centroids from the k lowest ids,
+    per-iteration exact-L2 assign + truncating integer-division mean,
+    empty cells keep their centroid). Returns ``(fragment,
+    final_centroid_cte)`` so both the cosine-rerank IVF oracle here
+    and the trained-quantizer IVF-PQ oracle (catalog37) replay the
+    SAME training — one definition, no drift. Deliberately excludes
+    any consumer-specific CTEs: DuckDB executes unreferenced
+    MATERIALIZED CTEs (round-7 lesson), so the fragment carries only
+    what every consumer reads."""
     parts = [
         """
 el AS MATERIALIZED (
@@ -88,9 +92,6 @@ el AS MATERIALIZED (
          CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1e6 + 0.5)
               AS BIGINT) AS x
   FROM embeddings
-),
-e AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 seeds AS (
   SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
@@ -126,7 +127,24 @@ c{i} AS MATERIALIZED (
   SELECT p.cid, p.dim, COALESCE(m{i}.c, p.c) AS c
   FROM c{i - 1} p LEFT JOIN m{i} ON m{i}.cid = p.cid AND m{i}.dim = p.dim
 )""")
-    fin = f"c{iterations}"
+    return ",".join(parts), f"c{iterations}"
+
+
+def _ivf_kmeans_oracle(k: int = 8, iterations: int = 2) -> str:
+    """Chained MATERIALIZED-CTE replay of the integer fixed-point
+    Lloyd's in operators/similarity.kmeans_centroids_int: micro-int
+    quantize → seed from k lowest ids → per iteration exact-L2
+    assign (tie: lower cid) + truncating integer-division mean
+    (DuckDB ``//`` == Spark ``div``, both toward zero), empty cells
+    keep their centroid — bit-identical state both engines."""
+    chain, fin = kmeans_cte_chain(k, iterations)
+    parts = [
+        chain,
+        """
+e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)""",
+    ]
     parts.append(f"""
 dcell AS MATERIALIZED (
   SELECT el.vec_id, c.cid, sum((el.x - c.c) * (el.x - c.c)) AS d2

@@ -120,3 +120,25 @@ def test_serve_artifacts_amortize_within_session(spark):
     # world-shared tempdir (ADVICE r8 #2)
     assert spark.sparkContext.applicationId in root
     assert "/.scratch/" in root
+
+
+def test_trained_quantizer_ivfpq_recall(spark):
+    """The r9 trained-coarse-quantizer IVF-PQ: with NO label column
+    involved, search quality must hold — recall@5 vs brute-force
+    cosine >= 0.5 at n_probe=2 of 8 learned cells (ADC is a lossy
+    approximation; the floor pins 'the learned cells are real
+    structure', not ANN perfection)."""
+    from sfdata_wrangler_spark.operators.similarity import cosine_topk
+    from sfdata_wrangler_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    queries = emb.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    brute = cosine_topk(queries, emb, k=5)
+    approx = QUERIES["emb_ivfpq_trained_topk"]["fn"](spark, sf)
+    b = {(r.query_id, r.vec_id) for r in brute.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"recall {recall}"
