@@ -46,6 +46,7 @@ __all__ = [
     "ivfpq_index",
     "ivfpq_topk",
     "centroids_to_micro",
+    "pq_codebooks_trained",
 ]
 
 
@@ -523,3 +524,86 @@ def centroids_to_micro(
         "dim",
         F.col("x_micro").alias("c_micro"),
     )
+
+
+def pq_codebooks_trained(
+    res: DataFrame,
+    n_codes: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual PQ codebooks TRAINED by the integer fixed-point
+    Lloyd's (round 9) — the production replacement for
+    :func:`_codebooks_from_residuals`' ``id % n_codes`` pseudo-label
+    means, which are deterministic but arbitrary (no relation to
+    residual structure). All m subspaces train SIMULTANEOUSLY in one
+    chain: assignment is per (vector, subspace) — nearest code by
+    exact integer squared-L2 over that subspace's dims, tie to the
+    lower code — and the update is the truncating integer-division
+    mean per (subspace, code, dim); empty codes keep their previous
+    entry. Seeds are the residual subvectors of the ``n_codes``
+    lowest-id vectors (rank = code), so the whole training is a pure
+    integer function of the data, replayable as unrolled CTEs
+    (plans/catalog37.py) — same promotion device as
+    ``similarity.kmeans_centroids_int``.
+
+    Per iteration: one broadcast-codebook join + two combinable
+    groupBys; only n_codes·m·sub_dim codebook rows (about 1k) ever
+    reach the driver. Returns ``(code, subspace, dim, c_micro)``.
+    """
+    from ..sources.inline import values_df
+
+    spark = res.sparkSession
+    res = res.select(id_col, "subspace", "dim", "r_micro").persist()
+    try:
+        seed_ids = [
+            int(r[0])
+            for r in res.select(id_col)
+            .distinct()
+            .orderBy(id_col)
+            .limit(n_codes)
+            .collect()
+        ]
+        seed_map = values_df(
+            spark,
+            f"code: int, {id_col}: bigint",
+            [(i, v) for i, v in enumerate(seed_ids)],
+        )
+        kb = [
+            (int(r["code"]), int(r["subspace"]), int(r["dim"]), int(r["r_micro"]))
+            for r in res.join(seed_map, id_col).select(
+                "code", "subspace", "dim", "r_micro"
+            ).collect()
+        ]
+        for _ in range(iterations):
+            cbdf = values_df(
+                spark, "code: int, subspace: int, dim: int, c: bigint", kb
+            )
+            d2 = (
+                res.join(F.broadcast(cbdf), ["subspace", "dim"])
+                .groupBy(id_col, "subspace", "code")
+                .agg(
+                    F.sum(
+                        (F.col("r_micro") - F.col("c"))
+                        * (F.col("r_micro") - F.col("c"))
+                    ).alias("d2")
+                )
+            )
+            best = d2.groupBy(id_col, "subspace").agg(
+                F.min(F.struct("d2", "code")).alias("__b")
+            ).select(id_col, "subspace", F.col("__b.code").alias("code"))
+            upd = {
+                (int(r["code"]), int(r["subspace"]), int(r["dim"])): int(r["c"])
+                for r in best.join(res, [id_col, "subspace"])
+                .groupBy("code", "subspace", "dim")
+                .agg(F.expr("sum(r_micro) div count(1)").alias("c"))
+                .collect()
+            }
+            kb = [
+                (c, s, d, upd.get((c, s, d), prev)) for c, s, d, prev in kb
+            ]
+        return values_df(
+            spark, "code: int, subspace: int, dim: int, c_micro: bigint", kb
+        )
+    finally:
+        res.unpersist()

@@ -92,24 +92,19 @@ cc AS MATERIALIZED (
 {_IVFPQ_AD_ASSIGN}"""
 
 
-def _ivfpq_encode_tail(train_pred: str = "TRUE") -> str:
-    """residual-PQ encode given `lf`/`assign`/`cc`: res -> codebooks
-    -> per-subspace nearest code. The shared back half of every
-    index-build oracle (label-quantizer here, trained-k-means in
-    catalog37)."""
-    return f"""res AS MATERIALIZED (
+# residual stream given `lf`/`assign`/`cc` — shared by every encode
+# variant (pseudo-label codebooks below, trained codebooks in
+# catalog37)
+_IVFPQ_RES = """res AS MATERIALIZED (
   SELECT l.vec_id, a.cid, l.subspace, l.dim,
          l.x_micro - c.c_micro AS r_micro
   FROM lf l
   JOIN assign a USING (vec_id)
   JOIN cc c ON c.cid = a.cid AND c.subspace = l.subspace AND c.dim = l.dim
-),
-cb AS MATERIALIZED (
-  SELECT CAST(vec_id % {_N_CODES} AS INT) AS code, subspace, dim,
-         sum(r_micro) // count(*) AS c_micro
-  FROM res WHERE {train_pred.format(col='vec_id')} GROUP BY 1, 2, 3
-),
-enc0 AS (
+)"""
+
+# per-subspace nearest-code encode given `res` + a `cb` codebook CTE
+_IVFPQ_ENC = """enc0 AS (
   SELECT r.vec_id, r.cid, r.subspace, c.code,
          sum((r.r_micro - c.c_micro) * (r.r_micro - c.c_micro)) AS d2
   FROM res r JOIN cb c ON r.subspace = c.subspace AND r.dim = c.dim
@@ -124,6 +119,20 @@ enc AS MATERIALIZED (
   WHERE rn = 1
 )
 """
+
+
+def _ivfpq_encode_tail(train_pred: str = "TRUE") -> str:
+    """residual-PQ encode given `lf`/`assign`/`cc`: res -> codebooks
+    -> per-subspace nearest code. The shared back half of every
+    index-build oracle (label-quantizer here, trained-k-means in
+    catalog37)."""
+    return f"""{_IVFPQ_RES},
+cb AS MATERIALIZED (
+  SELECT CAST(vec_id % {_N_CODES} AS INT) AS code, subspace, dim,
+         sum(r_micro) // count(*) AS c_micro
+  FROM res WHERE {train_pred.format(col='vec_id')} GROUP BY 1, 2, 3
+),
+{_IVFPQ_ENC}"""
 
 
 def _ivfpq_index_sql(train_pred: str = "TRUE") -> str:

@@ -123,3 +123,133 @@ def emb_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_d2").cast("bigint").alias("exact_d2"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# emb_ivfpq_fully_trained — trained coarse quantizer AND trained codebooks    #
+# --------------------------------------------------------------------------- #
+
+
+def _trained_cb_chain(n_codes: int, iterations: int) -> str:
+    """Unrolled-CTE replay of operators/pq.pq_codebooks_trained: all m
+    subspaces train simultaneously (the per-(vector, subspace)
+    assignment just carries subspace as a grouping column — same CTE
+    count as a single k-means). Ends by materializing the trained
+    codebook under the name ``cb`` so the shared encode/search
+    fragments (catalog35's _IVFPQ_ENC, _ivfpq_search_sql) consume it
+    unchanged."""
+    parts = [
+        f"""kb0 AS MATERIALIZED (
+  SELECT s.code, r.subspace, r.dim, r.r_micro AS c
+  FROM (SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+              LIMIT {n_codes})) s
+  JOIN res r ON r.vec_id = s.vec_id
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""
+kd{i} AS MATERIALIZED (
+  SELECT r.vec_id, r.subspace, k.code,
+         sum((r.r_micro - k.c) * (r.r_micro - k.c)) AS d2
+  FROM res r JOIN kb{i - 1} k ON k.subspace = r.subspace AND k.dim = r.dim
+  GROUP BY 1, 2, 3
+),
+ka{i} AS MATERIALIZED (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           row_number() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY d2, code) AS rn
+    FROM kd{i}
+  ) WHERE rn = 1
+),
+km{i} AS MATERIALIZED (
+  SELECT a.code, r.subspace, r.dim,
+         CAST(sum(r.r_micro) // count(*) AS BIGINT) AS c
+  FROM ka{i} a JOIN res r ON r.vec_id = a.vec_id
+                         AND r.subspace = a.subspace
+  GROUP BY 1, 2, 3
+),
+kb{i} AS MATERIALIZED (
+  SELECT p.code, p.subspace, p.dim, COALESCE(km{i}.c, p.c) AS c
+  FROM kb{i - 1} p
+  LEFT JOIN km{i} ON km{i}.code = p.code AND km{i}.subspace = p.subspace
+                 AND km{i}.dim = p.dim
+)""")
+    parts.append(f"""
+cb AS MATERIALIZED (
+  SELECT code, subspace, dim, c AS c_micro FROM kb{iterations}
+)""")
+    return ",".join(parts)
+
+
+def _fully_trained_index_sql() -> str:
+    from .catalog35 import _IVFPQ_ENC, _IVFPQ_RES
+
+    chain, fin = kmeans_cte_chain(k=_KM_K, iterations=_KM_ITERS)
+    return f"""{chain},{_IVFPQ_LF},
+cc AS MATERIALIZED (
+  SELECT cid, CAST((dim - 1) // {_SUB_DIM} AS INT) AS subspace,
+         CAST((dim - 1) % {_SUB_DIM} AS INT) AS dim,
+         CAST(c AS BIGINT) AS c_micro
+  FROM {fin}
+),
+{_IVFPQ_AD_ASSIGN.rstrip()},
+{_IVFPQ_RES},
+{_trained_cb_chain(_N_CODES, _KM_ITERS)},
+{_IVFPQ_ENC}"""
+
+
+@_register(
+    "emb_ivfpq_fully_trained",
+    _ivfpq_search_sql(_fully_trained_index_sql()),
+)
+def emb_ivfpq_fully_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with BOTH quantizers learned (round 9): coarse cells
+    from the integer fixed-point k-means AND residual codebooks from
+    per-subspace integer Lloyd's (operators/pq.pq_codebooks_trained)
+    — nothing leans on the testdata's label column or on arbitrary
+    id-modulo binning. This is the production FAISS-style
+    train-encode-search pipeline, end-to-end hash-exact because every
+    training transition is exact BIGINT arithmetic with total-order
+    tie-breaks; the oracle replays both unrolled trainings plus the
+    byte-shared assignment/encode/search fragments."""
+    from ..operators.pq import (
+        _coarse_assign,
+        _encode_from_residuals,
+        _residual_lf,
+        ivf_coarse_distances,
+        ivfpq_topk,
+        pq_codebooks_trained,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = trained_coarse_centroids(spark, emb)
+    dists = ivf_coarse_distances(emb, cents, m=_M, sub_dim=_SUB_DIM)
+    assign = _coarse_assign(dists, "vec_id")
+    res = _residual_lf(emb, cents, assign, _M, _SUB_DIM, "vec_id", "embedding")
+    cb = pq_codebooks_trained(res, n_codes=_N_CODES, iterations=_KM_ITERS)
+    enc = _encode_from_residuals(res, cb, "vec_id")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        queries,
+        enc,
+        cents,
+        cb,
+        emb,
+        k=_K,
+        n_probe=_N_PROBE,
+        shortlist=_SHORTLIST,
+        m=_M,
+        sub_dim=_SUB_DIM,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("adc_d2").cast("bigint").alias("adc_d2"),
+        F.col("exact_d2").cast("bigint").alias("exact_d2"),
+        F.col("rank").cast("int").alias("rank"),
+    )

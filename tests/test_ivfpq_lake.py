@@ -142,3 +142,55 @@ def test_trained_quantizer_ivfpq_recall(spark):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(a & b) / len(b)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_fully_trained_ivfpq_recall_and_codebook_quality(spark):
+    """emb_ivfpq_fully_trained (r9): trained codebooks must (a) hold
+    recall@5 >= 0.5 vs brute force and (b) quantize residuals at
+    least as well as the id%n_codes pseudo-label codebooks they
+    replace — measured as total squared quantization error over the
+    encoded corpus (lower is better; training exists to minimize
+    exactly this)."""
+    from pyspark.sql import functions as F
+
+    from sfdata_wrangler_spark.operators.pq import (
+        _coarse_assign,
+        _residual_lf,
+        _codebooks_from_residuals,
+        ivf_coarse_distances,
+        pq_codebooks_trained,
+    )
+    from sfdata_wrangler_spark.operators.similarity import cosine_topk
+    from sfdata_wrangler_spark.plans.catalog import QUERIES
+    from sfdata_wrangler_spark.plans.catalog37 import (
+        trained_coarse_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    queries = emb.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    brute = cosine_topk(queries, emb, k=5)
+    approx = QUERIES["emb_ivfpq_fully_trained"]["fn"](spark, sf)
+    b = {(r.query_id, r.vec_id) for r in brute.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(a & b) / len(b) >= 0.5
+
+    cents = trained_coarse_centroids(spark, emb)
+    assign = _coarse_assign(ivf_coarse_distances(emb, cents), "vec_id")
+    res = _residual_lf(emb, cents, assign, 8, 8, "vec_id", "embedding")
+
+    def qerr(cb):
+        j = res.join(F.broadcast(cb), ["subspace", "dim"])
+        d2 = j.groupBy("vec_id", "subspace", "code").agg(
+            F.sum(
+                (F.col("r_micro") - F.col("c_micro")) ** 2
+            ).alias("d2")
+        )
+        best = d2.groupBy("vec_id", "subspace").agg(F.min("d2").alias("m"))
+        return best.agg(F.sum("m")).collect()[0][0]
+
+    trained = pq_codebooks_trained(res, n_codes=16, iterations=2)
+    pseudo = _codebooks_from_residuals(res, 16, "vec_id")
+    assert qerr(trained) <= qerr(pseudo)
