@@ -284,6 +284,7 @@ def ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: bool = True,
+    codebook_builder=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the full index in ONE pass over the shared lineage:
     returns ``(codebooks, encoded)``. The coarse assignment (the
@@ -291,7 +292,15 @@ def ivfpq_index(
     building them separately re-executes that work 2-3x per action;
     ``materialize`` (default on, tracked — release via
     operators.release_operator_caches) persists the id-grain
-    assignment so the coarse aggregation runs once per build."""
+    assignment so the coarse aggregation runs once per build.
+
+    ``codebook_builder``: optional ``res_df -> codebooks_df`` hook
+    replacing the default pseudo-label means — the public seam for
+    TRAINED codebooks (:func:`pq_codebooks_trained`), so callers
+    share this function's materialized assignment lineage instead of
+    re-deriving it from private helpers (code-review r9 pass-3 #6).
+    A builder returning a driver-local frame (values_df) needs no
+    persist — it broadcasts."""
     dists = ivf_coarse_distances(
         corpus, centroids, m, sub_dim, id_col, vec_col
     )
@@ -303,11 +312,14 @@ def ivfpq_index(
     res = _residual_lf(
         corpus, centroids, assign, m, sub_dim, id_col, vec_col
     )
-    cb = _codebooks_from_residuals(res, n_codes, id_col)
-    if materialize:
-        from ._cache import tracked_persist
+    if codebook_builder is not None:
+        cb = codebook_builder(res)
+    else:
+        cb = _codebooks_from_residuals(res, n_codes, id_col)
+        if materialize:
+            from ._cache import tracked_persist
 
-        cb = tracked_persist(cb)  # codebook-sized; enc re-reads it
+            cb = tracked_persist(cb)  # codebook-sized; enc re-reads it
     enc = _encode_from_residuals(res, cb, id_col)
     return cb, enc
 

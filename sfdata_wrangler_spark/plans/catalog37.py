@@ -28,7 +28,6 @@ from .catalog import _register, _t
 from .catalog6 import kmeans_cte_chain
 from .catalog35 import (
     _IVFPQ_AD_ASSIGN,
-    _IVFPQ_LF,
     _K,
     _KM_ITERS,
     _KM_K,
@@ -42,21 +41,37 @@ from .catalog35 import (
 )
 
 
-def _trained_index_sql() -> str:
-    """k-means chain -> long form -> cc from the final centroids ->
-    shared assignment + encode fragments. The k-means chain's `el`
-    carries full-vector dims (1-based); `cc` re-splits them into the
-    (subspace, dim) geometry the PQ fragments expect — same micro
-    units on both sides (floor(x*1e6 + 0.5))."""
+def _trained_cc_prefix() -> str:
+    """The shared front of both trained oracles: k-means chain ->
+    `lf` -> `cc` -> assignment. The chain's `el` carries full-vector
+    micro values at 1-based dims; `lf` and `cc` are cheap PROJECTIONS
+    of `el`/the final centroids into the (subspace, dim) geometry the
+    PQ fragments expect — one unnest of embeddings total, not two
+    (the label-variant's standalone `lf` re-unnests because it has no
+    `el` to project from). One definition for both index builders so
+    the geometry/micro mapping cannot drift (code-review r9 pass-3
+    #5)."""
     chain, fin = kmeans_cte_chain(k=_KM_K, iterations=_KM_ITERS)
-    return f"""{chain},{_IVFPQ_LF},
+    return f"""{chain},
+lf AS MATERIALIZED (
+  SELECT vec_id, CAST((dim - 1) // {_SUB_DIM} AS INT) AS subspace,
+         CAST((dim - 1) % {_SUB_DIM} AS INT) AS dim,
+         x AS x_micro
+  FROM el
+),
 cc AS MATERIALIZED (
   SELECT cid, CAST((dim - 1) // {_SUB_DIM} AS INT) AS subspace,
          CAST((dim - 1) % {_SUB_DIM} AS INT) AS dim,
          CAST(c AS BIGINT) AS c_micro
   FROM {fin}
 ),
-{_IVFPQ_AD_ASSIGN.rstrip()},
+{_IVFPQ_AD_ASSIGN.rstrip()}"""
+
+
+def _trained_index_sql() -> str:
+    """Trained coarse quantizer + the shared pseudo-label codebook
+    encode tail (the cb upgrade is emb_ivfpq_fully_trained)."""
+    return f"""{_trained_cc_prefix()},
 {_ivfpq_encode_tail()}"""
 
 
@@ -187,15 +202,7 @@ cb AS MATERIALIZED (
 def _fully_trained_index_sql() -> str:
     from .catalog35 import _IVFPQ_ENC, _IVFPQ_RES
 
-    chain, fin = kmeans_cte_chain(k=_KM_K, iterations=_KM_ITERS)
-    return f"""{chain},{_IVFPQ_LF},
-cc AS MATERIALIZED (
-  SELECT cid, CAST((dim - 1) // {_SUB_DIM} AS INT) AS subspace,
-         CAST((dim - 1) % {_SUB_DIM} AS INT) AS dim,
-         CAST(c AS BIGINT) AS c_micro
-  FROM {fin}
-),
-{_IVFPQ_AD_ASSIGN.rstrip()},
+    return f"""{_trained_cc_prefix()},
 {_IVFPQ_RES},
 {_trained_cb_chain(_N_CODES, _KM_ITERS)},
 {_IVFPQ_ENC}"""
@@ -215,22 +222,24 @@ def emb_ivfpq_fully_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     training transition is exact BIGINT arithmetic with total-order
     tie-breaks; the oracle replays both unrolled trainings plus the
     byte-shared assignment/encode/search fragments."""
-    from ..operators.pq import (
-        _coarse_assign,
-        _encode_from_residuals,
-        _residual_lf,
-        ivf_coarse_distances,
-        ivfpq_topk,
-        pq_codebooks_trained,
-    )
+    from ..operators.pq import ivfpq_index, ivfpq_topk, pq_codebooks_trained
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = trained_coarse_centroids(spark, emb)
-    dists = ivf_coarse_distances(emb, cents, m=_M, sub_dim=_SUB_DIM)
-    assign = _coarse_assign(dists, "vec_id")
-    res = _residual_lf(emb, cents, assign, _M, _SUB_DIM, "vec_id", "embedding")
-    cb = pq_codebooks_trained(res, n_codes=_N_CODES, iterations=_KM_ITERS)
-    enc = _encode_from_residuals(res, cb, "vec_id")
+    # the codebook_builder hook shares ivfpq_index's MATERIALIZED
+    # coarse-assignment lineage (the n·L·d aggregation runs once per
+    # build, not once per downstream consumer) and keeps this module
+    # off pq's private helpers — code-review r9 pass-3 #6
+    cb, enc = ivfpq_index(
+        emb,
+        cents,
+        n_codes=_N_CODES,
+        m=_M,
+        sub_dim=_SUB_DIM,
+        codebook_builder=lambda res: pq_codebooks_trained(
+            res, n_codes=_N_CODES, iterations=_KM_ITERS
+        ),
+    )
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -178,11 +178,14 @@ def session_scratch(spark, *parts: str) -> str:
         # atexit never fires for OOM-killed/SIGKILLed sessions
         # (code-review r9 #4): sweep stale sibling app dirs on first
         # use. App ids embed no liveness, so age is the signal: a
-        # sibling top-level dir untouched for > 6h is a dead
-        # session's leftovers. Liveness is kept true by the utime
-        # below — every session_scratch call refreshes the calling
-        # app dir's own mtime, so a long-lived session that keeps
-        # using its artifacts is never swept by a newcomer.
+        # sibling top-level dir untouched for > 6h is treated as a
+        # dead session's leftovers. The utime below refreshes the
+        # calling app dir's mtime on every session_scratch CALL —
+        # note the honest limit: a session that caches the returned
+        # path and only READS it for > 6h without another call is
+        # still sweepable (directory mtimes don't move on file
+        # reads); artifact consumers that live that long should
+        # re-call session_scratch per batch, as the serve query does.
         cutoff = time.time() - 6 * 3600
         try:
             for entry in os.listdir(scratch_root):
@@ -191,7 +194,11 @@ def session_scratch(spark, *parts: str) -> str:
                     shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
+    # app_dir itself must exist even for a no-parts call (dirname of
+    # a bare app_dir path is scratch_root — code-review r9 pass-3 #3)
     path = os.path.join(app_dir, *parts)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(app_dir, exist_ok=True)
+    if parts:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     os.utime(app_dir)  # liveness heartbeat for the stale sweep above
     return path

@@ -276,11 +276,19 @@ def _compact_batches(
     fs, bpath, _jvm = _fs_for(spark, batches_dir)
     if not fs.exists(bpath):
         return
+    current_no = current_key.rsplit("-", 1)[1]
     dirs = _list_batch_dirs(fs, bpath)
     plain = {
         k: p
         for k, p in dirs.items()
-        if not k.startswith(("g-", "h-")) and k != current_key
+        if not k.startswith(("g-", "h-"))
+        # exclude by trailing batch NUMBER, not exact key — matching
+        # read_band_index's replay exclusion. A prior run's dir for
+        # the SAME trigger number (crash-replay under a new token)
+        # must never be laundered into a generation dir, where the
+        # replay exclusion can't see it and the replayed docs would
+        # self-collide (code-review r9 pass-3 #1)
+        and k.rsplit("-", 1)[1] != current_no
     }
     if len(plain) >= compact_every:
         _fold_dirs(spark, batches_dir, plain, f"g-{current_key}")
@@ -337,15 +345,18 @@ def stream_selfmaintaining_neardup(
       (mutually-near-dup docs accepted together must not kill each
       other on replay); the accepted set recomputes byte-identically;
     - restart with a ROTATED checkpoint (batch ids restart at 0): the
-      new run token means old increment dirs are never overwritten;
-      trigger K of the new run ignores exactly the old run's trigger-K
-      dir — full-reprocess of the same source recomputes the same
-      accepted sets, and the duplicate band rows that creates are
-      harmless (DISTINCT-count semantics) until a fold's distinct()
-      sweeps them. (If the old run COMPACTED, its early triggers'
-      rows live in generation dirs, which are never excluded — re-fed
-      docs then count as duplicates of their indexed selves, the
-      correct steady-state reading.)
+      new run token means old increment dirs are never overwritten,
+      and a one-time startup fold moves every prior run's per-trigger
+      dir EXCEPT those at the highest batch number (the only possible
+      replay targets) into a generation dir, which the batch-number
+      exclusion never touches. So the new run keeps full collision
+      visibility of everything previously accepted: re-fed docs are
+      REJECTED as the duplicates they are (a dedup gate must not
+      re-emit its own corpus), except docs at exactly the in-flight
+      trigger number, which are re-accepted — indistinguishable from
+      an at-least-once replay, the standard residual. Non-reprocess
+      rotations that need zero residual start from a fresh
+      ``index_path``.
 
     Same-id re-deliveries in LATER triggers are NOT special-cased: a
     duplicate arriving three triggers later collides with its indexed
@@ -392,11 +403,50 @@ def stream_selfmaintaining_neardup(
     # (same _process closure), distinct across stream (re)starts — so
     # a rotated checkpoint can never overwrite an older run's dirs
     run_token = uuid.uuid4().hex[:12]
+    startup_done = []
+
+    def _startup_fold(spark) -> None:
+        """One-time on writer start: fold every leftover per-trigger
+        dir from PREVIOUS runs into a generation dir — except dirs
+        carrying the highest batch number, which are the only
+        possible replay targets (earlier triggers are committed).
+        Generation dirs are never batch-number-excluded, so after
+        this fold a ROTATED-checkpoint run (batch ids restart at 0,
+        possibly NEW data) keeps full collision visibility of the
+        old run's accepted docs instead of being blinded to old
+        trigger-K rows at its own trigger K (code-review r9 pass-3
+        #2). Residual window, stated honestly: old dirs AT the
+        highest number stay plain, so a new-DATA rotation colliding
+        at exactly that number still misses them until the next
+        fold; non-reprocess rotations that need zero window should
+        start from a fresh index_path or run one batch compaction
+        first."""
+        fs, bpath, _jvm = _fs_for(spark, batches_dir)
+        if not fs.exists(bpath):
+            return
+        plain = {
+            k: p
+            for k, p in _list_batch_dirs(fs, bpath).items()
+            if not k.startswith(("g-", "h-"))
+        }
+        if not plain:
+            return
+        nmax = max(int(k.rsplit("-", 1)[1]) for k in plain)
+        covered = {
+            k: p
+            for k, p in plain.items()
+            if int(k.rsplit("-", 1)[1]) < nmax
+        }
+        if covered:
+            _fold_dirs(spark, batches_dir, covered, f"g-init-{run_token}")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         key = f"{run_token}-{batch_id}"
         batch_df = batch_df.localCheckpoint(eager=True)
         spark = batch_df.sparkSession
+        if not startup_done:
+            startup_done.append(True)
+            _startup_fold(spark)
         index = read_band_index(
             spark, index_path, exclude_batch_no=batch_id
         )

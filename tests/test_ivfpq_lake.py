@@ -147,16 +147,16 @@ def test_trained_quantizer_ivfpq_recall(spark):
 def test_fully_trained_ivfpq_recall_and_codebook_quality(spark):
     """emb_ivfpq_fully_trained (r9): trained codebooks must (a) hold
     recall@5 >= 0.5 vs brute force and (b) quantize residuals at
-    least as well as the id%n_codes pseudo-label codebooks they
-    replace — measured as total squared quantization error over the
-    encoded corpus (lower is better; training exists to minimize
-    exactly this)."""
+    least as well as their own SEED codebook (the Lloyd's monotone
+    guarantee, up to integer-division rounding — a comparison vs the
+    independent id%n_codes baseline is NOT guaranteed in general and
+    would be fixture-luck; code-review r9 pass-3 #7), measured as
+    total squared quantization error over the encoded corpus."""
     from pyspark.sql import functions as F
 
     from sfdata_wrangler_spark.operators.pq import (
         _coarse_assign,
         _residual_lf,
-        _codebooks_from_residuals,
         ivf_coarse_distances,
         pq_codebooks_trained,
     )
@@ -192,5 +192,7 @@ def test_fully_trained_ivfpq_recall_and_codebook_quality(spark):
         return best.agg(F.sum("m")).collect()[0][0]
 
     trained = pq_codebooks_trained(res, n_codes=16, iterations=2)
-    pseudo = _codebooks_from_residuals(res, 16, "vec_id")
-    assert qerr(trained) <= qerr(pseudo)
+    seed = pq_codebooks_trained(res, n_codes=16, iterations=0)
+    # 1% slack: each update is an integer-division (floored) mean, so
+    # strict monotonicity holds only up to quantization epsilon
+    assert qerr(trained) <= qerr(seed) * 1.01

@@ -344,12 +344,15 @@ def test_selfmaintaining_compaction_preserves_search(spark, tmp_path):
 
 
 def test_selfmaintaining_checkpoint_rotation_loses_nothing(spark, tmp_path):
-    """code-review r9 #2: re-running the stream against the SAME
-    persistent index with a FRESH checkpoint restarts batch ids at 0.
-    Run-token dir keys mean the old run's increment dirs are never
-    overwritten: the index's distinct doc set is intact afterwards,
-    and re-fed docs are re-accepted (full-reprocess semantics), not
-    silently treated as dups of themselves."""
+    """code-review r9 #2 + pass-3 #2: re-running the stream against
+    the SAME persistent index with a FRESH checkpoint restarts batch
+    ids at 0. Run-token dir keys mean the old run's increment dirs
+    are never overwritten, and the startup fold moves all but the
+    highest-numbered trigger's dirs into a generation dir — so the
+    index's distinct doc set is intact, re-fed docs are REJECTED as
+    duplicates of the already-indexed corpus (the dedup gate's job),
+    and only docs at the in-flight trigger number re-emit (the
+    at-least-once residual)."""
     import time
 
     from sfdata_wrangler_spark.operators.dedup import minhash_band_index
@@ -400,9 +403,11 @@ def test_selfmaintaining_checkpoint_rotation_loses_nothing(spark, tmp_path):
     }
 
     run("rotckpt_b", second)  # fresh checkpoint: batch ids restart at 0
-    # identical accepted set re-emitted (identity hits ignored), and
-    # no old index content destroyed
-    assert sorted(second) == [102, 202, 302]
+    # re-fed docs REJECTED as duplicates of the indexed corpus —
+    # except 302, whose old rows sit at the highest (in-flight-
+    # candidate) trigger number and are replay-excluded; and no old
+    # index content destroyed
+    assert sorted(second) == [302]
     docs_after = {
         r["doc_id"]
         for r in read_band_index(spark, index_path)
