@@ -262,3 +262,28 @@ def emb_ivfpq_fully_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_d2").cast("bigint").alias("exact_d2"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def _register_trained_recall() -> None:
+    from .catalog import QUERIES
+    from .catalog8 import _recall_sql, _topk_recall
+
+    sql = _recall_sql(
+        QUERIES["emb_cosine_topk"]["oracle"],
+        _ivfpq_search_sql(_fully_trained_index_sql()),
+    )
+
+    @_register("emb_ivfpq_trained_recall", sql)
+    def emb_ivfpq_trained_recall(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """recall@5 of the FULLY TRAINED IVF-PQ vs brute-force cosine,
+        per query — the driver-recorded quality number for the
+        production (label-free) ANN path, same telemetry discipline
+        as emb_lsh_recall / emb_ivf_recall / emb_ivfpq_recall: drift
+        in learned-quantizer quality between rounds is visible in the
+        correctness record, not silent."""
+        return _topk_recall(spark, sf_dir, "emb_ivfpq_fully_trained")
+
+
+_register_trained_recall()
