@@ -69,3 +69,96 @@ def stream_ivfpq_ingest(
         append_sink(codes, batch_id)
 
     return stream_vecs.writeStream.foreachBatch(_process)
+
+
+def stream_ivfpq_serve(
+    query_stream: DataFrame,
+    codes_path: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    result_sink,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 32,
+    m: int = 8,
+    sub_dim: int = 8,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Serve a QUERY stream against a persisted IVF-PQ lake (round 9
+    — the query-side twin of :func:`stream_ivfpq_ingest`): each
+    micro-batch of query vectors derives its probed cells
+    (``operators.pq.probed_cells`` — the same definition the batch
+    search uses), statically prunes the cid-partitioned code table,
+    and runs the probed-ADC + exact-rerank search; results go to
+    ``result_sink(topk_df, batch_id)``.
+
+    This is the online-serving shape a deployed index has: the code
+    lake is read AS OF each trigger (an ingest stream appending new
+    cid partitions is picked up on the next trigger — index freshness
+    is trigger-granular, the standard serving trade), the probe list
+    is nq x n_probe driver-side values (bounded: a query batch knows
+    its cells before touching the corpus), and per-batch results
+    equal the batch search exactly (differential-tested) because
+    every query lives in exactly one micro-batch.
+
+    Quantizers are materialized here for the same reasons as the
+    ingest path — foreachBatch re-evaluates captured lineage per
+    trigger, and a drifting "frozen" quantizer would probe cells
+    inconsistent with the lake's assignments.
+
+    Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
+    and ``.start()``s it.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.pq import ivfpq_topk, probed_cells
+
+    centroids = centroids.localCheckpoint(eager=True)
+    codebooks = codebooks.localCheckpoint(eager=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        queries = batch_df.localCheckpoint(eager=True)
+        cids = sorted(
+            r["cid"]
+            for r in probed_cells(
+                queries,
+                centroids,
+                n_probe=n_probe,
+                m=m,
+                sub_dim=sub_dim,
+                query_id=query_id,
+                vec_col=vec_col,
+            )
+            .select("cid")
+            .distinct()
+            .collect()
+        )
+        lake = (
+            spark.read.parquet(codes_path)
+            .where(F.col("cid").isin(cids))
+            .withColumn("cid", F.col("cid").cast("int"))
+        )
+        out = ivfpq_topk(
+            queries,
+            lake,
+            centroids,
+            codebooks,
+            corpus,
+            k=k,
+            n_probe=n_probe,
+            shortlist=shortlist,
+            m=m,
+            sub_dim=sub_dim,
+            query_id=query_id,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+        )
+        result_sink(out, batch_id)
+
+    return query_stream.writeStream.foreachBatch(_process)

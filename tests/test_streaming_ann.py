@@ -73,3 +73,62 @@ def test_streamed_codes_match_batch_encode(spark, tmp_path):
     b = ivfpq_topk(queries, all_codes, cents, cb, emb,
                    k=3, n_probe=2, m=2, sub_dim=8)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_streamed_query_serving_matches_batch_search(spark, tmp_path):
+    """stream_ivfpq_serve (r9): query micro-batches served against a
+    persisted cid-partitioned code lake produce, in union, exactly
+    the batch search's results for the same query set — and each
+    trigger's partition prune comes from its own batch's probed
+    cells."""
+    import time
+
+    from sfdata_wrangler_spark.streaming.ann_stream import (
+        stream_ivfpq_serve,
+    )
+
+    emb = _clustered(spark)
+    cents = ivf_coarse_centroids(emb, m=2, sub_dim=8)
+    cb, enc = ivfpq_index(emb, cents, n_codes=4, m=2, sub_dim=8)
+    cents = cents.localCheckpoint(eager=True)
+    cb = cb.localCheckpoint(eager=True)
+
+    codes_path = os.path.join(tmp_path, "servecodes")
+    enc.write.partitionBy("cid").parquet(codes_path)
+
+    # two query micro-batches (mtime-ordered files)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src = os.path.join(tmp_path, "qsrc")
+    os.makedirs(src)
+    q1 = queries.where(F.col("query_id") < 100)
+    q2 = queries.where(F.col("query_id") >= 100)
+    q1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    q2.coalesce(1).write.mode("append").parquet(src)
+
+    results = []
+
+    def sink(df, batch_id):
+        results.extend(map(tuple, df.collect()))
+
+    stream = spark.readStream.schema(queries.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_ivfpq_serve(
+            stream, codes_path, cents, cb, emb, sink,
+            k=3, n_probe=2, m=2, sub_dim=8,
+        )
+        .option("checkpointLocation", os.path.join(tmp_path, "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = ivfpq_topk(
+        queries, enc, cents, cb, emb, k=3, n_probe=2, m=2, sub_dim=8
+    )
+    assert sorted(results) == sorted(map(tuple, batch.collect()))
+    assert len(results) > 0
