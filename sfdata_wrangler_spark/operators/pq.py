@@ -47,6 +47,8 @@ __all__ = [
     "ivfpq_topk",
     "centroids_to_micro",
     "pq_codebooks_trained",
+    "probed_cells",
+    "serve_pruned",
 ]
 
 
@@ -418,8 +420,17 @@ def ivfpq_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search: ``(query_id, vec_id, adc_d2, exact_d2, rank)``.
+
+    ``probes``: optionally pass a precomputed ``(query_id, cid)``
+    probe table (from :func:`probed_cells` — e.g. pinned once and
+    ALSO used as the static partition filter, :func:`serve_pruned`),
+    so the nq·L·d coarse assignment is not paid twice per serve
+    (ADVICE r8 #3 / code-review r9 pass-4 #5). Must have been built
+    with the same centroids/n_probe/m/sub_dim or probe and prune
+    diverge.
 
     1. PROBE: each query ranks the (broadcast) coarse centroids by
        exact integer L2 and keeps its ``n_probe`` nearest cells.
@@ -450,9 +461,10 @@ def ivfpq_topk(
     def _qside(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_queries else df
 
-    probes = probed_cells(
-        queries, centroids, n_probe, m, sub_dim, query_id, vec_col
-    )
+    if probes is None:
+        probes = probed_cells(
+            queries, centroids, n_probe, m, sub_dim, query_id, vec_col
+        )
 
     # per-(query, probed-cell) residual LUT against the residual
     # codebook — same residual join as the corpus side (probes plays
@@ -619,3 +631,71 @@ def pq_codebooks_trained(
         )
     finally:
         res.unpersist()
+
+
+def serve_pruned(
+    queries: DataFrame,
+    codes_path: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 32,
+    m: int = 8,
+    sub_dim: int = 8,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame | None:
+    """THE serving recipe against a persisted cid-partitioned code
+    lake — one definition for the batch serve queries
+    (emb_ivfpq_serve, s19_ivfpq_lake) and the streaming serve
+    (streaming/ann_stream.stream_ivfpq_serve), so probe semantics,
+    partition-prune filter, and cid dtype handling cannot drift
+    between copies (code-review r9 pass-4 #4).
+
+    Steps: pin the probe table once (eager localCheckpoint — it
+    feeds BOTH the driver-side static ``cid IN (...)`` partition
+    filter and :func:`ivfpq_topk`'s internal LUT, so the nq·L·d
+    coarse assignment is paid once, not twice); read the lake pruned
+    to the probed cells; restore the partition-inferred ``cid`` to
+    the centroid table's dtype; search. Returns ``None`` when the
+    lake does not exist yet (a serve stream started before its
+    ingest's first commit must idle, not die).
+    """
+    spark = queries.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(codes_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+
+    probes = probed_cells(
+        queries, centroids, n_probe, m, sub_dim, query_id, vec_col
+    ).localCheckpoint(eager=True)
+    cids = sorted(
+        r["cid"] for r in probes.select("cid").distinct().collect()
+    )
+    cid_type = dict(centroids.dtypes)["cid"]
+    lake = (
+        spark.read.parquet(codes_path)
+        .where(F.col("cid").isin(cids))
+        .withColumn("cid", F.col("cid").cast(cid_type))
+    )
+    return ivfpq_topk(
+        queries,
+        lake,
+        centroids,
+        codebooks,
+        corpus,
+        k=k,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        m=m,
+        sub_dim=sub_dim,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        probes=probes,
+    )

@@ -487,7 +487,7 @@ def _register_s19() -> None:
         pruned scan's file metrics (zorder-style measured skipping)."""
         import os
 
-        from ..operators.pq import ivfpq_topk, probed_cells
+        from ..operators.pq import serve_pruned
         from ..sources.lake import session_scratch, write_partitioned
         from .catalog35 import (
             _K,
@@ -522,29 +522,13 @@ def _register_s19() -> None:
             (F.col("vec_id") >= _S19_Q_LO) & (F.col("vec_id") < _S19_Q_HI)
         ).select(F.col("vec_id").alias("query_id"), "embedding")
 
-        # serving-path probe: the SAME probed_cells step ivfpq_topk
-        # runs internally (one definition — the pruning filter and
-        # the search's probe tie-break cannot drift apart); run here
-        # first because its output is the static partition filter
-        cids = sorted(
-            r["cid"]
-            for r in probed_cells(
-                queries, cents, n_probe=_N_PROBE, m=_M, sub_dim=_SUB_DIM
-            )
-            .select("cid")
-            .distinct()
-            .collect()
-        )
-
-        cid_type = dict(enc.dtypes)["cid"]
-        lake = (
-            spark.read.parquet(path)
-            .where(F.col("cid").isin(cids))
-            .withColumn("cid", F.col("cid").cast(cid_type))
-        )
-        out = ivfpq_topk(
+        # ONE serving recipe (operators/pq.serve_pruned): probe table
+        # pinned once and reused as both the static partition filter
+        # and the search's LUT input — the pruning filter and the
+        # probe tie-break cannot drift apart
+        out = serve_pruned(
             queries,
-            lake,
+            path,
             cents,
             cb,
             emb,
@@ -633,7 +617,7 @@ def _register_serve() -> None:
         runs 2-3 are pure serving — min() reports the serve cost."""
         import os
 
-        from ..operators.pq import ivfpq_topk, probed_cells
+        from ..operators.pq import serve_pruned
         from .catalog35 import _K, _M, _N_PROBE, _SHORTLIST, _SUB_DIM
 
         root = _ivfpq_artifacts(spark, sf_dir)
@@ -644,23 +628,9 @@ def _register_serve() -> None:
             (F.col("vec_id") >= _SERVE_Q_LO) & (F.col("vec_id") < _SERVE_Q_HI)
         ).select(F.col("vec_id").alias("query_id"), "embedding")
 
-        cids = sorted(
-            r["cid"]
-            for r in probed_cells(
-                queries, cents, n_probe=_N_PROBE, m=_M, sub_dim=_SUB_DIM
-            )
-            .select("cid")
-            .distinct()
-            .collect()
-        )
-        lake = (
-            spark.read.parquet(os.path.join(root, "codes"))
-            .where(F.col("cid").isin(cids))
-            .withColumn("cid", F.col("cid").cast("int"))
-        )
-        out = ivfpq_topk(
+        out = serve_pruned(
             queries,
-            lake,
+            os.path.join(root, "codes"),
             cents,
             cb,
             emb,

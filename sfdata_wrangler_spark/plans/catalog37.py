@@ -268,9 +268,12 @@ def _register_trained_recall() -> None:
     from .catalog import QUERIES
     from .catalog8 import _recall_sql, _topk_recall
 
+    # reuse the REGISTERED oracle (not a rebuild) so the recall
+    # measurement can never diverge from the query it measures —
+    # the catalog8 recall-query discipline (code-review r9 pass-4 #6)
     sql = _recall_sql(
         QUERIES["emb_cosine_topk"]["oracle"],
-        _ivfpq_search_sql(_fully_trained_index_sql()),
+        QUERIES["emb_ivfpq_fully_trained"]["oracle"],
     )
 
     @_register("emb_ivfpq_trained_recall", sql)

@@ -86,23 +86,29 @@ def stream_ivfpq_serve(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_path: str | None = None,
 ):
     """Serve a QUERY stream against a persisted IVF-PQ lake (round 9
     — the query-side twin of :func:`stream_ivfpq_ingest`): each
-    micro-batch of query vectors derives its probed cells
-    (``operators.pq.probed_cells`` — the same definition the batch
-    search uses), statically prunes the cid-partitioned code table,
-    and runs the probed-ADC + exact-rerank search; results go to
+    micro-batch runs ``operators.pq.serve_pruned`` — THE serving
+    recipe the batch serve queries use (one probe computation feeding
+    both the static partition filter and the search; cid dtype from
+    the centroid table; never drifts from the batch path because it
+    IS the batch path) — and results go to
     ``result_sink(topk_df, batch_id)``.
 
-    This is the online-serving shape a deployed index has: the code
-    lake is read AS OF each trigger (an ingest stream appending new
-    cid partitions is picked up on the next trigger — index freshness
-    is trigger-granular, the standard serving trade), the probe list
-    is nq x n_probe driver-side values (bounded: a query batch knows
-    its cells before touching the corpus), and per-batch results
-    equal the batch search exactly (differential-tested) because
-    every query lives in exactly one micro-batch.
+    Freshness, stated precisely (code-review r9 pass-4 #1/#3): the
+    CODE LAKE is re-read as of each trigger, so an ingest stream's
+    appended cid partitions are searchable on the next trigger. The
+    exact-rerank corpus is fresh only when ``corpus_path`` is given
+    (re-read per trigger alongside the codes); the ``corpus``
+    DataFrame argument is treated as FROZEN — with a growing corpus
+    and no ``corpus_path``, newly ingested vectors would ADC-rank
+    into the shortlist and then drop at the rerank join. Pass
+    ``corpus_path`` whenever serving runs concurrently with ingest.
+    Until the code lake exists (serve started before the ingest's
+    first commit), triggers idle (no sink call) instead of killing
+    the query.
 
     Quantizers are materialized here for the same reasons as the
     ingest path — foreachBatch re-evaluates captured lineage per
@@ -112,44 +118,29 @@ def stream_ivfpq_serve(
     Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
     and ``.start()``s it.
     """
-    from pyspark.sql import functions as F
-
-    from ..operators.pq import ivfpq_topk, probed_cells
+    from ..operators.pq import serve_pruned
 
     centroids = centroids.localCheckpoint(eager=True)
     codebooks = codebooks.localCheckpoint(eager=True)
+    if corpus_path is None:
+        corpus = corpus.localCheckpoint(eager=True)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         queries = batch_df.localCheckpoint(eager=True)
-        cids = sorted(
-            r["cid"]
-            for r in probed_cells(
-                queries,
-                centroids,
-                n_probe=n_probe,
-                m=m,
-                sub_dim=sub_dim,
-                query_id=query_id,
-                vec_col=vec_col,
-            )
-            .select("cid")
-            .distinct()
-            .collect()
+        rerank_corpus = (
+            spark.read.parquet(corpus_path)
+            if corpus_path is not None
+            else corpus
         )
-        lake = (
-            spark.read.parquet(codes_path)
-            .where(F.col("cid").isin(cids))
-            .withColumn("cid", F.col("cid").cast("int"))
-        )
-        out = ivfpq_topk(
+        out = serve_pruned(
             queries,
-            lake,
+            codes_path,
             centroids,
             codebooks,
-            corpus,
+            rerank_corpus,
             k=k,
             n_probe=n_probe,
             shortlist=shortlist,
@@ -159,6 +150,7 @@ def stream_ivfpq_serve(
             corpus_id=corpus_id,
             vec_col=vec_col,
         )
-        result_sink(out, batch_id)
+        if out is not None:
+            result_sink(out, batch_id)
 
     return query_stream.writeStream.foreachBatch(_process)

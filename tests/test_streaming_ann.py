@@ -45,7 +45,7 @@ def test_streamed_codes_match_batch_encode(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(180)
 
     streamed = sorted(
         map(tuple, spark.read.parquet(out_dir)
@@ -125,10 +125,30 @@ def test_streamed_query_serving_matches_batch_search(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(180)
 
     batch = ivfpq_topk(
         queries, enc, cents, cb, emb, k=3, n_probe=2, m=2, sub_dim=8
     )
     assert sorted(results) == sorted(map(tuple, batch.collect()))
     assert len(results) > 0
+
+
+def test_serve_pruned_idles_when_lake_missing(spark, tmp_path):
+    """A serve stream started before its ingest's first commit must
+    idle, not die: serve_pruned returns None for a nonexistent code
+    lake (code-review r9 pass-4 #3), and stream_ivfpq_serve skips the
+    sink for that trigger."""
+    from sfdata_wrangler_spark.operators.pq import serve_pruned
+
+    emb = _clustered(spark)
+    cents = ivf_coarse_centroids(emb, m=2, sub_dim=8)
+    cb, _enc = ivfpq_index(emb, cents, n_codes=4, m=2, sub_dim=8)
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = serve_pruned(
+        queries, os.path.join(tmp_path, "never_written"), cents, cb, emb,
+        k=3, n_probe=2, m=2, sub_dim=8,
+    )
+    assert out is None
