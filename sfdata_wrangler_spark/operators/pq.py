@@ -633,6 +633,26 @@ def pq_codebooks_trained(
         res.unpersist()
 
 
+def _lake_has_data(spark, path: str) -> bool:
+    """True iff ``path`` holds at least one COMMITTED data file.
+    Directory existence is not enough: a concurrent writer's job
+    setup creates the dir (plus _temporary/) seconds before any
+    parquet footer commits, and an aborted first write leaves it
+    existing-but-empty forever — reading either state throws
+    (code-review r9 pass-5 #2)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def serve_pruned(
     queries: DataFrame,
     codes_path: str,
@@ -647,6 +667,7 @@ def serve_pruned(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    missing_ok: bool = False,
 ) -> DataFrame | None:
     """THE serving recipe against a persisted cid-partitioned code
     lake — one definition for the batch serve queries
@@ -663,13 +684,23 @@ def serve_pruned(
     the centroid table's dtype; search. Returns ``None`` when the
     lake does not exist yet (a serve stream started before its
     ingest's first commit must idle, not die).
+
+    Readiness means COMMITTED DATA, not directory existence (a
+    concurrent ingest's job setup creates the dir before any footer
+    commits — code-review r9 pass-5 #2): an unready lake returns
+    ``None`` under ``missing_ok`` (the streaming idle contract) and
+    raises ``FileNotFoundError`` otherwise, because a BATCH caller
+    whose artifacts vanished (scratch swept, partial bootstrap) must
+    fail loudly, not dereference None (pass-5 #3).
     """
     spark = queries.sparkSession
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(codes_path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return None
+    if not _lake_has_data(spark, codes_path):
+        if missing_ok:
+            return None
+        raise FileNotFoundError(
+            f"IVF-PQ code lake at {codes_path} has no committed data"
+            " files (missing, still being written, or swept)"
+        )
 
     probes = probed_cells(
         queries, centroids, n_probe, m, sub_dim, query_id, vec_col

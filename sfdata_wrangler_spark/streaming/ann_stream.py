@@ -118,7 +118,7 @@ def stream_ivfpq_serve(
     Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
     and ``.start()``s it.
     """
-    from ..operators.pq import serve_pruned
+    from ..operators.pq import _lake_has_data, serve_pruned
 
     centroids = centroids.localCheckpoint(eager=True)
     codebooks = codebooks.localCheckpoint(eager=True)
@@ -129,6 +129,16 @@ def stream_ivfpq_serve(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # readiness FIRST, for BOTH lakes: reading an uncommitted or
+        # missing lake throws inside foreachBatch and kills the
+        # query — the idle contract covers the rerank corpus too
+        # (code-review r9 pass-5 #1)
+        if not _lake_has_data(spark, codes_path):
+            return
+        if corpus_path is not None and not _lake_has_data(
+            spark, corpus_path
+        ):
+            return
         queries = batch_df.localCheckpoint(eager=True)
         rerank_corpus = (
             spark.read.parquet(corpus_path)
@@ -149,6 +159,7 @@ def stream_ivfpq_serve(
             query_id=query_id,
             corpus_id=corpus_id,
             vec_col=vec_col,
+            missing_ok=True,
         )
         if out is not None:
             result_sink(out, batch_id)

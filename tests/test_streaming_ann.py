@@ -147,8 +147,26 @@ def test_serve_pruned_idles_when_lake_missing(spark, tmp_path):
     queries = emb.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    missing = os.path.join(tmp_path, "never_written")
     out = serve_pruned(
-        queries, os.path.join(tmp_path, "never_written"), cents, cb, emb,
-        k=3, n_probe=2, m=2, sub_dim=8,
+        queries, missing, cents, cb, emb,
+        k=3, n_probe=2, m=2, sub_dim=8, missing_ok=True,
     )
     assert out is None
+
+    # an EXISTING dir with no committed data files (concurrent
+    # ingest's job setup / aborted first write) must also idle
+    empty = os.path.join(tmp_path, "created_not_committed")
+    os.makedirs(os.path.join(empty, "_temporary"))
+    out = serve_pruned(
+        queries, empty, cents, cb, emb,
+        k=3, n_probe=2, m=2, sub_dim=8, missing_ok=True,
+    )
+    assert out is None
+
+    # batch callers fail loudly instead of dereferencing None
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        serve_pruned(queries, missing, cents, cb, emb,
+                     k=3, n_probe=2, m=2, sub_dim=8)
