@@ -640,17 +640,14 @@ def _lake_has_data(spark, path: str) -> bool:
     parquet footer commits, and an aborted first write leaves it
     existing-but-empty forever — reading either state throws
     (code-review r9 pass-5 #2)."""
+    from ..sources.lake import iter_committed_files
+
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return False
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        name = it.next().getPath().getName()
-        if not name.startswith(("_", ".")):
-            return True
-    return False
+    return next(iter_committed_files(fs, hpath), None) is not None
 
 
 def serve_pruned(
@@ -681,9 +678,7 @@ def serve_pruned(
     filter and :func:`ivfpq_topk`'s internal LUT, so the nq·L·d
     coarse assignment is paid once, not twice); read the lake pruned
     to the probed cells; restore the partition-inferred ``cid`` to
-    the centroid table's dtype; search. Returns ``None`` when the
-    lake does not exist yet (a serve stream started before its
-    ingest's first commit must idle, not die).
+    the centroid table's dtype; search.
 
     Readiness means COMMITTED DATA, not directory existence (a
     concurrent ingest's job setup creates the dir before any footer

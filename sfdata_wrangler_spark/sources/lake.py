@@ -202,3 +202,26 @@ def session_scratch(spark, *parts: str) -> str:
         os.makedirs(os.path.dirname(path), exist_ok=True)
     os.utime(app_dir)  # liveness heartbeat for the stale sweep above
     return path
+
+
+def iter_committed_files(fs, hpath):
+    """Yield the Hadoop ``LocatedFileStatus`` of every COMMITTED data
+    file under ``hpath``: a file counts only if NO path component
+    below the root is hidden (``_``/``.`` prefixed). Filtering the
+    leaf name alone is wrong — ``listFiles(path, recursive)`` descends
+    into ``_temporary/``, whose in-flight task-attempt part files have
+    perfectly ordinary leaf names (code-review r9 pass-6 #1: that
+    window is exactly the concurrent-first-write race readiness guards
+    exist for). One definition shared by the IVF-PQ serve readiness
+    check and the streaming band-index compactor so the committed-file
+    notion cannot drift."""
+    base = fs.makeQualified(hpath).toUri().getPath().rstrip("/")
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        rel = st.getPath().toUri().getPath()
+        if rel.startswith(base):
+            rel = rel[len(base):]
+        parts = [c for c in rel.split("/") if c]
+        if parts and not any(c.startswith(("_", ".")) for c in parts):
+            yield st

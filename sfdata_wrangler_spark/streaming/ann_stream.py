@@ -129,12 +129,13 @@ def stream_ivfpq_serve(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # readiness FIRST, for BOTH lakes: reading an uncommitted or
-        # missing lake throws inside foreachBatch and kills the
-        # query — the idle contract covers the rerank corpus too
-        # (code-review r9 pass-5 #1)
-        if not _lake_has_data(spark, codes_path):
-            return
+        # rerank-corpus readiness FIRST: its eager read below runs
+        # before serve_pruned's own codes-lake guard, and reading an
+        # uncommitted lake throws inside foreachBatch and kills the
+        # query (pass-5 #1). The codes lake needs no pre-check here —
+        # serve_pruned(missing_ok=True) already idles on it, and a
+        # duplicate probe would double the per-trigger FS listing
+        # (pass-6 #2).
         if corpus_path is not None and not _lake_has_data(
             spark, corpus_path
         ):

@@ -204,14 +204,12 @@ def _fold_dirs(spark, batches_dir: str, covered: dict, gen_key: str) -> None:
         for p in covered.values():
             fs.delete(p, True)
         return
+    from ..sources.lake import iter_committed_files
+
     files = []
     for p in covered.values():
-        it = fs.listFiles(p, True)
-        while it.hasNext():
-            st = it.next()
-            name = st.getPath().getName()
-            if not name.startswith(("_", ".")):
-                files.append((str(st.getPath()), int(st.getLen())))
+        for st in iter_committed_files(fs, p):
+            files.append((str(st.getPath()), int(st.getLen())))
     if not files:
         n_groups = 1
     else:

@@ -155,9 +155,18 @@ def test_serve_pruned_idles_when_lake_missing(spark, tmp_path):
     assert out is None
 
     # an EXISTING dir with no committed data files (concurrent
-    # ingest's job setup / aborted first write) must also idle
+    # ingest's job setup / aborted first write) must also idle —
+    # including the in-flight case where _temporary holds a
+    # task-attempt part file with an ordinary LEAF name: committedness
+    # is a property of every path COMPONENT, not the leaf
+    # (code-review r9 pass-6 #1)
     empty = os.path.join(tmp_path, "created_not_committed")
-    os.makedirs(os.path.join(empty, "_temporary"))
+    attempt = os.path.join(
+        empty, "_temporary", "0", "attempt_x", "cid=3"
+    )
+    os.makedirs(attempt)
+    with open(os.path.join(attempt, "part-00000.snappy.parquet"), "wb") as f:
+        f.write(b"not a footer yet")
     out = serve_pruned(
         queries, empty, cents, cb, emb,
         k=3, n_probe=2, m=2, sub_dim=8, missing_ok=True,
