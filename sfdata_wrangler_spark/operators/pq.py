@@ -640,11 +640,9 @@ def _lake_has_data(spark, path: str) -> bool:
     parquet footer commits, and an aborted first write leaves it
     existing-but-empty forever — reading either state throws
     (code-review r9 pass-5 #2)."""
-    from ..sources.lake import iter_committed_files
+    from ..sources.lake import hadoop_fs, iter_committed_files
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath, _jvm = hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return False
     return next(iter_committed_files(fs, hpath), None) is not None

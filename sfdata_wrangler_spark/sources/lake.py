@@ -204,24 +204,55 @@ def session_scratch(spark, *parts: str) -> str:
     return path
 
 
+def hadoop_fs(spark, path: str):
+    """(FileSystem, Path, jvm) for ``path`` — scheme-agnostic (local
+    in tests, HDFS/S3A in production). THE shared handle derivation
+    (code-review r9 pass-7 #4): the streaming dedup compactor and the
+    IVF-PQ serve readiness probe both build on this one."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
 def iter_committed_files(fs, hpath):
     """Yield the Hadoop ``LocatedFileStatus`` of every COMMITTED data
     file under ``hpath``: a file counts only if NO path component
-    below the root is hidden (``_``/``.`` prefixed). Filtering the
+    BELOW the root is hidden (``_``/``.`` prefixed). Filtering the
     leaf name alone is wrong — ``listFiles(path, recursive)`` descends
     into ``_temporary/``, whose in-flight task-attempt part files have
     perfectly ordinary leaf names (code-review r9 pass-6 #1: that
     window is exactly the concurrent-first-write race readiness guards
-    exist for). One definition shared by the IVF-PQ serve readiness
-    check and the streaming band-index compactor so the committed-file
-    notion cannot drift."""
+    exist for). Components are checked by WALKING PARENTS toward the
+    lake root (not string-prefix stripping — pass-7 #2): the walk
+    stops at the first hidden component (excluded) or at the matched
+    root (included), so a lake legitimately living under a hidden
+    ancestor (``<repo>/.scratch/...``) is read correctly whenever the
+    root matches — and listing results come from the same FileSystem
+    as ``makeQualified``, so it does.
+    ``hpath`` naming a single FILE yields that file if its own name is
+    non-hidden (a plain-parquet-file lake is readable — pass-7 #1).
+    One definition shared by the IVF-PQ serve readiness check and the
+    streaming band-index compactor so the committed-file notion
+    cannot drift."""
     base = fs.makeQualified(hpath).toUri().getPath().rstrip("/")
+    if fs.getFileStatus(hpath).isFile():
+        if not hpath.getName().startswith(("_", ".")):
+            yield fs.listFiles(hpath, False).next()
+        return
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
-        rel = st.getPath().toUri().getPath()
-        if rel.startswith(base):
-            rel = rel[len(base):]
-        parts = [c for c in rel.split("/") if c]
-        if parts and not any(c.startswith(("_", ".")) for c in parts):
+        p = st.getPath()
+        hidden = False
+        matched = False
+        while p is not None:
+            if p.toUri().getPath().rstrip("/") == base:
+                matched = True
+                break
+            if p.getName().startswith(("_", ".")):
+                hidden = True
+                break
+            p = p.getParent()
+        if matched or not hidden:
             yield st

@@ -129,13 +129,18 @@ def stream_ivfpq_serve(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # rerank-corpus readiness FIRST: its eager read below runs
-        # before serve_pruned's own codes-lake guard, and reading an
-        # uncommitted lake throws inside foreachBatch and kills the
-        # query (pass-5 #1). The codes lake needs no pre-check here —
-        # serve_pruned(missing_ok=True) already idles on it, and a
-        # duplicate probe would double the per-trigger FS listing
-        # (pass-6 #2).
+        # BOTH readiness guards run before any Spark job: the eager
+        # localCheckpoint below is a full job writing the batch to
+        # executor storage, and paying it on every idle-window
+        # trigger just to discard it is the pass-7 #3 regression.
+        # The codes-lake probe here means serve_pruned re-checks it
+        # (two metadata listings when ready) — a listing is cheap
+        # next to a checkpoint job, which is why pass-6 #2's
+        # single-listing preference loses this trade. Reading an
+        # uncommitted lake would throw inside foreachBatch and kill
+        # the query (pass-5 #1/#2).
+        if not _lake_has_data(spark, codes_path):
+            return
         if corpus_path is not None and not _lake_has_data(
             spark, corpus_path
         ):

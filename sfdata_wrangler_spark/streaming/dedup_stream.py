@@ -102,13 +102,12 @@ _BATCHES_SUBDIR = "_batches"
 
 
 def _fs_for(spark, path: str):
-    """Hadoop FileSystem handle for ``path`` — scheme-agnostic (local
-    in tests, HDFS/S3A in production) so the index maintenance below
-    is not a local-filesystem special case."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath, jvm
+    """Hadoop FileSystem handle for ``path`` — thin alias for the
+    shared sources/lake.hadoop_fs (one derivation for the compactor
+    and the serve readiness probe, code-review r9 pass-7 #4)."""
+    from ..sources.lake import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _list_batch_dirs(fs, batches_hpath) -> dict[str, object]:
