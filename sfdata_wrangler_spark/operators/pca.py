@@ -247,6 +247,7 @@ def pca_project_int(
     n: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    coord_abs_max: float = 1.0,
 ) -> DataFrame:
     """Exact fixed-point projection onto the integer basis:
     ``proj_q = (Σ_i (q_i·n − s1_i)·w_i) div n`` — the centered dot
@@ -256,7 +257,32 @@ def pca_project_int(
     aggregate-over-zip_with, JVM-side, no UDF, no shuffle. Output is
     posexploded ``(id, dim, proj_q BIGINT)`` scalars — atomic schema
     for the driver canon, per-axis true scale recoverable as
-    ``proj_q·MICRO⁻¹ / ‖w‖`` for consumers that want floats."""
+    ``proj_q·MICRO⁻¹ / ‖w‖`` for consumers that want floats.
+
+    BIGINT safety is ENFORCED, not assumed (ADVICE r9 #2: in
+    non-ANSI Spark the zip_with/aggregate fold wraps silently on
+    overflow — a silent divergence from the HUGEINT oracle). The
+    conservative per-query bound is
+    ``d · max_i|q_i·n − s1_i| · max|w|``; with ``|w| ≤ Q_BASIS``
+    (exact after ``_rescale``) and ``|q_i| ≤ coord_abs_max·MICRO``
+    it is ``d · (n·coord_abs_max·MICRO + max_i|s1_i|) · Q_BASIS``
+    (``s1`` is known exactly on the driver — no data scan needed).
+    ``coord_abs_max`` defaults to 1.0 (unit-bounded embeddings, the
+    common corpus shape); callers with unnormalized data MUST pass
+    the true coordinate bound or the guard under-estimates. When the bound does not fit in int64 the
+    call raises with the DECIMAL(38,0) migration pointer instead of
+    producing silently-wrapped projections."""
+    d = len(s1)
+    max_s1 = max((abs(x) for x in s1), default=0)
+    bound = d * (n * int(coord_abs_max * MICRO) + max_s1) * Q_BASIS
+    if bound >= 2**63:
+        raise ValueError(
+            "pca_project_int: projection fold can exceed int64 "
+            f"(conservative bound {bound:.3e} ≥ 2^63) at n={n}, d={d}, "
+            f"coord_abs_max={coord_abs_max}; re-fit at a smaller "
+            "Q_BASIS or port the fold to DECIMAL(38,0) before "
+            "running at this corpus size"
+        )
     nq = F.lit(n).cast("bigint")
     s1_arr = F.array(*[F.lit(x).cast("bigint") for x in s1])
     centered = F.zip_with(

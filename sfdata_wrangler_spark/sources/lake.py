@@ -177,21 +177,25 @@ def session_scratch(spark, *parts: str) -> str:
         atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
         # atexit never fires for OOM-killed/SIGKILLed sessions
         # (code-review r9 #4): sweep stale sibling app dirs on first
-        # use. App ids embed no liveness, so age is the signal: a
-        # sibling top-level dir untouched for > 6h is treated as a
-        # dead session's leftovers. The utime below refreshes the
-        # calling app dir's mtime on every session_scratch CALL —
-        # note the honest limit: a session that caches the returned
-        # path and only READS it for > 6h without another call is
-        # still sweepable (directory mtimes don't move on file
-        # reads); artifact consumers that live that long should
-        # re-call session_scratch per batch, as the serve query does.
+        # use. Liveness is POSITIVE, not pure age (ADVICE r9 #1: a
+        # long-running sibling that only READS its cached path for
+        # > 6h — e.g. a serve loop — must not lose its code lake
+        # mid-read): each app dir records its owning PID in
+        # `.owner_pid`, and the sweep skips any dir whose recorded
+        # PID is still alive, no matter how old. Age (> 6h untouched)
+        # remains the gate for dirs with a dead/unreadable PID file —
+        # a recycled PID can at worst DELAY a sweep by one 6h window,
+        # never delete a live session's dir, which is the right
+        # asymmetry for a destructive sweep.
         cutoff = time.time() - 6 * 3600
         try:
             for entry in os.listdir(scratch_root):
                 p = os.path.join(scratch_root, entry)
-                if p != app_dir and os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
+                if p == app_dir or os.path.getmtime(p) >= cutoff:
+                    continue
+                if _owner_alive(p):
+                    continue
+                shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
     # app_dir itself must exist even for a no-parts call (dirname of
@@ -200,8 +204,30 @@ def session_scratch(spark, *parts: str) -> str:
     os.makedirs(app_dir, exist_ok=True)
     if parts:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-    os.utime(app_dir)  # liveness heartbeat for the stale sweep above
+    pid_file = os.path.join(app_dir, ".owner_pid")
+    if not os.path.exists(pid_file):
+        # `.`-prefixed so iter_committed_files never counts it as data
+        with open(pid_file, "w") as fh:
+            fh.write(str(os.getpid()))
+    os.utime(app_dir)  # age signal for dead-PID dirs in the sweep
     return path
+
+
+def _owner_alive(app_dir: str) -> bool:
+    """True iff ``app_dir``'s recorded owner PID is a live process.
+    Missing/unreadable PID file → not alive (age alone governs)."""
+    try:
+        with open(os.path.join(app_dir, ".owner_pid")) as fh:
+            pid = int(fh.read().strip())
+        os.kill(pid, 0)
+        return True
+    except PermissionError:
+        # EPERM = alive but owned by another user; on a shared
+        # scratch root that IS the live-sibling case — deletion is
+        # the unrecoverable direction, so err toward alive
+        return True
+    except (OSError, ValueError):
+        return False
 
 
 def hadoop_fs(spark, path: str):

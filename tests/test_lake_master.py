@@ -87,3 +87,46 @@ def test_compact_partitions_reduces_files_preserves_data(spark, tmp_path):
     ).count() == spark.read.parquet(path).where(
         (F.col("YEAR") == 2024) & (F.col("MONTH") == 1)
     ).count()
+
+
+def test_scratch_sweep_spares_live_owner(spark, monkeypatch):
+    """ADVICE r9 #1: the 6h stale sweep must not rmtree a LIVE
+    sibling session's scratch — liveness is the recorded owner PID,
+    not directory age alone. A dead-PID dir of the same age is
+    still swept."""
+    import shutil
+    import subprocess
+    import time
+
+    from sfdata_wrangler_spark.sources import lake
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(lake.__file__)))
+    )
+    scratch = os.path.join(repo_root, ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    live = os.path.join(scratch, "pytest-fake-live-app")
+    dead = os.path.join(scratch, "pytest-fake-dead-app")
+    reaped = subprocess.Popen(["true"])
+    reaped.wait()
+    old = time.time() - 7 * 3600
+    try:
+        for p, pid in ((live, os.getpid()), (dead, reaped.pid)):
+            os.makedirs(p, exist_ok=True)
+            with open(os.path.join(p, ".owner_pid"), "w") as fh:
+                fh.write(str(pid))
+            os.utime(p, (old, old))
+        # force re-registration so the sweep runs for this app dir
+        monkeypatch.setattr(lake, "_SCRATCH_CLEANUP_REGISTERED", set())
+        lake.session_scratch(spark, "probe")
+        assert os.path.isdir(live), "live sibling swept despite alive PID"
+        assert not os.path.exists(dead), "dead sibling survived the sweep"
+        # the caller's own app dir records its PID for future sweeps
+        app_dir = os.path.join(
+            scratch, spark.sparkContext.applicationId
+        )
+        with open(os.path.join(app_dir, ".owner_pid")) as fh:
+            assert int(fh.read()) == os.getpid()
+    finally:
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.rmtree(dead, ignore_errors=True)

@@ -134,3 +134,23 @@ def test_int_fixed_point_basis_close_to_eigh_and_deterministic(spark, emb):
             )
             assert got[(i, m)] == _tdiv(num, n)
     assert all(abs(w0) <= Q_BASIS for w in basis for w0 in w)
+
+
+def test_pca_project_int_overflow_guard(spark, emb):
+    """ADVICE r9 #2: the BIGINT bound is enforced, not a comment —
+    a corpus size whose conservative fold bound exceeds int64 must
+    raise instead of silently wrapping in non-ANSI Spark."""
+    from sfdata_wrangler_spark.operators.pca import (
+        pca_fit_int,
+        pca_project_int,
+    )
+
+    basis, s1, n = pca_fit_int(emb, k=2, iterations=4)
+    # a fabricated 100TB-class row count blows the bound even with
+    # the true s1: d*(n*MICRO + max|s1|)*Q_BASIS >= 2^63
+    huge_n = 10**13
+    with pytest.raises(ValueError, match="DECIMAL"):
+        pca_project_int(emb, basis, s1, huge_n)
+    # the real corpus passes and still projects exactly
+    out = pca_project_int(emb, basis, s1, n)
+    assert out.count() == emb.count() * len(basis)
