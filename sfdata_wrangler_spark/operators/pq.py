@@ -671,12 +671,19 @@ def serve_pruned(
     partition-prune filter, and cid dtype handling cannot drift
     between copies (code-review r9 pass-4 #4).
 
-    Steps: pin the probe table once (eager localCheckpoint — it
-    feeds BOTH the driver-side static ``cid IN (...)`` partition
+    Steps: materialize the probe table once AS A LOCAL RELATION —
+    it feeds BOTH the driver-side static ``cid IN (...)`` partition
     filter and :func:`ivfpq_topk`'s internal LUT, so the nq·L·d
-    coarse assignment is paid once, not twice); read the lake pruned
-    to the probed cells; restore the partition-inferred ``cid`` to
-    the centroid table's dtype; search.
+    coarse assignment is paid once, not twice. The probe table is
+    nq·n_probe ``(query_id, cid)`` pairs and its distinct cids were
+    ALREADY collected for the prune filter, so collecting the pairs
+    themselves adds no new driver risk — and unlike the previous
+    eager localCheckpoint it leaves NO executor storage blocks
+    behind (ADVICE r9 #4: a long-running serve stream accumulated
+    un-released checkpoint RDDs, relying on driver GC to reclaim
+    them). Then read the lake pruned to the probed cells, restore
+    the partition-inferred ``cid`` to the centroid table's dtype,
+    and search.
 
     Readiness means COMMITTED DATA, not directory existence (a
     concurrent ingest's job setup creates the dir before any footer
@@ -697,10 +704,10 @@ def serve_pruned(
 
     probes = probed_cells(
         queries, centroids, n_probe, m, sub_dim, query_id, vec_col
-    ).localCheckpoint(eager=True)
-    cids = sorted(
-        r["cid"] for r in probes.select("cid").distinct().collect()
     )
+    probe_rows = probes.collect()
+    probes = spark.createDataFrame(probe_rows, probes.schema)
+    cids = sorted({r["cid"] for r in probe_rows})
     cid_type = dict(centroids.dtypes)["cid"]
     lake = (
         spark.read.parquet(codes_path)

@@ -129,10 +129,10 @@ def stream_ivfpq_serve(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # BOTH readiness guards run before any Spark job: the eager
-        # localCheckpoint below is a full job writing the batch to
-        # executor storage, and paying it on every idle-window
-        # trigger just to discard it is the pass-7 #3 regression.
+        # BOTH readiness guards run before any Spark job: pinning
+        # the batch costs a storage write on first use, and paying
+        # it on every idle-window trigger just to discard it is the
+        # pass-7 #3 regression.
         # The codes-lake probe here means serve_pruned re-checks it
         # (two metadata listings when ready) — a listing is cheap
         # next to a checkpoint job, which is why pass-6 #2's
@@ -145,29 +145,41 @@ def stream_ivfpq_serve(
             spark, corpus_path
         ):
             return
-        queries = batch_df.localCheckpoint(eager=True)
-        rerank_corpus = (
-            spark.read.parquet(corpus_path)
-            if corpus_path is not None
-            else corpus
-        )
-        out = serve_pruned(
-            queries,
-            codes_path,
-            centroids,
-            codebooks,
-            rerank_corpus,
-            k=k,
-            n_probe=n_probe,
-            shortlist=shortlist,
-            m=m,
-            sub_dim=sub_dim,
-            query_id=query_id,
-            corpus_id=corpus_id,
-            vec_col=vec_col,
-            missing_ok=True,
-        )
-        if out is not None:
-            result_sink(out, batch_id)
+        # persist (NOT localCheckpoint) pins the query batch across
+        # its several reads inside serve_pruned while staying
+        # releasable per trigger (ADVICE r9 #4: per-trigger local
+        # checkpoints were never unpersisted, so a long-running
+        # serve stream accreted executor storage blocks until driver
+        # GC got around to them). Recompute-on-eviction is safe
+        # here: a micro-batch's offsets are fixed, so the lineage
+        # replays byte-identically — unlike the dedup stream's
+        # self-feedback batch, which must keep localCheckpoint.
+        queries = batch_df.persist()
+        try:
+            rerank_corpus = (
+                spark.read.parquet(corpus_path)
+                if corpus_path is not None
+                else corpus
+            )
+            out = serve_pruned(
+                queries,
+                codes_path,
+                centroids,
+                codebooks,
+                rerank_corpus,
+                k=k,
+                n_probe=n_probe,
+                shortlist=shortlist,
+                m=m,
+                sub_dim=sub_dim,
+                query_id=query_id,
+                corpus_id=corpus_id,
+                vec_col=vec_col,
+                missing_ok=True,
+            )
+            if out is not None:
+                result_sink(out, batch_id)
+        finally:
+            queries.unpersist()
 
     return query_stream.writeStream.foreachBatch(_process)

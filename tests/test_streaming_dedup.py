@@ -349,10 +349,12 @@ def test_selfmaintaining_checkpoint_rotation_loses_nothing(spark, tmp_path):
     ids at 0. Run-token dir keys mean the old run's increment dirs
     are never overwritten, and the startup fold moves all but the
     highest-numbered trigger's dirs into a generation dir — so the
-    index's distinct doc set is intact, re-fed docs are REJECTED as
-    duplicates of the already-indexed corpus (the dedup gate's job),
-    and only docs at the in-flight trigger number re-emit (the
-    at-least-once residual)."""
+    index's distinct doc set is intact and re-fed docs are REJECTED
+    as duplicates of the already-indexed corpus (the dedup gate's
+    job). ADVICE r9 #3: the old run's highest-numbered (in-flight-
+    candidate) dirs are folded too once the new run's first trigger
+    commits, so NOTHING re-emits — the old blind window at that
+    trigger number no longer recurs."""
     import time
 
     from sfdata_wrangler_spark.operators.dedup import minhash_band_index
@@ -403,11 +405,13 @@ def test_selfmaintaining_checkpoint_rotation_loses_nothing(spark, tmp_path):
     }
 
     run("rotckpt_b", second)  # fresh checkpoint: batch ids restart at 0
-    # re-fed docs REJECTED as duplicates of the indexed corpus —
-    # except 302, whose old rows sit at the highest (in-flight-
-    # candidate) trigger number and are replay-excluded; and no old
-    # index content destroyed
-    assert sorted(second) == [302]
+    # ALL re-fed docs REJECTED as duplicates of the indexed corpus:
+    # 302's old rows sit at the old in-flight trigger number and are
+    # replay-excluded at the new trigger 0... but the tail fold after
+    # the first commit makes them generation-visible before the new
+    # trigger 2 re-feeds 302 (ADVICE r9 #3); no old index content
+    # destroyed
+    assert second == []
     docs_after = {
         r["doc_id"]
         for r in read_band_index(spark, index_path)
@@ -451,3 +455,72 @@ def test_selfmaintaining_replay_preserves_mutual_neardup_siblings(
     start()
     # BOTH siblings re-emitted — neither killed by the other's rows
     assert sorted(accepted) == [(1, 201), (1, 202)]
+
+
+def test_selfmaintaining_output_exactly_once_under_replay(
+    spark, tmp_path
+):
+    """VERDICT r9 ask #3: with the batch-number-keyed overwrite sink,
+    a mid-trigger kill (emission landed, checkpoint commit did not)
+    replays the trigger into the SAME output dir — readers of the
+    output lake see every accepted doc EXACTLY once, no duplicate
+    emissions."""
+    import time
+
+    from sfdata_wrangler_spark.operators.dedup import minhash_band_index
+    from sfdata_wrangler_spark.streaming.dedup_stream import (
+        parquet_accepted_sink,
+        stream_selfmaintaining_neardup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again")],
+        ["doc_id", "text"],
+    )
+    src = os.path.join(tmp_path, "eosrc")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    for rows in _SM_BATCHES:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    index_path = os.path.join(tmp_path, "eoindex")
+    minhash_band_index(corpus).write.parquet(index_path)
+    out_dir = os.path.join(tmp_path, "eoout")
+    ckpt = os.path.join(tmp_path, "eockpt")
+
+    def start():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream_selfmaintaining_neardup(
+                stream, index_path, parquet_accepted_sink(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    start()
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert first == [102, 202, 302]
+
+    # mid-trigger kill: batch 2's output dir is committed, the
+    # checkpoint commit marker is not — the at-least-once window
+    os.remove(os.path.join(ckpt, "commits", "2"))
+    crc = os.path.join(ckpt, "commits", ".2.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    start()
+    replayed = spark.read.parquet(out_dir)
+    assert sorted(r["doc_id"] for r in replayed.collect()) == [
+        102, 202, 302,
+    ], "replay duplicated or dropped emissions"
+    # and the replayed trigger's dir holds exactly its own docs
+    b2 = spark.read.parquet(out_dir + "/batch_no=2")
+    assert [r["doc_id"] for r in b2.collect()] == [302]
