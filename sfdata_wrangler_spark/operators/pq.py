@@ -634,18 +634,13 @@ def pq_codebooks_trained(
 
 
 def _lake_has_data(spark, path: str) -> bool:
-    """True iff ``path`` holds at least one COMMITTED data file.
-    Directory existence is not enough: a concurrent writer's job
-    setup creates the dir (plus _temporary/) seconds before any
-    parquet footer commits, and an aborted first write leaves it
-    existing-but-empty forever — reading either state throws
-    (code-review r9 pass-5 #2)."""
-    from ..sources.lake import hadoop_fs, iter_committed_files
+    """Alias of :func:`...sources.lake.has_committed_data` — kept so
+    the serve/ingest call sites keep their historical name (the
+    definition moved to lake.py in r10 when the pipeline runner
+    became a third consumer)."""
+    from ..sources.lake import has_committed_data
 
-    fs, hpath, _jvm = hadoop_fs(spark, path)
-    if not fs.exists(hpath):
-        return False
-    return next(iter_committed_files(fs, hpath), None) is not None
+    return has_committed_data(spark, path)
 
 
 def serve_pruned(

@@ -36,6 +36,7 @@ from . import catalog34 as _catalog34  # registers round-6 wave (episodes, reser
 from . import catalog35 as _catalog35  # registers round-7 wave (IVF-PQ composed ANN)
 from . import catalog36 as _catalog36  # registers round-8 wave (privacy, NFKC fixture, IVF-PQ lake)
 from . import catalog37 as _catalog37  # registers round-9 wave (trained-quantizer IVF-PQ)
+from . import catalog38 as _catalog38  # registers round-10 wave (end-to-end pipeline runner)
 from .catalog import QUERIES, oracle_sql_map, query_map
 
 __all__ = ["QUERIES", "oracle_sql_map", "query_map"]

@@ -230,6 +230,20 @@ def _owner_alive(app_dir: str) -> bool:
         return False
 
 
+def has_committed_data(spark, path: str) -> bool:
+    """True iff ``path`` holds at least one COMMITTED data file.
+    Directory existence is not enough: a concurrent writer's job
+    setup creates the dir (plus _temporary/) seconds before any
+    parquet footer commits, and an aborted first write leaves it
+    existing-but-empty forever — reading either state throws
+    (code-review r9 pass-5 #2). THE readiness probe shared by the
+    IVF-PQ serve path and the pipeline runner's step-skip check."""
+    fs, hpath, _jvm = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return next(iter_committed_files(fs, hpath), None) is not None
+
+
 def hadoop_fs(spark, path: str):
     """(FileSystem, Path, jvm) for ``path`` — scheme-agnostic (local
     in tests, HDFS/S3A in production). THE shared handle derivation

@@ -1,0 +1,137 @@
+"""The end-to-end restartable pipeline driver (VERDICT r9 ask #1):
+committed-step skipping, kill-and-resume idempotency, forced
+invalidation, and swept-table recovery."""
+
+import os
+import shutil
+
+import pytest
+
+from sfdata_wrangler_spark.pipelines.runner import (
+    Step,
+    run_pipeline,
+    table_path,
+    transit_steps,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _statuses(summary):
+    return {r["step"]: r["status"] for r in summary}
+
+
+def _report_rows(spark, lake):
+    return sorted(
+        map(tuple, spark.read.parquet(table_path(lake, "report_system")).collect())
+    )
+
+
+@pytest.fixture(scope="module")
+def e2e_lake(spark, tmp_path_factory):
+    """One single-shot full run — the ground truth the resume tests
+    compare against, and the committed lake the invalidation tests
+    mutate."""
+    lake = str(tmp_path_factory.mktemp("e2elake"))
+    summary = run_pipeline(spark, SF, lake)
+    return lake, summary
+
+
+def test_single_shot_runs_every_step(spark, e2e_lake):
+    lake, summary = e2e_lake
+    assert [r["status"] for r in summary] == ["ran"] * len(transit_steps())
+    assert summary[-1]["rows"]["report_system"] > 0
+
+
+def test_second_invocation_skips_everything(spark, e2e_lake):
+    lake, _ = e2e_lake
+    before = _report_rows(spark, lake)
+    again = run_pipeline(spark, SF, lake)
+    assert set(_statuses(again).values()) == {"skipped"}
+    assert _report_rows(spark, lake) == before
+
+
+def test_kill_mid_dag_then_resume_matches_single_shot(
+    spark, e2e_lake, tmp_path
+):
+    """Kill the DAG at cleanClipper (steps 1-5 committed), then
+    restart with the real step list: committed steps skip, the rest
+    run, and the final report is byte-identical to the uninterrupted
+    single-shot run."""
+    ref_lake, _ = e2e_lake
+    lake = str(tmp_path / "killlake")
+
+    steps = transit_steps()
+    idx = next(i for i, s in enumerate(steps) if s.name == "cleanClipper")
+
+    def bomb(spark_, sf_dir_, read_):
+        raise RuntimeError("simulated kill")
+
+    killed = list(steps)
+    killed[idx] = Step(
+        steps[idx].name, steps[idx].deps, steps[idx].outputs, bomb
+    )
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_pipeline(spark, SF, lake, steps=killed)
+
+    resumed = run_pipeline(spark, SF, lake)
+    st = _statuses(resumed)
+    assert st == {
+        "clean1": "skipped", "clean2": "skipped", "gtfs": "skipped",
+        "expand": "skipped", "aggregate": "skipped",
+        "cleanClipper": "ran", "taxi": "ran", "demand": "ran",
+        "multimodal": "ran", "report": "ran",
+    }
+    assert _report_rows(spark, lake) == _report_rows(spark, ref_lake)
+
+
+def test_mid_step_kill_recomputes_only_that_step(spark, e2e_lake):
+    """Crash AFTER a step's outputs commit but BEFORE its marker
+    (markers of the step and its never-run downstream absent): the
+    re-run recomputes exactly those steps, overwrite-idempotently."""
+    lake, _ = e2e_lake
+    before = _report_rows(spark, lake)
+    for name in ("aggregate", "report"):
+        os.remove(os.path.join(lake, "_steps", f"{name}.json"))
+    summary = run_pipeline(spark, SF, lake)
+    st = _statuses(summary)
+    assert st["aggregate"] == "ran" and st["report"] == "ran"
+    assert sum(1 for v in st.values() if v == "ran") == 2
+    assert _report_rows(spark, lake) == before
+
+
+def test_force_invalidates_transitive_downstream(spark, e2e_lake):
+    """force=('gtfs',) re-runs gtfs and everything downstream of it;
+    steps on independent branches stay committed."""
+    lake, _ = e2e_lake
+    before = _report_rows(spark, lake)
+    summary = run_pipeline(spark, SF, lake, force=("gtfs",))
+    st = _statuses(summary)
+    assert {k for k, v in st.items() if v == "ran"} == {
+        "gtfs", "expand", "aggregate", "taxi", "demand", "multimodal",
+        "report",
+    }
+    assert {k for k, v in st.items() if v == "skipped"} == {
+        "clean1", "clean2", "cleanClipper",
+    }
+    assert _report_rows(spark, lake) == before
+
+
+def test_swept_table_reruns_despite_marker(spark, e2e_lake):
+    """Completion means committed DATA, not marker existence: a step
+    whose output table was swept re-runs even though its marker
+    survived (the r9 readiness-guard class)."""
+    lake, _ = e2e_lake
+    shutil.rmtree(table_path(lake, "avl_dedup"))
+    summary = run_pipeline(spark, SF, lake)
+    st = _statuses(summary)
+    assert st["clean2"] == "ran"
+    assert sum(1 for v in st.values() if v == "ran") == 1
+
+
+def test_unknown_force_and_bad_dag_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown force"):
+        run_pipeline(spark, SF, str(tmp_path / "x"), force=("nope",))
+    bad = [Step("b", ("a",), ("t",), lambda *_: {})]
+    with pytest.raises(ValueError, match="unknown"):
+        run_pipeline(spark, SF, str(tmp_path / "y"), steps=bad)
