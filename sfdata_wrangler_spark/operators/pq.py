@@ -550,6 +550,37 @@ def centroids_to_micro(
     )
 
 
+def trained_coarse_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LEARNED coarse quantizer in the PQ long-form centroid shape
+    ``(cid, subspace, dim, c_micro)`` — the integer fixed-point
+    Lloyd's (``similarity.kmeans_centroids_int``) adapted as the
+    drop-in replacement for :func:`ivf_coarse_centroids`' label
+    means. Moved here from plans/catalog37.py in r10 so the
+    generation-rotation refresh (operators/ann_refresh.py) and the
+    registered trained-ANN queries share one definition."""
+    from .similarity import kmeans_centroids_int
+
+    ci = kmeans_centroids_int(
+        emb, k=k, iterations=iterations, corpus_id=id_col, vec_col=vec_col
+    )
+    return ci.select(
+        F.col("centroid_id").alias("cid"),
+        F.posexplode("centroid").alias("pos", "c_micro"),
+    ).select(
+        "cid",
+        (F.col("pos") / sub_dim).cast("int").alias("subspace"),
+        (F.col("pos") % sub_dim).cast("int").alias("dim"),
+        F.col("c_micro").cast("bigint").alias("c_micro"),
+    )
+
+
 def pq_codebooks_trained(
     res: DataFrame,
     n_codes: int = 16,

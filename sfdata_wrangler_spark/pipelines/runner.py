@@ -38,14 +38,13 @@ recompute-on-failure blast radius.
 from __future__ import annotations
 
 import json
-import uuid
 from dataclasses import dataclass, field
 from typing import Callable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.lake import hadoop_fs, has_committed_data
+from ..sources.lake import atomic_write_text, hadoop_fs, has_committed_data
 
 # --------------------------------------------------------------------------- #
 # Generic machinery                                                           #
@@ -81,26 +80,14 @@ def _marker_path(lake_root: str, step: str) -> str:
 
 
 def _write_marker(spark, lake_root: str, step: str, payload: dict) -> None:
-    """Atomic commit of a step's completion: write to a hidden temp
-    name, then rename onto ``_steps/<step>.json``. The rename return
-    value is CHECKED (fs.rename reports failure as False, not an
-    exception — the r9 compactor lesson)."""
-    fs, _p, jvm = hadoop_fs(spark, lake_root)
-    hdir = jvm.org.apache.hadoop.fs.Path(f"{lake_root.rstrip('/')}/_steps")
-    fs.mkdirs(hdir)
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        f"{lake_root.rstrip('/')}/_steps/.tmp-{step}-{uuid.uuid4().hex[:8]}"
+    """Atomic commit of a step's completion marker
+    (:func:`...sources.lake.atomic_write_text` — temp name + checked
+    rename, the shared control-file commit primitive)."""
+    atomic_write_text(
+        spark,
+        _marker_path(lake_root, step),
+        json.dumps(payload, sort_keys=True),
     )
-    final = jvm.org.apache.hadoop.fs.Path(_marker_path(lake_root, step))
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(json.dumps(payload, sort_keys=True), "utf-8"))
-    finally:
-        out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        raise IOError(f"step-marker rename failed for {step!r}")
 
 
 def _marker_exists(spark, lake_root: str, step: str) -> bool:

@@ -78,21 +78,12 @@ def _trained_index_sql() -> str:
 def trained_coarse_centroids(
     spark: SparkSession, emb: DataFrame
 ) -> DataFrame:
-    """kmeans_centroids_int output adapted to the PQ long-form
-    centroid shape ``(cid, subspace, dim, c_micro)`` — the drop-in
-    replacement for operators/pq.ivf_coarse_centroids' label means."""
-    from ..operators.similarity import kmeans_centroids_int
+    """This catalog's constants applied to the shared adapter
+    (operators/pq.trained_coarse_centroids — moved there in r10 so
+    the generation-rotation refresh reuses it)."""
+    from ..operators.pq import trained_coarse_centroids as _tcc
 
-    ci = kmeans_centroids_int(emb, k=_KM_K, iterations=_KM_ITERS)
-    return ci.select(
-        F.col("centroid_id").alias("cid"),
-        F.posexplode("centroid").alias("pos", "c_micro"),
-    ).select(
-        "cid",
-        (F.col("pos") / _SUB_DIM).cast("int").alias("subspace"),
-        (F.col("pos") % _SUB_DIM).cast("int").alias("dim"),
-        F.col("c_micro").cast("bigint").alias("c_micro"),
-    )
+    return _tcc(emb, k=_KM_K, iterations=_KM_ITERS, sub_dim=_SUB_DIM)
 
 
 @_register(

@@ -230,6 +230,53 @@ def _owner_alive(app_dir: str) -> bool:
         return False
 
 
+def atomic_write_text(spark, path: str, text: str) -> None:
+    """Atomically (re)place a small control file — write to a hidden
+    sibling temp name, then rename onto ``path``. The rename return
+    value is CHECKED (Hadoop fs.rename reports failure as False, not
+    an exception — the r9 compactor lesson). THE commit primitive for
+    pipeline step markers and ANN generation pointers: readers see
+    either the old content or the new, never a torn write."""
+    import uuid
+
+    fs, hpath, jvm = hadoop_fs(spark, path)
+    parent = hpath.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        parent, f".tmp-{hpath.getName()}-{uuid.uuid4().hex[:8]}"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text, "utf-8"))
+    finally:
+        out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tmp, hpath):
+        raise IOError(f"atomic text rename failed for {path}")
+
+
+def read_text(spark, path: str) -> str | None:
+    """Contents of a small control file, or None if absent. Reads
+    byte-at-a-time through py4j — fine for the ~100-byte pointer and
+    marker files this pairs with (:func:`atomic_write_text`), wrong
+    for anything bigger."""
+    fs, hpath, _jvm = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    ins = fs.open(hpath)
+    try:
+        buf = bytearray()
+        b = ins.read()
+        while b != -1:
+            buf.append(b)
+            b = ins.read()
+    finally:
+        ins.close()
+    return buf.decode("utf-8")
+
+
 def has_committed_data(spark, path: str) -> bool:
     """True iff ``path`` holds at least one COMMITTED data file.
     Directory existence is not enough: a concurrent writer's job

@@ -14,9 +14,14 @@ that append-mode streaming cannot finalize without event-time
 windows, but every vector lives in exactly one micro-batch so
 per-trigger batch semantics are EXACT, and the full DataFrame API
 (broadcast codebooks, AQE) applies inside the batch. Quantizer
-refresh (retraining centroids/codebooks as the distribution drifts —
-visible in emb_ivfpq_stats' list balance) is the caller's cadence
-decision, the same staleness/latency trade as the LSH band index in
+refresh under distribution drift is no longer just "the caller's
+cadence decision" (the r9 gap): :mod:`..operators.ann_refresh` owns
+the closed loop — generation-layout artifacts, a
+``list_imbalance``/``needs_refresh`` drift trigger fed by the same
+telemetry as emb_ivfpq_stats, retrain + re-encode into a NEW
+generation, and an atomic pointer swap that serving (including
+:func:`stream_ivfpq_serve` pointed at a generation's codes dir)
+resolves. The staleness/latency trade mirrors the LSH band index in
 :mod:`.dedup_stream`.
 """
 

@@ -1,0 +1,159 @@
+"""IVF-PQ generation rotation (VERDICT r9 ask #2): no-drift rotations
+serve identically, drifted batches degrade recall until a refresh
+retrains + re-encodes + swaps, and the swap is atomic + readiness-
+guarded."""
+
+import math
+
+import pytest
+
+from sfdata_wrangler_spark.operators.ann_refresh import (
+    activate_generation,
+    current_generation,
+    ingest_batch,
+    list_imbalance,
+    needs_refresh,
+    refresh_generation,
+    serve_current,
+)
+
+D = 8          # m=2 subspaces x sub_dim=4
+KW = dict(km_k=4, km_iters=2, n_codes=4, cb_iters=2, m=2, sub_dim=4)
+SERVE = dict(k=5, n_probe=1, shortlist=48)
+
+
+def _vec(center, jitter0):
+    v = [center] * D
+    v[0] += jitter0
+    return v
+
+
+def _corpus_a():
+    # 3 clusters, ids round-robin so the lowest-id k-means seeds spread
+    rows = []
+    centers = [0.3, -0.3, 0.05]
+    for i in range(60):
+        rows.append((i, _vec(centers[i % 3], (i // 3) * 0.001)))
+    return rows
+
+
+def _batch_b():
+    # the drifted regime: two far-away 60-vector clusters, EACH made
+    # of two sub-clusters 1.0 apart (ids 100..159 at +3.5/+4.5,
+    # 160..219 at -3.5/-4.5; the HIGH-id half is the far sub-cluster).
+    # Pre-refresh, every drifted residual quantizes to the same
+    # extreme A-trained code, so all 60 tie in ADC and the
+    # tie-broken-by-id shortlist (48 < 60) drops exactly the high-id
+    # true neighbors. Post-refresh the residual codebooks separate
+    # the ±0.5 sub-cluster masses, so the probed cell's ADC puts the
+    # right sub-cluster first.
+    rows = []
+    for i in range(60):
+        rows.append((100 + i, _vec(3.5 if i < 30 else 4.5, i * 0.001)))
+    for i in range(60):
+        rows.append((160 + i, _vec(-3.5 if i < 30 else -4.5, i * 0.001)))
+    return rows
+
+
+def _queries():
+    return [(0, _vec(4.5, 0.059)), (1, _vec(4.5, 0.058)),
+            (2, _vec(-4.5, 0.059)), (3, _vec(-4.5, 0.058))]
+
+
+def _ground_truth(corpus_rows, queries, k=5):
+    """Exact integer-micro L2 top-k — the same quantization the
+    engine's exact rerank uses."""
+    gt = {}
+    for qid, q in queries:
+        qq = [math.floor(x * 1e6) for x in q]
+        scored = []
+        for vid, v in corpus_rows:
+            vv = [math.floor(x * 1e6) for x in v]
+            d2 = sum((a - b) ** 2 for a, b in zip(qq, vv))
+            scored.append((d2, vid))
+        scored.sort()
+        gt[qid] = {vid for _d, vid in scored[:k]}
+    return gt
+
+
+def _recall(spark, root, corpus_df, corpus_rows):
+    queries = _queries()
+    qdf = spark.createDataFrame(queries, ["query_id", "embedding"])
+    got = serve_current(spark, root, qdf, corpus_df, **SERVE).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    gt = _ground_truth(corpus_rows, queries, k=SERVE["k"])
+    return sum(
+        len(by_q.get(q, set()) & gt[q]) / len(gt[q]) for q in gt
+    ) / len(gt)
+
+
+def test_generation_rotation_and_drift_recovery(spark, tmp_path):
+    root = str(tmp_path / "annroot")
+    schema = "vec_id long, embedding array<double>"
+    a_rows = _corpus_a()
+    a_df = spark.createDataFrame(a_rows, schema)
+
+    assert current_generation(spark, root) is None
+    gen0 = refresh_generation(spark, root, a_df, **KW)
+    assert current_generation(spark, root) == gen0 == "gen-0000"
+
+    # (a) no-drift rotation: the integer trainers are deterministic,
+    # so retraining on the SAME corpus swaps to a byte-identical
+    # index — serving before and after the rotation agrees exactly
+    qdf = spark.createDataFrame(_queries(), ["query_id", "embedding"])
+    before = sorted(
+        map(tuple, serve_current(spark, root, qdf, a_df, **SERVE).collect())
+    )
+    gen1 = refresh_generation(spark, root, a_df, **KW)
+    assert current_generation(spark, root) == gen1 == "gen-0001"
+    after = sorted(
+        map(tuple, serve_current(spark, root, qdf, a_df, **SERVE).collect())
+    )
+    assert before == after
+
+    # (b) drift: ingest the new-regime batch against the FROZEN
+    # generation — O(batch), but the hot cells and the stale residual
+    # codebooks sink recall for new-regime queries
+    b_rows = _batch_b()
+    full_rows = a_rows + b_rows
+    full_df = spark.createDataFrame(full_rows, schema)
+    ingest_batch(spark, root, spark.createDataFrame(b_rows, schema))
+
+    imb_before = list_imbalance(spark, root)
+    recall_before = _recall(spark, root, full_df, full_rows)
+
+    gen2 = refresh_generation(spark, root, full_df, **KW)
+    assert gen2 == "gen-0002"
+    imb_after = list_imbalance(spark, root)
+    recall_after = _recall(spark, root, full_df, full_rows)
+
+    assert recall_before <= 0.5, recall_before
+    assert recall_after >= 0.9, recall_after
+    assert imb_after < imb_before, (imb_before, imb_after)
+
+
+def test_activate_refuses_half_built_generation(spark, tmp_path):
+    root = str(tmp_path / "annroot2")
+    with pytest.raises(FileNotFoundError, match="half-built"):
+        activate_generation(spark, root, "gen-9999")
+    # and serving without any active generation fails loudly
+    qdf = spark.createDataFrame(_queries(), ["query_id", "embedding"])
+    with pytest.raises(FileNotFoundError, match="no active generation"):
+        serve_current(spark, root, qdf, qdf)
+
+
+def test_needs_refresh_threshold(spark, tmp_path):
+    root = str(tmp_path / "annroot3")
+    a_df = spark.createDataFrame(
+        _corpus_a(), "vec_id long, embedding array<double>"
+    )
+    refresh_generation(spark, root, a_df, **KW)
+    balanced = list_imbalance(spark, root)
+    assert not needs_refresh(spark, root, threshold=balanced + 0.1)
+    ingest_batch(
+        spark, root,
+        spark.createDataFrame(_batch_b(), "vec_id long, embedding array<double>"),
+    )
+    assert needs_refresh(spark, root, threshold=balanced + 0.1)
