@@ -1,0 +1,48 @@
+"""bench.py's compact stdout line (the only thing the driver's
+~2000-char tail window parses) must carry ALL per-query timings and
+the serve_warm headline — VERDICT r9 ask #4/#6 — and degrade, never
+raise, if it ever overflows."""
+
+import json
+
+
+def _fake(n_queries):
+    timings = {f"some_quite_long_query_name_{i:02d}": 1.234 for i in range(n_queries)}
+    timings["emb_ivfpq_serve"] = 1.456
+    ctx = {
+        "cpu_probe_sec": 0.0402, "load1": 3.72, "cpus": 32,
+        "stdin_tty": False, "stdout_tty": False,
+    }
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "sf": 0.1,
+        "value_comparable_r2": 5.221,
+        "value_noop_sink": 30.123,
+        "comparable_r2_mean_warm": 5.6,
+        "comparable_r2_std_warm": 0.15,
+        "run_context": {"before": ctx, "after": ctx},
+    }
+    return result, timings
+
+
+def test_compact_line_carries_every_query():
+    from bench import compact_line
+
+    result, timings = _fake(34)  # current fleet is ~32 bench queries
+    line = compact_line(result, timings)
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert len(parsed["queries"]) == len(timings) >= 30
+    assert parsed["serve_warm"] == 1.456
+    assert parsed["value_comparable_r2"] == 5.221
+
+
+def test_compact_line_degrades_instead_of_failing():
+    from bench import compact_line
+
+    result, timings = _fake(200)  # absurd fleet: must shrink, not raise
+    line = compact_line(result, timings)
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert "value" in parsed and "serve_warm" in parsed
