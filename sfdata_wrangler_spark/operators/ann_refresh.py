@@ -124,9 +124,12 @@ def train_generation(
     def _builder(res: DataFrame) -> DataFrame:
         if train_pred is not None:
             # residuals carry the corpus id column — reuse the same
-            # sample predicate so codebooks train on the sample too
-            sample_ids = train.select(id_col)
-            res = res.join(F.broadcast(sample_ids), id_col, "left_semi")
+            # sample predicate so codebooks train on the sample too.
+            # Plain left_semi, NO broadcast hint (code-review r10
+            # #8): the sample id set scales with the corpus, so
+            # forcing a broadcast would blow the ceiling at exactly
+            # the scale sampling exists for; AQE picks the strategy.
+            res = res.join(train.select(id_col), id_col, "left_semi")
         return pq_codebooks_trained(
             res, n_codes=n_codes, iterations=cb_iters, id_col=id_col
         )
@@ -138,6 +141,9 @@ def train_generation(
     return cents, cb, enc
 
 
+_META_REQUIRED = ("m", "sub_dim")
+
+
 def write_generation(
     spark,
     root: str,
@@ -145,12 +151,19 @@ def write_generation(
     centroids: DataFrame,
     codebooks: DataFrame,
     encoded: DataFrame,
-    meta: dict | None = None,
+    meta: dict,
 ) -> str:
     """Persist one generation's artifacts (codes PARTITIONED BY cid —
-    the layout serve_pruned's static prune needs). Writing does NOT
-    activate: readers keep resolving the old pointer until
-    :func:`activate_generation` swaps it."""
+    the layout serve_pruned's static prune needs). ``meta`` MUST
+    carry the probe geometry (``m``, ``sub_dim``) — serve_current and
+    ingest_batch read it from the generation, and a generation
+    without it would pass the data-readiness check yet crash every
+    consumer (code-review r10 #5). Writing does NOT activate: readers
+    keep resolving the old pointer until :func:`activate_generation`
+    swaps it."""
+    missing = [k for k in _META_REQUIRED if k not in meta]
+    if missing:
+        raise ValueError(f"generation meta missing {missing}")
     gdir = _gen_dir(root, gen)
     centroids.write.mode("overwrite").parquet(f"{gdir}/centroids")
     codebooks.write.mode("overwrite").parquet(f"{gdir}/codebooks")
@@ -158,16 +171,18 @@ def write_generation(
         f"{gdir}/codes"
     )
     atomic_write_text(
-        spark, f"{gdir}/meta.json", json.dumps(meta or {}, sort_keys=True)
+        spark, f"{gdir}/meta.json", json.dumps(meta, sort_keys=True)
     )
     return gdir
 
 
 def activate_generation(spark, root: str, gen: str) -> None:
     """Atomically point ``_current`` at ``gen`` — refused unless every
-    artifact of the generation has committed data (half-built
-    generations must be unreachable, the readiness rule everywhere
-    else in the repo)."""
+    artifact of the generation has committed data AND its meta names
+    the probe geometry (half-built generations must be unreachable,
+    the readiness rule everywhere else in the repo; readiness covers
+    the serve PARAMS too, or the guard certifies a generation its
+    consumers immediately crash on)."""
     gdir = _gen_dir(root, gen)
     for part in ("centroids", "codebooks", "codes"):
         if not has_committed_data(spark, f"{gdir}/{part}"):
@@ -175,6 +190,13 @@ def activate_generation(spark, root: str, gen: str) -> None:
                 f"generation {gen!r} has no committed {part} — refusing "
                 "to activate a half-built index"
             )
+    meta = generation_meta(spark, root, gen)
+    missing = [k for k in _META_REQUIRED if k not in meta]
+    if missing:
+        raise FileNotFoundError(
+            f"generation {gen!r} meta lacks {missing} — refusing to "
+            "activate an unservable index"
+        )
     atomic_write_text(spark, _pointer_path(root), gen)
 
 
@@ -203,15 +225,26 @@ def refresh_generation(
     name. The superseded generation's artifacts are left intact for
     in-flight readers; delete them on the deployment's grace
     schedule."""
+    from ._cache import cache_scope
+
     gen = _next_gen_name(spark, root)
-    cents, cb, enc = train_generation(
-        corpus, km_k, km_iters, n_codes, cb_iters, m, sub_dim,
-        id_col, vec_col, train_pred,
-    )
-    write_generation(
-        spark, root, gen, cents, cb, enc,
-        meta={"m": m, "sub_dim": sub_dim, "n_codes": n_codes, "km_k": km_k},
-    )
+    # cache_scope: ivfpq_index tracked-persists the corpus-sized
+    # coarse assignment so the codebook build and the encode share
+    # one pass; without a scope each refresh in a long-running drift
+    # daemon would leave that persist pinned forever (code-review r10
+    # #4 — the ADVICE r9 #4 accretion class, one layer up)
+    with cache_scope():
+        cents, cb, enc = train_generation(
+            corpus, km_k, km_iters, n_codes, cb_iters, m, sub_dim,
+            id_col, vec_col, train_pred,
+        )
+        write_generation(
+            spark, root, gen, cents, cb, enc,
+            meta={
+                "m": m, "sub_dim": sub_dim,
+                "n_codes": n_codes, "km_k": km_k,
+            },
+        )
     activate_generation(spark, root, gen)
     return gen
 

@@ -264,8 +264,10 @@ def pca_project_int(
     overflow — a silent divergence from the HUGEINT oracle). The
     conservative per-query bound is
     ``d · max_i|q_i·n − s1_i| · max|w|``; with ``|w| ≤ Q_BASIS``
-    (exact after ``_rescale``) and ``|q_i| ≤ coord_abs_max·MICRO``
-    it is ``d · (n·coord_abs_max·MICRO + max_i|s1_i|) · Q_BASIS``
+    (exact after ``_rescale``) and ``|q_i| ≤ ⌈coord_abs_max·MICRO⌉``
+    (ceiling, not truncation: floor quantization of a negative
+    coordinate overshoots the truncated product by one) it is
+    ``d · (n·(⌊coord_abs_max·MICRO⌋+1) + max_i|s1_i|) · Q_BASIS``
     (``s1`` is known exactly on the driver — no data scan needed).
     ``coord_abs_max`` defaults to 1.0 (unit-bounded embeddings, the
     common corpus shape); callers with unnormalized data MUST pass
@@ -274,7 +276,12 @@ def pca_project_int(
     producing silently-wrapped projections."""
     d = len(s1)
     max_s1 = max((abs(x) for x in s1), default=0)
-    bound = d * (n * int(coord_abs_max * MICRO) + max_s1) * Q_BASIS
+    # +1: floor quantization makes |q| of a NEGATIVE coordinate at
+    # the bound exceed the truncated product by one (floor(-c·1e6) =
+    # -(int(c·1e6)+1) when c·1e6 is fractional) — without it the
+    # guard could certify a corpus that still wraps (code-review r10)
+    q_abs = int(coord_abs_max * MICRO) + 1
+    bound = d * (n * q_abs + max_s1) * Q_BASIS
     if bound >= 2**63:
         raise ValueError(
             "pca_project_int: projection fold can exceed int64 "

@@ -664,6 +664,12 @@ def pq_codebooks_trained(
         res.unpersist()
 
 
+# serve_pruned pins probe tables at or below this row count as a
+# driver-local relation (nq·n_probe rows of two ints ≈ 16 MB at the
+# threshold); larger batches stay distributed under a tracked persist
+_PROBE_LOCAL_MAX = 1_000_000
+
+
 def _lake_has_data(spark, path: str) -> bool:
     """Alias of :func:`...sources.lake.has_committed_data` — kept so
     the serve/ingest call sites keep their historical name (the
@@ -697,19 +703,20 @@ def serve_pruned(
     partition-prune filter, and cid dtype handling cannot drift
     between copies (code-review r9 pass-4 #4).
 
-    Steps: materialize the probe table once AS A LOCAL RELATION —
-    it feeds BOTH the driver-side static ``cid IN (...)`` partition
-    filter and :func:`ivfpq_topk`'s internal LUT, so the nq·L·d
-    coarse assignment is paid once, not twice. The probe table is
-    nq·n_probe ``(query_id, cid)`` pairs and its distinct cids were
-    ALREADY collected for the prune filter, so collecting the pairs
-    themselves adds no new driver risk — and unlike the previous
-    eager localCheckpoint it leaves NO executor storage blocks
-    behind (ADVICE r9 #4: a long-running serve stream accumulated
-    un-released checkpoint RDDs, relying on driver GC to reclaim
-    them). Then read the lake pruned to the probed cells, restore
-    the partition-inferred ``cid`` to the centroid table's dtype,
-    and search.
+    Steps: materialize the probe table once — it feeds BOTH the
+    driver-side static ``cid IN (...)`` partition filter and
+    :func:`ivfpq_topk`'s internal LUT, so the nq·L·d coarse
+    assignment is paid once, not twice. Serving-sized query batches
+    (≤ ``_PROBE_LOCAL_MAX`` probe rows) pin it as a LOCAL RELATION,
+    which unlike the previous eager localCheckpoint leaves NO
+    executor storage blocks behind (ADVICE r9 #4: a long-running
+    serve stream accumulated un-released checkpoint RDDs, relying on
+    driver GC to reclaim them); batches past the threshold stay
+    distributed under a tracked persist (code-review r10 #3 — probe
+    rows scale with the query batch, so an unconditional collect
+    would be an unbounded driver materialization). Then read the
+    lake pruned to the probed cells, restore the partition-inferred
+    ``cid`` to the centroid table's dtype, and search.
 
     Readiness means COMMITTED DATA, not directory existence (a
     concurrent ingest's job setup creates the dir before any footer
@@ -731,9 +738,26 @@ def serve_pruned(
     probes = probed_cells(
         queries, centroids, n_probe, m, sub_dim, query_id, vec_col
     )
-    probe_rows = probes.collect()
-    probes = spark.createDataFrame(probe_rows, probes.schema)
-    cids = sorted({r["cid"] for r in probe_rows})
+    # the local-relation pin is bounded (code-review r10 #3: probe
+    # rows scale with the QUERY batch, not the centroid count — a
+    # huge batch must not be collected). Small batches — the serving
+    # regime — become a LocalRelation with zero storage blocks; a
+    # batch past the threshold keeps the probe table distributed
+    # under a tracked persist (releasable via
+    # operators.release_operator_caches / an enclosing cache_scope)
+    # and collects only the distinct cids, which are bounded by the
+    # centroid count.
+    probe_rows = probes.limit(_PROBE_LOCAL_MAX + 1).collect()
+    if len(probe_rows) <= _PROBE_LOCAL_MAX:
+        probes = spark.createDataFrame(probe_rows, probes.schema)
+        cids = sorted({r["cid"] for r in probe_rows})
+    else:
+        from ._cache import tracked_persist
+
+        probes = tracked_persist(probes)
+        cids = sorted(
+            r["cid"] for r in probes.select("cid").distinct().collect()
+        )
     cid_type = dict(centroids.dtypes)["cid"]
     lake = (
         spark.read.parquet(codes_path)

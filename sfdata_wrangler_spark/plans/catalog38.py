@@ -140,11 +140,20 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the bench's warm iterations measure); the oracle replays the
     whole chain as one SQL composition, so the hash certifies both
     the step semantics and the persistence boundaries."""
+    import hashlib
+
     from ..pipelines.runner import run_pipeline, table_path
     from ..sources.lake import session_scratch
 
-    lake = session_scratch(
-        spark, "e2e", os.path.basename(os.path.normpath(sf_dir))
+    # key the lake by the FULL source path, not its basename: two
+    # same-named sf dirs in one session must not resolve to one lake,
+    # where the second call would skip every committed step and
+    # return the first dir's report (code-review r10 #7)
+    norm = os.path.normpath(sf_dir)
+    tag = (
+        f"{os.path.basename(norm)}-"
+        f"{hashlib.md5(norm.encode()).hexdigest()[:8]}"
     )
+    lake = session_scratch(spark, "e2e", tag)
     run_pipeline(spark, sf_dir, lake)
     return spark.read.parquet(table_path(lake, "report_system"))

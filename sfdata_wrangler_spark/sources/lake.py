@@ -251,10 +251,20 @@ def atomic_write_text(spark, path: str, text: str) -> None:
         out.write(bytearray(text, "utf-8"))
     finally:
         out.close()
-    if fs.exists(hpath):
-        fs.delete(hpath, False)
+    # rename FIRST: on POSIX-backed local filesystems Hadoop's rename
+    # replaces the destination atomically, so readers never observe a
+    # missing file (code-review r10 #2: delete-then-rename opened a
+    # no-pointer window, and a crash between the two lost the old
+    # content outright). Filesystems that refuse to rename onto an
+    # existing path (HDFS) fall back to delete+rename — there the
+    # window is real but small, and a crash inside it leaves the OLD
+    # artifacts intact plus a recoverable temp file, never a torn
+    # write.
     if not fs.rename(tmp, hpath):
-        raise IOError(f"atomic text rename failed for {path}")
+        if fs.exists(hpath):
+            fs.delete(hpath, False)
+        if not fs.rename(tmp, hpath):
+            raise IOError(f"atomic text rename failed for {path}")
 
 
 def read_text(spark, path: str) -> str | None:
@@ -263,18 +273,28 @@ def read_text(spark, path: str) -> str | None:
     marker files this pairs with (:func:`atomic_write_text`), wrong
     for anything bigger."""
     fs, hpath, _jvm = hadoop_fs(spark, path)
-    if not fs.exists(hpath):
-        return None
-    ins = fs.open(hpath)
-    try:
-        buf = bytearray()
-        b = ins.read()
-        while b != -1:
-            buf.append(b)
+    for attempt in (0, 1):
+        if not fs.exists(hpath):
+            return None
+        try:
+            ins = fs.open(hpath)
+        except Exception:
+            # exists→open race against a concurrent delete+rename
+            # replace (the HDFS fallback path of atomic_write_text):
+            # one retry lands after the rename completes
+            if attempt:
+                raise
+            continue
+        try:
+            buf = bytearray()
             b = ins.read()
-    finally:
-        ins.close()
-    return buf.decode("utf-8")
+            while b != -1:
+                buf.append(b)
+                b = ins.read()
+        finally:
+            ins.close()
+        return buf.decode("utf-8")
+    return None
 
 
 def has_committed_data(spark, path: str) -> bool:

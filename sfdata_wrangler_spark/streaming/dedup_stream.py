@@ -305,6 +305,58 @@ def _compact_batches(
         _fold_dirs(spark, batches_dir, gens, f"h-{current_key}")
 
 
+def _startup_fold_dirs(spark, batches_dir: str, run_token: str) -> dict:
+    """One-time on writer start: fold every leftover per-trigger dir
+    from PREVIOUS runs into a generation dir — except each run
+    token's OWN highest-numbered dirs, which are that run's only
+    possible replay targets (its earlier triggers are committed).
+    Replay candidacy is PER RUN TOKEN, not a global max (code-review
+    r10 #1): a global max would launder a younger rotation's
+    in-flight dir (tok2-0) into a generation whenever an older run
+    left higher-numbered dirs (tok1-5), and a resume of the younger
+    checkpoint would then self-collide at its trigger 0, emit
+    nothing, and overwrite its own prior output under the idempotent
+    sink. Numbers recur across rotations; tokens never do.
+
+    Generation dirs are never batch-number-excluded, so after this
+    fold a ROTATED-checkpoint run keeps full collision visibility of
+    old runs' accepted docs (code-review r9 pass-3 #2). The stashed
+    tail dirs are folded later by ``_process`` once a SECOND distinct
+    batch id proves this run's first trigger committed — at which
+    point no old checkpoint can legally be resumed against this index
+    (ADVICE r9 #3: under ``compact_every=None`` they previously
+    stayed plain forever, re-opening the blind window at every
+    recurrence of their trigger number).
+
+    Returns the stashed ``{key: path}`` tail dict."""
+    fs, bpath, _jvm = _fs_for(spark, batches_dir)
+    if not fs.exists(bpath):
+        return {}
+    plain = {
+        k: p
+        for k, p in _list_batch_dirs(fs, bpath).items()
+        if not k.startswith(("g-", "h-"))
+    }
+    if not plain:
+        return {}
+    tok_max: dict[str, int] = {}
+    for k in plain:
+        tok, no = k.rsplit("-", 1)
+        tok_max[tok] = max(tok_max.get(tok, -1), int(no))
+    covered = {
+        k: p
+        for k, p in plain.items()
+        if int(k.rsplit("-", 1)[1]) < tok_max[k.rsplit("-", 1)[0]]
+    }
+    if covered:
+        _fold_dirs(spark, batches_dir, covered, f"g-init-{run_token}")
+    return {
+        k: p
+        for k, p in plain.items()
+        if int(k.rsplit("-", 1)[1]) == tok_max[k.rsplit("-", 1)[0]]
+    }
+
+
 def parquet_accepted_sink(out_dir: str):
     """An ``accepted_sink`` that makes the stream's OUTPUT exactly-once
     under replay (VERDICT r9 ask #3): each trigger's accepted docs are
@@ -441,45 +493,7 @@ def stream_selfmaintaining_neardup(
     first_seen: list[int] = []
 
     def _startup_fold(spark) -> None:
-        """One-time on writer start: fold every leftover per-trigger
-        dir from PREVIOUS runs into a generation dir — except dirs
-        carrying the highest batch number, which are the only
-        possible replay targets (earlier triggers are committed).
-        Generation dirs are never batch-number-excluded, so after
-        this fold a ROTATED-checkpoint run (batch ids restart at 0,
-        possibly NEW data) keeps full collision visibility of the
-        old run's accepted docs instead of being blinded to old
-        trigger-K rows at its own trigger K (code-review r9 pass-3
-        #2). The highest-numbered dirs are STASHED, not abandoned
-        (ADVICE r9 #3: with ``compact_every=None`` they stayed plain
-        forever, so every future trigger landing on that number
-        re-opened the blind window): once this run has committed a
-        trigger — proven by a SECOND distinct batch id arriving, at
-        which point no checkpoint can legally replay the old run's
-        final trigger — ``_process`` folds them too."""
-        fs, bpath, _jvm = _fs_for(spark, batches_dir)
-        if not fs.exists(bpath):
-            return
-        plain = {
-            k: p
-            for k, p in _list_batch_dirs(fs, bpath).items()
-            if not k.startswith(("g-", "h-"))
-        }
-        if not plain:
-            return
-        nmax = max(int(k.rsplit("-", 1)[1]) for k in plain)
-        covered = {
-            k: p
-            for k, p in plain.items()
-            if int(k.rsplit("-", 1)[1]) < nmax
-        }
-        if covered:
-            _fold_dirs(spark, batches_dir, covered, f"g-init-{run_token}")
-        leftover_tail.update(
-            (k, p)
-            for k, p in plain.items()
-            if int(k.rsplit("-", 1)[1]) == nmax
-        )
+        leftover_tail.update(_startup_fold_dirs(spark, batches_dir, run_token))
 
     def _fold_tail(spark) -> None:
         """Fold the stashed prior-run tail dirs once they can no

@@ -524,3 +524,51 @@ def test_selfmaintaining_output_exactly_once_under_replay(
     # and the replayed trigger's dir holds exactly its own docs
     b2 = spark.read.parquet(out_dir + "/batch_no=2")
     assert [r["doc_id"] for r in b2.collect()] == [302]
+
+
+def test_startup_fold_is_per_run_token(spark, tmp_path):
+    """code-review r10 #1: replay candidacy is per run token. An
+    older rotation's higher-numbered leftover (tok1-5) must NOT cause
+    a younger run's in-flight dir (tok2-0) to be laundered into a
+    generation — tok2-0 is the only replay target of a resume of
+    run 2's checkpoint, and folding it would make the replayed docs
+    self-collide."""
+    from sfdata_wrangler_spark.operators.dedup import minhash_band_index
+    from sfdata_wrangler_spark.streaming.dedup_stream import (
+        _BATCHES_SUBDIR,
+        _startup_fold_dirs,
+    )
+
+    index_path = os.path.join(tmp_path, "ptindex")
+    bdir = os.path.join(index_path, _BATCHES_SUBDIR)
+    minhash_band_index(
+        spark.createDataFrame(
+            [(1, "the seed corpus document")], "doc_id long, text string"
+        )
+    ).write.parquet(index_path)
+
+    def _bands(doc_id, text):
+        return minhash_band_index(
+            spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+        )
+
+    # dead run 1: committed triggers 4 and in-flight 5
+    _bands(11, "first run committed doc").write.parquet(
+        bdir + "/batch_id=tok1-4"
+    )
+    _bands(12, "first run in flight doc").write.parquet(
+        bdir + "/batch_id=tok1-5"
+    )
+    # dead run 2 (rotation): in-flight trigger 0 only
+    _bands(21, "second run in flight doc").write.parquet(
+        bdir + "/batch_id=tok2-0"
+    )
+
+    tail = _startup_fold_dirs(spark, bdir, "tok3")
+    # per-token maxima stay plain (replay candidates of THEIR run)...
+    assert set(tail) == {"tok1-5", "tok2-0"}
+    dirs = {d.split("=")[1] for d in os.listdir(bdir) if "=" in d}
+    assert "tok1-5" in dirs and "tok2-0" in dirs
+    # ...and only genuinely committed lower-numbered dirs were folded
+    assert "tok1-4" not in dirs
+    assert any(d.startswith("g-init-tok3") for d in dirs)
