@@ -17,8 +17,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from .catalog import _register
+from .catalog import _register, _t
 
 _E2E_ORACLE = """
 WITH avl_clean AS (
@@ -157,3 +158,90 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = session_scratch(spark, "e2e", tag)
     run_pipeline(spark, sf_dir, lake)
     return spark.read.parquet(table_path(lake, "report_system"))
+
+
+# --------------------------------------------------------------------------- #
+# emb_ivfpq_rotated_serve — the generation-rotation loop, driver-verified     #
+# --------------------------------------------------------------------------- #
+
+_ROT_Q_LO, _ROT_Q_HI = 9, 12  # disjoint from topk (<3), s19 (3..6), serve (6..9)
+
+
+def _register_rotated_serve() -> None:
+    from .catalog35 import _ivfpq_search_sql
+    from .catalog37 import _fully_trained_index_sql
+
+    @_register(
+        "emb_ivfpq_rotated_serve",
+        _ivfpq_search_sql(
+            _fully_trained_index_sql(),
+            query_pred=f"vec_id >= {_ROT_Q_LO} AND vec_id < {_ROT_Q_HI}",
+        ),
+    )
+    def emb_ivfpq_rotated_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The generation-rotation loop end to end (VERDICT r9 ask #2,
+        operators/ann_refresh.py), hash-verified: refresh_generation
+        retrains BOTH quantizers with the integer Lloyd's pair,
+        re-encodes into a generation dir, atomically swaps the
+        ``_current`` pointer, and serve_current resolves the pointer,
+        reads probe geometry from the generation's meta, and runs the
+        probe → static cid prune → ADC → exact-rerank path against
+        the persisted artifacts. Because every training transition is
+        exact BIGINT arithmetic, the rotated generation is
+        bit-identical to the inline fully-trained index — the oracle
+        IS catalog37's fully-trained replay, so the hash certifies
+        training, the parquet persistence boundary, the pointer
+        resolution, and the search in one check. Warm calls in a
+        session skip straight to serving (rotation only when no
+        generation is active yet)."""
+        import hashlib
+
+        from ..operators.ann_refresh import (
+            current_generation,
+            refresh_generation,
+            serve_current,
+        )
+        from ..plans.catalog35 import (
+            _K,
+            _KM_ITERS,
+            _KM_K,
+            _M,
+            _N_CODES,
+            _N_PROBE,
+            _SHORTLIST,
+            _SUB_DIM,
+        )
+        from ..sources.lake import session_scratch
+
+        emb = _t(spark, sf_dir, "embeddings")
+        norm = os.path.normpath(sf_dir)
+        root = session_scratch(
+            spark,
+            "ann_rotation",
+            f"{os.path.basename(norm)}-"
+            f"{hashlib.md5(norm.encode()).hexdigest()[:8]}",
+        )
+        if current_generation(spark, root) is None:
+            refresh_generation(
+                spark, root, emb,
+                km_k=_KM_K, km_iters=_KM_ITERS,
+                n_codes=_N_CODES, cb_iters=_KM_ITERS,
+                m=_M, sub_dim=_SUB_DIM,
+            )
+        queries = emb.where(
+            (F.col("vec_id") >= _ROT_Q_LO) & (F.col("vec_id") < _ROT_Q_HI)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        out = serve_current(
+            spark, root, queries, emb,
+            k=_K, n_probe=_N_PROBE, shortlist=_SHORTLIST,
+        )
+        return out.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("adc_d2").cast("bigint").alias("adc_d2"),
+            F.col("exact_d2").cast("bigint").alias("exact_d2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+
+_register_rotated_serve()
