@@ -149,10 +149,12 @@ def run_pipeline(
     by_name = {s.name: s for s in steps}
     seen: set[str] = set()
     for s in steps:
-        unknown = [d for d in s.deps if d not in by_name]
-        if unknown:
-            raise ValueError(f"step {s.name!r} depends on unknown {unknown}")
-        if any(d not in seen for d in s.deps):
+        # a dep absent from the step list is allowed — the reference
+        # UX runs single later steps against previously persisted
+        # stores, and read()'s committed-data guard fails loudly if
+        # the lake doesn't actually hold the dep's outputs. Deps that
+        # ARE in the list must precede their consumers.
+        if any(d in by_name and d not in seen for d in s.deps):
             raise ValueError(
                 f"step {s.name!r} listed before its dependencies"
             )
@@ -461,3 +463,46 @@ def transit_steps() -> list[Step]:
             _report,
         ),
     ]
+
+
+def _main(argv: list[str]) -> int:
+    """CLI parity with the reference's invocation style
+    (``python sfdata_wrangler.py clean1 clean2 gtfs ...``)::
+
+        python -m sfdata_wrangler_spark.pipelines.runner \\
+            --sf-dir /root/testdata/sf0.01 --lake /tmp/lake \\
+            [--force stepA,stepB] [step ...]
+
+    Steps given positionally restrict the DAG to those steps AND
+    their listed order must respect dependencies (validated); no
+    positional steps = run the full DAG. Exit code 0 on success."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="sfdata_wrangler_spark.runner")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--lake", required=True)
+    p.add_argument("--force", default="")
+    p.add_argument("steps", nargs="*")
+    args = p.parse_args(argv)
+
+    from ..session import get_spark
+
+    spark = get_spark("pipeline-runner")
+    spark.sparkContext.setLogLevel("WARN")
+    steps = transit_steps()
+    if args.steps:
+        wanted = set(args.steps)
+        unknown = wanted - {s.name for s in steps}
+        if unknown:
+            p.error(f"unknown steps: {sorted(unknown)}")
+        steps = [s for s in steps if s.name in wanted]
+    force = tuple(x for x in args.force.split(",") if x)
+    for row in run_pipeline(spark, args.sf_dir, args.lake, steps, force):
+        print(f"{row['step']:<14} {row['status']:<8} {row['rows']}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(_main(sys.argv[1:]))

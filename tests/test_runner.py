@@ -132,6 +132,25 @@ def test_swept_table_reruns_despite_marker(spark, e2e_lake):
 def test_unknown_force_and_bad_dag_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown force"):
         run_pipeline(spark, SF, str(tmp_path / "x"), force=("nope",))
-    bad = [Step("b", ("a",), ("t",), lambda *_: {})]
-    with pytest.raises(ValueError, match="unknown"):
-        run_pipeline(spark, SF, str(tmp_path / "y"), steps=bad)
+    # in-list deps must precede their consumers
+    mis = [
+        Step("b", ("a",), ("t",), lambda *_: {}),
+        Step("a", (), ("u",), lambda *_: {}),
+    ]
+    with pytest.raises(ValueError, match="before its dependencies"):
+        run_pipeline(spark, SF, str(tmp_path / "y"), steps=mis)
+
+
+def test_single_later_step_runs_against_persisted_lake(
+    spark, e2e_lake, tmp_path
+):
+    """Reference UX parity: running ONE later step alone works when
+    the lake already holds its inputs, and fails loudly when it
+    doesn't."""
+    lake, _ = e2e_lake
+    steps = [s for s in transit_steps() if s.name == "aggregate"]
+    os.remove(os.path.join(lake, "_steps", "aggregate.json"))
+    summary = run_pipeline(spark, SF, lake, steps=steps)
+    assert _statuses(summary) == {"aggregate": "ran"}
+    with pytest.raises(FileNotFoundError, match="no committed data"):
+        run_pipeline(spark, SF, str(tmp_path / "emptylake"), steps=steps)
