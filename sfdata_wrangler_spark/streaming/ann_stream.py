@@ -188,3 +188,83 @@ def stream_ivfpq_serve(
             queries.unpersist()
 
     return query_stream.writeStream.foreachBatch(_process)
+
+
+def stream_ivfpq_serve_rotating(
+    query_stream: DataFrame,
+    root: str,
+    corpus: DataFrame,
+    result_sink,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 32,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_path: str | None = None,
+):
+    """Serve a query stream against a GENERATION ROOT
+    (operators/ann_refresh.py layout) instead of a frozen codes dir:
+    every trigger re-resolves the ``_current`` pointer, so a
+    concurrent :func:`~..operators.ann_refresh.refresh_generation`
+    swap takes effect on the NEXT micro-batch without restarting the
+    query — the streaming half of the drift-refresh loop (VERDICT r9
+    ask #2). Probe geometry comes from each generation's own meta, so
+    a rotation that changes m/sub_dim cannot desynchronize a running
+    server. Triggers idle while no generation is active yet (the same
+    idle-not-die contract as :func:`stream_ivfpq_serve`). Within one
+    trigger the generation is resolved ONCE — a swap landing mid-batch
+    affects the next trigger, never tears the current one.
+
+    Pointer resolution is a ~100-byte control-file read per trigger;
+    the per-trigger costs that matter are unchanged from
+    :func:`stream_ivfpq_serve` (probe + pruned scan + rerank).
+
+    ``corpus``/``corpus_path`` semantics match
+    :func:`stream_ivfpq_serve`: pass ``corpus_path`` when serving
+    runs concurrently with ingest so the exact rerank sees fresh
+    vectors.
+
+    Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
+    and ``.start()``s it.
+    """
+    from ..operators.ann_refresh import current_generation, serve_current
+    from ..operators.pq import _lake_has_data
+
+    if corpus_path is None:
+        corpus = corpus.localCheckpoint(eager=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if current_generation(spark, root) is None:
+            return
+        if corpus_path is not None and not _lake_has_data(
+            spark, corpus_path
+        ):
+            return
+        queries = batch_df.persist()
+        try:
+            rerank_corpus = (
+                spark.read.parquet(corpus_path)
+                if corpus_path is not None
+                else corpus
+            )
+            out = serve_current(
+                spark,
+                root,
+                queries,
+                rerank_corpus,
+                k=k,
+                n_probe=n_probe,
+                shortlist=shortlist,
+                query_id=query_id,
+                corpus_id=corpus_id,
+                vec_col=vec_col,
+            )
+            result_sink(out, batch_id)
+        finally:
+            queries.unpersist()
+
+    return query_stream.writeStream.foreachBatch(_process)

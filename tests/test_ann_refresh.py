@@ -4,6 +4,7 @@ retrains + re-encodes + swaps, and the swap is atomic + readiness-
 guarded."""
 
 import math
+import os
 
 import pytest
 
@@ -157,3 +158,70 @@ def test_needs_refresh_threshold(spark, tmp_path):
         spark.createDataFrame(_batch_b(), "vec_id long, embedding array<double>"),
     )
     assert needs_refresh(spark, root, threshold=balanced + 0.1)
+
+
+def test_rotating_stream_serve_picks_up_new_generation(spark, tmp_path):
+    """streaming/ann_stream.stream_ivfpq_serve_rotating re-resolves
+    the generation pointer per trigger: a refresh between triggers
+    swaps serving without restarting anything — trigger 1 answers
+    from the stale generation (drift-degraded), trigger 2 from the
+    retrained one (full recall)."""
+    import time
+
+    from sfdata_wrangler_spark.streaming.ann_stream import (
+        stream_ivfpq_serve_rotating,
+    )
+
+    root = str(tmp_path / "rotroot")
+    schema = "vec_id long, embedding array<double>"
+    a_rows, b_rows = _corpus_a(), _batch_b()
+    full_rows = a_rows + b_rows
+    a_df = spark.createDataFrame(a_rows, schema)
+    full_df = spark.createDataFrame(full_rows, schema)
+
+    refresh_generation(spark, root, a_df, **KW)
+    ingest_batch(spark, root, spark.createDataFrame(b_rows, schema))
+
+    qsrc = os.path.join(tmp_path, "qsrc")
+    os.makedirs(qsrc)
+    qschema = "query_id long, embedding array<double>"
+    results = {}
+
+    def sink(df, batch_id):
+        by_q = {}
+        for r in df.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        results[batch_id] = by_q
+
+    def run_once():
+        qstream = spark.readStream.schema(qschema).parquet(qsrc)
+        q = (
+            stream_ivfpq_serve_rotating(
+                qstream, root, full_df, sink, **SERVE
+            )
+            .option("checkpointLocation", os.path.join(tmp_path, "rotckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    gt = _ground_truth(full_rows, _queries(), k=SERVE["k"])
+
+    def recall(by_q):
+        return sum(
+            len(by_q.get(q, set()) & gt[q]) / len(gt[q]) for q in gt
+        ) / len(gt)
+
+    spark.createDataFrame(_queries(), qschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(qsrc)
+    run_once()
+    assert recall(results[0]) <= 0.5, recall(results[0])
+
+    refresh_generation(spark, root, full_df, **KW)
+    time.sleep(1.1)
+    spark.createDataFrame(_queries(), qschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(qsrc)
+    run_once()
+    assert recall(results[1]) >= 0.9, recall(results[1])
