@@ -287,18 +287,42 @@ def serve_current(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    missing_ok: bool = False,
+) -> DataFrame | None:
     """Serve against whatever generation ``_current`` points at —
     probe parameters come from the generation's own meta, so a
-    rotation that changes geometry cannot desynchronize its
-    servers."""
+    rotation that changes geometry cannot desynchronize its servers.
+    The pointer is resolved ONCE per call; a swap landing mid-call
+    affects the next call, never tears this one.
+
+    ``missing_ok`` mirrors :func:`..operators.pq.serve_pruned`'s
+    contract (code-review r10 pass-2 #3): a STREAMING caller gets
+    ``None`` when no generation is active or the active generation's
+    artifacts vanished (idle-not-die), while batch callers keep the
+    loud ``FileNotFoundError``."""
     from .pq import serve_pruned
 
     gen = current_generation(spark, root)
     if gen is None:
+        if missing_ok:
+            return None
         raise FileNotFoundError(f"no active generation under {root}")
     meta = generation_meta(spark, root, gen)
+    if any(k_ not in meta for k_ in _META_REQUIRED):
+        if missing_ok:
+            return None
+        raise FileNotFoundError(
+            f"generation {gen!r} meta lacks probe geometry"
+        )
     gdir = _gen_dir(root, gen)
+    if missing_ok and not all(
+        has_committed_data(spark, f"{gdir}/{p}")
+        for p in ("centroids", "codebooks")
+    ):
+        # swept quantizer artifacts: reading them would throw at plan
+        # time inside foreachBatch and kill the stream — idle instead
+        # (serve_pruned applies the same rule to the codes dir)
+        return None
     return serve_pruned(
         queries,
         f"{gdir}/codes",
@@ -313,6 +337,7 @@ def serve_current(
         query_id=query_id,
         corpus_id=corpus_id,
         vec_col=vec_col,
+        missing_ok=missing_ok,
     )
 
 

@@ -665,9 +665,11 @@ def pq_codebooks_trained(
 
 
 # serve_pruned pins probe tables at or below this row count as a
-# driver-local relation (nq·n_probe rows of two ints ≈ 16 MB at the
-# threshold); larger batches stay distributed under a tracked persist
-_PROBE_LOCAL_MAX = 1_000_000
+# driver-local relation (nq·n_probe rows of two ints; collected Row
+# objects carry ~200 B of Python overhead each, so the threshold caps
+# the transient driver cost at ~50 MB); larger batches stay
+# distributed and lazy
+_PROBE_LOCAL_MAX = 250_000
 
 
 def _lake_has_data(spark, path: str) -> bool:
@@ -712,11 +714,14 @@ def serve_pruned(
     executor storage blocks behind (ADVICE r9 #4: a long-running
     serve stream accumulated un-released checkpoint RDDs, relying on
     driver GC to reclaim them); batches past the threshold stay
-    distributed under a tracked persist (code-review r10 #3 — probe
-    rows scale with the query batch, so an unconditional collect
-    would be an unbounded driver materialization). Then read the
-    lake pruned to the probed cells, restore the partition-inferred
-    ``cid`` to the centroid table's dtype, and search.
+    distributed AND lazy — the probe aggregation recomputes inside
+    the search rather than pinning storage a long-running stream
+    would never release (code-review r10 #3 / pass-2 #2 — probe rows
+    scale with the query batch, so an unconditional collect would be
+    an unbounded driver materialization, and an unconditional persist
+    an unbounded storage accretion). Then read the lake pruned to
+    the probed cells, restore the partition-inferred ``cid`` to the
+    centroid table's dtype, and search.
 
     Readiness means COMMITTED DATA, not directory existence (a
     concurrent ingest's job setup creates the dir before any footer
@@ -740,21 +745,24 @@ def serve_pruned(
     )
     # the local-relation pin is bounded (code-review r10 #3: probe
     # rows scale with the QUERY batch, not the centroid count — a
-    # huge batch must not be collected). Small batches — the serving
-    # regime — become a LocalRelation with zero storage blocks; a
-    # batch past the threshold keeps the probe table distributed
-    # under a tracked persist (releasable via
-    # operators.release_operator_caches / an enclosing cache_scope)
-    # and collects only the distinct cids, which are bounded by the
-    # centroid count.
-    probe_rows = probes.limit(_PROBE_LOCAL_MAX + 1).collect()
-    if len(probe_rows) <= _PROBE_LOCAL_MAX:
+    # huge batch must not be collected). The branch is decided by a
+    # COUNT (no row transfer — pass-2 #6: a limit().collect() branch
+    # probe transiently held up to a million Python Rows on the
+    # driver just to be discarded). Small batches — the serving
+    # regime — become a LocalRelation with zero storage blocks, at
+    # the cost of running the (cheap, query-side) probe aggregation
+    # twice; a batch past the threshold keeps the probe table fully
+    # distributed and lazy — the coarse assignment re-runs inside the
+    # search, which is the right trade against pinning storage that
+    # nothing on a long-running stream would ever release (pass-2
+    # #2: a tracked_persist here re-opened the ADVICE r9 #4
+    # accretion leak for over-threshold streams).
+    n_probe_rows = probes.limit(_PROBE_LOCAL_MAX + 1).count()
+    if n_probe_rows <= _PROBE_LOCAL_MAX:
+        probe_rows = probes.collect()
         probes = spark.createDataFrame(probe_rows, probes.schema)
         cids = sorted({r["cid"] for r in probe_rows})
     else:
-        from ._cache import tracked_persist
-
-        probes = tracked_persist(probes)
         cids = sorted(
             r["cid"] for r in probes.select("cid").distinct().collect()
         )

@@ -145,15 +145,25 @@ def run_pipeline(
     crash right after the delete leaves the lake in the honest
     "incomplete, will re-run" state, never "stale but marked done").
     """
+    explicit_subset = steps is not None
     steps = list(transit_steps() if steps is None else steps)
     by_name = {s.name: s for s in steps}
     seen: set[str] = set()
     for s in steps:
-        # a dep absent from the step list is allowed — the reference
-        # UX runs single later steps against previously persisted
-        # stores, and read()'s committed-data guard fails loudly if
-        # the lake doesn't actually hold the dep's outputs. Deps that
-        # ARE in the list must precede their consumers.
+        # in an EXPLICIT subset a dep absent from the list is allowed
+        # — the reference UX runs single later steps against
+        # previously persisted stores, and read()'s committed-data
+        # guard fails loudly if the lake doesn't actually hold the
+        # dep's outputs. The full canonical DAG keeps strict unknown-
+        # dep validation (code-review r10 pass-2 #1: a typo'd dep
+        # name would otherwise silently break transitive
+        # force-invalidation and serve stale downstream output marked
+        # done). Deps that ARE in the list must precede consumers.
+        unknown = [d for d in s.deps if d not in by_name]
+        if unknown and not explicit_subset:
+            raise ValueError(
+                f"step {s.name!r} depends on unknown {unknown}"
+            )
         if any(d in by_name and d not in seen for d in s.deps):
             raise ValueError(
                 f"step {s.name!r} listed before its dependencies"
@@ -473,9 +483,12 @@ def _main(argv: list[str]) -> int:
             --sf-dir /root/testdata/sf0.01 --lake /tmp/lake \\
             [--force stepA,stepB] [step ...]
 
-    Steps given positionally restrict the DAG to those steps AND
-    their listed order must respect dependencies (validated); no
-    positional steps = run the full DAG. Exit code 0 on success."""
+    Steps given positionally restrict the DAG to those steps; they
+    execute in CANONICAL DAG order regardless of the order typed, and
+    duplicates collapse (the set filter below). Deps outside the
+    subset are satisfied from the lake's persisted tables — missing
+    ones fail loudly at read time. No positional steps = run the full
+    DAG. Exit code 0 on success."""
     import argparse
 
     p = argparse.ArgumentParser(prog="sfdata_wrangler_spark.runner")

@@ -141,21 +141,14 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the bench's warm iterations measure); the oracle replays the
     whole chain as one SQL composition, so the hash certifies both
     the step semantics and the persistence boundaries."""
-    import hashlib
-
     from ..pipelines.runner import run_pipeline, table_path
-    from ..sources.lake import session_scratch
+    from ..sources.lake import scratch_tag_for_path, session_scratch
 
     # key the lake by the FULL source path, not its basename: two
     # same-named sf dirs in one session must not resolve to one lake,
     # where the second call would skip every committed step and
     # return the first dir's report (code-review r10 #7)
-    norm = os.path.normpath(sf_dir)
-    tag = (
-        f"{os.path.basename(norm)}-"
-        f"{hashlib.md5(norm.encode()).hexdigest()[:8]}"
-    )
-    lake = session_scratch(spark, "e2e", tag)
+    lake = session_scratch(spark, "e2e", scratch_tag_for_path(sf_dir))
     run_pipeline(spark, sf_dir, lake)
     return spark.read.parquet(table_path(lake, "report_system"))
 
@@ -194,8 +187,6 @@ def _register_rotated_serve() -> None:
         resolution, and the search in one check. Warm calls in a
         session skip straight to serving (rotation only when no
         generation is active yet)."""
-        import hashlib
-
         from ..operators.ann_refresh import (
             current_generation,
             refresh_generation,
@@ -211,15 +202,11 @@ def _register_rotated_serve() -> None:
             _SHORTLIST,
             _SUB_DIM,
         )
-        from ..sources.lake import session_scratch
+        from ..sources.lake import scratch_tag_for_path, session_scratch
 
         emb = _t(spark, sf_dir, "embeddings")
-        norm = os.path.normpath(sf_dir)
         root = session_scratch(
-            spark,
-            "ann_rotation",
-            f"{os.path.basename(norm)}-"
-            f"{hashlib.md5(norm.encode()).hexdigest()[:8]}",
+            spark, "ann_rotation", scratch_tag_for_path(sf_dir)
         )
         if current_generation(spark, root) is None:
             refresh_generation(

@@ -264,7 +264,15 @@ def atomic_write_text(spark, path: str, text: str) -> None:
         if fs.exists(hpath):
             fs.delete(hpath, False)
         if not fs.rename(tmp, hpath):
-            raise IOError(f"atomic text rename failed for {path}")
+            # double failure after the delete is the one genuinely
+            # torn state HDFS-class filesystems allow (no atomic
+            # replace primitive); the new content SURVIVES at the
+            # temp path for manual re-commit, so raise loudly with
+            # the recovery pointer instead of losing it too
+            raise IOError(
+                f"atomic text rename failed for {path}; new content "
+                f"preserved at {tmp}"
+            )
 
 
 def read_text(spark, path: str) -> str | None:
@@ -272,15 +280,23 @@ def read_text(spark, path: str) -> str | None:
     byte-at-a-time through py4j — fine for the ~100-byte pointer and
     marker files this pairs with (:func:`atomic_write_text`), wrong
     for anything bigger."""
+    import time
+
     fs, hpath, _jvm = hadoop_fs(spark, path)
     for attempt in (0, 1):
         if not fs.exists(hpath):
-            return None
+            # exists-false may be the MIDDLE of a delete+rename
+            # replacement (the HDFS fallback path of
+            # atomic_write_text) — retry once before concluding the
+            # file is genuinely absent (code-review r10 pass-2 #5)
+            if attempt:
+                return None
+            time.sleep(0.05)
+            continue
         try:
             ins = fs.open(hpath)
         except Exception:
-            # exists→open race against a concurrent delete+rename
-            # replace (the HDFS fallback path of atomic_write_text):
+            # exists→open race against the same replacement window:
             # one retry lands after the rename completes
             if attempt:
                 raise
@@ -295,6 +311,21 @@ def read_text(spark, path: str) -> str | None:
             ins.close()
         return buf.decode("utf-8")
     return None
+
+
+def scratch_tag_for_path(path: str) -> str:
+    """A collision-safe scratch-dir tag for a source path:
+    ``<basename>-<md5(fullpath)[:8]>``. Basename alone aliases two
+    same-named dirs onto one scratch lake (code-review r10 #7); one
+    definition here so every session_scratch caller keys the same
+    way (code-review r10 pass-2 #9)."""
+    import hashlib
+
+    norm = os.path.normpath(path)
+    return (
+        f"{os.path.basename(norm)}-"
+        f"{hashlib.md5(norm.encode()).hexdigest()[:8]}"
+    )
 
 
 def has_committed_data(spark, path: str) -> bool:

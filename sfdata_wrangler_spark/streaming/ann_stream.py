@@ -123,42 +123,60 @@ def stream_ivfpq_serve(
     Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
     and ``.start()``s it.
     """
-    from ..operators.pq import _lake_has_data, serve_pruned
+    from ..operators.pq import serve_pruned
 
     centroids = centroids.localCheckpoint(eager=True)
     codebooks = codebooks.localCheckpoint(eager=True)
     if corpus_path is None:
         corpus = corpus.localCheckpoint(eager=True)
 
+    def _search(spark, queries, rerank_corpus):
+        return serve_pruned(
+            queries,
+            codes_path,
+            centroids,
+            codebooks,
+            rerank_corpus,
+            k=k,
+            n_probe=n_probe,
+            shortlist=shortlist,
+            m=m,
+            sub_dim=sub_dim,
+            query_id=query_id,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+            missing_ok=True,
+        )
+
+    return query_stream.writeStream.foreachBatch(
+        _serve_process(_search, corpus, corpus_path, result_sink)
+    )
+
+
+def _serve_process(search, corpus, corpus_path: str | None, result_sink):
+    """THE foreachBatch scaffold both serve streams share (code-review
+    r10 pass-2 #7: two hand-copied loops had already drifted on the
+    idle-not-die handling). ``search(spark, queries, rerank_corpus)``
+    returns the top-k frame or ``None`` to idle this trigger.
+
+    The query batch is pinned with persist (NOT localCheckpoint) —
+    releasable per trigger (ADVICE r9 #4), and lazy, so an idle
+    trigger (unready lake / corpus) pays no storage job at all;
+    recompute-on-eviction is safe because a micro-batch's offsets are
+    fixed, unlike the dedup stream's self-feedback batch which must
+    keep localCheckpoint. All readiness probes live in the search
+    callables (serve_pruned / serve_current with ``missing_ok=True``)
+    so idling can never diverge between the two streams again."""
+    from ..operators.pq import _lake_has_data
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # BOTH readiness guards run before any Spark job: pinning
-        # the batch costs a storage write on first use, and paying
-        # it on every idle-window trigger just to discard it is the
-        # pass-7 #3 regression.
-        # The codes-lake probe here means serve_pruned re-checks it
-        # (two metadata listings when ready) — a listing is cheap
-        # next to a checkpoint job, which is why pass-6 #2's
-        # single-listing preference loses this trade. Reading an
-        # uncommitted lake would throw inside foreachBatch and kill
-        # the query (pass-5 #1/#2).
-        if not _lake_has_data(spark, codes_path):
-            return
         if corpus_path is not None and not _lake_has_data(
             spark, corpus_path
         ):
             return
-        # persist (NOT localCheckpoint) pins the query batch across
-        # its several reads inside serve_pruned while staying
-        # releasable per trigger (ADVICE r9 #4: per-trigger local
-        # checkpoints were never unpersisted, so a long-running
-        # serve stream accreted executor storage blocks until driver
-        # GC got around to them). Recompute-on-eviction is safe
-        # here: a micro-batch's offsets are fixed, so the lineage
-        # replays byte-identically — unlike the dedup stream's
-        # self-feedback batch, which must keep localCheckpoint.
         queries = batch_df.persist()
         try:
             rerank_corpus = (
@@ -166,28 +184,13 @@ def stream_ivfpq_serve(
                 if corpus_path is not None
                 else corpus
             )
-            out = serve_pruned(
-                queries,
-                codes_path,
-                centroids,
-                codebooks,
-                rerank_corpus,
-                k=k,
-                n_probe=n_probe,
-                shortlist=shortlist,
-                m=m,
-                sub_dim=sub_dim,
-                query_id=query_id,
-                corpus_id=corpus_id,
-                vec_col=vec_col,
-                missing_ok=True,
-            )
+            out = search(spark, queries, rerank_corpus)
             if out is not None:
                 result_sink(out, batch_id)
         finally:
             queries.unpersist()
 
-    return query_stream.writeStream.foreachBatch(_process)
+    return _process
 
 
 def stream_ivfpq_serve_rotating(
@@ -211,10 +214,13 @@ def stream_ivfpq_serve_rotating(
     query — the streaming half of the drift-refresh loop (VERDICT r9
     ask #2). Probe geometry comes from each generation's own meta, so
     a rotation that changes m/sub_dim cannot desynchronize a running
-    server. Triggers idle while no generation is active yet (the same
-    idle-not-die contract as :func:`stream_ivfpq_serve`). Within one
-    trigger the generation is resolved ONCE — a swap landing mid-batch
-    affects the next trigger, never tears the current one.
+    server. Triggers idle while no generation is active yet, and when
+    an active generation's artifacts have been swept (the same
+    idle-not-die contract as :func:`stream_ivfpq_serve` —
+    ``serve_current(missing_ok=True)`` owns every readiness probe).
+    Within one trigger the generation is resolved once inside
+    serve_current; a swap landing mid-trigger affects the next
+    trigger, never tears the current one.
 
     Pointer resolution is a ~100-byte control-file read per trigger;
     the per-trigger costs that matter are unchanged from
@@ -228,43 +234,26 @@ def stream_ivfpq_serve_rotating(
     Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
     and ``.start()``s it.
     """
-    from ..operators.ann_refresh import current_generation, serve_current
-    from ..operators.pq import _lake_has_data
+    from ..operators.ann_refresh import serve_current
 
     if corpus_path is None:
         corpus = corpus.localCheckpoint(eager=True)
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        if current_generation(spark, root) is None:
-            return
-        if corpus_path is not None and not _lake_has_data(
-            spark, corpus_path
-        ):
-            return
-        queries = batch_df.persist()
-        try:
-            rerank_corpus = (
-                spark.read.parquet(corpus_path)
-                if corpus_path is not None
-                else corpus
-            )
-            out = serve_current(
-                spark,
-                root,
-                queries,
-                rerank_corpus,
-                k=k,
-                n_probe=n_probe,
-                shortlist=shortlist,
-                query_id=query_id,
-                corpus_id=corpus_id,
-                vec_col=vec_col,
-            )
-            result_sink(out, batch_id)
-        finally:
-            queries.unpersist()
+    def _search(spark, queries, rerank_corpus):
+        return serve_current(
+            spark,
+            root,
+            queries,
+            rerank_corpus,
+            k=k,
+            n_probe=n_probe,
+            shortlist=shortlist,
+            query_id=query_id,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+            missing_ok=True,
+        )
 
-    return query_stream.writeStream.foreachBatch(_process)
+    return query_stream.writeStream.foreachBatch(
+        _serve_process(_search, corpus, corpus_path, result_sink)
+    )
