@@ -248,28 +248,49 @@ def _fold_dirs(spark, batches_dir: str, covered: dict, gen_key: str) -> None:
         fs.delete(p, True)
 
 
+def _gen_level(key: str) -> int:
+    """Compaction level of a generation key: 0 = plain per-trigger
+    dir, k ≥ 1 = folded generation. ``g-L<k>-…`` is the round-10
+    geometric scheme; legacy keys map onto it (``g-…`` = level 1,
+    ``h-…`` = level 2) so pre-existing indexes keep compacting."""
+    if key.startswith("g-L"):
+        lvl = key[3:].split("-", 1)[0]
+        if lvl.isdigit():
+            return int(lvl)
+        return 1
+    if key.startswith("g-"):
+        return 1
+    if key.startswith("h-"):
+        return 2
+    return 0
+
+
 def _compact_batches(
     spark, batches_dir: str, current_key: str, compact_every: int
 ) -> None:
-    """Tiered fold of the accumulated increment dirs (VERDICT r8 gap
-    #2; tiering per code-review r9 #3 — a single tier re-reads the
-    whole accumulated increment set on nearly every fold once the
-    first generation exists, O(T²) lifetime I/O):
+    """GEOMETRIC fold of the accumulated increment dirs (VERDICT r8
+    gap #2; two tiers per code-review r9 #3, generalized to
+    log-many levels in round 10): once ``compact_every`` (= N) dirs
+    exist at a level, they fold into ONE dir at the next level —
+    plain per-trigger dirs into ``g-L1-<current_key>``, N level-1
+    dirs into ``g-L2-<current_key>``, and so on up the cascade
+    within the same trigger. Every band row is re-read at most once
+    per level promotion, so lifetime compaction I/O is
+    O(T·log_N T) — the r9 two-tier scheme's O(T²/N²) re-read of the
+    full history at every top-level fold is gone — and the
+    steady-state dir count is bounded by N·log_N T.
 
-    - tier 1: once ``compact_every`` per-trigger dirs exist, fold
-      THEM (never existing generations) into ``g-<current_key>`` —
-      the routine fold touches only rows accepted since the last one;
-    - tier 2: once ``compact_every`` generation dirs (``g-``/``h-``)
-      exist, fold those into ``h-<current_key>`` — this one re-reads
-      the accumulated increments, but only every ~compact_every²
-      triggers, so lifetime I/O is O(T²/N²) instead of O(T²) and the
-      steady-state dir count is < 2·compact_every + 1.
-
-    The current trigger's own append dir (and a generation created
-    by tier 1 THIS trigger) is never covered — folding it would hide
-    rows a same-trigger replay still needs to self-exclude by
-    content, and the gen keys are derived from ``current_key`` so
-    replays regenerate identical names (idempotent)."""
+    The current trigger's own outputs are never covered: its plain
+    append dir is excluded by trailing batch NUMBER (matching
+    read_band_index's replay exclusion — a prior run's dir for the
+    SAME trigger number must never be laundered where the exclusion
+    can't see it, code-review r9 pass-3 #1), and the fold keys it
+    just created are excluded by the ``-<current_key>`` suffix
+    (folding one into its own same-trigger successor would, on
+    replay, put the target inside its own covered set and the
+    finish-deletions branch would destroy the folded history —
+    code-review r9 pass-2 #3). Gen keys derive from ``current_key``
+    so replays regenerate identical names (idempotent)."""
     fs, bpath, _jvm = _fs_for(spark, batches_dir)
     if not fs.exists(bpath):
         return
@@ -278,31 +299,25 @@ def _compact_batches(
     plain = {
         k: p
         for k, p in dirs.items()
-        if not k.startswith(("g-", "h-"))
-        # exclude by trailing batch NUMBER, not exact key — matching
-        # read_band_index's replay exclusion. A prior run's dir for
-        # the SAME trigger number (crash-replay under a new token)
-        # must never be laundered into a generation dir, where the
-        # replay exclusion can't see it and the replayed docs would
-        # self-collide (code-review r9 pass-3 #1)
-        and k.rsplit("-", 1)[1] != current_no
+        if _gen_level(k) == 0 and k.rsplit("-", 1)[1] != current_no
     }
     if len(plain) >= compact_every:
-        _fold_dirs(spark, batches_dir, plain, f"g-{current_key}")
-    dirs = _list_batch_dirs(fs, bpath)
-    gens = {
-        k: p
-        for k, p in dirs.items()
-        if k.startswith(("g-", "h-"))
-        # exclude BOTH of this trigger's own outputs: folding
-        # g-<current> is wasted double work, and on replay an
-        # unexcluded h-<current> would appear in its own covered set
-        # and be deleted by the finish-deletions branch — destroying
-        # the whole folded history (code-review r9 pass-2 #3)
-        and k not in (f"g-{current_key}", f"h-{current_key}")
-    }
-    if len(gens) >= compact_every:
-        _fold_dirs(spark, batches_dir, gens, f"h-{current_key}")
+        _fold_dirs(spark, batches_dir, plain, f"g-L1-{current_key}")
+    lvl = 1
+    while True:
+        dirs = _list_batch_dirs(fs, bpath)
+        level_dirs = {
+            k: p
+            for k, p in dirs.items()
+            if _gen_level(k) == lvl
+            and not k.endswith(f"-{current_key}")
+        }
+        if len(level_dirs) < compact_every:
+            return
+        lvl += 1
+        _fold_dirs(
+            spark, batches_dir, level_dirs, f"g-L{lvl}-{current_key}"
+        )
 
 
 def _startup_fold_dirs(spark, batches_dir: str, run_token: str) -> dict:
@@ -393,7 +408,7 @@ def stream_selfmaintaining_neardup(
     bands: int = 4,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
-    compact_every: int | None = None,
+    compact_every: int | None = 64,
 ):
     """The CLOSED ingest loop :func:`stream_incremental_neardup`
     leaves to the caller: each micro-batch near-dup-checks against the
@@ -453,7 +468,9 @@ def stream_selfmaintaining_neardup(
     VERDICT r8 gap. Cadence trade: compaction re-reads O(accepted
     since last fold) band rows (never the corpus), so a smaller value
     buys fewer files per index read at the cost of more frequent
-    metadata-sized rewrites; None disables it.
+    metadata-sized rewrites. The default is FINITE (64 — ADVICE r9
+    #3's fallback ask: an unbounded-by-default index dir count was
+    the honest-but-avoidable failure mode); pass None to opt out.
 
     Semantics contract (same as ``incremental_dedup``, now applied
     per trigger): duplicates WITHIN one micro-batch are not resolved

@@ -572,3 +572,63 @@ def test_startup_fold_is_per_run_token(spark, tmp_path):
     # ...and only genuinely committed lower-numbered dirs were folded
     assert "tok1-4" not in dirs
     assert any(d.startswith("g-init-tok3") for d in dirs)
+
+
+def test_compaction_levels_are_geometric(spark, tmp_path):
+    """Round-10 generalization of the r9 two-tier fold: N dirs at a
+    level fold into ONE dir at the next level, so every band row is
+    re-read at most once per level promotion (O(T·log T) lifetime
+    I/O) and content is preserved through the cascade."""
+    from sfdata_wrangler_spark.operators.dedup import minhash_band_index
+    from sfdata_wrangler_spark.streaming.dedup_stream import (
+        _BATCHES_SUBDIR,
+        _compact_batches,
+        _gen_level,
+        read_band_index,
+    )
+
+    assert _gen_level("tok-7") == 0
+    assert _gen_level("g-tok-7") == 1          # legacy tier 1
+    assert _gen_level("h-tok-7") == 2          # legacy tier 2
+    assert _gen_level("g-init-tok") == 1
+    assert _gen_level("g-L3-tok-7") == 3
+
+    index_path = os.path.join(tmp_path, "geoindex")
+    bdir = os.path.join(index_path, _BATCHES_SUBDIR)
+    minhash_band_index(
+        spark.createDataFrame(
+            [(1, "the seed corpus document")], "doc_id long, text string"
+        )
+    ).write.parquet(index_path)
+
+    def _write(doc_id, key):
+        minhash_band_index(
+            spark.createDataFrame(
+                [(doc_id, f"wholly unique payload number {doc_id}")],
+                "doc_id long, text string",
+            )
+        ).write.parquet(bdir + f"/batch_id={key}")
+
+    # 2 plain dirs + trigger 2's fold → one g-L1; repeat → two g-L1;
+    # the next fold cascades them into g-L2 within one call
+    all_docs = {1}
+    n = 0
+    for cycle in range(3):
+        for _ in range(2):
+            _write(100 + n, f"tok-{n}")
+            all_docs.add(100 + n)
+            n += 1
+        _compact_batches(spark, bdir, f"tok-{90 + cycle}", 2)
+
+    keys = {d.split("=")[1] for d in os.listdir(bdir) if "=" in d}
+    assert any(k.startswith("g-L2-") for k in keys), keys
+    assert sum(1 for k in keys if _gen_level(k) == 1) < 2
+    # no plain dirs left behind (none matched a current trigger no)
+    assert not any(_gen_level(k) == 0 for k in keys), keys
+    # content preserved exactly through the cascade
+    docs = {
+        r["doc_id"]
+        for r in read_band_index(spark, index_path)
+        .select("doc_id").distinct().collect()
+    }
+    assert docs == all_docs
