@@ -113,7 +113,10 @@ def _fs_for(spark, path: str):
 def _list_batch_dirs(fs, batches_hpath) -> dict[str, object]:
     """{batch_id key (string) -> hadoop Path} for every
     ``batch_id=<key>`` child. Keys are ``<run>-<n>`` for per-trigger
-    appends, ``g-...`` for tier-1 generations, ``h-...`` for tier-2."""
+    appends and generation keys for folds — ``g-L<k>-…`` at geometric
+    level k, plus the legacy ``g-…``/``h-…`` (levels 1/2) and the
+    startup ``g-init-…``/``g-tail-…`` forms; :func:`_gen_level` is
+    THE taxonomy."""
     out: dict[str, object] = {}
     for st in fs.listStatus(batches_hpath):
         name = st.getPath().getName()
@@ -139,9 +142,9 @@ def read_band_index(
     replayed SIBLINGS' (mutually-near-dup docs accepted together in
     the first attempt would otherwise kill each other on replay), and
     the first attempt's dir may carry a different run token when the
-    process restarted. Generation dirs (``g-``/``h-``) are never
-    excluded — they only ever fold triggers OTHER than the current
-    one. Same-id re-deliveries in LATER triggers still collide
+    process restarted. Generation dirs (any ``g-``/``h-`` form — see
+    :func:`_gen_level`) are never excluded — they only ever fold
+    triggers OTHER than the current one. Same-id re-deliveries in LATER triggers still collide
     normally (no identity filtering — a re-fed duplicate is a
     duplicate).
 
@@ -266,7 +269,11 @@ def _gen_level(key: str) -> int:
 
 
 def _compact_batches(
-    spark, batches_dir: str, current_key: str, compact_every: int
+    spark,
+    batches_dir: str,
+    current_key: str,
+    compact_every: int,
+    exclude_keys: frozenset = frozenset(),
 ) -> None:
     """GEOMETRIC fold of the accumulated increment dirs (VERDICT r8
     gap #2; two tiers per code-review r9 #3, generalized to
@@ -290,7 +297,23 @@ def _compact_batches(
     replay, put the target inside its own covered set and the
     finish-deletions branch would destroy the folded history —
     code-review r9 pass-2 #3). Gen keys derive from ``current_key``
-    so replays regenerate identical names (idempotent)."""
+    so replays regenerate identical names (idempotent).
+
+    ``exclude_keys``: plain dirs the caller has stashed as OTHER
+    runs' replay candidates (the startup tail, code-review r10
+    pass-3 #2): folding them here before this run's first trigger
+    commits would launder a dir an old checkpoint's resume can still
+    legally replay against — the same self-collision data-loss shape
+    the per-token startup fold exists to prevent. Once ``_fold_tail``
+    has folded and cleared the stash, the set is empty and nothing
+    is held back.
+
+    Every level up to the highest present is CHECKED each call (not
+    early-returned at the first under-threshold one — pass-3 #6): a
+    failed upper-level rename retries on the NEXT trigger, not
+    ~N^(k-1) triggers later; re-listing happens only after a fold
+    actually changed the directory (pass-3 #5: the steady-state
+    no-fold trigger pays exactly one LIST)."""
     fs, bpath, _jvm = _fs_for(spark, batches_dir)
     if not fs.exists(bpath):
         return
@@ -299,25 +322,33 @@ def _compact_batches(
     plain = {
         k: p
         for k, p in dirs.items()
-        if _gen_level(k) == 0 and k.rsplit("-", 1)[1] != current_no
+        if _gen_level(k) == 0
+        and k.rsplit("-", 1)[1] != current_no
+        and k not in exclude_keys
     }
+    stale = False
     if len(plain) >= compact_every:
         _fold_dirs(spark, batches_dir, plain, f"g-L1-{current_key}")
+        stale = True
     lvl = 1
     while True:
-        dirs = _list_batch_dirs(fs, bpath)
+        if stale:
+            dirs = _list_batch_dirs(fs, bpath)
+            stale = False
+        if lvl > max((_gen_level(k) for k in dirs), default=0):
+            return
         level_dirs = {
             k: p
             for k, p in dirs.items()
             if _gen_level(k) == lvl
             and not k.endswith(f"-{current_key}")
         }
-        if len(level_dirs) < compact_every:
-            return
+        if len(level_dirs) >= compact_every:
+            _fold_dirs(
+                spark, batches_dir, level_dirs, f"g-L{lvl + 1}-{current_key}"
+            )
+            stale = True
         lvl += 1
-        _fold_dirs(
-            spark, batches_dir, level_dirs, f"g-L{lvl}-{current_key}"
-        )
 
 
 def _startup_fold_dirs(spark, batches_dir: str, run_token: str) -> dict:
@@ -350,7 +381,7 @@ def _startup_fold_dirs(spark, batches_dir: str, run_token: str) -> dict:
     plain = {
         k: p
         for k, p in _list_batch_dirs(fs, bpath).items()
-        if not k.startswith(("g-", "h-"))
+        if _gen_level(k) == 0  # THE key taxonomy — one predicate
     }
     if not plain:
         return {}
@@ -570,6 +601,9 @@ def stream_selfmaintaining_neardup(
             )
         accepted_sink(new_docs, batch_id)
         if compact_every is not None:
-            _compact_batches(spark, batches_dir, key, compact_every)
+            _compact_batches(
+                spark, batches_dir, key, compact_every,
+                exclude_keys=frozenset(leftover_tail),
+            )
 
     return stream_docs.writeStream.foreachBatch(_process)

@@ -632,3 +632,51 @@ def test_compaction_levels_are_geometric(spark, tmp_path):
         .select("doc_id").distinct().collect()
     }
     assert docs == all_docs
+
+
+def test_compaction_never_folds_stashed_replay_tails(spark, tmp_path):
+    """code-review r10 pass-3 #2: the end-of-trigger plain fold must
+    not launder OTHER runs' stashed replay-candidate tail dirs into a
+    generation before this run's first trigger commits — only
+    _fold_tail (after a second distinct batch id) may fold them."""
+    from sfdata_wrangler_spark.operators.dedup import minhash_band_index
+    from sfdata_wrangler_spark.streaming.dedup_stream import (
+        _BATCHES_SUBDIR,
+        _compact_batches,
+        _startup_fold_dirs,
+    )
+
+    index_path = os.path.join(tmp_path, "tlindex")
+    bdir = os.path.join(index_path, _BATCHES_SUBDIR)
+    minhash_band_index(
+        spark.createDataFrame(
+            [(1, "the seed corpus document")], "doc_id long, text string"
+        )
+    ).write.parquet(index_path)
+
+    def _write(doc_id, key):
+        minhash_band_index(
+            spark.createDataFrame(
+                [(doc_id, f"unique tail payload {doc_id}")],
+                "doc_id long, text string",
+            )
+        ).write.parquet(bdir + f"/batch_id={key}")
+
+    _write(11, "tok1-5")   # dead run 1's in-flight trigger
+    _write(21, "tok2-3")   # dead run 2's in-flight trigger
+
+    tail = _startup_fold_dirs(spark, bdir, "tok4")
+    assert set(tail) == {"tok1-5", "tok2-3"}
+    # the new run commits its own trigger 0, then compacts at trigger
+    # 1 with an aggressive cadence (compact_every=1): its own plain
+    # dir folds, but the stashed tails are excluded — they remain
+    # PLAIN and batch-number-excludable for a legal resume of their
+    # checkpoints
+    _write(31, "tok4-0")
+    _compact_batches(
+        spark, bdir, "tok4-1", 1, exclude_keys=frozenset(tail)
+    )
+    keys = {d.split("=")[1] for d in os.listdir(bdir) if "=" in d}
+    assert "tok1-5" in keys and "tok2-3" in keys, keys
+    assert "tok4-0" not in keys  # this run's committed dir DID fold
+    assert any(k.startswith("g-L1-tok4-1") for k in keys), keys
