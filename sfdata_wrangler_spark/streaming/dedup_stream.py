@@ -179,7 +179,7 @@ def read_band_index(
     return seed.unionByName(appended.drop("batch_id"))
 
 
-def _fold_dirs(spark, batches_dir: str, covered: dict, gen_key: str) -> None:
+def _fold_dirs(spark, batches_dir: str, covered: dict, gen_key: str) -> bool:
     """Fold ``covered`` increment dirs into ``batch_id=<gen_key>``:
     write the union to a hidden tmp dir, rename in, THEN delete the
     covered dirs. Crash windows leave either the old state (tmp is
@@ -205,7 +205,7 @@ def _fold_dirs(spark, batches_dir: str, covered: dict, gen_key: str) -> None:
         # replayed trigger: the fold landed; finish the deletions
         for p in covered.values():
             fs.delete(p, True)
-        return
+        return True
     from ..sources.lake import iter_committed_files
 
     files = []
@@ -246,9 +246,10 @@ def _fold_dirs(spark, batches_dir: str, covered: dict, gen_key: str) -> None:
             RuntimeWarning,
             stacklevel=2,
         )
-        return
+        return False
     for p in covered.values():
         fs.delete(p, True)
+    return True
 
 
 def _gen_level(key: str) -> int:
@@ -318,36 +319,43 @@ def _compact_batches(
     if not fs.exists(bpath):
         return
     current_no = current_key.rsplit("-", 1)[1]
-    dirs = _list_batch_dirs(fs, bpath)
+
+    def _by_level() -> dict[int, dict]:
+        by: dict[int, dict] = {}
+        for k, p in _list_batch_dirs(fs, bpath).items():
+            by.setdefault(_gen_level(k), {})[k] = p
+        return by
+
+    by = _by_level()
     plain = {
         k: p
-        for k, p in dirs.items()
-        if _gen_level(k) == 0
-        and k.rsplit("-", 1)[1] != current_no
-        and k not in exclude_keys
+        for k, p in by.get(0, {}).items()
+        if k.rsplit("-", 1)[1] != current_no and k not in exclude_keys
     }
     stale = False
     if len(plain) >= compact_every:
-        _fold_dirs(spark, batches_dir, plain, f"g-L1-{current_key}")
-        stale = True
+        # stale only if the fold actually changed the directory
+        # (pass-4 #2: a persistently failing rename must not buy an
+        # extra LIST per level per trigger)
+        stale = _fold_dirs(spark, batches_dir, plain, f"g-L1-{current_key}")
     lvl = 1
     while True:
         if stale:
-            dirs = _list_batch_dirs(fs, bpath)
+            by = _by_level()
             stale = False
-        if lvl > max((_gen_level(k) for k in dirs), default=0):
+        present = [l for l in by if l >= lvl]
+        if not present:
             return
+        lvl = min(present)  # skip empty levels (pass-4 #3)
         level_dirs = {
             k: p
-            for k, p in dirs.items()
-            if _gen_level(k) == lvl
-            and not k.endswith(f"-{current_key}")
+            for k, p in by[lvl].items()
+            if not k.endswith(f"-{current_key}")
         }
         if len(level_dirs) >= compact_every:
-            _fold_dirs(
+            stale = _fold_dirs(
                 spark, batches_dir, level_dirs, f"g-L{lvl + 1}-{current_key}"
             )
-            stale = True
         lvl += 1
 
 
@@ -548,12 +556,18 @@ def stream_selfmaintaining_neardup(
         longer be replay targets. Runs BEFORE the trigger's index
         read so every attempt of the current trigger sees the same
         (post-fold) collision surface; idempotent because the gen
-        key is run-token-derived and already-moved dirs drop out."""
+        key is run-token-derived and already-moved dirs drop out.
+        The stash is cleared only on SUCCESS (code-review r10 pass-4
+        #1): a failed fold rename keeps it, so the next trigger
+        retries instead of abandoning the tails plain forever —
+        under ``compact_every=None`` nothing else would ever rescue
+        them and the recurring blind window would reopen."""
         fs, _bpath, _jvm = _fs_for(spark, batches_dir)
         still = {k: p for k, p in leftover_tail.items() if fs.exists(p)}
-        if still:
-            _fold_dirs(spark, batches_dir, still, f"g-tail-{run_token}")
-        leftover_tail.clear()
+        if not still or _fold_dirs(
+            spark, batches_dir, still, f"g-tail-{run_token}"
+        ):
+            leftover_tail.clear()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         key = f"{run_token}-{batch_id}"
