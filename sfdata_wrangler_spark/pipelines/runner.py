@@ -421,19 +421,30 @@ def _multimodal(spark, sf_dir, read):
 
 
 def _report(spark, sf_dir, read):
+    # FULL outer on month between the transit and Clipper panels: the
+    # test calendar's event months do not intersect the order months,
+    # and a left join would silently drop every Clipper row — leaving
+    # the sessionization step's VALUES outside the end-to-end hash
+    # (a wrong n_sessions would go unnoticed). Clipper-only months
+    # surface with the transit metrics zeroed, the reference's
+    # "report what each store has" shape.
     rep = (
         read("monthly_ts")
-        .join(read("clipper_monthly"), "month", "left")
+        .join(read("clipper_monthly"), "month", "full")
         .join(read("demand_monthly"), "month", "left")
         .join(F.broadcast(read("mm_monthly")), "month", "left")
         .join(F.broadcast(read("route_top_monthly")), "month", "left")
         .select(
             "month",
-            "n_orders",
-            "obs_orders",
-            "obs_lines",
-            _dollars(F.col("fare_tt")).alias("fare"),
-            "qty_c",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("obs_orders", F.lit(0)).cast("long").alias(
+                "obs_orders"
+            ),
+            F.coalesce("obs_lines", F.lit(0)).cast("long").alias(
+                "obs_lines"
+            ),
+            _dollars(F.coalesce("fare_tt", F.lit(0))).alias("fare"),
+            F.coalesce("qty_c", F.lit(0)).cast("long").alias("qty_c"),
             F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
             F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
             F.coalesce("n_sessions", F.lit(0)).cast("long").alias(

@@ -110,9 +110,12 @@ WITH avl_clean AS (
   FROM (SELECT DISTINCT month FROM sched_monthly) m
   JOIN annual a ON substr(m.month, 1, 4) = a.year
 )
-SELECT t.month, t.n_orders, t.obs_orders, t.obs_lines,
-       floor((t.fare_tt + 50) / 100.0) / 100.0 AS fare,
-       t.qty_c,
+SELECT coalesce(t.month, c.month) AS month,
+       coalesce(t.n_orders, 0) AS n_orders,
+       coalesce(t.obs_orders, 0) AS obs_orders,
+       coalesce(t.obs_lines, 0) AS obs_lines,
+       floor((coalesce(t.fare_tt, 0) + 50) / 100.0) / 100.0 AS fare,
+       coalesce(t.qty_c, 0) AS qty_c,
        coalesce(c.n_events, 0) AS n_events,
        coalesce(c.n_users, 0) AS n_users,
        coalesce(c.n_sessions, 0) AS n_sessions,
@@ -121,7 +124,7 @@ SELECT t.month, t.n_orders, t.obs_orders, t.obs_lines,
        coalesce(mm.annual_price_q, 0) AS price_q,
        coalesce(rt.top_route, 'NONE') AS top_route
 FROM monthly_ts t
-LEFT JOIN clipper_monthly c ON t.month = c.month
+FULL OUTER JOIN clipper_monthly c ON t.month = c.month
 LEFT JOIN demand_monthly d ON t.month = d.month
 LEFT JOIN mm_monthly mm ON t.month = mm.month
 LEFT JOIN route_top rt ON t.month = rt.month
