@@ -135,16 +135,24 @@ def run_pipeline(
     lake_root: str,
     steps: Sequence[Step] | None = None,
     force: Sequence[str] = (),
+    parallelism: int = 1,
 ) -> list[dict]:
     """Execute the step DAG against the persisted lake at
     ``lake_root``, skipping committed steps; returns one summary dict
-    per step (``{"step", "status": "ran"|"skipped", "rows": {...}}``).
+    per step (``{"step", "status": "ran"|"skipped", "rows": {...}}``),
+    always in step-list order.
 
     ``force`` re-runs the named steps and transitively invalidates
     their downstreams (their markers are deleted up front, so even a
     crash right after the delete leaves the lake in the honest
     "incomplete, will re-run" state, never "stale but marked done").
-    """
+
+    ``parallelism`` > 1 runs INDEPENDENT branches concurrently (a
+    step launches once its in-list deps completed) — the wall-clock
+    shape a real orchestrator gives this DAG, where the AVL chain,
+    the Clipper panel, and the demand/multimodal branches share no
+    edges. Semantics are unchanged: same markers, same skip rule,
+    same crash behavior per step."""
     explicit_subset = steps is not None
     steps = list(transit_steps() if steps is None else steps)
     by_name = {s.name: s for s in steps}
@@ -184,11 +192,9 @@ def run_pipeline(
             )
         return spark.read.parquet(path)
 
-    summary = []
-    for s in steps:
+    def _execute(s: Step) -> dict:
         if step_completed(spark, lake_root, s):
-            summary.append({"step": s.name, "status": "skipped", "rows": {}})
-            continue
+            return {"step": s.name, "status": "skipped", "rows": {}}
         outs = dict(s.build(spark, sf_dir, read))
         if set(outs) != set(s.outputs):
             raise ValueError(
@@ -205,8 +211,43 @@ def run_pipeline(
             spark, lake_root, s.name,
             {"step": s.name, "sf_dir": sf_dir, "rows": rows},
         )
-        summary.append({"step": s.name, "status": "ran", "rows": rows})
-    return summary
+        return {"step": s.name, "status": "ran", "rows": rows}
+
+    if parallelism <= 1:
+        return [_execute(s) for s in steps]
+
+    # dependency-driven concurrent execution: a step launches as soon
+    # as its in-list deps completed (Spark job submission is
+    # thread-safe; each step writes disjoint paths and commits its own
+    # marker, so the restart contract is unchanged — a crash leaves
+    # completed branches committed and everything else honest-
+    # incomplete). A failing step stops NEW launches; already-running
+    # branches drain to completion before the error propagates, so
+    # their markers stay faithful.
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+    results: dict[str, dict] = {}
+    completed: set[str] = set()
+    pending = list(steps)
+    in_flight: dict = {}
+    with ThreadPoolExecutor(max_workers=parallelism) as pool:
+        while pending or in_flight:
+            ready = [
+                s
+                for s in pending
+                if all(
+                    d in completed for d in s.deps if d in by_name
+                )
+            ]
+            for s in ready:
+                pending.remove(s)
+                in_flight[pool.submit(_execute, s)] = s
+            finished, _ = wait(in_flight, return_when=FIRST_COMPLETED)
+            for fut in finished:
+                s = in_flight.pop(fut)
+                results[s.name] = fut.result()  # re-raises step errors
+                completed.add(s.name)
+    return [results[s.name] for s in steps]
 
 
 # --------------------------------------------------------------------------- #
@@ -506,6 +547,7 @@ def _main(argv: list[str]) -> int:
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--lake", required=True)
     p.add_argument("--force", default="")
+    p.add_argument("--parallelism", type=int, default=1)
     p.add_argument("steps", nargs="*")
     args = p.parse_args(argv)
 
@@ -521,7 +563,10 @@ def _main(argv: list[str]) -> int:
             p.error(f"unknown steps: {sorted(unknown)}")
         steps = [s for s in steps if s.name in wanted]
     force = tuple(x for x in args.force.split(",") if x)
-    for row in run_pipeline(spark, args.sf_dir, args.lake, steps, force):
+    for row in run_pipeline(
+        spark, args.sf_dir, args.lake, steps, force,
+        parallelism=args.parallelism,
+    ):
         print(f"{row['step']:<14} {row['status']:<8} {row['rows']}")
     return 0
 

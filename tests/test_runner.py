@@ -154,3 +154,40 @@ def test_single_later_step_runs_against_persisted_lake(
     assert _statuses(summary) == {"aggregate": "ran"}
     with pytest.raises(FileNotFoundError, match="no committed data"):
         run_pipeline(spark, SF, str(tmp_path / "emptylake"), steps=steps)
+
+
+def test_parallel_execution_matches_sequential(spark, e2e_lake, tmp_path):
+    """parallelism>1 runs independent branches concurrently with
+    unchanged semantics: same statuses, same final report, and a
+    mid-DAG failure still leaves completed branches committed for a
+    sequential resume."""
+    ref_lake, _ = e2e_lake
+    lake = str(tmp_path / "parlake")
+    summary = run_pipeline(spark, SF, lake, parallelism=4)
+    assert set(_statuses(summary).values()) == {"ran"}
+    assert [r["step"] for r in summary] == [
+        s.name for s in transit_steps()
+    ]
+    assert _report_rows(spark, lake) == _report_rows(spark, ref_lake)
+
+    # failure semantics: bomb one mid-DAG step under parallelism;
+    # independent branches that completed stay committed, and a
+    # sequential resume finishes identically
+    lake2 = str(tmp_path / "parlake2")
+    steps = transit_steps()
+    idx = next(i for i, s in enumerate(steps) if s.name == "expand")
+
+    def bomb(*_a):
+        raise RuntimeError("parallel kill")
+
+    killed = list(steps)
+    killed[idx] = Step(
+        steps[idx].name, steps[idx].deps, steps[idx].outputs, bomb
+    )
+    with pytest.raises(RuntimeError, match="parallel kill"):
+        run_pipeline(spark, SF, lake2, steps=killed, parallelism=4)
+    resumed = run_pipeline(spark, SF, lake2)
+    st = _statuses(resumed)
+    assert st["expand"] == "ran"  # the bombed step recomputed
+    assert st["clean1"] == "skipped" and st["gtfs"] == "skipped"
+    assert _report_rows(spark, lake2) == _report_rows(spark, ref_lake)
