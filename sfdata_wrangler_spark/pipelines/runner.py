@@ -193,8 +193,11 @@ def run_pipeline(
         return spark.read.parquet(path)
 
     def _execute(s: Step) -> dict:
+        import time
+
         if step_completed(spark, lake_root, s):
             return {"step": s.name, "status": "skipped", "rows": {}}
+        t0 = time.time()
         outs = dict(s.build(spark, sf_dir, read))
         if set(outs) != set(s.outputs):
             raise ValueError(
@@ -207,11 +210,16 @@ def run_pipeline(
             # row counts come from the COMMITTED files, making the
             # marker a faithful receipt of what readers will see
             rows[t] = spark.read.parquet(table_path(lake_root, t)).count()
+        wall_s = round(time.time() - t0, 2)
         _write_marker(
             spark, lake_root, s.name,
-            {"step": s.name, "sf_dir": sf_dir, "rows": rows},
+            {"step": s.name, "sf_dir": sf_dir, "rows": rows,
+             "wall_s": wall_s},
         )
-        return {"step": s.name, "status": "ran", "rows": rows}
+        return {
+            "step": s.name, "status": "ran", "rows": rows,
+            "wall_s": wall_s,
+        }
 
     if parallelism <= 1:
         return [_execute(s) for s in steps]
