@@ -38,6 +38,7 @@ recompute-on-failure blast radius.
 from __future__ import annotations
 
 import json
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Mapping, Sequence
 
@@ -167,6 +168,12 @@ def run_pipeline(
         # name would otherwise silently break transitive
         # force-invalidation and serve stale downstream output marked
         # done). Deps that ARE in the list must precede consumers.
+        if s.name in seen:
+            # a duplicate is harmless sequentially (the second copy
+            # skips) but under parallelism both copies would race
+            # overwrite-writes to the same table paths (code-review
+            # r10 pass-5 #2) — reject uniformly
+            raise ValueError(f"duplicate step name {s.name!r}")
         unknown = [d for d in s.deps if d not in by_name]
         if unknown and not explicit_subset:
             raise ValueError(
@@ -193,11 +200,11 @@ def run_pipeline(
         return spark.read.parquet(path)
 
     def _execute(s: Step) -> dict:
-        import time
-
         if step_completed(spark, lake_root, s):
             return {"step": s.name, "status": "skipped", "rows": {}}
-        t0 = time.time()
+        # monotonic: a wall-clock step-back mid-step must not persist
+        # a negative duration into the marker (code-review r10 pass-5)
+        t0 = time.monotonic()
         outs = dict(s.build(spark, sf_dir, read))
         if set(outs) != set(s.outputs):
             raise ValueError(
@@ -210,7 +217,7 @@ def run_pipeline(
             # row counts come from the COMMITTED files, making the
             # marker a faithful receipt of what readers will see
             rows[t] = spark.read.parquet(table_path(lake_root, t)).count()
-        wall_s = round(time.time() - t0, 2)
+        wall_s = round(time.monotonic() - t0, 2)
         _write_marker(
             spark, lake_root, s.name,
             {"step": s.name, "sf_dir": sf_dir, "rows": rows,
@@ -229,9 +236,11 @@ def run_pipeline(
     # thread-safe; each step writes disjoint paths and commits its own
     # marker, so the restart contract is unchanged — a crash leaves
     # completed branches committed and everything else honest-
-    # incomplete). A failing step stops NEW launches; already-running
-    # branches drain to completion before the error propagates, so
-    # their markers stay faithful.
+    # incomplete). On a step failure, QUEUED futures are cancelled
+    # (submitted-but-unstarted steps past max_workers would otherwise
+    # still launch during the shutdown drain — code-review r10 pass-5
+    # #4); already-RUNNING branches drain to completion before the
+    # error propagates, so their markers stay faithful.
     from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
     results: dict[str, dict] = {}
@@ -239,22 +248,26 @@ def run_pipeline(
     pending = list(steps)
     in_flight: dict = {}
     with ThreadPoolExecutor(max_workers=parallelism) as pool:
-        while pending or in_flight:
-            ready = [
-                s
-                for s in pending
-                if all(
-                    d in completed for d in s.deps if d in by_name
-                )
-            ]
-            for s in ready:
-                pending.remove(s)
-                in_flight[pool.submit(_execute, s)] = s
-            finished, _ = wait(in_flight, return_when=FIRST_COMPLETED)
-            for fut in finished:
-                s = in_flight.pop(fut)
-                results[s.name] = fut.result()  # re-raises step errors
-                completed.add(s.name)
+        try:
+            while pending or in_flight:
+                ready = [
+                    s
+                    for s in pending
+                    if all(
+                        d in completed for d in s.deps if d in by_name
+                    )
+                ]
+                for s in ready:
+                    pending.remove(s)
+                    in_flight[pool.submit(_execute, s)] = s
+                finished, _ = wait(in_flight, return_when=FIRST_COMPLETED)
+                for fut in finished:
+                    s = in_flight.pop(fut)
+                    results[s.name] = fut.result()  # re-raises errors
+                    completed.add(s.name)
+        except BaseException:
+            pool.shutdown(wait=True, cancel_futures=True)
+            raise
     return [results[s.name] for s in steps]
 
 

@@ -125,9 +125,9 @@ SELECT coalesce(t.month, c.month) AS month,
        coalesce(rt.top_route, 'NONE') AS top_route
 FROM monthly_ts t
 FULL OUTER JOIN clipper_monthly c ON t.month = c.month
-LEFT JOIN demand_monthly d ON t.month = d.month
-LEFT JOIN mm_monthly mm ON t.month = mm.month
-LEFT JOIN route_top rt ON t.month = rt.month
+LEFT JOIN demand_monthly d ON coalesce(t.month, c.month) = d.month
+LEFT JOIN mm_monthly mm ON coalesce(t.month, c.month) = mm.month
+LEFT JOIN route_top rt ON coalesce(t.month, c.month) = rt.month
 """
 
 

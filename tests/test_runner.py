@@ -191,3 +191,9 @@ def test_parallel_execution_matches_sequential(spark, e2e_lake, tmp_path):
     assert st["expand"] == "ran"  # the bombed step recomputed
     assert st["clean1"] == "skipped" and st["gtfs"] == "skipped"
     assert _report_rows(spark, lake2) == _report_rows(spark, ref_lake)
+
+
+def test_duplicate_step_names_rejected(spark, tmp_path):
+    dup = [s for s in transit_steps() if s.name == "clean1"] * 2
+    with pytest.raises(ValueError, match="duplicate step"):
+        run_pipeline(spark, SF, str(tmp_path / "d"), steps=dup)
