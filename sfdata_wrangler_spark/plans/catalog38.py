@@ -156,6 +156,25 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table_path(lake, "report_system"))
 
 
+@_register("pipe_end_to_end_parallel", _E2E_ORACLE)
+def pipe_end_to_end_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ten-step DAG executed with ``parallelism=4`` —
+    independent branches run concurrently on a thread pool (measured
+    ~1.9× full-DAG wall) — into its OWN lake, hash-checked against
+    the SAME whole-chain oracle as :func:`pipe_end_to_end`: the
+    driver row certifies that concurrent branch execution changes
+    wall-clock only, never values (same markers, same skip rule,
+    same persistence boundaries)."""
+    from ..pipelines.runner import run_pipeline, table_path
+    from ..sources.lake import scratch_tag_for_path, session_scratch
+
+    lake = session_scratch(
+        spark, "e2e_par", scratch_tag_for_path(sf_dir)
+    )
+    run_pipeline(spark, sf_dir, lake, parallelism=4)
+    return spark.read.parquet(table_path(lake, "report_system"))
+
+
 # --------------------------------------------------------------------------- #
 # emb_ivfpq_rotated_serve — the generation-rotation loop, driver-verified     #
 # --------------------------------------------------------------------------- #
