@@ -80,8 +80,22 @@ def current_generation(spark, root: str) -> str | None:
 
 
 def _next_gen_name(spark, root: str) -> str:
+    """Allocate AND atomically claim the next generation name.
+
+    List-then-use is a race: two concurrent refreshes would pick the
+    same name and interleave overwrite-writes into one dir, and the
+    torn mixture (one run's centroids + the other's codes) can pass
+    activate_generation's committed-data check (ADVICE r10 #3). The
+    claim is ``createNewFile`` on ``<gen>/_claim`` — exactly one
+    caller wins a given name (java File.createNewFile is atomic on
+    the local FS; create(overwrite=false) raises on HDFS); the loser
+    advances to the next number. The underscore name keeps the claim
+    file invisible to ``has_committed_data``, so a claimed-but-
+    unbuilt generation still reads as unready everywhere."""
     fs, hroot, jvm = hadoop_fs(spark, root)
-    gdir = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/generations")
+    Path = jvm.org.apache.hadoop.fs.Path
+    gens = f"{root.rstrip('/')}/generations"
+    gdir = Path(gens)
     n = 0
     if fs.exists(gdir):
         for st in fs.listStatus(gdir):
@@ -91,7 +105,16 @@ def _next_gen_name(spark, root: str) -> str:
                     n = max(n, int(name[len(_GEN_PREFIX):]) + 1)
                 except ValueError:
                     continue
-    return f"{_GEN_PREFIX}{n:04d}"
+    while True:
+        name = f"{_GEN_PREFIX}{n:04d}"
+        claim = Path(f"{gens}/{name}/_claim")
+        try:
+            won = fs.createNewFile(claim)
+        except Exception:
+            won = False  # FileAlreadyExists et al. == lost the race
+        if won:
+            return name
+        n += 1
 
 
 def train_generation(
@@ -323,11 +346,19 @@ def serve_current(
         # time inside foreachBatch and kill the stream — idle instead
         # (serve_pruned applies the same rule to the codes dir)
         return None
+    # generation-resolved quantizers are cached as driver-local
+    # relations across calls (VERDICT r10 ask #1): the token is the
+    # generation NAME — claim-allocated, never reused, quantizers
+    # write-once — so a rotation (new gen via the pointer) naturally
+    # misses the cache while repeated serves against the same
+    # generation skip both parquet re-reads
+    from .serve_cache import cached_local_artifact
+
     return serve_pruned(
         queries,
         f"{gdir}/codes",
-        spark.read.parquet(f"{gdir}/centroids"),
-        spark.read.parquet(f"{gdir}/codebooks"),
+        cached_local_artifact(spark, f"{gdir}/centroids", gen),
+        cached_local_artifact(spark, f"{gdir}/codebooks", gen),
         corpus,
         k=k,
         n_probe=n_probe,

@@ -292,9 +292,27 @@ def pca_project_int(
         )
     nq = F.lit(n).cast("bigint")
     s1_arr = F.array(*[F.lit(x).cast("bigint") for x in s1])
-    centered = F.zip_with(
-        _quantized(vec_col), s1_arr, lambda q, s: q * nq - s
+    qv = _quantized(vec_col)
+    # The static bound above trusts the CALLER's coord_abs_max; an
+    # unnormalized corpus passed with the default would still certify
+    # and wrap silently (ADVICE r10 #2). Verify the assertion against
+    # the DATA, in-row and JVM-side: assert_true returns NULL when the
+    # predicate holds (folded into the sum as +0) and raises on the
+    # first row whose quantized coordinate exceeds the certified
+    # |q| ≤ q_abs — no extra scan, no UDF.
+    bound_ok = F.coalesce(
+        F.assert_true(
+            F.forall(qv, lambda q: F.abs(q) <= F.lit(q_abs)),
+            F.lit(
+                "pca_project_int: embedding coordinate exceeds "
+                f"coord_abs_max={coord_abs_max} — the int64 overflow "
+                "guard certified a bound the data violates; pass the "
+                "true coordinate bound"
+            ),
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
     )
+    centered = F.zip_with(qv, s1_arr, lambda q, s: q * nq - s)
     projs = []
     for w in basis:
         w_arr = F.array(*[F.lit(x).cast("bigint") for x in w])
@@ -303,7 +321,7 @@ def pca_project_int(
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
-        projs.append(num)
+        projs.append(num + bound_ok)
     out = emb.select(
         F.col(id_col),
         F.posexplode(F.array(*projs)).alias("dim", "__num"),

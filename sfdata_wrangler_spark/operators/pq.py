@@ -670,6 +670,9 @@ def pq_codebooks_trained(
 # the transient driver cost at ~50 MB); larger batches stay
 # distributed and lazy
 _PROBE_LOCAL_MAX = 250_000
+# below this, the local relation is rendered as a pure-JVM VALUES
+# statement (no Python runners downstream); above, createDataFrame
+_PROBE_VALUES_MAX = 10_000
 
 
 def _lake_has_data(spark, path: str) -> bool:
@@ -697,6 +700,7 @@ def serve_pruned(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     missing_ok: bool = False,
+    prune: str = "auto",
 ) -> DataFrame | None:
     """THE serving recipe against a persisted cid-partitioned code
     lake — one definition for the batch serve queries
@@ -704,6 +708,24 @@ def serve_pruned(
     (streaming/ann_stream.stream_ivfpq_serve), so probe semantics,
     partition-prune filter, and cid dtype handling cannot drift
     between copies (code-review r9 pass-4 #4).
+
+    ``prune`` selects how the cid-partitioned scan is restricted to
+    the probed cells (VERDICT r10 ask #1 — warm serve latency is
+    JOB-COUNT-bound at serving batch sizes, measured: a two-phase
+    shortlist-collect variant LOST 0.25 s to the extra job boundary
+    despite scanning less):
+
+    - ``"auto"`` (default): DYNAMIC partition pruning — the ADC join
+      already equi-joins the partition column against the broadcast
+      LUT, so Catalyst inserts a runtime partition filter on ``cid``
+      and the scan prunes to the probed cells inside the ONE search
+      job, with no driver-side probe collect at all. Falls back to
+      static when the session has DPP disabled.
+    - ``"static"``: the r9 recipe — materialize the probe table, pin
+      its cells as a driver-derived ``cid IN (...)`` filter. Kept for
+      DPP-disabled sessions and as the plan-shape oracle for tests
+      (both modes are value-identical by construction: pruning only
+      moves WHERE the cell restriction is applied).
 
     Steps: materialize the probe table once — it feeds BOTH the
     driver-side static ``cid IN (...)`` partition filter and
@@ -731,6 +753,10 @@ def serve_pruned(
     whose artifacts vanished (scratch swept, partial bootstrap) must
     fail loudly, not dereference None (pass-5 #3).
     """
+    from ..sources.inline import values_df
+
+    if prune not in ("auto", "static"):
+        raise ValueError(f"prune must be 'auto' or 'static', got {prune!r}")
     spark = queries.sparkSession
     if not _lake_has_data(spark, codes_path):
         if missing_ok:
@@ -739,34 +765,67 @@ def serve_pruned(
             f"IVF-PQ code lake at {codes_path} has no committed data"
             " files (missing, still being written, or swept)"
         )
+    cid_type = dict(centroids.dtypes)["cid"]
+    dpp_on = (
+        spark.conf.get(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+        )
+        == "true"
+    )
+    if prune == "auto" and dpp_on:
+        lake = spark.read.parquet(codes_path).withColumn(
+            "cid", F.col("cid").cast(cid_type)
+        )
+        return ivfpq_topk(
+            queries, lake, centroids, codebooks, corpus,
+            k=k, n_probe=n_probe, shortlist=shortlist, m=m,
+            sub_dim=sub_dim, query_id=query_id, corpus_id=corpus_id,
+            vec_col=vec_col,
+        )
 
     probes = probed_cells(
         queries, centroids, n_probe, m, sub_dim, query_id, vec_col
     )
     # the local-relation pin is bounded (code-review r10 #3: probe
     # rows scale with the QUERY batch, not the centroid count — a
-    # huge batch must not be collected). The branch is decided by a
-    # COUNT (no row transfer — pass-2 #6: a limit().collect() branch
-    # probe transiently held up to a million Python Rows on the
-    # driver just to be discarded). Small batches — the serving
-    # regime — become a LocalRelation with zero storage blocks, at
-    # the cost of running the (cheap, query-side) probe aggregation
-    # twice; a batch past the threshold keeps the probe table fully
+    # huge batch must not be collected). Small batches — the serving
+    # regime — become a LocalRelation with zero storage blocks;
+    # a batch past the threshold keeps the probe table fully
     # distributed and lazy — the coarse assignment re-runs inside the
     # search, which is the right trade against pinning storage that
     # nothing on a long-running stream would ever release (pass-2
     # #2: a tracked_persist here re-opened the ADVICE r9 #4
     # accretion leak for over-threshold streams).
-    n_probe_rows = probes.limit(_PROBE_LOCAL_MAX + 1).count()
-    if n_probe_rows <= _PROBE_LOCAL_MAX:
-        probe_rows = probes.collect()
-        probes = spark.createDataFrame(probe_rows, probes.schema)
+    # ONE probe job, not two (VERDICT r10 ask #1 — warm serve latency
+    # is job-count-bound at serving batch sizes): branch via
+    # limit(N+1).collect() instead of count()-then-collect(). The
+    # over-threshold path transiently holds N+1 rows (~50 MB at the
+    # 250k cap) only to discard them — the trade pass-2 #6 rejected
+    # when the cap was a million rows — but that path is the OFFLINE
+    # bulk regime; the serving hot path saves a scheduled job per
+    # call, which at 3-query batches is a double-digit share of warm
+    # latency.
+    probe_rows = probes.limit(_PROBE_LOCAL_MAX + 1).collect()
+    if len(probe_rows) <= _PROBE_LOCAL_MAX:
         cids = sorted({r["cid"] for r in probe_rows})
+        if 0 < len(probe_rows) <= _PROBE_VALUES_MAX:
+            # pure-JVM VALUES relation: no Python runners on any
+            # downstream action (sources/inline.py rationale), no
+            # storage blocks. Bigger small-batches fall back to
+            # createDataFrame — a megabyte-scale VALUES string would
+            # move the cost into the SQL parser instead.
+            probes = values_df(
+                spark,
+                ", ".join(f"{n}: {t}" for n, t in probes.dtypes),
+                [tuple(r) for r in probe_rows],
+            )
+        elif probe_rows:
+            probes = spark.createDataFrame(probe_rows, probes.schema)
     else:
+        probe_rows = None  # release before the distinct() job
         cids = sorted(
             r["cid"] for r in probes.select("cid").distinct().collect()
         )
-    cid_type = dict(centroids.dtypes)["cid"]
     lake = (
         spark.read.parquet(codes_path)
         .where(F.col("cid").isin(cids))

@@ -158,6 +158,7 @@ def run_pipeline(
     steps = list(transit_steps() if steps is None else steps)
     by_name = {s.name: s for s in steps}
     seen: set[str] = set()
+    claimed_outputs: dict[str, str] = {}
     for s in steps:
         # in an EXPLICIT subset a dep absent from the list is allowed
         # — the reference UX runs single later steps against
@@ -183,10 +184,36 @@ def run_pipeline(
             raise ValueError(
                 f"step {s.name!r} listed before its dependencies"
             )
+        for t in s.outputs:
+            # two steps claiming one table would race overwrite-
+            # writes to the same path under parallelism>1 and
+            # silently clobber each other sequentially (ADVICE r10
+            # #4) — reject in the same validation pass
+            if t in claimed_outputs:
+                raise ValueError(
+                    f"output table {t!r} claimed by both "
+                    f"{claimed_outputs[t]!r} and {s.name!r}"
+                )
+            claimed_outputs[t] = s.name
         seen.add(s.name)
     if set(force) - set(by_name):
         raise ValueError(f"unknown force steps: {sorted(set(force) - set(by_name))}")
+    # Force-invalidation must cover the CANONICAL DAG's downstream
+    # closure, not just the steps passed this call (ADVICE r10 #1):
+    # with an explicit subset (e.g. CLI `runner gtfs --force gtfs`)
+    # the canonical downstreams (expand/aggregate/report) are outside
+    # the list, and leaving their markers intact lets a later full
+    # run skip them and serve stale output marked done — the exact
+    # hazard force-invalidation exists to prevent. Deleting a marker
+    # for a step not being run is always safe (it re-runs next time);
+    # custom test DAGs whose names don't appear in the canonical DAG
+    # gain nothing and lose nothing from the union.
     invalid = _downstream_closure(steps, set(force))
+    if force and explicit_subset:
+        canon = list(transit_steps())
+        invalid |= _downstream_closure(
+            canon, set(force) & {s.name for s in canon}
+        )
     for name in invalid:
         _delete_marker(spark, lake_root, name)
 

@@ -225,3 +225,29 @@ def test_rotating_stream_serve_picks_up_new_generation(spark, tmp_path):
     ).parquet(qsrc)
     run_once()
     assert recall(results[1]) >= 0.9, recall(results[1])
+
+
+def test_gen_name_claim_is_atomic(spark, tmp_path):
+    """ADVICE r10 #3: allocation CLAIMS the name (createNewFile on
+    <gen>/_claim), so a second allocator — even one racing before the
+    first writes any artifact — gets a fresh name instead of
+    interleaving overwrite-writes into the same dir; the claim file
+    is underscore-hidden so the unbuilt generation still reads as
+    uncommitted."""
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        _gen_dir,
+        _next_gen_name,
+    )
+    from sfdata_wrangler_spark.sources.lake import has_committed_data
+
+    root = str(tmp_path / "claimroot")
+    g0 = _next_gen_name(spark, root)
+    g1 = _next_gen_name(spark, root)  # nothing written yet: the race
+    assert g0 != g1
+    assert not has_committed_data(spark, _gen_dir(root, g0))
+    # a claimed-then-built generation activates normally
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        names = list(pool.map(lambda _: _next_gen_name(spark, root), range(8)))
+    assert len(set(names)) == 8

@@ -6,6 +6,7 @@ change the search result."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sfdata_wrangler_spark.operators.pq import (
@@ -196,3 +197,71 @@ def test_fully_trained_ivfpq_recall_and_codebook_quality(spark):
     # 1% slack: each update is an integer-division (floored) mean, so
     # strict monotonicity holds only up to quantization epsilon
     assert qerr(trained) <= qerr(seed) * 1.01
+
+
+def test_serve_prunes_partitions_dynamically(spark, tmp_path):
+    """VERDICT r10 ask #1: the default serve path carries NO driver-
+    side probe collect — the cid-partitioned scan is pruned by a
+    runtime dynamicpruning subquery inside the one search job, and
+    both prune modes return identical rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sfdata_wrangler_spark.plans.catalog import _t
+    from sfdata_wrangler_spark.plans.catalog36 import _ivfpq_artifacts
+    from sfdata_wrangler_spark.operators.pq import serve_pruned
+
+    sf = "/root/testdata/sf0.001"
+    root = _ivfpq_artifacts(spark, sf)
+    emb = _t(spark, sf, "embeddings")
+    cents = spark.read.parquet(os.path.join(root, "cents"))
+    cb = spark.read.parquet(os.path.join(root, "cb"))
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=3, n_probe=2, shortlist=16, m=8, sub_dim=8)
+    dyn = serve_pruned(
+        queries, os.path.join(root, "codes"), cents, cb, emb, **kw
+    )
+    plan = dyn._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    static = serve_pruned(
+        queries, os.path.join(root, "codes"), cents, cb, emb,
+        prune="static", **kw,
+    )
+    assert sorted(map(tuple, dyn.collect())) == sorted(
+        map(tuple, static.collect())
+    )
+    with pytest.raises(ValueError, match="prune"):
+        serve_pruned(
+            queries, os.path.join(root, "codes"), cents, cb, emb,
+            prune="nope", **kw,
+        )
+
+
+def test_serve_cache_hits_and_invalidates(spark, tmp_path):
+    """The generation-resolved artifact cache returns the SAME
+    LocalRelation object on a hit, a fresh one when the token moves,
+    and its values match the parquet source exactly."""
+    from sfdata_wrangler_spark.operators import serve_cache
+
+    src = spark.createDataFrame(
+        [(i, i * 10) for i in range(5)], "cid int, c_micro bigint"
+    )
+    path = str(tmp_path / "art")
+    src.write.mode("overwrite").parquet(path)
+    serve_cache.invalidate()
+    a = serve_cache.cached_local_artifact(spark, path, "t0")
+    b = serve_cache.cached_local_artifact(spark, path, "t0")
+    assert a is b
+    assert sorted(map(tuple, a.collect())) == [
+        (i, i * 10) for i in range(5)
+    ]
+    assert "LocalRelation" in a._jdf.queryExecution().optimizedPlan().toString() or \
+        "LocalTableScan" in a._jdf.queryExecution().executedPlan().toString()
+    c = serve_cache.cached_local_artifact(spark, path, "t1")
+    assert c is not a
+    serve_cache.invalidate()
+    d = serve_cache.cached_local_artifact(spark, path, "t0")
+    assert d is not a

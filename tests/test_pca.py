@@ -125,7 +125,9 @@ def test_int_fixed_point_basis_close_to_eigh_and_deterministic(spark, emb):
     q = np.floor(X * MICRO).astype(object)  # arbitrary precision
     got = {
         (r["vec_id"], r["dim"]): r["proj_q"]
-        for r in pca_project_int(emb, basis, s1, n).collect()
+        for r in pca_project_int(
+            emb, basis, s1, n, coord_abs_max=5.0
+        ).collect()
     }
     for i in range(X.shape[0]):
         for m, w in enumerate(basis):
@@ -152,5 +154,25 @@ def test_pca_project_int_overflow_guard(spark, emb):
     with pytest.raises(ValueError, match="DECIMAL"):
         pca_project_int(emb, basis, s1, huge_n)
     # the real corpus passes and still projects exactly
-    out = pca_project_int(emb, basis, s1, n)
+    out = pca_project_int(emb, basis, s1, n, coord_abs_max=5.0)
     assert out.count() == emb.count() * len(basis)
+
+
+def test_pca_project_int_coord_bound_verified_against_data(spark, emb):
+    """ADVICE r10 #2: the overflow guard no longer trusts the
+    caller-asserted coord_abs_max — the fixture's dim-0 coordinates
+    reach ~4.95, so the DEFAULT bound (1.0) must raise at execution
+    instead of certifying a fold that wraps silently; the true bound
+    projects fine."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from sfdata_wrangler_spark.operators.pca import (
+        pca_fit_int,
+        pca_project_int,
+    )
+
+    basis, s1, n = pca_fit_int(emb, k=2, iterations=4)
+    with pytest.raises(SparkRuntimeException, match="coord_abs_max"):
+        pca_project_int(emb, basis, s1, n).collect()
+    ok = pca_project_int(emb, basis, s1, n, coord_abs_max=5.0)
+    assert ok.count() == emb.count() * len(basis)

@@ -197,3 +197,38 @@ def test_duplicate_step_names_rejected(spark, tmp_path):
     dup = [s for s in transit_steps() if s.name == "clean1"] * 2
     with pytest.raises(ValueError, match="duplicate step"):
         run_pipeline(spark, SF, str(tmp_path / "d"), steps=dup)
+
+
+def test_duplicate_output_tables_rejected(spark, tmp_path):
+    """ADVICE r10 #4: two steps claiming one table would race
+    overwrite-writes under parallelism>1 and silently clobber each
+    other sequentially — rejected in validation."""
+    clash = [
+        Step("a", (), ("shared",), lambda *_: {}),
+        Step("b", (), ("shared",), lambda *_: {}),
+    ]
+    with pytest.raises(ValueError, match="claimed by both"):
+        run_pipeline(spark, SF, str(tmp_path / "c"), steps=clash)
+
+
+def test_force_with_subset_invalidates_canonical_downstream(
+    spark, e2e_lake, tmp_path
+):
+    """ADVICE r10 #1: `runner gtfs --force gtfs` (explicit subset)
+    must invalidate the CANONICAL downstream closure, not just the
+    subset — otherwise a later full run skips expand/aggregate/report
+    and serves stale output marked done."""
+    ref_lake, _ = e2e_lake
+    lake = str(tmp_path / "subsetlake")
+    shutil.copytree(ref_lake, lake)
+    steps = [s for s in transit_steps() if s.name == "gtfs"]
+    summary = run_pipeline(spark, SF, lake, steps=steps, force=("gtfs",))
+    assert _statuses(summary) == {"gtfs": "ran"}
+    # the canonical downstreams' markers are gone -> a full run
+    # re-runs exactly the gtfs closure, then the report matches
+    full = run_pipeline(spark, SF, lake)
+    st = _statuses(full)
+    assert {k for k, v in st.items() if v == "ran"} == {
+        "expand", "aggregate", "taxi", "demand", "multimodal", "report",
+    }
+    assert _report_rows(spark, lake) == _report_rows(spark, ref_lake)
