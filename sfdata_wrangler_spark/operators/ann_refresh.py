@@ -241,13 +241,21 @@ def refresh_generation(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_pred=None,
+    retain: int | None = 2,
+    grace_age_s: float = 0.0,
 ) -> str:
     """The rotation: retrain on ``corpus`` (optionally a
     ``train_pred`` sample), re-encode, write a NEW generation dir,
     and atomically swap serving to it. Returns the new generation
-    name. The superseded generation's artifacts are left intact for
-    in-flight readers; delete them on the deployment's grace
-    schedule."""
+    name.
+
+    ``retain`` bounds disk (VERDICT r10 ask #2): after the swap,
+    :func:`gc_generations` keeps the newest ``retain`` generations
+    (so the just-superseded one always survives one full rotation for
+    in-flight readers) and deletes anything older whose artifacts
+    have been quiet for ``grace_age_s``. ``retain=None`` restores the
+    r10 behavior — nothing is ever deleted; the deployment sweeps on
+    its own schedule."""
     from ._cache import cache_scope
 
     gen = _next_gen_name(spark, root)
@@ -269,6 +277,8 @@ def refresh_generation(
             },
         )
     activate_generation(spark, root, gen)
+    if retain is not None:
+        gc_generations(spark, root, keep=retain, grace_age_s=grace_age_s)
     return gen
 
 
@@ -370,6 +380,87 @@ def serve_current(
         vec_col=vec_col,
         missing_ok=missing_ok,
     )
+
+
+def list_generations(spark, root: str) -> list[str]:
+    """All generation names under ``root``, oldest first (names are
+    zero-padded sequence numbers, so lexicographic == allocation
+    order). Includes claimed-but-unbuilt generations."""
+    fs, _, jvm = hadoop_fs(spark, root)
+    gdir = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/generations")
+    if not fs.exists(gdir):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(gdir)
+        if st.getPath().getName().startswith(_GEN_PREFIX)
+    )
+
+
+def _gen_age_s(spark, root: str, gen: str) -> float:
+    """Seconds since the generation last changed: newest modification
+    time across the gen dir and its immediate children (meta.json for
+    a built generation, _claim for an unbuilt one — a refresh still
+    WRITING artifacts keeps bumping child mtimes, so an in-progress
+    build always reads young)."""
+    import time as _time
+
+    fs, _, jvm = hadoop_fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(_gen_dir(root, gen))
+    newest = fs.getFileStatus(p).getModificationTime()
+    for st in fs.listStatus(p):
+        newest = max(newest, st.getModificationTime())
+    return _time.time() - newest / 1000.0
+
+
+def gc_generations(
+    spark,
+    root: str,
+    keep: int = 2,
+    grace_age_s: float = 0.0,
+) -> list[str]:
+    """Retention for superseded generations (VERDICT r10 ask #2:
+    ``refresh_generation`` left every old generation on disk forever —
+    unbounded at one corpus-sized ``codes/`` dir per drift episode).
+
+    Deletes generations that are (a) NOT among the newest ``keep``,
+    (b) NOT the generation ``_current`` points at (a pointer pinned on
+    an old generation — e.g. a refresh that crashed between write and
+    activate — must never have its serving artifacts swept under it),
+    and (c) older than ``grace_age_s``. Returns the deleted names.
+
+    ``keep=2`` is the rotation-safety floor: a reader that resolved
+    the pointer JUST before a swap is still reading generation N while
+    N+1 serves, so N must survive one full rotation — with keep=2 it
+    is deleted only by the rotation AFTER next, by which time any
+    in-flight plan against it has long finished (the same one-
+    rotation grace rule as the dedup stream's folded dirs). ``keep=1``
+    is allowed but documents itself: only the active generation
+    survives, and a reader mid-plan across a swap can lose its scan.
+
+    Scale shape: pure driver-side file-listing over generation COUNT
+    (not corpus size); the deletes are recursive FS removes of
+    superseded artifact dirs."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    gens = list_generations(spark, root)
+    current = current_generation(spark, root)
+    protected = set(gens[-keep:])
+    if current is not None:
+        protected.add(current)
+    fs, _, jvm = hadoop_fs(spark, root)
+    deleted: list[str] = []
+    for gen in gens:
+        if gen in protected:
+            continue
+        if _gen_age_s(spark, root, gen) < grace_age_s:
+            continue
+        ok = fs.delete(
+            jvm.org.apache.hadoop.fs.Path(_gen_dir(root, gen)), True
+        )
+        if ok:
+            deleted.append(gen)
+    return deleted
 
 
 def list_imbalance(

@@ -251,3 +251,77 @@ def test_gen_name_claim_is_atomic(spark, tmp_path):
     with cf.ThreadPoolExecutor(max_workers=8) as pool:
         names = list(pool.map(lambda _: _next_gen_name(spark, root), range(8)))
     assert len(set(names)) == 8
+
+
+def test_generation_retention_bounds_disk_and_keeps_serving(
+    spark, tmp_path
+):
+    """VERDICT r10 ask #2: rotate THRICE with retain=2 — disk stays
+    bounded at 2 generations, serve is green after every rotation,
+    and a reader that resolved generation N just before the swap to
+    N+1 still collects (N's deletion is deferred one full rotation).
+    A grace age defers deletion; the pointer's generation is never
+    swept even when it falls outside the newest-K window."""
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        _gen_dir,
+        gc_generations,
+        list_generations,
+    )
+
+    root = str(tmp_path / "gcroot")
+    schema = "vec_id long, embedding array<double>"
+    rows = _corpus_a()
+    corpus = spark.createDataFrame(rows, schema)
+    qdf = spark.createDataFrame(_queries()[:1], ["query_id", "embedding"])
+
+    gens_seen = []
+    inflight = None
+    for i in range(3):
+        if i == 2:
+            # reader resolves the CURRENT generation (gen-0001) right
+            # before the third rotation supersedes it
+            inflight = serve_current(spark, root, qdf, corpus, **SERVE)
+        gen = refresh_generation(spark, root, corpus, **KW)
+        gens_seen.append(gen)
+        on_disk = list_generations(spark, root)
+        assert len(on_disk) <= 2, on_disk
+        assert current_generation(spark, root) == gen == on_disk[-1]
+        assert serve_current(spark, root, qdf, corpus, **SERVE).count() > 0
+    assert gens_seen == ["gen-0000", "gen-0001", "gen-0002"]
+    assert list_generations(spark, root) == ["gen-0001", "gen-0002"]
+    # the in-flight plan against gen-0001 survives rotation 3
+    assert inflight.count() > 0
+
+    # grace age: a fresh superseded generation is NOT deleted yet
+    refresh_generation(
+        spark, root, corpus, retain=1, grace_age_s=3600.0, **KW
+    )
+    assert "gen-0002" in list_generations(spark, root)
+    # explicit gc with no grace trims to exactly the active one
+    deleted = gc_generations(spark, root, keep=1)
+    assert current_generation(spark, root) == "gen-0003"
+    assert list_generations(spark, root) == ["gen-0003"]
+    assert "gen-0002" in deleted
+
+    # a pointer pinned on an OLD generation protects it from gc
+    from sfdata_wrangler_spark.sources.lake import atomic_write_text
+
+    atomic_write_text(spark, f"{root}/_current", "gen-0003")
+    # build two more generations WITHOUT activating them
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        _next_gen_name,
+        train_generation,
+        write_generation,
+    )
+
+    for _ in range(2):
+        g = _next_gen_name(spark, root)
+        c, cb, enc = train_generation(corpus, **KW)
+        write_generation(
+            spark, root, g, c, cb, enc,
+            meta={"m": KW["m"], "sub_dim": KW["sub_dim"]},
+        )
+    gc_generations(spark, root, keep=1)
+    # newest-1 = gen-0005, but the pointer's gen-0003 must survive
+    assert "gen-0003" in list_generations(spark, root)
+    assert serve_current(spark, root, qdf, corpus, **SERVE).count() > 0
