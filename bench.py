@@ -86,6 +86,58 @@ def _run_context() -> dict:
     }
 
 
+def _ivfpq_split(spark, sf_dir: str) -> tuple[float, float]:
+    """(build_sec, query_sec): one cold IVF-PQ train+encode+persist
+    into a throwaway dir, then best-of-3 serve_pruned against the
+    prebuilt artifacts — the deployment lifecycle, measured as the
+    two numbers it actually consists of (VERDICT r10 ask #5)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sfdata_wrangler_spark.operators.pq import serve_pruned
+    from sfdata_wrangler_spark.plans.catalog35 import (
+        _K,
+        _M,
+        _N_PROBE,
+        _SHORTLIST,
+        _SUB_DIM,
+        _ivfpq_parts,
+    )
+    from sfdata_wrangler_spark.sources.lake import write_partitioned
+
+    root = tempfile.mkdtemp(prefix="bench_ivfpq_split_")
+    try:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        emb, cents, cb, enc = _ivfpq_parts(spark, sf_dir)
+        write_partitioned(
+            enc, os.path.join(root, "codes"), ("cid",), dynamic=False
+        )
+        cents.write.mode("overwrite").parquet(os.path.join(root, "cents"))
+        cb.write.mode("overwrite").parquet(os.path.join(root, "cb"))
+        build = time.time() - t0
+        cents_r = spark.read.parquet(os.path.join(root, "cents"))
+        cb_r = spark.read.parquet(os.path.join(root, "cb"))
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        q_runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            serve_pruned(
+                queries, os.path.join(root, "codes"), cents_r, cb_r, emb,
+                k=_K, n_probe=_N_PROBE, shortlist=_SHORTLIST,
+                m=_M, sub_dim=_SUB_DIM,
+            ).count()
+            q_runs.append(time.time() - t0)
+        return round(build, 3), round(min(q_runs), 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ctx_before = _run_context()
@@ -160,6 +212,18 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # VERDICT r10 ask #5: emb_ivfpq_topk's headline number reads as
+    # query latency but ~70% of it is the inline index build it pays
+    # every run. Split the lifecycle the way a deployment sees it:
+    # ivfpq_build = ONE cold train+encode+persist into a fresh dir
+    # (amortized over every query batch served after it);
+    # ivfpq_query = best-of-3 serve against those prebuilt artifacts.
+    ivfpq_build, ivfpq_query = _ivfpq_split(spark, sf_dir)
+    print(
+        f"# ivfpq_build={ivfpq_build:.3f}s ivfpq_query={ivfpq_query:.3f}s",
+        file=sys.stderr,
+    )
+
     def _sf_of(d: str):
         raw = os.path.basename(d.rstrip("/")).replace("sf", "")
         try:
@@ -204,10 +268,23 @@ def main() -> None:
         ),
         # the deployment-relevant headline (VERDICT r9 ask #6)
         "serve_warm": timings.get("emb_ivfpq_serve"),
+        # lifecycle split (VERDICT r10 ask #5): one cold index build
+        # vs best-of-3 query-against-prebuilt — emb_ivfpq_topk stays
+        # for cross-round continuity but its number is build+query
+        "ivfpq_build": ivfpq_build,
+        "ivfpq_query": ivfpq_query,
         # run-condition stamp (VERDICT r7 #4): load + a single-thread
         # CPU probe before and after, so an inflated total is
         # classifiable as environment (probe also inflated) vs code
         "run_context": {"before": ctx_before, "after": _run_context()},
+        # contention verdict (VERDICT r10 ask #8: the r10 driver
+        # snapshot ran at load1 5.83 and read 0.81x vs the clean
+        # 0.61x). True when the host was already busy at bench start
+        # — round-over-round deltas from a contended run are
+        # environment, not code; compare only clean-stamped runs.
+        "contended": bool(
+            ctx_before["load1"] > 1.0 or ctx_before["cpu_probe_sec"] > 0.1
+        ),
     }
 
     # Secondary scale point (VERDICT r1 item 7): same query set at a
@@ -281,7 +358,20 @@ def compact_line(result: dict, timings: dict) -> str:
         # serve latency against the persisted IVF-PQ lake — regressed
         # against BASELINE.md's serve_warm engine-target row
         "serve_warm": timings.get("emb_ivfpq_serve"),
-        "run_context": result["run_context"],
+        # lifecycle split + contention verdict (VERDICT r10 asks #5/#8)
+        "ivfpq_build": result["ivfpq_build"],
+        "ivfpq_query": result["ivfpq_query"],
+        "contended": result["contended"],
+        # only the contention discriminators; the full run_context
+        # (cpus, tty bits) stays in BENCH_FULL_latest.json — the
+        # compact window is the scarce resource here
+        "run_context": {
+            side: {
+                k: result["run_context"][side][k]
+                for k in ("cpu_probe_sec", "load1")
+            }
+            for side in ("before", "after")
+        },
     }
     line = json.dumps(compact)
     if len(line) >= 1900:

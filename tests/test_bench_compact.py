@@ -21,6 +21,9 @@ def _fake(n_queries):
         "value_noop_sink": 30.123,
         "comparable_r2_mean_warm": 5.6,
         "comparable_r2_std_warm": 0.15,
+        "ivfpq_build": 2.345,
+        "ivfpq_query": 1.011,
+        "contended": False,
         "run_context": {"before": ctx, "after": ctx},
     }
     return result, timings
@@ -36,6 +39,10 @@ def test_compact_line_carries_every_query():
     assert len(parsed["queries"]) == len(timings) >= 30
     assert parsed["serve_warm"] == 1.456
     assert parsed["value_comparable_r2"] == 5.221
+    # lifecycle split + contention verdict (VERDICT r10 asks #5/#8)
+    assert parsed["ivfpq_build"] == 2.345
+    assert parsed["ivfpq_query"] == 1.011
+    assert parsed["contended"] is False
 
 
 def test_compact_line_degrades_instead_of_failing():
