@@ -74,6 +74,12 @@ def _run_context() -> dict:
     import numpy as np
 
     a = np.arange(2_000_000, dtype=np.float64)
+    # one untimed pass first: the process's FIRST numpy workload pays
+    # allocator/page-fault warm-up (~0.10s measured vs ~0.04s steady on
+    # an idle host), which put the cold ctx_before probe over the 0.1s
+    # contention threshold even at load1 0.2 — stamping every run
+    # contended and making the stamp useless
+    float((a * a).sum())
     t0 = time.perf_counter()
     for _ in range(10):
         float((a * a).sum())

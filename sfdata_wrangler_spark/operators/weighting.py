@@ -27,7 +27,25 @@ def calc_weights(
     old_weight: str,
     trip_stops: str = "TRIP_STOPS",
     out: str = "WEIGHT",
+    strategy: str = "window",
 ) -> DataFrame:
+    """``strategy="window"`` (default) shuffles every row into its cell
+    partition — fine when cells are balanced, but a hot cell (SURVEY §4:
+    one trunk route with ~40% of all AVL rows) lands on ONE task, and
+    AQE cannot split a window partition the way it splits a skewed
+    join. ``strategy="agg"`` is the skew-immune form: the two cell sums
+    are map-side-combinable aggregations (each input partition emits at
+    most one partial per cell, so the hot cell costs the same as any
+    other), and the factor table — one row per cell, dimension-sized —
+    broadcasts back onto the rows with no second shuffle of the fact.
+    Both strategies compute the identical factor; the summation order
+    differs, so results are bitwise-equal whenever the addends are
+    exactly representable (the 1.0-seeded expansion weighting always
+    is) and equal-within-ulps otherwise."""
+    if strategy == "agg":
+        return _calc_weights_agg(df, group, old_weight, trip_stops, out)
+    if strategy != "window":
+        raise ValueError(f"strategy must be 'window' or 'agg', got {strategy!r}")
     w = Window.partitionBy(*group)
     total = F.sum(F.col(trip_stops)).over(w)
     observed = F.sum(
@@ -37,6 +55,42 @@ def calc_weights(
     ).over(w)
     factor = F.when(observed > 0, total / observed)
     return df.withColumn(out, F.col(old_weight) * factor)
+
+
+def _calc_weights_agg(
+    df: DataFrame,
+    group: Sequence[str],
+    old_weight: str,
+    trip_stops: str,
+    out: str,
+) -> DataFrame:
+    group = list(group)
+    cells = df.groupBy(*group).agg(
+        F.sum(F.col(trip_stops)).alias("__cw_total"),
+        F.sum(
+            F.when(
+                F.col(old_weight).isNotNull(),
+                F.col(old_weight) * F.col(trip_stops),
+            )
+        ).alias("__cw_observed"),
+    )
+    factors = cells.select(
+        *[F.col(c).alias(f"__cw_{c}") for c in group],
+        F.when(
+            F.col("__cw_observed") > 0,
+            F.col("__cw_total") / F.col("__cw_observed"),
+        ).alias("__cw_factor"),
+    )
+    # null-safe equality so a NULL cell key matches itself, exactly as
+    # Window.partitionBy groups nulls together
+    cond = None
+    for c in group:
+        eq = F.col(c).eqNullSafe(F.col(f"__cw_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = df.join(F.broadcast(factors), cond, "left")
+    return joined.withColumn(
+        out, F.col(old_weight) * F.col("__cw_factor")
+    ).drop("__cw_factor", *[f"__cw_{c}" for c in group])
 
 
 def seed_trip_weight(df: DataFrame, observed_col: str = "OBSERVED") -> DataFrame:

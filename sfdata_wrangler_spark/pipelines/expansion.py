@@ -43,10 +43,17 @@ def expand_and_weight(
     gtfs_trip_stops: DataFrame,
     avl: DataFrame,
     weight_cell: list[str] | None = None,
+    weight_strategy: str = "window",
 ) -> DataFrame:
     """GTFS LEFT JOIN AVL on the trip-stop key, derived metrics, then
     TRIP_WEIGHT/TOD_WEIGHT expansion (``SFMuniDataExpander.py:
-    481-619``). Input AVL must already be cleaned (``clean_avl``)."""
+    481-619``). Input AVL must already be cleaned (``clean_avl``).
+
+    ``weight_strategy="agg"`` switches the expansion-weight step to the
+    skew-immune aggregate+broadcast form (see ``calc_weights``): use it
+    when one route/cell dominates the feed (SURVEY §4 trunk routes) —
+    the window form puts the whole hot cell on one task and AQE cannot
+    split window partitions."""
     weight_cell = weight_cell or ["DATE", "TOD", "AGENCY_ID",
                                   "ROUTE_SHORT_NAME", "DIR"]
 
@@ -89,5 +96,6 @@ def expand_and_weight(
         F.when(F.col("TRIP_OBSERVED") == 1, F.lit(1.0)),
     ).withColumn("TRIP_STOPS", F.lit(1.0))
     return calc_weights(
-        seeded, weight_cell, "TRIP_WEIGHT", "TRIP_STOPS", "TOD_WEIGHT"
+        seeded, weight_cell, "TRIP_WEIGHT", "TRIP_STOPS", "TOD_WEIGHT",
+        strategy=weight_strategy,
     )

@@ -398,8 +398,15 @@ FROM w GROUP BY month, o_orderpriority
 
 
 @_register("flagship_expand_weight_cascade", _FLAGSHIP_ORACLE, bench=True)
-def flagship_expand_weight_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 expand join + W7 expansion weighting + §2.4 weighted cascade."""
+def flagship_expand_weight_cascade(
+    spark: SparkSession, sf_dir: str, weight_strategy: str = "window"
+) -> DataFrame:
+    """J1 expand join + W7 expansion weighting + §2.4 weighted cascade.
+
+    ``weight_strategy="agg"`` runs the skew-immune expansion-weight
+    form (registered separately as ``flagship_skew_safe_weights``);
+    both produce bitwise-identical results here because the weighting
+    addends are exactly-representable 1.0 seeds."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     ts = (
@@ -415,7 +422,8 @@ def flagship_expand_weight_cascade(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("trip_stops", F.lit(1.0))
     )
     weighted = calc_weights(
-        ts, ["month", "o_orderpriority"], "trip_weight", "trip_stops", "weight"
+        ts, ["month", "o_orderpriority"], "trip_weight", "trip_stops",
+        "weight", strategy=weight_strategy,
     )
     # est_revenue = (exact integer sum of observed revenue) x the
     # cell's constant expansion factor: a single arithmetic path, so
@@ -449,6 +457,17 @@ def flagship_expand_weight_cascade(spark: SparkSession, sf_dir: str) -> DataFram
         "obs_rows",
         "n_rows",
     )
+
+
+@_register("flagship_skew_safe_weights", _FLAGSHIP_ORACLE)
+def flagship_skew_safe_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship with the skew-immune expansion weighting
+    (``calc_weights(strategy="agg")``): per-cell sums as map-side-
+    combinable aggregations + a broadcast factor join-back, instead of
+    a window that puts a hot trunk-route cell on one task (SURVEY §4).
+    Same oracle as the flagship — the weighting addends are exact 1.0
+    seeds, so the two strategies are bitwise-identical."""
+    return flagship_expand_weight_cascade(spark, sf_dir, weight_strategy="agg")
 
 
 # ---------------------------------------------------------------------------

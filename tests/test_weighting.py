@@ -39,6 +39,52 @@ def test_weight_invariant(spark):
     assert per_row[("A", 2)] is None
 
 
+def test_agg_strategy_equivalence(spark):
+    """strategy="agg" (skew-immune groupBy+broadcast form) must match
+    strategy="window" row-for-row, including NULL cell keys (window
+    partitionBy groups nulls together, so the join-back must be
+    null-safe) and fully-unobserved cells (factor undefined → null)."""
+    rows = []
+    for cell, pattern in [("A", [1, 1, 0, 0]), ("B", [0, 0]), (None, [1, 0, 0])]:
+        for i, obs in enumerate(pattern):
+            rows.append(
+                Row(cell=cell, trip=i, OBSERVED=obs, TRIP_STOPS=1.0 + i)
+            )
+    df = seed_trip_weight(
+        spark.createDataFrame(rows, "cell string, trip int, "
+                                    "OBSERVED int, TRIP_STOPS double")
+    )
+    win = calc_weights(df, ["cell"], "TRIP_WEIGHT", "TRIP_STOPS", "WEIGHT")
+    agg = calc_weights(
+        df, ["cell"], "TRIP_WEIGHT", "TRIP_STOPS", "WEIGHT", strategy="agg"
+    )
+    assert win.columns == agg.columns
+    key = lambda r: (r.cell or "", r.trip)  # noqa: E731
+    for a, b in zip(
+        sorted(win.collect(), key=key), sorted(agg.collect(), key=key)
+    ):
+        assert a == b, (a, b)
+
+
+def test_agg_strategy_plan_has_no_window(spark):
+    """The point of strategy="agg" is that no full-width shuffle into
+    cell partitions happens: the plan must contain no Window operator,
+    and the factor join-back must be a broadcast hash join (cells are
+    dimension-sized by construction)."""
+    df = seed_trip_weight(
+        spark.range(1000)
+        .withColumn("cell", (F.col("id") % 3).cast("string"))
+        .withColumn("OBSERVED", (F.col("id") % 2).cast("int"))
+        .withColumn("TRIP_STOPS", F.lit(1.0))
+    )
+    agg = calc_weights(
+        df, ["cell"], "TRIP_WEIGHT", "TRIP_STOPS", "WEIGHT", strategy="agg"
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_two_stage_weight_chaining(spark):
     """The reference chains weights (TRIP_WEIGHT within TOD cells,
     then TOD_WEIGHT across the day, SFMuniDataExpander.py:600-619):

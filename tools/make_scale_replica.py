@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Build an N-times scale replica of a testdata sf directory.
+
+Round 10 ran its sf1.0-equivalent probes (ARCHITECTURE.md "sf1.0-equivalent
+probe") against an ad-hoc /tmp replica; this commits the generator so the
+probe table is reproducible in any round.
+
+Replication semantics (match the round-10 replica exactly):
+
+- documents: N copies, doc_id shifted by i*KEY_OFFSET, and every copy i>0
+  gets a per-copy prefix token ``r<i> `` prepended to ``text`` (n_chars kept
+  consistent). The perturbation keeps near-dup pair mass scaling realistic:
+  identical twins would inflate LSH pair counts ~N^2, a distinct prefix
+  token keeps copies similar-but-not-equal, which is what a real 10x corpus
+  looks like.
+- embeddings: N copies, vec_id shifted, vectors untouched (pure key shift:
+  ANN cost should scale with corpus size, not with artificial new geometry).
+- lineitem / orders: N copies with o_orderkey / l_orderkey shifted in
+  lockstep so the order->lineitem join keeps its exact fan-out; dim FKs
+  (custkey/partkey/suppkey) are NOT shifted, so dimension fan-in grows Nx,
+  which is the realistic shape when facts grow and dims don't.
+- events: N copies with event_id and user_id shifted, timestamps untouched
+  (each copy is a disjoint user population with identical session shapes).
+- dims (region nation customer supplier part): copied once, unreplicated.
+
+Skewed variant (``--hot-cell-frac 0.4``): remaps that fraction of orders
+(deterministically, by ``o_orderkey % 100``) onto ONE (order-month,
+order-priority) cell — the reference's "trunk route" shape (SURVEY §4: one
+trunk route carries a large share of all AVL rows) mapped onto the
+flagship's expansion-weight cell. Lineitem rows follow their order through
+the join, so the hot cell holds ~that fraction of the joined fact rows.
+
+Usage: python tools/make_scale_replica.py [--src /root/testdata/sf0.1]
+                                          [--dst /tmp/sfdata_sf10_flat]
+                                          [--factor 10]
+                                          [--hot-cell-frac 0.0]
+"""
+import argparse
+import os
+
+import duckdb
+
+KEY_OFFSET = 100_000_000  # far above any key in sf<=1 testdata
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def _union(con, pieces, out_path):
+    sql = " UNION ALL ".join(pieces)
+    con.execute(f"COPY ({sql}) TO '{out_path}' (FORMAT PARQUET)")
+
+
+HOT_MONTH_DATE = "TIMESTAMP '1995-06-15 00:00:00'"
+HOT_PRIORITY = "1-URGENT"
+
+
+def build(src: str, dst: str, factor: int, hot_cell_frac: float = 0.0) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    for t in DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    doc = []
+    for i in range(factor):
+        if i == 0:
+            doc.append(f"SELECT * FROM '{src}/documents.parquet'")
+        else:
+            pfx = f"r{i} "
+            doc.append(
+                f"SELECT doc_id + {i * KEY_OFFSET} AS doc_id, "
+                f"'{pfx}' || text AS text, lang, source, "
+                f"n_chars + {len(pfx)} AS n_chars "
+                f"FROM '{src}/documents.parquet'"
+            )
+    _union(con, doc, f"{dst}/documents.parquet")
+
+    emb = [
+        f"SELECT vec_id + {i * KEY_OFFSET} AS vec_id, embedding, label "
+        f"FROM '{src}/embeddings.parquet'"
+        for i in range(factor)
+    ]
+    _union(con, emb, f"{dst}/embeddings.parquet")
+
+    if hot_cell_frac > 0:
+        # o_orderkey % 100 is uniform on TPC-H-ish keys; remapping the
+        # first `pct` residues moves exactly that share of orders (and,
+        # via the orderkey join, of lineitems) into one month×priority
+        # cell. Deterministic, so reruns produce the identical lake.
+        pct = int(round(hot_cell_frac * 100))
+        o_date = (
+            f"CASE WHEN o_orderkey % 100 < {pct} THEN {HOT_MONTH_DATE} "
+            f"ELSE o_orderdate END AS o_orderdate"
+        )
+        o_prio = (
+            f"CASE WHEN o_orderkey % 100 < {pct} THEN '{HOT_PRIORITY}' "
+            f"ELSE o_orderpriority END AS o_orderpriority"
+        )
+    else:
+        o_date, o_prio = "o_orderdate", "o_orderpriority"
+    orders = [
+        f"SELECT o_orderkey + {i * KEY_OFFSET} AS o_orderkey, o_custkey, "
+        f"o_orderstatus, o_totalprice, {o_date}, {o_prio} "
+        f"FROM '{src}/orders.parquet'"
+        for i in range(factor)
+    ]
+    _union(con, orders, f"{dst}/orders.parquet")
+
+    li = [
+        f"SELECT l_orderkey + {i * KEY_OFFSET} AS l_orderkey, l_partkey, "
+        f"l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, "
+        f"l_tax, l_returnflag, l_linestatus, l_shipdate "
+        f"FROM '{src}/lineitem.parquet'"
+        for i in range(factor)
+    ]
+    _union(con, li, f"{dst}/lineitem.parquet")
+
+    ev = [
+        f"SELECT event_id + {i * KEY_OFFSET} AS event_id, ts, "
+        f"user_id + {i * KEY_OFFSET} AS user_id, event_type, value, props "
+        f"FROM '{src}/events.parquet'"
+        for i in range(factor)
+    ]
+    _union(con, ev, f"{dst}/events.parquet")
+
+    for t in DIMS + ["documents", "embeddings", "orders", "lineitem", "events"]:
+        n = con.execute(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/sfdata_sf10_flat")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--hot-cell-frac", type=float, default=0.0)
+    a = ap.parse_args()
+    build(a.src, a.dst, a.factor, a.hot_cell_frac)

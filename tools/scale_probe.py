@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Run registered queries at two scales and report the scaling ratio.
+
+Companion to tools/make_scale_replica.py: the ARCHITECTURE.md
+"sf1.0-equivalent probe" tables are produced by this harness instead of
+ad-hoc shell, so any round can re-verify the no-knee claims.
+
+Method (matches the round-10 probes): one warm-up run at each scale is
+excluded, then best-of-N (default 3) foreground wall-clock per query per
+scale, both scales measured back-to-back in the same Spark session so JVM /
+codegen warm-up costs cancel.
+
+Usage:
+  python tools/scale_probe.py q1 q2 ... [--small /root/testdata/sf0.1]
+                                        [--big /tmp/sfdata_sf10_flat]
+                                        [--runs 3]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _time_query(fn, spark, sf_dir, runs):
+    times = []
+    for i in range(runs + 1):  # +1 warm-up, excluded
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        if i > 0:
+            times.append(dt)
+    return min(times), times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--small", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default="/tmp/sfdata_sf10_flat")
+    ap.add_argument("--runs", type=int, default=3)
+    a = ap.parse_args()
+
+    from sfdata_wrangler_spark.session import get_spark
+    from sfdata_wrangler_spark.plans import query_map
+
+    spark = get_spark()
+    qm = query_map()
+    out = {}
+    for name in a.queries:
+        fn = qm[name]
+        small_best, small_all = _time_query(fn, spark, a.small, a.runs)
+        big_best, big_all = _time_query(fn, spark, a.big, a.runs)
+        out[name] = {
+            "small_best_s": round(small_best, 2),
+            "big_best_s": round(big_best, 2),
+            "ratio": round(big_best / small_best, 2),
+            "small_all": [round(t, 2) for t in small_all],
+            "big_all": [round(t, 2) for t in big_all],
+        }
+        print(json.dumps({name: out[name]}))
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
