@@ -282,14 +282,22 @@ def main() -> None:
         # run-condition stamp (VERDICT r7 #4): load + a single-thread
         # CPU probe before and after, so an inflated total is
         # classifiable as environment (probe also inflated) vs code
-        "run_context": {"before": ctx_before, "after": _run_context()},
+        "run_context": {"before": ctx_before, "after": (ctx_after := _run_context())},
         # contention verdict (VERDICT r10 ask #8: the r10 driver
         # snapshot ran at load1 5.83 and read 0.81x vs the clean
-        # 0.61x). True when the host was already busy at bench start
-        # — round-over-round deltas from a contended run are
-        # environment, not code; compare only clean-stamped runs.
+        # 0.61x). True when the host was busy at bench START or still
+        # starved at bench END — the after-probe catches contention
+        # that began mid-run (code-review r11 #5). after.load1 is NOT
+        # consulted: the bench's own 32-way execution legitimately
+        # leaves load1 at 3-6 on a clean run, while the single-thread
+        # probe runs after our executors are idle and only reads slow
+        # if a COMPETING workload is still live. Round-over-round
+        # deltas from a contended run are environment, not code;
+        # compare only clean-stamped runs.
         "contended": bool(
-            ctx_before["load1"] > 1.0 or ctx_before["cpu_probe_sec"] > 0.1
+            ctx_before["load1"] > 1.0
+            or ctx_before["cpu_probe_sec"] > 0.1
+            or ctx_after["cpu_probe_sec"] > 0.1
         ),
     }
 

@@ -383,33 +383,62 @@ def serve_current(
 
 
 def list_generations(spark, root: str) -> list[str]:
-    """All generation names under ``root``, oldest first (names are
-    zero-padded sequence numbers, so lexicographic == allocation
-    order). Includes claimed-but-unbuilt generations."""
+    """All generation names under ``root``, oldest first — ordered by
+    the NUMERIC sequence suffix, not lexicographically (``gen-10000``
+    sorts before ``gen-9999`` as a string, which would make the GC
+    keep-window protect a long-dead generation instead of the one just
+    superseded; code-review r11 #3). Non-numeric suffixes sort after
+    all numeric ones. Includes claimed-but-unbuilt generations."""
     fs, _, jvm = hadoop_fs(spark, root)
     gdir = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/generations")
     if not fs.exists(gdir):
         return []
+
+    def _order(name: str):
+        try:
+            return (0, int(name[len(_GEN_PREFIX):]), name)
+        except ValueError:
+            return (1, 0, name)
+
     return sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(gdir)
-        if st.getPath().getName().startswith(_GEN_PREFIX)
+        (
+            st.getPath().getName()
+            for st in fs.listStatus(gdir)
+            if st.getPath().getName().startswith(_GEN_PREFIX)
+        ),
+        key=_order,
     )
 
 
-def _gen_age_s(spark, root: str, gen: str) -> float:
+def is_built(spark, root: str, gen: str) -> bool:
+    """True once the generation's meta.json is committed — the last
+    artifact :func:`write_generation` writes, so a built generation
+    has every other artifact on disk too."""
+    txt = read_text(spark, f"{_gen_dir(root, gen)}/meta.json")
+    return bool(txt)
+
+
+def _gen_age_s(spark, root: str, gen: str, recursive: bool = False) -> float:
     """Seconds since the generation last changed: newest modification
-    time across the gen dir and its immediate children (meta.json for
-    a built generation, _claim for an unbuilt one — a refresh still
-    WRITING artifacts keeps bumping child mtimes, so an in-progress
-    build always reads young)."""
+    time across the gen dir and its children. ``recursive=True`` walks
+    the whole subtree — required to see an in-progress build: a long
+    parquet job lands task files under ``codes/_temporary/.../``, so
+    ``codes/``'s own mtime stops advancing right after job start and a
+    shallow scan would read a half-written build as quiet (code-review
+    r11 #4). The walk is bounded by ONE generation's file count, which
+    is partition-count-sized, not corpus-sized."""
     import time as _time
 
     fs, _, jvm = hadoop_fs(spark, root)
     p = jvm.org.apache.hadoop.fs.Path(_gen_dir(root, gen))
     newest = fs.getFileStatus(p).getModificationTime()
-    for st in fs.listStatus(p):
-        newest = max(newest, st.getModificationTime())
+    stack = [p]
+    while stack:
+        d = stack.pop()
+        for st in fs.listStatus(d):
+            newest = max(newest, st.getModificationTime())
+            if recursive and st.isDirectory():
+                stack.append(st.getPath())
     return _time.time() - newest / 1000.0
 
 
@@ -418,16 +447,30 @@ def gc_generations(
     root: str,
     keep: int = 2,
     grace_age_s: float = 0.0,
+    unbuilt_grace_s: float = 86400.0,
 ) -> list[str]:
     """Retention for superseded generations (VERDICT r10 ask #2:
     ``refresh_generation`` left every old generation on disk forever —
     unbounded at one corpus-sized ``codes/`` dir per drift episode).
 
-    Deletes generations that are (a) NOT among the newest ``keep``,
-    (b) NOT the generation ``_current`` points at (a pointer pinned on
-    an old generation — e.g. a refresh that crashed between write and
-    activate — must never have its serving artifacts swept under it),
-    and (c) older than ``grace_age_s``. Returns the deleted names.
+    Deletes BUILT generations that are (a) NOT among the newest
+    ``keep`` built ones, (b) NOT the generation ``_current`` points at
+    (a pointer pinned on an old generation — e.g. a refresh that
+    crashed between write and activate — must never have its serving
+    artifacts swept under it), and (c) older than ``grace_age_s``.
+    Returns the deleted names.
+
+    The keep-window counts only BUILT generations (committed
+    meta.json): a claimed-but-unbuilt dir occupying a slot would push
+    the just-superseded serving generation out of the window and get
+    it deleted one rotation early — the in-flight-reader hazard keep=2
+    exists to prevent (code-review r11 #1). Unbuilt dirs (a crashed or
+    still-running build) are GC'd under their own rule: only when
+    their whole subtree has been quiet for ``unbuilt_grace_s``
+    (default 24h — long enough that any live build has bumped a task
+    file, measured recursively because a running parquet job writes
+    under ``_temporary/`` without touching the artifact dir's own
+    mtime).
 
     ``keep=2`` is the rotation-safety floor: a reader that resolved
     the pointer JUST before a swap is still reading generation N while
@@ -439,13 +482,15 @@ def gc_generations(
     survives, and a reader mid-plan across a swap can lose its scan.
 
     Scale shape: pure driver-side file-listing over generation COUNT
-    (not corpus size); the deletes are recursive FS removes of
-    superseded artifact dirs."""
+    (not corpus size; the unbuilt-dir walk is bounded by one
+    generation's partition-count-sized file tree); the deletes are
+    recursive FS removes of superseded artifact dirs."""
     if keep < 1:
         raise ValueError(f"keep must be >= 1, got {keep}")
     gens = list_generations(spark, root)
     current = current_generation(spark, root)
-    protected = set(gens[-keep:])
+    built = [g for g in gens if is_built(spark, root, g)]
+    protected = set(built[-keep:])
     if current is not None:
         protected.add(current)
     fs, _, jvm = hadoop_fs(spark, root)
@@ -453,8 +498,12 @@ def gc_generations(
     for gen in gens:
         if gen in protected:
             continue
-        if _gen_age_s(spark, root, gen) < grace_age_s:
-            continue
+        if gen in built:
+            if _gen_age_s(spark, root, gen) < grace_age_s:
+                continue
+        else:
+            if _gen_age_s(spark, root, gen, recursive=True) < unbuilt_grace_s:
+                continue
         ok = fs.delete(
             jvm.org.apache.hadoop.fs.Path(_gen_dir(root, gen)), True
         )

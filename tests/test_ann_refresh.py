@@ -325,3 +325,65 @@ def test_generation_retention_bounds_disk_and_keeps_serving(
     # newest-1 = gen-0005, but the pointer's gen-0003 must survive
     assert "gen-0003" in list_generations(spark, root)
     assert serve_current(spark, root, qdf, corpus, **SERVE).count() > 0
+
+
+def test_gc_ignores_unbuilt_claims_and_sorts_numerically(spark, tmp_path):
+    """code-review r11 #1/#3/#4: a claimed-but-unbuilt generation must
+    not occupy a keep-window slot (that would push the just-superseded
+    serving generation out and delete it one rotation early); unbuilt
+    dirs are GC'd only under their own 24h-quiet rule; and generation
+    order is numeric, so gen-10000 counts as newer than gen-9999."""
+    import json as _json
+
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        _gen_dir,
+        gc_generations,
+        is_built,
+        list_generations,
+    )
+
+    root = str(tmp_path / "gcroot2")
+    corpus = spark.createDataFrame(_corpus_a(), "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(_queries()[:1], ["query_id", "embedding"])
+
+    # two rotations -> gen-0000 superseded, gen-0001 serving
+    refresh_generation(spark, root, corpus, retain=None, **KW)
+    refresh_generation(spark, root, corpus, retain=None, **KW)
+
+    # a refresh claims gen-0002 and "crashes" before building anything
+    os.makedirs(f"{root}/generations/gen-0002")
+    open(f"{root}/generations/gen-0002/_claim", "w").close()
+    assert not is_built(spark, root, "gen-0002")
+
+    # keep=2 must protect the two BUILT generations (0000 serving a
+    # hypothetical in-flight reader, 0001 current) — the claim dir
+    # must not consume a slot, and being young it survives its own rule
+    deleted = gc_generations(spark, root, keep=2)
+    assert deleted == []
+    assert sorted(list_generations(spark, root)) == [
+        "gen-0000", "gen-0001", "gen-0002"
+    ]
+
+    # the unbuilt rule: quiet past unbuilt_grace_s -> swept
+    deleted = gc_generations(spark, root, keep=2, unbuilt_grace_s=0.0)
+    assert deleted == ["gen-0002"]
+    assert "gen-0000" in list_generations(spark, root)  # still protected
+
+    # numeric ordering: fabricate built gen-9999 / gen-10000 and point
+    # the pointer at gen-10000; keep=2's newest-two must be
+    # {gen-9999, gen-10000} numerically, NOT {gen-10000, gen-9999
+    # -as-newest-string}, so the OLD gen-0000/0001 get swept instead
+    for g in ("gen-9999", "gen-10000"):
+        src = _gen_dir(root, "gen-0001")
+        dst = _gen_dir(root, g)
+        import shutil
+
+        shutil.copytree(src, dst)
+    from sfdata_wrangler_spark.sources.lake import atomic_write_text
+
+    atomic_write_text(spark, f"{root}/_current", "gen-10000")
+    assert list_generations(spark, root)[-2:] == ["gen-9999", "gen-10000"]
+    deleted = gc_generations(spark, root, keep=2)
+    assert set(deleted) == {"gen-0000", "gen-0001"}
+    assert list_generations(spark, root) == ["gen-9999", "gen-10000"]
+    assert serve_current(spark, root, qdf, corpus, **SERVE).count() > 0

@@ -27,6 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _time_query(fn, spark, sf_dir, runs):
     times = []
     for i in range(runs + 1):  # +1 warm-up, excluded
+        # Queries whose operators persist() intermediates (dd_dup_spans'
+        # gram-md5 table, the curation chains) would otherwise serve the
+        # warm-up's cache to every timed run via CacheManager plan
+        # matching — measuring cache-hit cost, not plan cost, and
+        # accumulating pinned memory across queries in this shared
+        # session. Same guard bench.py applies before every timed run.
+        spark.catalog.clearCache()
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.monotonic() - t0
