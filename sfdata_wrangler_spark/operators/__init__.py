@@ -13,6 +13,7 @@ from .windows import (
     rolling_distinct_users_hll,
     running_sum,
     sessionize,
+    sessionize_bucketed,
     time_weighted_average,
     trend_diff,
 )
@@ -118,6 +119,7 @@ __all__ = [
     "lag_delta_minutes",
     "running_sum",
     "sessionize",
+    "sessionize_bucketed",
     "trend_diff",
     "calc_weights",
     "impute_from_prior_month",

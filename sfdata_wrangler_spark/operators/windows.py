@@ -108,6 +108,136 @@ def sessionize(
     )
 
 
+def sessionize_bucketed(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    gap_minutes: float = 90.0,
+    extra_break: Column | None = None,
+    session_col: str = "SESSION_ID",
+    order_cols: Sequence[str] | None = None,
+    bucket_minutes: float = 1440.0,
+) -> DataFrame:
+    """Skew-immune :func:`sessionize`: identical session ids, but the
+    per-entity window is split by a coarse time bucket so a hot entity
+    (SURVEY §4 "hot users" — a bot card with 40% of all events) never
+    lands on one task. Same class of fix as
+    ``calc_weights(strategy="agg")``: AQE can split skewed JOINS but
+    never window partitions, so the only scale-safe form is a plan
+    whose window partitions are bounded by construction.
+
+    Two phases:
+
+    1. sessionize locally within ``(entity, floor(ts / bucket))`` —
+       the fact shuffles ONCE on that compound key, and the heaviest
+       task is one entity's one bucket, not its lifetime;
+    2. an entity-level window over per-BUCKET summaries (first/last
+       event time, local session count, first-row break flag) decides
+       which bucket-boundary sessions merge and assigns each bucket a
+       session-number offset. The summary table has one row per
+       (entity, non-empty bucket) — timeline-length-sized, not
+       event-sized — so even the hot entity's summary partition is
+       tiny. The offsets join back on the compound key, which reuses
+       phase 1's partitioning (no second fact shuffle).
+
+    Correctness of the merge rule: ``bucket_minutes`` must be >=
+    ``gap_minutes``, so any pair of events separated by an EMPTY
+    bucket is more than ``gap_minutes`` apart and the cross-boundary
+    gap test alone decides the merge — no adjacency bookkeeping.
+    ``order_cols`` must be ``ts_col``-major (the default is) —
+    bucketing by time is only consistent with a time-major ordering.
+    """
+    if bucket_minutes < gap_minutes:
+        raise ValueError(
+            f"bucket_minutes ({bucket_minutes}) must be >= gap_minutes "
+            f"({gap_minutes}) — an empty bucket must imply a session break"
+        )
+    order = list(order_cols) if order_cols else [ts_col]
+    if order[0] != ts_col:
+        raise ValueError(
+            f"order_cols must be {ts_col!r}-major for time-bucketed "
+            f"sessionization, got {order!r}"
+        )
+    entity = list(entity_cols)
+    us = F.unix_micros(F.col(ts_col))
+    bucket_us = int(bucket_minutes * 60_000_000)
+    d = df.withColumn("__sb_us", us).withColumn(
+        "__sb_bucket", F.floor(F.col("__sb_us") / bucket_us)
+    )
+    d = d.withColumn(
+        "__sb_extra",
+        (extra_break if extra_break is not None else F.lit(False)).cast(
+            "boolean"
+        ),
+    )
+
+    # phase 1: local sessionize within (entity, bucket). The first row
+    # of a bucket has no local lag; its cross-bucket gap-break is
+    # reconstructed in phase 2 (its extra_break still counts here,
+    # exactly as in the plain form).
+    wloc = _w(entity + ["__sb_bucket"], order)
+    gap_loc = (F.col("__sb_us") - F.lag("__sb_us").over(wloc)) / 60000000.0
+    is_break_loc = F.coalesce(gap_loc > gap_minutes, F.lit(False)) | F.col(
+        "__sb_extra"
+    )
+    d = d.withColumn(
+        "__sb_local",
+        (
+            F.lit(1)
+            + F.sum(F.when(is_break_loc, 1).otherwise(0)).over(
+                wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).cast("bigint"),
+    ).withColumn("__sb_rn", F.row_number().over(wloc))
+
+    # phase 2: per-bucket summaries, then an entity-level window over
+    # them. delta_b = 1 iff the bucket's first row starts a session in
+    # the PLAIN form but not locally: cross-bucket gap > threshold and
+    # the row's extra flag did not already break it locally.
+    summ = d.groupBy(*entity, "__sb_bucket").agg(
+        F.max("__sb_local").alias("__sb_nloc"),
+        F.min("__sb_us").alias("__sb_first_us"),
+        F.max("__sb_us").alias("__sb_last_us"),
+        F.max(
+            F.when(F.col("__sb_rn") == 1, F.col("__sb_extra"))
+        ).alias("__sb_first_extra"),
+    )
+    wsum = _w(entity, ["__sb_bucket"])
+    cross_gap = (
+        F.col("__sb_first_us") - F.lag("__sb_last_us").over(wsum)
+    ) / 60000000.0
+    delta = F.when(
+        F.coalesce(cross_gap > gap_minutes, F.lit(False))
+        & ~F.col("__sb_first_extra"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    summ = summ.withColumn("__sb_delta", delta).withColumn(
+        "__sb_offset",
+        F.coalesce(
+            F.sum(F.col("__sb_nloc") - 1 + F.col("__sb_delta")).over(
+                wsum.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+
+    out = d.join(
+        summ.select(
+            *entity, "__sb_bucket", "__sb_delta", "__sb_offset"
+        ),
+        entity + ["__sb_bucket"],
+    ).withColumn(
+        session_col,
+        (
+            F.col("__sb_local") + F.col("__sb_offset") + F.col("__sb_delta")
+        ).cast("bigint"),
+    )
+    return out.drop(
+        "__sb_us", "__sb_bucket", "__sb_extra", "__sb_local", "__sb_rn",
+        "__sb_delta", "__sb_offset",
+    )
+
+
 def running_sum(
     df: DataFrame,
     col: Column,

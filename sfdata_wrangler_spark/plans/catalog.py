@@ -37,6 +37,7 @@ from ..operators.windows import (
     ffill,
     interpolate_monthly,
     sessionize,
+    sessionize_bucketed,
 )
 
 # registry: name -> {"fn": callable(spark, sf_dir) -> DataFrame,
@@ -898,6 +899,38 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         gap_minutes=30.0,
         order_cols=["ts", "event_id"],
+    )
+    return s.groupBy("user_id").agg(
+        F.max("SESSION_ID").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register(
+    "w4c_sessionize_bucketed",
+    _SESSION_ORACLE_BODY
+    + """
+    SELECT user_id,
+           CAST(max(session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def w4c_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 sessionization in the skew-immune time-bucketed form
+    (``sessionize_bucketed``): local sessionize within (user, day),
+    merge corrections via an entity-level window over BUCKET summaries
+    — a hot user (SURVEY §4) costs one bucket per task instead of its
+    lifetime on one task. Same oracle as w4_sessionize: the two forms
+    are exactly equivalent (tests/test_windows.py differentials)."""
+    ev = _events(spark, sf_dir)
+    s = sessionize_bucketed(
+        ev,
+        ["user_id"],
+        "ts",
+        gap_minutes=30.0,
+        order_cols=["ts", "event_id"],
+        bucket_minutes=1440.0,
     )
     return s.groupBy("user_id").agg(
         F.max("SESSION_ID").alias("n_sessions"),

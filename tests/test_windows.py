@@ -12,6 +12,7 @@ from sfdata_wrangler_spark.operators.windows import (
     interpolate_monthly,
     observed_runtime,
     sessionize,
+    sessionize_bucketed,
     trend_diff,
 )
 
@@ -57,6 +58,88 @@ def test_sessionize_extra_break(spark):
     )
     got = [r.SESSION_ID for r in out.orderBy("i").collect()]
     assert got == [1, 2, 2]
+
+
+def _assert_bucketed_matches(spark, rows, gap, bucket, extra=None):
+    df = spark.createDataFrame(rows)
+    kw = dict(gap_minutes=gap, order_cols=["ts", "i"], extra_break=extra)
+    plain = sessionize(df, ["u"], "ts", **kw)
+    buck = sessionize_bucketed(df, ["u"], "ts", bucket_minutes=bucket, **kw)
+    assert sorted(plain.columns) == sorted(buck.columns)
+    p = {(r.u, r.i): r.SESSION_ID for r in plain.collect()}
+    b = {(r.u, r.i): r.SESSION_ID for r in buck.collect()}
+    assert p == b, {k: (p[k], b.get(k)) for k in p if p[k] != b.get(k)}
+
+
+def test_sessionize_bucketed_boundary_cases(spark):
+    """The hand-picked hazards: a session continuing across a bucket
+    boundary, a break exactly at the boundary, an empty bucket between
+    events, a gap exactly equal to the threshold (strict >, no break),
+    and an entity whose whole history sits in one bucket."""
+    rows = [
+        # u=1: session straddles the 60-min bucket edge (55 -> 65, gap 10)
+        Row(u=1, i=1, ts=_ts(0)),
+        Row(u=1, i=2, ts=_ts(55)),
+        Row(u=1, i=3, ts=_ts(65)),
+        # then a break across the next edge (65 -> 185: empty bucket between)
+        Row(u=1, i=4, ts=_ts(185)),
+        # u=2: gap exactly == threshold (30) -> same session (strict >)
+        Row(u=2, i=5, ts=_ts(0)),
+        Row(u=2, i=6, ts=_ts(30)),
+        # u=3: single-bucket entity
+        Row(u=3, i=7, ts=_ts(10)),
+        Row(u=3, i=8, ts=_ts(50)),
+    ]
+    _assert_bucketed_matches(spark, rows, gap=30.0, bucket=60.0)
+
+
+def test_sessionize_bucketed_extra_break_on_bucket_first_row(spark):
+    """An extra_break that lands on the FIRST row of a bucket must
+    still break (locally invisible gap, the delta-correction path) —
+    and must not double-count with the cross-bucket gap break."""
+    rows = [
+        Row(u=1, i=1, ts=_ts(55), flip=False),
+        Row(u=1, i=2, ts=_ts(61), flip=True),   # first row of bucket 2, flip
+        Row(u=1, i=3, ts=_ts(62), flip=False),
+        # flip AND a real gap on a bucket-first row: exactly one break
+        Row(u=1, i=4, ts=_ts(200), flip=True),
+    ]
+    _assert_bucketed_matches(
+        spark, rows, gap=30.0, bucket=60.0, extra=F.col("flip")
+    )
+
+
+def test_sessionize_bucketed_randomized_differential(spark):
+    """Seeded random timelines over several users/days, compared
+    row-for-row against the plain window form at two bucket sizes
+    (including bucket == gap, the minimum legal split)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    i = 0
+    for u in range(6):
+        t = rng.uniform(0, 300)
+        for _ in range(rng.randint(30, 120)):
+            rows.append(Row(u=u, i=i, ts=_ts(t)))
+            i += 1
+            # mixture of within-session jitter and occasional big gaps
+            t += rng.choice([rng.uniform(0, 5), rng.uniform(0, 40),
+                             rng.uniform(60, 600)])
+    for bucket in (30.0, 240.0):
+        _assert_bucketed_matches(spark, rows, gap=30.0, bucket=bucket)
+
+
+def test_sessionize_bucketed_guards(spark):
+    import pytest
+
+    df = spark.createDataFrame([Row(u=1, i=1, ts=_ts(0))])
+    with pytest.raises(ValueError, match="bucket_minutes"):
+        sessionize_bucketed(df, ["u"], "ts", gap_minutes=90.0,
+                            bucket_minutes=30.0)
+    with pytest.raises(ValueError, match="-major"):
+        sessionize_bucketed(df, ["u"], "ts", gap_minutes=30.0,
+                            order_cols=["i", "ts"])
 
 
 def test_ffill_bfill(spark):

@@ -23,7 +23,10 @@ Replication semantics (match the round-10 replica exactly):
   (each copy is a disjoint user population with identical session shapes).
 - dims (region nation customer supplier part): copied once, unreplicated.
 
-Skewed variant (``--hot-cell-frac 0.4``): remaps that fraction of orders
+Skewed variants: ``--hot-user-frac 0.4`` remaps that share of events
+(deterministically, by ``event_id % 100``) onto ONE user id (the SURVEY
+§4 "hot user"/bot shape that straggles per-user windows).
+``--hot-cell-frac 0.4``: remaps that fraction of orders
 (deterministically, by ``o_orderkey % 100``) onto ONE (order-month,
 order-priority) cell — the reference's "trunk route" shape (SURVEY §4: one
 trunk route carries a large share of all AVL rows) mapped onto the
@@ -52,9 +55,11 @@ def _union(con, pieces, out_path):
 
 HOT_MONTH_DATE = "TIMESTAMP '1995-06-15 00:00:00'"
 HOT_PRIORITY = "1-URGENT"
+HOT_USER_ID = 777
 
 
-def build(src: str, dst: str, factor: int, hot_cell_frac: float = 0.0) -> None:
+def build(src: str, dst: str, factor: int, hot_cell_frac: float = 0.0,
+          hot_user_frac: float = 0.0) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
@@ -118,10 +123,21 @@ def build(src: str, dst: str, factor: int, hot_cell_frac: float = 0.0) -> None:
     ]
     _union(con, li, f"{dst}/lineitem.parquet")
 
+    if hot_user_frac > 0:
+        # remap that share of events (deterministic, by event_id
+        # residue) onto ONE user id — the SURVEY §4 "hot user" / bot
+        # shape that straggles any per-user window
+        pct = int(round(hot_user_frac * 100))
+        u_expr = (
+            f"CASE WHEN event_id % 100 < {pct} THEN {HOT_USER_ID} "
+            f"ELSE user_id + {{off}} END AS user_id"
+        )
+    else:
+        u_expr = "user_id + {off} AS user_id"
     ev = [
         f"SELECT event_id + {i * KEY_OFFSET} AS event_id, ts, "
-        f"user_id + {i * KEY_OFFSET} AS user_id, event_type, value, props "
-        f"FROM '{src}/events.parquet'"
+        + u_expr.format(off=i * KEY_OFFSET)
+        + f", event_type, value, props FROM '{src}/events.parquet'"
         for i in range(factor)
     ]
     _union(con, ev, f"{dst}/events.parquet")
@@ -137,5 +153,6 @@ if __name__ == "__main__":
     ap.add_argument("--dst", default="/tmp/sfdata_sf10_flat")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--hot-cell-frac", type=float, default=0.0)
+    ap.add_argument("--hot-user-frac", type=float, default=0.0)
     a = ap.parse_args()
-    build(a.src, a.dst, a.factor, a.hot_cell_frac)
+    build(a.src, a.dst, a.factor, a.hot_cell_frac, a.hot_user_frac)
