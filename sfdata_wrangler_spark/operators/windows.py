@@ -146,6 +146,15 @@ def sessionize_bucketed(
     gap test alone decides the merge — no adjacency bookkeeping.
     ``order_cols`` must be ``ts_col``-major (the default is) —
     bucketing by time is only consistent with a time-major ordering.
+
+    Cost shape: the summary branch recomputes its lineage rather than
+    persisting the phase-1 output — Catalyst prunes that second pass
+    to (entity, bucket, ts-micros, row-number, break-flag) regardless
+    of the fact's width (verified in EXPLAIN.md round 11), and two
+    NARROW scan+shuffle passes beat materializing the full-width fact
+    to disk per call. Use the plain :func:`sessionize` below the knee
+    (measured ~1M rows per hot entity at local[32]); above it the
+    plain form's wall clock IS the hot entity's single-task sort.
     """
     if bucket_minutes < gap_minutes:
         raise ValueError(
