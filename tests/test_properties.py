@@ -10,7 +10,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from sfdata_wrangler_spark.operators.weighting import calc_weights
-from sfdata_wrangler_spark.operators.windows import sessionize
+from sfdata_wrangler_spark.operators.windows import sessionize, sessionize_bucketed
 
 T0 = datetime.datetime(2024, 1, 1, 0, 0)
 
@@ -66,6 +66,37 @@ def test_sessionize_matches_naive(spark, events):
     # session ids must agree up to the per-entity ordering the naive
     # scan uses; ties on (minute) are broken by idx in both
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=events_strategy,
+    bucket=st.sampled_from([45.0, 60.0, 240.0]),
+)
+def test_sessionize_bucketed_matches_naive(spark, events, bucket):
+    """The bucketed form's delta/offset merge algebra must reproduce
+    the naive per-entity scan on arbitrary timelines, at the minimum
+    legal bucket (== gap), a non-divisor bucket, and a coarse one —
+    hypothesis hunts boundary-straddling and empty-bucket shapes the
+    fixtures might miss."""
+    df = spark.createDataFrame(
+        [
+            Row(idx=i, entity=e, ts=T0 + datetime.timedelta(minutes=m))
+            for i, (e, m) in enumerate(events)
+        ]
+    )
+    got = {
+        r.idx: r.SESSION_ID
+        for r in sessionize_bucketed(
+            df, ["entity"], "ts", gap_minutes=45.0,
+            order_cols=["ts", "idx"], bucket_minutes=bucket,
+        ).collect()
+    }
+    assert got == _naive_sessions(events, 45)
 
 
 @settings(
