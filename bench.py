@@ -282,23 +282,9 @@ def main() -> None:
         # run-condition stamp (VERDICT r7 #4): load + a single-thread
         # CPU probe before and after, so an inflated total is
         # classifiable as environment (probe also inflated) vs code
-        "run_context": {"before": ctx_before, "after": (ctx_after := _run_context())},
-        # contention verdict (VERDICT r10 ask #8: the r10 driver
-        # snapshot ran at load1 5.83 and read 0.81x vs the clean
-        # 0.61x). True when the host was busy at bench START or still
-        # starved at bench END — the after-probe catches contention
-        # that began mid-run (code-review r11 #5). after.load1 is NOT
-        # consulted: the bench's own 32-way execution legitimately
-        # leaves load1 at 3-6 on a clean run, while the single-thread
-        # probe runs after our executors are idle and only reads slow
-        # if a COMPETING workload is still live. Round-over-round
-        # deltas from a contended run are environment, not code;
-        # compare only clean-stamped runs.
-        "contended": bool(
-            ctx_before["load1"] > 1.0
-            or ctx_before["cpu_probe_sec"] > 0.1
-            or ctx_after["cpu_probe_sec"] > 0.1
-        ),
+        # "after" context + contended verdict are filled in below,
+        # AFTER the sf2 loop — stamping here would miss contention
+        # that begins during the secondary measurements
     }
 
     # Secondary scale point (VERDICT r1 item 7): same query set at a
@@ -323,6 +309,25 @@ def main() -> None:
         result["sf2"] = _sf_of(sf_dir2)
         result["value_sf2"] = round(sum(timings2.values()), 3)
         result["queries_sf2"] = timings2
+
+    # Run-condition stamp (VERDICT r7 #4) + contention verdict
+    # (VERDICT r10 ask #8: the r10 driver snapshot ran at load1 5.83
+    # and read 0.81x vs the clean 0.61x). Taken LAST — after every
+    # timed loop including sf2 (code-review r11: an earlier stamp
+    # missed contention starting during the secondary measurements).
+    # True when the host was busy at bench START or still starved at
+    # bench END. after.load1 is NOT consulted: the bench's own 32-way
+    # execution legitimately leaves load1 at 3-6 on a clean run,
+    # while the single-thread probe runs after our executors are idle
+    # and only reads slow if a COMPETING workload is still live.
+    # Compare round-over-round deltas only between clean-stamped runs.
+    ctx_after = _run_context()
+    result["run_context"] = {"before": ctx_before, "after": ctx_after}
+    result["contended"] = bool(
+        ctx_before["load1"] > 1.0
+        or ctx_before["cpu_probe_sec"] > 0.1
+        or ctx_after["cpu_probe_sec"] > 0.1
+    )
 
     # Full detail first; COMPACT summary LAST. The driver records only
     # the final ~2000 chars of stdout and parses a JSON line out of it

@@ -220,6 +220,13 @@ def activate_generation(spark, root: str, gen: str) -> None:
             f"generation {gen!r} meta lacks {missing} — refusing to "
             "activate an unservable index"
         )
+    # the marker (written BEFORE the swap, so anything serving is
+    # always marked) admits the generation to gc's keep-window chain;
+    # built-but-never-activated generations — a slower concurrent
+    # refresh racing these rotations — stay under the conservative
+    # quiet-grace rule instead and cannot be swept out from under
+    # their builder's activate call
+    atomic_write_text(spark, f"{_gen_dir(root, gen)}/_activated", gen)
     atomic_write_text(spark, _pointer_path(root), gen)
 
 
@@ -418,6 +425,15 @@ def is_built(spark, root: str, gen: str) -> bool:
     return bool(txt)
 
 
+def was_activated(spark, root: str, gen: str) -> bool:
+    """True once the generation has ever been served (`_activated`
+    marker, written just before each pointer swap). Distinguishes the
+    rotation CHAIN (superseded members are safe to retention-sweep)
+    from a built-but-never-activated generation, which is a slower
+    concurrent refresh about to activate — not garbage."""
+    return bool(read_text(spark, f"{_gen_dir(root, gen)}/_activated"))
+
+
 def _gen_age_s(spark, root: str, gen: str, recursive: bool = False) -> float:
     """Seconds since the generation last changed: newest modification
     time across the gen dir and its children. ``recursive=True`` walks
@@ -460,17 +476,23 @@ def gc_generations(
     artifacts swept under it), and (c) older than ``grace_age_s``.
     Returns the deleted names.
 
-    The keep-window counts only BUILT generations (committed
-    meta.json): a claimed-but-unbuilt dir occupying a slot would push
-    the just-superseded serving generation out of the window and get
-    it deleted one rotation early — the in-flight-reader hazard keep=2
-    exists to prevent (code-review r11 #1). Unbuilt dirs (a crashed or
-    still-running build) are GC'd under their own rule: only when
-    their whole subtree has been quiet for ``unbuilt_grace_s``
-    (default 24h — long enough that any live build has bumped a task
-    file, measured recursively because a running parquet job writes
-    under ``_temporary/`` without touching the artifact dir's own
-    mtime).
+    The keep-window counts only ACTIVATED generations (``_activated``
+    marker or the current pointer) — the rotation chain. A
+    claimed-but-unbuilt dir occupying a slot would push the
+    just-superseded serving generation out of the window and get it
+    deleted one rotation early (code-review r11 #1); a
+    built-but-never-activated generation is a slower CONCURRENT
+    refresh about to call activate, and sweeping it with the default
+    zero grace would crash that activate or strand the pointer
+    (code-review r11 #9). Both classes therefore live under the
+    conservative quiet rule instead: deleted only when their whole
+    subtree has been quiet for ``unbuilt_grace_s`` (default 24h —
+    long enough that any live build has bumped a task file, measured
+    recursively because a running parquet job writes under
+    ``_temporary/`` without touching the artifact dir's own mtime).
+    Lakes created before the marker existed degrade gracefully: their
+    superseded generations lack markers, so they fall under the 24h
+    quiet rule rather than the keep-window.
 
     ``keep=2`` is the rotation-safety floor: a reader that resolved
     the pointer JUST before a swap is still reading generation N while
@@ -489,8 +511,11 @@ def gc_generations(
         raise ValueError(f"keep must be >= 1, got {keep}")
     gens = list_generations(spark, root)
     current = current_generation(spark, root)
-    built = [g for g in gens if is_built(spark, root, g)]
-    protected = set(built[-keep:])
+    chain = [
+        g for g in gens
+        if g == current or was_activated(spark, root, g)
+    ]
+    protected = set(chain[-keep:])
     if current is not None:
         protected.add(current)
     fs, _, jvm = hadoop_fs(spark, root)
@@ -498,10 +523,12 @@ def gc_generations(
     for gen in gens:
         if gen in protected:
             continue
-        if gen in built:
+        if gen in chain:
             if _gen_age_s(spark, root, gen) < grace_age_s:
                 continue
         else:
+            # unbuilt claims AND built-but-never-activated: both may
+            # be a live concurrent refresh — quiet-grace only
             if _gen_age_s(spark, root, gen, recursive=True) < unbuilt_grace_s:
                 continue
         ok = fs.delete(

@@ -168,15 +168,29 @@ def sessionize_bucketed(
             f"sessionization, got {order!r}"
         )
     entity = list(entity_cols)
+    clash = [c for c in df.columns if c.startswith("__sb_")]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with sessionize_bucketed's "
+            "__sb_ scratch namespace"
+        )
     us = F.unix_micros(F.col(ts_col))
     bucket_us = int(bucket_minutes * 60_000_000)
     d = df.withColumn("__sb_us", us).withColumn(
         "__sb_bucket", F.floor(F.col("__sb_us") / bucket_us)
     )
+    # coalesce to False: a NULL extra flag never breaks in the plain
+    # form either ((gap>thr) | NULL counts a break only when the gap
+    # side is already True), but a NULL surviving into the phase-2
+    # delta (True & ~NULL = NULL) would silently DROP a gap break on a
+    # bucket's first row (code-review r11 #6, confirmed by repro)
     d = d.withColumn(
         "__sb_extra",
-        (extra_break if extra_break is not None else F.lit(False)).cast(
-            "boolean"
+        F.coalesce(
+            (extra_break if extra_break is not None else F.lit(False)).cast(
+                "boolean"
+            ),
+            F.lit(False),
         ),
     )
 
@@ -241,10 +255,10 @@ def sessionize_bucketed(
             F.col("__sb_local") + F.col("__sb_offset") + F.col("__sb_delta")
         ).cast("bigint"),
     )
-    return out.drop(
-        "__sb_us", "__sb_bucket", "__sb_extra", "__sb_local", "__sb_rn",
-        "__sb_delta", "__sb_offset",
-    )
+    # preserve the plain form's append-only column contract (the
+    # equi-join moved the entity cols to the front, which would break
+    # positional consumers on a drop-in swap)
+    return out.select(*df.columns, session_col)
 
 
 def running_sum(

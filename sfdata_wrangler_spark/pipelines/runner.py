@@ -221,6 +221,26 @@ def run_pipeline(
                     f"{claimed_outputs[t]!r} and {s.name!r}"
                 )
             claimed_outputs[t] = s.name
+        # a declared artifact with no builder can never satisfy
+        # step_completed, so the step would silently re-run (and
+        # overwrite its committed tables) on EVERY invocation forever
+        # (code-review r11 #10); the inverse mismatch is caught at
+        # execute time by the made != declared check
+        if s.artifact_files and s.artifacts is None:
+            raise ValueError(
+                f"step {s.name!r} declares artifact_files "
+                f"{s.artifact_files} but no artifacts builder"
+            )
+        if s.artifact_files and "://" in lake_root:
+            # artifact builders write through plain open()/os.path —
+            # on a URI lake_root those calls would treat the URI as a
+            # RELATIVE local path and scatter cwd-dependent junk while
+            # step_completed never stabilizes (code-review r11 #11);
+            # refuse up front rather than half-work
+            raise ValueError(
+                f"step {s.name!r} declares artifacts, which require a "
+                f"local-filesystem lake_root (got {lake_root!r})"
+            )
         seen.add(s.name)
     if set(force) - set(by_name):
         raise ValueError(f"unknown force steps: {sorted(set(force) - set(by_name))}")

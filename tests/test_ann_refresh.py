@@ -327,6 +327,53 @@ def test_generation_retention_bounds_disk_and_keeps_serving(
     assert serve_current(spark, root, qdf, corpus, **SERVE).count() > 0
 
 
+def test_gc_spares_concurrent_built_unactivated_generation(spark, tmp_path):
+    """code-review r11: a slower concurrent refresh that has BUILT its
+    generation but not yet activated it must survive other rotations'
+    auto-gc (default zero grace) — sweeping it would crash its
+    activate or strand the pointer. Activated-and-superseded
+    generations still retention-sweep normally."""
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        _next_gen_name,
+        gc_generations,
+        list_generations,
+        train_generation,
+        write_generation,
+    )
+
+    root = str(tmp_path / "gcroot3")
+    corpus = spark.createDataFrame(
+        _corpus_a(), "vec_id long, embedding array<double>"
+    )
+    refresh_generation(spark, root, corpus, retain=None, **KW)  # gen-0000
+
+    # slow refresh claims + builds gen-0001 but has not activated yet
+    slow = _next_gen_name(spark, root)
+    c, cb, enc = train_generation(corpus, **KW)
+    write_generation(
+        spark, root, slow, c, cb, enc,
+        meta={"m": KW["m"], "sub_dim": KW["sub_dim"]},
+    )
+
+    # two fast rotations with aggressive retention race past it
+    refresh_generation(spark, root, corpus, retain=1, **KW)  # gen-0002
+    refresh_generation(spark, root, corpus, retain=1, **KW)  # gen-0003
+    assert slow in list_generations(spark, root)
+    # the superseded ACTIVATED gens were retention-swept as usual
+    assert "gen-0000" not in list_generations(spark, root)
+    assert "gen-0002" not in list_generations(spark, root)
+
+    # the slow refresh completes: activation still works
+    activate_generation(spark, root, slow)
+    assert current_generation(spark, root) == slow
+
+    # once activated (chain member) and superseded, it sweeps normally
+    refresh_generation(spark, root, corpus, retain=1, **KW)
+    assert gc_generations(spark, root, keep=1) == [slow] or (
+        slow not in list_generations(spark, root)
+    )
+
+
 def test_gc_ignores_unbuilt_claims_and_sorts_numerically(spark, tmp_path):
     """code-review r11 #1/#3/#4: a claimed-but-unbuilt generation must
     not occupy a keep-window slot (that would push the just-superseded

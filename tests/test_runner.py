@@ -211,6 +211,29 @@ def test_duplicate_output_tables_rejected(spark, tmp_path):
         run_pipeline(spark, SF, str(tmp_path / "c"), steps=clash)
 
 
+def test_artifact_declaration_without_builder_rejected(spark, tmp_path):
+    """code-review r11: artifact_files with artifacts=None can never
+    satisfy step_completed, so the step would silently re-run (and
+    rewrite its committed tables) on every invocation forever."""
+    bad = [Step("a", (), ("t",), lambda *_: {}, artifact_files=("x.svg",))]
+    with pytest.raises(ValueError, match="no artifacts builder"):
+        run_pipeline(spark, SF, str(tmp_path / "a"), steps=bad)
+
+
+def test_artifact_step_rejects_uri_lake_root(spark, tmp_path):
+    """code-review r11: artifact builders write through plain open();
+    a URI lake_root would scatter cwd-relative junk and the step's
+    completion would depend on the driver's working directory."""
+    s = [
+        Step(
+            "a", (), ("t",), lambda *_: {},
+            artifact_files=("x.svg",), artifacts=lambda *_: ("x.svg",),
+        )
+    ]
+    with pytest.raises(ValueError, match="local-filesystem"):
+        run_pipeline(spark, SF, "hdfs://nn/lake", steps=s)
+
+
 def test_force_with_subset_invalidates_canonical_downstream(
     spark, e2e_lake, tmp_path
 ):

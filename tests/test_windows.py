@@ -109,6 +109,34 @@ def test_sessionize_bucketed_extra_break_on_bucket_first_row(spark):
     )
 
 
+def test_sessionize_bucketed_null_extra_break(spark):
+    """A NULL extra flag on a bucket's first row must not swallow the
+    cross-bucket gap break (code-review r11: True & ~NULL = NULL made
+    the delta drop the break while the plain form's (gap>thr)|NULL
+    still counted it)."""
+    df = spark.createDataFrame(
+        [(1, 1, _ts(55), None), (1, 2, _ts(200), None), (1, 3, _ts(205), True)],
+        "u int, i int, ts timestamp, flip boolean",
+    )
+    kw = dict(gap_minutes=30.0, order_cols=["ts", "i"],
+              extra_break=F.col("flip"))
+    plain = sessionize(df, ["u"], "ts", **kw)
+    buck = sessionize_bucketed(df, ["u"], "ts", bucket_minutes=60.0, **kw)
+    p = {r.i: r.SESSION_ID for r in plain.collect()}
+    b = {r.i: r.SESSION_ID for r in buck.collect()}
+    assert p == b == {1: 1, 2: 2, 3: 3}
+    # column contract: append-only, original order preserved
+    assert buck.columns == df.columns + ["SESSION_ID"]
+
+
+def test_sessionize_bucketed_rejects_scratch_collision(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, _ts(0), 5)], "u int, ts timestamp, __sb_us int")
+    with pytest.raises(ValueError, match="__sb_"):
+        sessionize_bucketed(df, ["u"], "ts", gap_minutes=30.0)
+
+
 def test_sessionize_bucketed_randomized_differential(spark):
     """Seeded random timelines over several users/days, compared
     row-for-row against the plain window form at two bucket sizes
