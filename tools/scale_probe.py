@@ -42,6 +42,25 @@ def _time_query(fn, spark, sf_dir, runs):
     return min(times), times
 
 
+def _run_context():
+    """Same contention discriminators bench.py stamps: 1-min load and
+    a warm-up-excluded single-thread CPU probe (~0.02-0.05s idle on
+    this box; ~2x means the timings above it are starvation-inflated).
+    Probe tables committed to ARCHITECTURE.md should come from runs
+    whose stamps read clean."""
+    import numpy as np
+
+    a = np.arange(2_000_000, dtype=np.float64)
+    float((a * a).sum())  # untimed warm-up (allocator/page faults)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float((a * a).sum())
+    return {
+        "cpu_probe_sec": round(time.perf_counter() - t0, 4),
+        "load1": round(os.getloadavg()[0], 2),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
@@ -49,6 +68,7 @@ def main():
     ap.add_argument("--big", default="/tmp/sfdata_sf10_flat")
     ap.add_argument("--runs", type=int, default=3)
     a = ap.parse_args()
+    ctx_before = _run_context()
 
     from sfdata_wrangler_spark.session import get_spark
     from sfdata_wrangler_spark.plans import query_map
@@ -68,6 +88,13 @@ def main():
             "big_all": [round(t, 2) for t in big_all],
         }
         print(json.dumps({name: out[name]}))
+    ctx_after = _run_context()
+    out["run_context"] = {"before": ctx_before, "after": ctx_after}
+    out["contended"] = bool(
+        ctx_before["load1"] > 1.0
+        or ctx_before["cpu_probe_sec"] > 0.1
+        or ctx_after["cpu_probe_sec"] > 0.1
+    )
     print(json.dumps(out, indent=2))
 
 
