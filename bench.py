@@ -92,6 +92,22 @@ def _run_context() -> dict:
     }
 
 
+def contended_verdict(before: dict, after: dict) -> bool:
+    """True when the host was busy at measurement START or still
+    starved at measurement END. ``after["load1"]`` is deliberately NOT
+    consulted: a 32-way Spark run legitimately leaves load1 at 3-6 on
+    a clean host, while the single-thread probe runs after the
+    executors are idle and only reads slow if a COMPETING workload is
+    still live. Shared by bench.py and tools/scale_probe.py so the
+    committed BENCH and ARCHITECTURE tables classify runs by one
+    rule."""
+    return bool(
+        before["load1"] > 1.0
+        or before["cpu_probe_sec"] > 0.1
+        or after["cpu_probe_sec"] > 0.1
+    )
+
+
 def _ivfpq_split(spark, sf_dir: str) -> tuple[float, float]:
     """(build_sec, query_sec): one cold IVF-PQ train+encode+persist
     into a throwaway dir, then best-of-3 serve_pruned against the
@@ -315,19 +331,11 @@ def main() -> None:
     # and read 0.81x vs the clean 0.61x). Taken LAST — after every
     # timed loop including sf2 (code-review r11: an earlier stamp
     # missed contention starting during the secondary measurements).
-    # True when the host was busy at bench START or still starved at
-    # bench END. after.load1 is NOT consulted: the bench's own 32-way
-    # execution legitimately leaves load1 at 3-6 on a clean run,
-    # while the single-thread probe runs after our executors are idle
-    # and only reads slow if a COMPETING workload is still live.
+    # Thresholds and the after.load1 exclusion: see contended_verdict.
     # Compare round-over-round deltas only between clean-stamped runs.
     ctx_after = _run_context()
     result["run_context"] = {"before": ctx_before, "after": ctx_after}
-    result["contended"] = bool(
-        ctx_before["load1"] > 1.0
-        or ctx_before["cpu_probe_sec"] > 0.1
-        or ctx_after["cpu_probe_sec"] > 0.1
-    )
+    result["contended"] = contended_verdict(ctx_before, ctx_after)
 
     # Full detail first; COMPACT summary LAST. The driver records only
     # the final ~2000 chars of stdout and parses a JSON line out of it

@@ -42,26 +42,11 @@ def _time_query(fn, spark, sf_dir, runs):
     return min(times), times
 
 
-def _run_context():
-    """Same contention discriminators bench.py stamps: 1-min load and
-    a warm-up-excluded single-thread CPU probe (~0.02-0.05s idle on
-    this box; ~2x means the timings above it are starvation-inflated).
-    Probe tables committed to ARCHITECTURE.md should come from runs
-    whose stamps read clean."""
-    import numpy as np
-
-    a = np.arange(2_000_000, dtype=np.float64)
-    float((a * a).sum())  # untimed warm-up (allocator/page faults)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        float((a * a).sum())
-    return {
-        "cpu_probe_sec": round(time.perf_counter() - t0, 4),
-        "load1": round(os.getloadavg()[0], 2),
-    }
-
-
 def main():
+    # the SAME probe + thresholds bench.py stamps, so ARCHITECTURE
+    # and BENCH tables classify runs by one rule
+    from bench import _run_context, contended_verdict
+
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--small", default="/root/testdata/sf0.1")
@@ -90,11 +75,7 @@ def main():
         print(json.dumps({name: out[name]}))
     ctx_after = _run_context()
     out["run_context"] = {"before": ctx_before, "after": ctx_after}
-    out["contended"] = bool(
-        ctx_before["load1"] > 1.0
-        or ctx_before["cpu_probe_sec"] > 0.1
-        or ctx_after["cpu_probe_sec"] > 0.1
-    )
+    out["contended"] = contended_verdict(ctx_before, ctx_after)
     print(json.dumps(out, indent=2))
 
 
