@@ -225,9 +225,33 @@ def activate_generation(spark, root: str, gen: str) -> None:
     # built-but-never-activated generations — a slower concurrent
     # refresh racing these rotations — stay under the conservative
     # quiet-grace rule instead and cannot be swept out from under
-    # their builder's activate call
+    # their builder's activate call. The generation being SUPERSEDED
+    # is back-marked too if unmarked: a lake whose current was
+    # activated before the marker existed would otherwise see its
+    # just-superseded serving generation fall to the quiet rule
+    # (quiet-since-build ≥ 24h → deleted in the same rotation that
+    # superseded it) instead of the keep-window (code-review r11).
+    prev = current_generation(spark, root)
+    if prev and prev != gen and not was_activated(spark, root, prev):
+        atomic_write_text(spark, f"{_gen_dir(root, prev)}/_activated", prev)
     atomic_write_text(spark, f"{_gen_dir(root, gen)}/_activated", gen)
     atomic_write_text(spark, _pointer_path(root), gen)
+    # post-swap re-verify: a concurrent gc that passed its marker
+    # check just before our marker write could still have deleted a
+    # long-quiet build between the readiness checks above and the
+    # swap. Restore the previous pointer rather than leave serving
+    # stranded on a gutted generation; the marker write itself bumps
+    # the dir mtime, so any gc that has not yet computed this gen's
+    # age re-arms its quiet clock (residual window: a gc thread
+    # already past BOTH checks — microseconds, down from minutes).
+    if not has_committed_data(spark, f"{gdir}/codes"):
+        if prev and prev != gen:
+            atomic_write_text(spark, _pointer_path(root), prev)
+        raise FileNotFoundError(
+            f"generation {gen!r} lost its committed codes between "
+            "readiness check and activation (swept by concurrent gc); "
+            f"pointer restored to {prev!r}"
+        )
 
 
 def generation_meta(spark, root: str, gen: str) -> dict:
@@ -430,8 +454,14 @@ def was_activated(spark, root: str, gen: str) -> bool:
     marker, written just before each pointer swap). Distinguishes the
     rotation CHAIN (superseded members are safe to retention-sweep)
     from a built-but-never-activated generation, which is a slower
-    concurrent refresh about to activate — not garbage."""
-    return bool(read_text(spark, f"{_gen_dir(root, gen)}/_activated"))
+    concurrent refresh about to activate — not garbage. Presence
+    check only (``fs.exists``, not ``read_text`` — the latter's
+    absent-file retry sleeps 50 ms per unmarked generation, pure
+    waste on a create-once marker)."""
+    fs, _, jvm = hadoop_fs(spark, root)
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{_gen_dir(root, gen)}/_activated")
+    )
 
 
 def _gen_age_s(spark, root: str, gen: str, recursive: bool = False) -> float:

@@ -244,21 +244,35 @@ def sessionize_bucketed(
         ),
     )
 
-    out = d.join(
-        summ.select(
-            *entity, "__sb_bucket", "__sb_delta", "__sb_offset"
-        ),
-        entity + ["__sb_bucket"],
-    ).withColumn(
+    # null-safe join-back: plain sessionize KEEPS rows with NULL
+    # entity keys or NULL timestamps (windows group nulls together; a
+    # NULL gap is simply no break), so a plain equi-join here would
+    # silently drop them (code-review r11). The summary window's
+    # nulls-first bucket ordering matches the plain form's nulls-first
+    # timestamp ordering, so the merge algebra already agrees — only
+    # the join needed null safety.
+    join_keys = entity + ["__sb_bucket"]
+    summ_k = summ.select(
+        *[F.col(c).alias(f"__sb_k_{c}") for c in join_keys],
+        "__sb_delta", "__sb_offset",
+    )
+    cond = None
+    for c in join_keys:
+        eq = F.col(c).eqNullSafe(F.col(f"__sb_k_{c}"))
+        cond = eq if cond is None else cond & eq
+    out = d.join(summ_k, cond).withColumn(
         session_col,
         (
             F.col("__sb_local") + F.col("__sb_offset") + F.col("__sb_delta")
         ).cast("bigint"),
     )
-    # preserve the plain form's append-only column contract (the
-    # equi-join moved the entity cols to the front, which would break
-    # positional consumers on a drop-in swap)
-    return out.select(*df.columns, session_col)
+    # preserve the plain form's column contract: replace-in-place when
+    # session_col already existed, append otherwise (and undo the
+    # join's column reordering for positional consumers)
+    final = list(df.columns)
+    if session_col not in final:
+        final.append(session_col)
+    return out.select(*final)
 
 
 def running_sum(

@@ -374,6 +374,42 @@ def test_gc_spares_concurrent_built_unactivated_generation(spark, tmp_path):
     )
 
 
+def test_activate_backmarks_premigration_current(spark, tmp_path):
+    """code-review r11: a lake whose generations predate the
+    _activated marker must not lose its just-superseded serving
+    generation to the quiet rule — activation back-marks the
+    superseded current, admitting it to the keep-window chain."""
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        _gen_dir,
+        gc_generations,
+        list_generations,
+        was_activated,
+    )
+
+    root = str(tmp_path / "legacy")
+    corpus = spark.createDataFrame(
+        _corpus_a(), "vec_id long, embedding array<double>"
+    )
+    refresh_generation(spark, root, corpus, retain=None, **KW)  # gen-0000
+    refresh_generation(spark, root, corpus, retain=None, **KW)  # gen-0001
+    # simulate a pre-marker lake
+    for g in ("gen-0000", "gen-0001"):
+        os.remove(f"{_gen_dir(root, g)}/_activated")
+        assert not was_activated(spark, root, g)
+
+    # first post-upgrade rotation: gen-0001 (the serving gen being
+    # superseded) is back-marked into the chain and keep=2 protects it
+    refresh_generation(spark, root, corpus, retain=2, **KW)  # gen-0002
+    assert was_activated(spark, root, "gen-0001")
+    assert "gen-0001" in list_generations(spark, root)
+    # gen-0000 (unmarked, long superseded) sits under the quiet rule:
+    # survives the default 24h grace, swept by an explicit zero-grace gc
+    assert "gen-0000" in list_generations(spark, root)
+    deleted = gc_generations(spark, root, keep=2, unbuilt_grace_s=0.0)
+    assert deleted == ["gen-0000"]
+    assert list_generations(spark, root) == ["gen-0001", "gen-0002"]
+
+
 def test_gc_ignores_unbuilt_claims_and_sorts_numerically(spark, tmp_path):
     """code-review r11 #1/#3/#4: a claimed-but-unbuilt generation must
     not occupy a keep-window slot (that would push the just-superseded

@@ -129,6 +129,44 @@ def test_sessionize_bucketed_null_extra_break(spark):
     assert buck.columns == df.columns + ["SESSION_ID"]
 
 
+def test_sessionize_bucketed_null_entity_and_ts_rows_kept(spark):
+    """Plain sessionize keeps rows with NULL entity keys or NULL
+    timestamps (windows group nulls; NULL gap = no break); the
+    bucketed join-back must be null-safe so they survive a drop-in
+    swap (code-review r11: an equi-join silently dropped them)."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, _ts(0)), (1, 2, None), (1, 3, _ts(100)),
+            (None, 4, _ts(0)), (None, 5, _ts(10)), (None, 6, None),
+        ],
+        "u int, i int, ts timestamp",
+    )
+    kw = dict(gap_minutes=30.0, order_cols=["ts", "i"])
+    plain = sessionize(df, ["u"], "ts", **kw)
+    buck = sessionize_bucketed(df, ["u"], "ts", bucket_minutes=60.0, **kw)
+    p = {r.i: r.SESSION_ID for r in plain.collect()}
+    b = {r.i: r.SESSION_ID for r in buck.collect()}
+    assert len(b) == 6  # nothing dropped
+    assert p == b
+
+
+def test_sessionize_bucketed_replaces_existing_session_col(spark):
+    """Re-sessionizing a frame that already carries session_col must
+    replace it in place (one column, original position) exactly as
+    plain sessionize's withColumn does."""
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0), 99), (1, 2, _ts(100), 99)],
+        "u int, i int, ts timestamp, SESSION_ID int",
+    )
+    buck = sessionize_bucketed(
+        df, ["u"], "ts", gap_minutes=30.0, order_cols=["ts", "i"],
+        bucket_minutes=60.0,
+    )
+    assert buck.columns == df.columns  # replaced, not appended
+    got = {r.i: r.SESSION_ID for r in buck.collect()}
+    assert got == {1: 1, 2: 2}
+
+
 def test_sessionize_bucketed_rejects_scratch_collision(spark):
     import pytest
 
