@@ -53,7 +53,54 @@ R2_HEADLINE = [
 ]
 
 
-def _run_context() -> dict:
+def _io_probe(sf_dir: str, cap_bytes: int = 100 << 20) -> dict:
+    """Page-cache probe (VERDICT r11 ask #4): sequentially re-read the
+    bench's own input parquet (files > 256 KB, up to ``cap_bytes``)
+    with plain buffered reads and report the throughput. Calibrated on
+    this box: page-cache-warm reads measure 1.7-4.3 GB/s, reads after
+    an fadvise-DONTNEED eviction measure ~150 MB/s — so a probe under
+    ``IO_COLD_MBPS`` (600, the log-midpoint) means the input pages
+    were evicted (e.g. by a 17-minute pytest suite right before) and
+    the run's timings include re-faulting them from disk: the r11
+    blind spot where serve_warm read 2.15 s with a CLEAN cpu/load
+    stamp. The probe itself re-warms what it reads, which is fine —
+    it measures the state the suite STARTS from."""
+    files = sorted(
+        (
+            os.path.join(sf_dir, f)
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+            and os.path.getsize(os.path.join(sf_dir, f)) > 256 * 1024
+        ),
+        key=os.path.getsize,
+        reverse=True,
+    )
+    total = 0
+    t0 = time.perf_counter()
+    for p in files:
+        with open(p, "rb", buffering=0) as fh:
+            while total < cap_bytes:
+                b = fh.read(1 << 20)
+                if not b:
+                    break
+                total += len(b)
+        if total >= cap_bytes:
+            break
+    dt = time.perf_counter() - t0
+    mbps = (total / 1e6) / dt if dt > 0 else float("inf")
+    return {
+        "io_probe_mb": round(total / 1e6, 1),
+        "io_probe_sec": round(dt, 4),
+        "io_mbps": round(mbps, 1),
+    }
+
+
+# below this read throughput the bench inputs were NOT in page cache
+# at start (measured: warm 1700+ MB/s, evicted ~150 MB/s)
+IO_COLD_MBPS = 600.0
+
+
+def _run_context(io_probe_dir: str | None = None) -> dict:
     """Stamp the conditions this bench ran under (VERDICT r7 #2/#4:
     BENCH_r07 recorded a phantom +35% regression because a
     BACKGROUNDED bench runs ~2x slower uniformly — the committed
@@ -70,7 +117,12 @@ def _run_context() -> dict:
       about the same factor.
     - ``stdin_tty``/``stdout_tty``: interactive vs piped invocation
       (the driver pipes; so do foreground harness runs — the probe is
-      the discriminator, the tty bits are context)."""
+      the discriminator, the tty bits are context).
+    - ``io_*`` (only when ``io_probe_dir`` is given — the BEFORE
+      context): page-cache probe over the bench inputs, closing the
+      r11 blind spot where a run right after the pytest suite read
+      serve_warm at 2.15 s with a clean CPU/load stamp (VERDICT r11
+      ask #4)."""
     import numpy as np
 
     a = np.arange(2_000_000, dtype=np.float64)
@@ -83,13 +135,17 @@ def _run_context() -> dict:
     t0 = time.perf_counter()
     for _ in range(10):
         float((a * a).sum())
-    return {
+    ctx = {
         "cpu_probe_sec": round(time.perf_counter() - t0, 4),
         "load1": round(os.getloadavg()[0], 2),
         "cpus": os.cpu_count(),
         "stdin_tty": sys.stdin.isatty(),
         "stdout_tty": sys.stdout.isatty(),
     }
+    if io_probe_dir is not None and os.path.isdir(io_probe_dir):
+        ctx.update(_io_probe(io_probe_dir))
+        ctx["io_cold"] = ctx["io_mbps"] < IO_COLD_MBPS
+    return ctx
 
 
 def contended_verdict(before: dict, after: dict) -> bool:
@@ -162,7 +218,9 @@ def _ivfpq_split(spark, sf_dir: str) -> tuple[float, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    ctx_before = _run_context()
+    # io_probe only on the BEFORE side: the suite itself warms the
+    # cache, so an after-side read would trivially measure warm
+    ctx_before = _run_context(io_probe_dir=sf_dir)
     from sfdata_wrangler_spark.plans import QUERIES
     from sfdata_wrangler_spark.session import get_spark
 
@@ -336,6 +394,12 @@ def main() -> None:
     ctx_after = _run_context()
     result["run_context"] = {"before": ctx_before, "after": ctx_after}
     result["contended"] = contended_verdict(ctx_before, ctx_after)
+    # page-cache verdict kept SEPARATE from `contended` (VERDICT r11
+    # ask #4): a cold cache inflates IO-bound keys (serve_warm) without
+    # any CPU contention, and folding it into `contended` would change
+    # that verdict's cross-round meaning. An io_cold run's timings need
+    # a quiet re-run before being compared round-over-round.
+    result["io_cold"] = bool(ctx_before.get("io_cold", False))
 
     # Full detail first; COMPACT summary LAST. The driver records only
     # the final ~2000 chars of stdout and parses a JSON line out of it
@@ -389,6 +453,8 @@ def compact_line(result: dict, timings: dict) -> str:
         "ivfpq_build": result["ivfpq_build"],
         "ivfpq_query": result["ivfpq_query"],
         "contended": result["contended"],
+        # page-cache stamp (VERDICT r11 ask #4) — see main()
+        "io_cold": result.get("io_cold", False),
         # only the contention discriminators; the full run_context
         # (cpus, tty bits) stays in BENCH_FULL_latest.json — the
         # compact window is the scarce resource here
@@ -396,10 +462,15 @@ def compact_line(result: dict, timings: dict) -> str:
             side: {
                 k: result["run_context"][side][k]
                 for k in ("cpu_probe_sec", "load1")
+                if k in result["run_context"][side]
             }
             for side in ("before", "after")
         },
     }
+    if "io_mbps" in result["run_context"]["before"]:
+        compact["run_context"]["before"]["io_mbps"] = result[
+            "run_context"
+        ]["before"]["io_mbps"]
     line = json.dumps(compact)
     if len(line) >= 1900:
         compact["queries"] = {

@@ -12,12 +12,13 @@ from .windows import (
     rolling_distinct_users,
     rolling_distinct_users_hll,
     running_sum,
+    choose_sessionize_strategy,
     sessionize,
     sessionize_bucketed,
     time_weighted_average,
     trend_diff,
 )
-from .weighting import calc_weights
+from .weighting import calc_weights, choose_weight_strategy
 from .imputation import impute_from_prior_month
 from .interval_lookup import interval_lookup, interval_overlap_join, missing_keys
 from .crosstab import crosstab_with_margins
@@ -65,7 +66,14 @@ from .pca import pca_fit, pca_project
 from .privacy import equivalence_classes, k_anonymity_report
 from .zorder import add_zorder_key, zorder_layout
 from .repetition import domain_cap, repetition_stats
-from .skew import join_size_estimate, salted_agg, skew_report
+from .skew import (
+    join_size_estimate,
+    max_partition_rows,
+    salted_agg,
+    scale_skew_conf,
+    skew_conf_scope,
+    skew_report,
+)
 from .asof import asof_join
 from .sketch import cms_build, cms_estimate, cms_heavy_hitters
 from .hll import hll_estimate, hll_intersect_estimate, hll_merge, hll_sketch
@@ -227,6 +235,11 @@ __all__ = [
     "simhash_hamming_pairs",
     "prefix_filter_pairs",
     "skew_report",
+    "scale_skew_conf",
+    "skew_conf_scope",
+    "max_partition_rows",
+    "choose_weight_strategy",
+    "choose_sessionize_strategy",
     "seasonal_anomaly",
     "winsorize_bounds",
     "rolling_distinct_users",

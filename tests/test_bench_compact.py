@@ -43,6 +43,38 @@ def test_compact_line_carries_every_query():
     assert parsed["ivfpq_build"] == 2.345
     assert parsed["ivfpq_query"] == 1.011
     assert parsed["contended"] is False
+    # page-cache stamp (VERDICT r11 ask #4) defaults False when the
+    # probe dict predates the io probe
+    assert parsed["io_cold"] is False
+
+
+def test_compact_line_carries_io_stamp():
+    from bench import compact_line
+
+    result, timings = _fake(34)
+    result["io_cold"] = True
+    result["run_context"]["before"] = dict(
+        result["run_context"]["before"],
+        io_probe_mb=17.5, io_probe_sec=0.119, io_mbps=147.0, io_cold=True,
+    )
+    parsed = json.loads(compact_line(result, timings))
+    assert parsed["io_cold"] is True
+    assert parsed["run_context"]["before"]["io_mbps"] == 147.0
+    # the after side never carries io keys (probe is before-only)
+    assert "io_mbps" not in parsed["run_context"]["after"]
+
+
+def test_run_context_io_probe_fields():
+    """The io probe reads the given dir's parquet and stamps
+    throughput + the io_cold verdict; without a dir the context stays
+    io-free (scale_probe's call sites pass nothing)."""
+    from bench import _run_context
+
+    ctx = _run_context(io_probe_dir="/root/testdata/sf0.01")
+    assert ctx["io_probe_mb"] > 0
+    assert ctx["io_mbps"] > 0
+    assert isinstance(ctx["io_cold"], bool)
+    assert "io_mbps" not in _run_context()
 
 
 def test_compact_line_degrades_instead_of_failing():

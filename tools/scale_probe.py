@@ -60,22 +60,28 @@ def main():
 
     spark = get_spark()
     qm = query_map()
-    out = {}
+    # per-query results nested under "queries" (ADVICE r11 #4: a
+    # registered query named run_context/contended would silently
+    # overwrite the reserved top-level keys in a flat dict)
+    queries = {}
     for name in a.queries:
         fn = qm[name]
         small_best, small_all = _time_query(fn, spark, a.small, a.runs)
         big_best, big_all = _time_query(fn, spark, a.big, a.runs)
-        out[name] = {
+        queries[name] = {
             "small_best_s": round(small_best, 2),
             "big_best_s": round(big_best, 2),
             "ratio": round(big_best / small_best, 2),
             "small_all": [round(t, 2) for t in small_all],
             "big_all": [round(t, 2) for t in big_all],
         }
-        print(json.dumps({name: out[name]}))
+        print(json.dumps({name: queries[name]}))
     ctx_after = _run_context()
-    out["run_context"] = {"before": ctx_before, "after": ctx_after}
-    out["contended"] = contended_verdict(ctx_before, ctx_after)
+    out = {
+        "queries": queries,
+        "run_context": {"before": ctx_before, "after": ctx_after},
+        "contended": contended_verdict(ctx_before, ctx_after),
+    }
     print(json.dumps(out, indent=2))
 
 
