@@ -79,7 +79,7 @@ def main():
             if best_total is None or total < best_total:
                 best_total, best_rows = total, rows
 
-        # skip pass on the best run's lake: every step must skip
+        # skip pass on the last completed lake: every step must skip
         skip_total, skip_rows = _run_dag(
             spark, a.sf_dir, lakes[-1], a.parallelism
         )
