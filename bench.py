@@ -53,7 +53,7 @@ R2_HEADLINE = [
 ]
 
 
-def _io_probe(sf_dir: str, cap_bytes: int = 100 << 20) -> dict:
+def _io_probe(sf_dir: str, cap_bytes: int = 100 << 20) -> dict | None:
     """Page-cache probe (VERDICT r11 ask #4): sequentially re-read the
     bench's own input parquet (files > 256 KB, up to ``cap_bytes``)
     with plain buffered reads and report the throughput. Calibrated on
@@ -65,12 +65,17 @@ def _io_probe(sf_dir: str, cap_bytes: int = 100 << 20) -> dict:
     blind spot where serve_warm read 2.15 s with a CLEAN cpu/load
     stamp. The probe itself re-warms what it reads, which is fine —
     it measures the state the suite STARTS from."""
+    # regular FILES only (a Spark-written lake's *.parquet entries are
+    # DIRECTORIES — open() would raise IsADirectoryError), and nothing
+    # qualifying returns None rather than a 0-byte "0.0 MB/s" reading
+    # that would stamp every run io_cold forever (code-review r12 #2)
     files = sorted(
         (
-            os.path.join(sf_dir, f)
+            p
             for f in os.listdir(sf_dir)
             if f.endswith(".parquet")
-            and os.path.getsize(os.path.join(sf_dir, f)) > 256 * 1024
+            and os.path.isfile(p := os.path.join(sf_dir, f))
+            and os.path.getsize(p) > 256 * 1024
         ),
         key=os.path.getsize,
         reverse=True,
@@ -87,7 +92,12 @@ def _io_probe(sf_dir: str, cap_bytes: int = 100 << 20) -> dict:
         if total >= cap_bytes:
             break
     dt = time.perf_counter() - t0
-    mbps = (total / 1e6) / dt if dt > 0 else float("inf")
+    if total == 0:
+        return None
+    # dt can quantize to ~0 on a tiny fully-cached read; clamp to a
+    # large FINITE value (json would serialize float('inf') as the
+    # invalid literal Infinity in the compact line)
+    mbps = (total / 1e6) / dt if dt > 0 else 1e6
     return {
         "io_probe_mb": round(total / 1e6, 1),
         "io_probe_sec": round(dt, 4),
@@ -98,6 +108,45 @@ def _io_probe(sf_dir: str, cap_bytes: int = 100 << 20) -> dict:
 # below this read throughput the bench inputs were NOT in page cache
 # at start (measured: warm 1700+ MB/s, evicted ~150 MB/s)
 IO_COLD_MBPS = 600.0
+
+# an 8-way concurrent run of the single-thread workload should finish
+# in ~1x the single-thread time on a healthy 32-core box; it measured
+# 4.0x during the r12 episode where three consecutive "clean" benches
+# read 6.35/9.01/8.21 s comparable_r2 (vs the same day's 5.66 s) —
+# the hypervisor had capped the VM to ~2 effective cores, which load1
+# and the SINGLE-thread probe cannot see while every 32-way Spark
+# stage crawls
+MC_RATIO_CONTENDED = 2.5
+
+
+def _mc_probe_ratio() -> float:
+    """Multi-core capacity probe: wall time of EIGHT concurrent
+    copies of a cache-resident single-thread numpy workload, divided
+    by one copy's solo time. ~1.0-1.5 = the box really has spare
+    cores; >>2 = the 32 advertised CPUs are not actually available
+    (hypervisor steal / core capping), so multi-threaded query
+    timings are inflated even though the single-thread cpu probe
+    reads clean. Cache-resident (1.6 MB arrays) so the ratio measures
+    CORES, not memory bandwidth."""
+    import concurrent.futures as cf
+
+    import numpy as np
+
+    def work():
+        a = np.arange(200_000, dtype=np.float64)
+        t0 = time.perf_counter()
+        for _ in range(100):
+            float((a * a).sum())
+        return time.perf_counter() - t0
+
+    work()  # warm the allocator path
+    single = min(work() for _ in range(3))
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda _: work(), range(8)))  # warm the pool
+        t0 = time.perf_counter()
+        list(pool.map(lambda _: work(), range(8)))
+        wall8 = time.perf_counter() - t0
+    return round(wall8 / single, 2) if single > 0 else 1.0
 
 
 def _run_context(io_probe_dir: str | None = None) -> dict:
@@ -135,16 +184,20 @@ def _run_context(io_probe_dir: str | None = None) -> dict:
     t0 = time.perf_counter()
     for _ in range(10):
         float((a * a).sum())
+    single = time.perf_counter() - t0
     ctx = {
-        "cpu_probe_sec": round(time.perf_counter() - t0, 4),
+        "cpu_probe_sec": round(single, 4),
+        "mc_probe_ratio": _mc_probe_ratio(),
         "load1": round(os.getloadavg()[0], 2),
         "cpus": os.cpu_count(),
         "stdin_tty": sys.stdin.isatty(),
         "stdout_tty": sys.stdout.isatty(),
     }
     if io_probe_dir is not None and os.path.isdir(io_probe_dir):
-        ctx.update(_io_probe(io_probe_dir))
-        ctx["io_cold"] = ctx["io_mbps"] < IO_COLD_MBPS
+        io = _io_probe(io_probe_dir)
+        if io is not None:  # None = nothing measurable, no stamp
+            ctx.update(io)
+            ctx["io_cold"] = ctx["io_mbps"] < IO_COLD_MBPS
     return ctx
 
 
@@ -154,12 +207,18 @@ def contended_verdict(before: dict, after: dict) -> bool:
     consulted: a 32-way Spark run legitimately leaves load1 at 3-6 on
     a clean host, while the single-thread probe runs after the
     executors are idle and only reads slow if a COMPETING workload is
-    still live. Shared by bench.py and tools/scale_probe.py so the
-    committed BENCH and ARCHITECTURE tables classify runs by one
-    rule."""
+    still live. The multi-core ratio (``_mc_probe_ratio``) IS
+    consulted on both sides: the r12 episode showed the hypervisor
+    can cap the VM to ~2 effective cores while load1 and the
+    single-thread probe read clean — the one regime that uniformly
+    inflates every multi-threaded query. Shared by bench.py and
+    tools/scale_probe.py so the committed BENCH and ARCHITECTURE
+    tables classify runs by one rule."""
     return bool(
         before["load1"] > 1.0
         or before["cpu_probe_sec"] > 0.1
+        or before.get("mc_probe_ratio", 0.0) > MC_RATIO_CONTENDED
+        or after.get("mc_probe_ratio", 0.0) > MC_RATIO_CONTENDED
         or after["cpu_probe_sec"] > 0.1
     )
 
@@ -461,7 +520,7 @@ def compact_line(result: dict, timings: dict) -> str:
         "run_context": {
             side: {
                 k: result["run_context"][side][k]
-                for k in ("cpu_probe_sec", "load1")
+                for k in ("cpu_probe_sec", "load1", "mc_probe_ratio")
                 if k in result["run_context"][side]
             }
             for side in ("before", "after")

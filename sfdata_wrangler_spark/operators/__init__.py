@@ -70,6 +70,7 @@ from .skew import (
     join_size_estimate,
     max_partition_rows,
     salted_agg,
+    salted_join,
     scale_skew_conf,
     skew_conf_scope,
     skew_report,
@@ -186,6 +187,7 @@ __all__ = [
     "add_zorder_key",
     "zorder_layout",
     "salted_agg",
+    "salted_join",
     # round-4: temporal joins, sketches, span dedup, selection, ANN,
     # event analytics, linkage, incremental maintenance
     "asof_join",

@@ -287,23 +287,34 @@ def activate_generation(spark, root: str, gen: str) -> None:
     # age re-arms its quiet clock (residual window: a gc thread
     # already past BOTH checks — microseconds, down from minutes).
     if not has_committed_data(spark, f"{gdir}/codes"):
-        if prev and prev != gen:
-            atomic_write_text(spark, _pointer_path(root), prev)
-        else:
-            # first-ever activation (ADVICE r11 #2): there is no prev
-            # to restore, and leaving _current on the gutted generation
-            # would hand readers a servable-looking pointer with no
-            # codes — remove it so they fall back to "no current
-            # generation" (missing_ok callers idle, batch callers get
-            # the loud no-active-generation error)
-            fs, _, jvm = hadoop_fs(spark, root)
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(_pointer_path(root)), False
-            )
+        # repair the pointer only if WE still own it: a concurrent
+        # activate may have re-pointed _current at a healthy generation
+        # between our swap and this re-verify, and restoring/deleting
+        # then would tear down THAT healthy activation (code-review
+        # r12 #3)
+        action = "left untouched (a concurrent activation superseded it)"
+        if current_generation(spark, root) == gen:
+            if prev and prev != gen:
+                atomic_write_text(spark, _pointer_path(root), prev)
+                action = f"restored to {prev!r}"
+            else:
+                # first-ever activation (ADVICE r11 #2): there is no
+                # prev to restore, and leaving _current on the gutted
+                # generation would hand readers a servable-looking
+                # pointer with no codes — remove it so they fall back
+                # to "no current generation" (missing_ok callers idle,
+                # batch callers get the loud no-active-generation
+                # error)
+                fs, _, jvm = hadoop_fs(spark, root)
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(_pointer_path(root)),
+                    False,
+                )
+                action = "removed (no previous generation)"
         raise FileNotFoundError(
             f"generation {gen!r} lost its committed codes between "
             "readiness check and activation (swept by concurrent gc); "
-            f"pointer restored to {prev!r}"
+            f"pointer {action}"
         )
 
 

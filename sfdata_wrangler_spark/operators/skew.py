@@ -75,10 +75,12 @@ def skew_conf_scope(spark, approx_shuffle_bytes: int, **kw):
     conf = scale_skew_conf(approx_shuffle_bytes, **kw)
     prev: dict[str, str | None] = {}
     for k, v in conf.items():
-        try:
-            prev[k] = spark.conf.get(k)
-        except Exception:
-            prev[k] = None
+        # get(k, None): the one-arg get() returns the registered
+        # SQLConf DEFAULT for unset keys (never raising), which would
+        # make the finally block pin the snapshot default explicitly
+        # instead of unset()ting — leaking the scope into the session
+        # (code-review r12 #1, reproduced by the isolated test run)
+        prev[k] = spark.conf.get(k, None)
         spark.conf.set(k, v)
     try:
         yield conf

@@ -93,17 +93,11 @@ def _calc_weights_agg(
     trip_stops: str,
     out: str,
 ) -> DataFrame:
+    from ._scratch import reject_scratch_columns
+
     group = list(group)
-    clash = [c for c in df.columns if c.startswith("__cw_")]
-    if clash:
-        # same guard as sessionize_bucketed's __sb_ namespace (ADVICE
-        # r11 #1): a __cw_-prefixed input column would either make the
-        # join-back ambiguous or be silently dropped by the trailing
-        # drop
-        raise ValueError(
-            f"input columns {clash} collide with calc_weights(strategy="
-            "'agg')'s __cw_ scratch namespace"
-        )
+    # ADVICE r11 #1: same guard class as sessionize_bucketed's __sb_
+    reject_scratch_columns(df, "__cw_", "calc_weights(strategy='agg')")
     cells = df.groupBy(*group).agg(
         F.sum(F.col(trip_stops)).alias("__cw_total"),
         F.sum(

@@ -108,9 +108,20 @@ def sessionize(
     plain's single window shuffle beats bucketed's summary-merge
     overhead and above which plain's wall clock is the hot entity's
     single-task sort). ``knee_rows``/``bucket_minutes`` apply only to
-    auto/bucketed."""
+    auto/bucketed. Auto never raises on inputs the plain form accepts
+    (code-review r12 #4): with a non-``ts_col``-major ``order_cols``
+    it stays plain (bucketing by time is only consistent with a
+    time-major ordering), and when it picks bucketed it widens
+    ``bucket_minutes`` to at least ``gap_minutes`` — an explicit
+    ``strategy="bucketed"`` keeps the loud ValueError instead."""
     if strategy == "auto":
-        strategy = choose_sessionize_strategy(df, entity_cols, knee_rows)
+        if (list(order_cols) if order_cols else [ts_col])[0] != ts_col:
+            strategy = "plain"
+        else:
+            strategy = choose_sessionize_strategy(
+                df, entity_cols, knee_rows
+            )
+            bucket_minutes = max(bucket_minutes, gap_minutes)
     if strategy == "bucketed":
         return sessionize_bucketed(
             df, entity_cols, ts_col, gap_minutes, extra_break,
@@ -208,13 +219,10 @@ def sessionize_bucketed(
             f"order_cols must be {ts_col!r}-major for time-bucketed "
             f"sessionization, got {order!r}"
         )
+    from ._scratch import reject_scratch_columns
+
     entity = list(entity_cols)
-    clash = [c for c in df.columns if c.startswith("__sb_")]
-    if clash:
-        raise ValueError(
-            f"input columns {clash} collide with sessionize_bucketed's "
-            "__sb_ scratch namespace"
-        )
+    reject_scratch_columns(df, "__sb_", "sessionize_bucketed")
     us = F.unix_micros(F.col(ts_col))
     bucket_us = int(bucket_minutes * 60_000_000)
     d = df.withColumn("__sb_us", us).withColumn(

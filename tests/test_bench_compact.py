@@ -77,6 +77,38 @@ def test_run_context_io_probe_fields():
     assert "io_mbps" not in _run_context()
 
 
+def test_io_probe_skips_stamp_when_nothing_measurable(tmp_path):
+    """code-review r12 #2: a dir with no regular parquet file over
+    256 KB must yield NO io stamp — a 0-byte probe would read 0.0 MB/s
+    and permanently flag every run io_cold; Spark-written lakes whose
+    *.parquet entries are DIRECTORIES must not crash the probe."""
+    from bench import _io_probe, _run_context
+
+    (tmp_path / "tiny.parquet").write_bytes(b"x" * 1024)
+    (tmp_path / "lake.parquet").mkdir()  # directory entry, > getsize 0
+    (tmp_path / "lake.parquet" / "part-0").write_bytes(b"y" * (512 << 10))
+    assert _io_probe(str(tmp_path)) is None
+    ctx = _run_context(io_probe_dir=str(tmp_path))
+    assert "io_cold" not in ctx and "io_mbps" not in ctx
+
+
+def test_contended_verdict_catches_core_capping():
+    """The r12 episode: three consecutive benches read 6.35/9.01/8.21s
+    comparable_r2 with CLEAN load1 + single-thread probes because the
+    hypervisor had capped the VM to ~2 effective cores. The 8-way
+    multi-core ratio is the discriminator; legacy contexts without the
+    key stay classifiable."""
+    from bench import contended_verdict
+
+    clean = {"load1": 0.1, "cpu_probe_sec": 0.03, "mc_probe_ratio": 1.2}
+    capped = {"load1": 0.1, "cpu_probe_sec": 0.03, "mc_probe_ratio": 4.0}
+    assert contended_verdict(clean, clean) is False
+    assert contended_verdict(capped, clean) is True
+    assert contended_verdict(clean, capped) is True
+    legacy = {"load1": 0.1, "cpu_probe_sec": 0.03}
+    assert contended_verdict(legacy, legacy) is False
+
+
 def test_compact_line_degrades_instead_of_failing():
     from bench import compact_line
 

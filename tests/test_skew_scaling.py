@@ -201,3 +201,33 @@ def test_choose_sessionize_strategy_pick_and_auto_equivalence(spark):
     )
     with pytest.raises(ValueError, match="strategy"):
         sessionize(hot, ["card"], "ts", strategy="nope")
+
+    # code-review r12 #4: auto must accept everything plain accepts —
+    # a gap wider than the default bucket widens the bucket instead of
+    # raising, and a non-ts-major ordering stays plain instead of
+    # tripping bucketed's ts-major precondition
+    wide = sessionize(
+        hot, ["card"], "ts", gap_minutes=2880.0, strategy="auto",
+        knee_rows=100, order_cols=["ts", "ev"],
+    )
+    wide_plain = sessionize(
+        hot, ["card"], "ts", gap_minutes=2880.0, order_cols=["ts", "ev"]
+    )
+    assert sorted(map(tuple, wide.select(cols).collect())) == sorted(
+        map(tuple, wide_plain.select(cols).collect())
+    )
+    nonmajor = sessionize(
+        hot, ["card"], "ts", strategy="auto", knee_rows=100,
+        order_cols=["ev", "ts"], gap_minutes=30.0,
+    )
+    nonmajor_plain = sessionize(
+        hot, ["card"], "ts", order_cols=["ev", "ts"], gap_minutes=30.0
+    )
+    assert sorted(map(tuple, nonmajor.select(cols).collect())) == sorted(
+        map(tuple, nonmajor_plain.select(cols).collect())
+    )
+    # explicit bucketed keeps the loud precondition errors
+    from sfdata_wrangler_spark.operators.windows import sessionize_bucketed
+
+    with pytest.raises(ValueError, match="bucket_minutes"):
+        sessionize_bucketed(hot, ["card"], "ts", gap_minutes=2880.0)
