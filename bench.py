@@ -109,44 +109,73 @@ def _io_probe(sf_dir: str, cap_bytes: int = 100 << 20) -> dict | None:
 # at start (measured: warm 1700+ MB/s, evicted ~150 MB/s)
 IO_COLD_MBPS = 600.0
 
-# an 8-way concurrent run of the single-thread workload should finish
-# in ~1x the single-thread time on a healthy 32-core box; it measured
-# 4.0x during the r12 episode where three consecutive "clean" benches
-# read 6.35/9.01/8.21 s comparable_r2 (vs the same day's 5.66 s) —
-# the hypervisor had capped the VM to ~2 effective cores, which load1
-# and the SINGLE-thread probe cannot see while every 32-way Spark
-# stage crawls
+# eight CONCURRENT PROCESSES of the probe workload should each run in
+# ~1x its solo time on a healthy 32-core box (measured 1.3 on this box
+# idle); a box delivering fewer effective cores than advertised
+# (hypervisor steal / core capping) timeslices them to ratios of 4+.
+# Motivating episode (r12): three consecutive "clean" benches read
+# 6.35/9.01/8.21 s comparable_r2 vs the same day's 5.66 s — every
+# MULTI-threaded query uniformly inflated while load1 and the
+# single-thread probe read clean, the one regime those two cannot see.
+# The probe must be PROCESS-based: numpy's elementwise ufunc loops
+# hold the GIL, so a thread-based version measures GIL serialization
+# (~3-4x on a healthy idle box — code-review r12 pass-2, refuted
+# empirically) instead of core availability.
 MC_RATIO_CONTENDED = 2.5
+
+# per-core SPEED drift gate: the committed clean-state cluster of
+# cpu_probe_sec across rounds 9-12 is 0.024-0.037 s; during the r12
+# frequency-capped episode the same probe read 0.042-0.047 s (~1.5x)
+# while load1, the 0.1 s starvation threshold, the io probe AND the
+# multi-core ratio (1.05 — cores available, just slower) all read
+# clean, and comparable_r2 inflated 5.66 -> 8.08 s in proportion.
+# 0.040 splits the two observed clusters; a run above it is timed on
+# a slower per-core machine and is not comparable round-over-round.
+CPU_SLOW_SEC = 0.040
+
+
+def _mc_work(_=None) -> float:
+    """One cache-resident numpy workload (1.6 MB array — measures
+    cores, not memory bandwidth), timed INSIDE the worker so pool
+    dispatch overhead never pollutes the ratio. Module-level: process
+    pools need a picklable callable."""
+    import numpy as np
+
+    a = np.arange(200_000, dtype=np.float64)
+    t0 = time.perf_counter()
+    for _ in range(100):
+        float((a * a).sum())
+    return time.perf_counter() - t0
 
 
 def _mc_probe_ratio() -> float:
-    """Multi-core capacity probe: wall time of EIGHT concurrent
-    copies of a cache-resident single-thread numpy workload, divided
-    by one copy's solo time. ~1.0-1.5 = the box really has spare
-    cores; >>2 = the 32 advertised CPUs are not actually available
-    (hypervisor steal / core capping), so multi-threaded query
-    timings are inflated even though the single-thread cpu probe
-    reads clean. Cache-resident (1.6 MB arrays) so the ratio measures
-    CORES, not memory bandwidth."""
+    """Multi-core capacity probe: the slowest of EIGHT concurrent
+    PROCESS copies of :func:`_mc_work`, divided by one copy's solo
+    time in the same pool. ~1.0-1.5 = the advertised cores are really
+    available; >>2 = they are not, and multi-threaded query timings
+    are inflated even though the single-thread cpu probe reads
+    clean."""
     import concurrent.futures as cf
 
-    import numpy as np
-
-    def work():
-        a = np.arange(200_000, dtype=np.float64)
-        t0 = time.perf_counter()
-        for _ in range(100):
-            float((a * a).sum())
-        return time.perf_counter() - t0
-
-    work()  # warm the allocator path
-    single = min(work() for _ in range(3))
-    with cf.ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(lambda _: work(), range(8)))  # warm the pool
-        t0 = time.perf_counter()
-        list(pool.map(lambda _: work(), range(8)))
-        wall8 = time.perf_counter() - t0
-    return round(wall8 / single, 2) if single > 0 else 1.0
+    try:
+        with cf.ProcessPoolExecutor(max_workers=8) as pool:
+            list(pool.map(_mc_work, range(8)))  # warm: fork + imports
+            solo = min(pool.map(_mc_work, [None] * 3))
+            # MEDIAN worker over fastest solo, best of two rounds:
+            # core capping timeslices ALL eight workers (median reads
+            # 4+), while a transient scheduler blip hits one worker —
+            # max(per) spiked a healthy idle box to 2.0 against a
+            # 1.1-1.4 steady state, too close to the 2.5 threshold
+            ratios = []
+            for _ in range(2):
+                per = sorted(pool.map(_mc_work, range(8)))
+                ratios.append(per[len(per) // 2] / solo)
+        return round(min(ratios), 2) if solo > 0 else 1.0
+    except Exception:
+        # a sandbox that forbids fork must not kill the bench — an
+        # unmeasured ratio reads as healthy (the other probes still
+        # stamp), mirroring the io probe's None contract
+        return 1.0
 
 
 def _run_context(io_probe_dir: str | None = None) -> dict:
@@ -220,6 +249,12 @@ def contended_verdict(before: dict, after: dict) -> bool:
         or before.get("mc_probe_ratio", 0.0) > MC_RATIO_CONTENDED
         or after.get("mc_probe_ratio", 0.0) > MC_RATIO_CONTENDED
         or after["cpu_probe_sec"] > 0.1
+        # per-core frequency drift (see CPU_SLOW_SEC): cores present
+        # and unstarved, each just ~1.5x slower — the fourth regime,
+        # caught by the probe's ABSOLUTE level against the committed
+        # clean cluster rather than by a new probe
+        or before["cpu_probe_sec"] > CPU_SLOW_SEC
+        or after["cpu_probe_sec"] > CPU_SLOW_SEC
     )
 
 
@@ -457,8 +492,11 @@ def main() -> None:
     # ask #4): a cold cache inflates IO-bound keys (serve_warm) without
     # any CPU contention, and folding it into `contended` would change
     # that verdict's cross-round meaning. An io_cold run's timings need
-    # a quiet re-run before being compared round-over-round.
-    result["io_cold"] = bool(ctx_before.get("io_cold", False))
+    # a quiet re-run before being compared round-over-round. None (json
+    # null) = the probe had nothing measurable — distinct from a
+    # measured-warm False (code-review r12 pass-2 #2: an unmeasured dir
+    # must not present as measured-clean).
+    result["io_cold"] = ctx_before.get("io_cold")
 
     # Full detail first; COMPACT summary LAST. The driver records only
     # the final ~2000 chars of stdout and parses a JSON line out of it
@@ -512,8 +550,9 @@ def compact_line(result: dict, timings: dict) -> str:
         "ivfpq_build": result["ivfpq_build"],
         "ivfpq_query": result["ivfpq_query"],
         "contended": result["contended"],
-        # page-cache stamp (VERDICT r11 ask #4) — see main()
-        "io_cold": result.get("io_cold", False),
+        # page-cache stamp (VERDICT r11 ask #4) — see main(); None =
+        # nothing measurable, distinct from measured-warm False
+        "io_cold": result.get("io_cold"),
         # only the contention discriminators; the full run_context
         # (cpus, tty bits) stays in BENCH_FULL_latest.json — the
         # compact window is the scarce resource here

@@ -43,9 +43,10 @@ def test_compact_line_carries_every_query():
     assert parsed["ivfpq_build"] == 2.345
     assert parsed["ivfpq_query"] == 1.011
     assert parsed["contended"] is False
-    # page-cache stamp (VERDICT r11 ask #4) defaults False when the
-    # probe dict predates the io probe
-    assert parsed["io_cold"] is False
+    # page-cache stamp (VERDICT r11 ask #4): None/null when the result
+    # predates the io probe or nothing was measurable — an unmeasured
+    # run must not present as measured-warm False
+    assert parsed["io_cold"] is None
 
 
 def test_compact_line_carries_io_stamp():
@@ -107,6 +108,20 @@ def test_contended_verdict_catches_core_capping():
     assert contended_verdict(clean, capped) is True
     legacy = {"load1": 0.1, "cpu_probe_sec": 0.03}
     assert contended_verdict(legacy, legacy) is False
+
+
+def test_contended_verdict_catches_frequency_drift():
+    """The r12 second episode: cores present and unstarved (mc 1.05,
+    load1 0.01) but each ~1.5x slower — cpu_probe_sec 0.042-0.047 vs
+    the committed clean cluster 0.024-0.037 — inflating comparable_r2
+    5.66 -> 8.08 s. The probe's absolute level gates it at 0.040."""
+    from bench import contended_verdict
+
+    clean = {"load1": 0.1, "cpu_probe_sec": 0.031, "mc_probe_ratio": 1.1}
+    slow = {"load1": 0.1, "cpu_probe_sec": 0.047, "mc_probe_ratio": 1.1}
+    assert contended_verdict(clean, clean) is False
+    assert contended_verdict(slow, clean) is True
+    assert contended_verdict(clean, slow) is True
 
 
 def test_compact_line_degrades_instead_of_failing():
