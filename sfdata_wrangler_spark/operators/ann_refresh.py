@@ -528,7 +528,9 @@ def was_activated(spark, root: str, gen: str) -> bool:
     )
 
 
-def _gen_age_s(spark, root: str, gen: str, recursive: bool = False) -> float:
+def _gen_age_s(
+    spark, root: str, gen: str, recursive: bool = False
+) -> float | None:
     """Seconds since the generation last changed: newest modification
     time across the gen dir and its children. ``recursive=True`` walks
     the whole subtree — required to see an in-progress build: a long
@@ -536,19 +538,30 @@ def _gen_age_s(spark, root: str, gen: str, recursive: bool = False) -> float:
     ``codes/``'s own mtime stops advancing right after job start and a
     shallow scan would read a half-written build as quiet (code-review
     r11 #4). The walk is bounded by ONE generation's file count, which
-    is partition-count-sized, not corpus-sized."""
+    is partition-count-sized, not corpus-sized.
+
+    Returns ``None`` when the generation (or part of its subtree)
+    vanishes MID-SCAN — a CONCURRENT gc deleted it between the
+    caller's listing and this walk. Two refreshes with retention
+    race exactly this way (found by the r12 rotation-chaos test:
+    getFileStatus threw FileNotFoundException and crashed a refresh
+    whose own rotation had already succeeded); the loser must treat
+    the generation as already-handled, not die."""
     import time as _time
 
     fs, _, jvm = hadoop_fs(spark, root)
     p = jvm.org.apache.hadoop.fs.Path(_gen_dir(root, gen))
-    newest = fs.getFileStatus(p).getModificationTime()
-    stack = [p]
-    while stack:
-        d = stack.pop()
-        for st in fs.listStatus(d):
-            newest = max(newest, st.getModificationTime())
-            if recursive and st.isDirectory():
-                stack.append(st.getPath())
+    try:
+        newest = fs.getFileStatus(p).getModificationTime()
+        stack = [p]
+        while stack:
+            d = stack.pop()
+            for st in fs.listStatus(d):
+                newest = max(newest, st.getModificationTime())
+                if recursive and st.isDirectory():
+                    stack.append(st.getPath())
+    except Exception:
+        return None  # swept by a concurrent gc mid-scan
     return _time.time() - newest / 1000.0
 
 
@@ -618,12 +631,18 @@ def gc_generations(
         if gen in protected:
             continue
         if gen in chain:
-            if _gen_age_s(spark, root, gen) < grace_age_s:
+            age = _gen_age_s(spark, root, gen)
+            if age is None:  # a concurrent gc already swept it
+                continue
+            if age < grace_age_s:
                 continue
         else:
             # unbuilt claims AND built-but-never-activated: both may
             # be a live concurrent refresh — quiet-grace only
-            if _gen_age_s(spark, root, gen, recursive=True) < unbuilt_grace_s:
+            age = _gen_age_s(spark, root, gen, recursive=True)
+            if age is None:
+                continue
+            if age < unbuilt_grace_s:
                 continue
         ok = fs.delete(
             jvm.org.apache.hadoop.fs.Path(_gen_dir(root, gen)), True
