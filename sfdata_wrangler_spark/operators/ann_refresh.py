@@ -549,6 +549,8 @@ def _gen_age_s(
     the generation as already-handled, not die."""
     import time as _time
 
+    from py4j.protocol import Py4JJavaError
+
     fs, _, jvm = hadoop_fs(spark, root)
     p = jvm.org.apache.hadoop.fs.Path(_gen_dir(root, gen))
     try:
@@ -560,8 +562,17 @@ def _gen_age_s(
                 newest = max(newest, st.getModificationTime())
                 if recursive and st.isDirectory():
                     stack.append(st.getPath())
-    except Exception:
-        return None  # swept by a concurrent gc mid-scan
+    except Py4JJavaError as e:
+        # ONLY the vanished-mid-scan signature maps to None; anything
+        # else (permissions, S3 throttling, gateway failures) must
+        # stay loud — a blanket swallow would silently disable the
+        # retention sweep fleet-wide (code-review r12 pass-3 #2)
+        jexc = e.java_exception
+        if jexc is not None and "FileNotFoundException" in (
+            jexc.getClass().getName()
+        ):
+            return None  # swept by a concurrent gc mid-scan
+        raise
     return _time.time() - newest / 1000.0
 
 

@@ -480,8 +480,13 @@ def test_concurrent_rotation_chaos_invariants(spark, tmp_path):
 
     done = threading.Event()
     reads = {"ok": 0, "none": 0, "err": 0}
+    torn: list = []  # invariant violations — asserted in MAIN thread
+    qids = {q[0] for q in _queries()[:2]}
 
     def reader():
+        # violations are COLLECTED, not raised: an exception in a
+        # daemon thread cannot fail a pytest test (code-review r12
+        # pass-3 #1 — the earlier `raise` was silently unenforced)
         while not done.is_set():
             try:
                 got = serve_current(
@@ -494,16 +499,19 @@ def test_concurrent_rotation_chaos_invariants(spark, tmp_path):
                 by_q = {}
                 for r in rows:
                     by_q.setdefault(r["query_id"], []).append(r)
-                # complete answer: k hits for every served query
-                assert all(
-                    len(v) == SERVE["k"] for v in by_q.values()
-                ), {k: len(v) for k, v in by_q.items()}
+                # complete answer: BOTH queries present (an empty or
+                # query-dropping result must not count — pass-3 #3),
+                # each with exactly k hits
+                if set(by_q) != qids or any(
+                    len(v) != SERVE["k"] for v in by_q.values()
+                ):
+                    torn.append({k: len(v) for k, v in by_q.items()})
+                    continue
                 reads["ok"] += 1
-            except AssertionError:
-                raise
             except Exception:
                 # double-rotation sweep under an in-flight plan — the
                 # documented keep=2 residual window; tolerated, counted
+                # and BOUNDED below
                 reads["err"] += 1
 
     def writer(_):
@@ -521,9 +529,13 @@ def test_concurrent_rotation_chaos_invariants(spark, tmp_path):
         done.set()
         rt.join(timeout=60)
 
-    # reader made real progress and torn results never surfaced (the
-    # assert inside reader() propagates via `raise`)
+    # no torn results, real reader progress, and errors bounded by the
+    # residual window's capacity: 4 rotations total and one in-flight
+    # read each can strand — a serve path that crashes on every swap
+    # would blow far past this (pass-3 #4)
+    assert torn == [], torn
     assert reads["ok"] >= 1, reads
+    assert reads["err"] <= 4, reads
 
     cur = current_generation(spark, root)
     assert cur is not None and is_built(spark, root, cur)
