@@ -203,6 +203,11 @@ def _run_context(io_probe_dir: str | None = None) -> dict:
       ask #4)."""
     import numpy as np
 
+    # load1 sampled FIRST (ADVICE r12 #4): the 8-process multi-core
+    # probe's own CPU burst otherwise inflates the before-side load1
+    # stamp ~+0.2-0.3 toward the 1.0 contended gate — conservative
+    # (false-contended only) but it skewed cross-round comparisons
+    load1 = round(os.getloadavg()[0], 2)
     a = np.arange(2_000_000, dtype=np.float64)
     # one untimed pass first: the process's FIRST numpy workload pays
     # allocator/page-fault warm-up (~0.10s measured vs ~0.04s steady on
@@ -217,7 +222,7 @@ def _run_context(io_probe_dir: str | None = None) -> dict:
     ctx = {
         "cpu_probe_sec": round(single, 4),
         "mc_probe_ratio": _mc_probe_ratio(),
-        "load1": round(os.getloadavg()[0], 2),
+        "load1": load1,
         "cpus": os.cpu_count(),
         "stdin_tty": sys.stdin.isatty(),
         "stdout_tty": sys.stdout.isatty(),
@@ -245,14 +250,12 @@ def contended_verdict(before: dict, after: dict) -> bool:
     tables classify runs by one rule."""
     return bool(
         before["load1"] > 1.0
-        or before["cpu_probe_sec"] > 0.1
         or before.get("mc_probe_ratio", 0.0) > MC_RATIO_CONTENDED
         or after.get("mc_probe_ratio", 0.0) > MC_RATIO_CONTENDED
-        or after["cpu_probe_sec"] > 0.1
-        # per-core frequency drift (see CPU_SLOW_SEC): cores present
-        # and unstarved, each just ~1.5x slower — the fourth regime,
-        # caught by the probe's ABSOLUTE level against the committed
-        # clean cluster rather than by a new probe
+        # single cpu-probe gate (ADVICE r12 #1: the historical 0.1 s
+        # starvation threshold was strictly subsumed once CPU_SLOW_SEC
+        # landed): CPU starvation reads 2x+ and frequency drift ~1.5x,
+        # both above the 0.040 s split of the committed clean cluster
         or before["cpu_probe_sec"] > CPU_SLOW_SEC
         or after["cpu_probe_sec"] > CPU_SLOW_SEC
     )

@@ -21,6 +21,8 @@ Layout under a generation root::
     <root>/generations/<gen>/codebooks/   residual PQ codebooks
     <root>/generations/<gen>/codes/       code table PARTITIONED BY cid
     <root>/generations/<gen>/meta.json    m/sub_dim/... (serve params)
+    <root>/generations/<gen>/tombstones/  deleted ids (append; see
+                                          :func:`tombstone_ids`)
     <root>/_current                       atomically renamed pointer
 
 Scale shape: training is the integer Lloyd's pair
@@ -294,23 +296,41 @@ def activate_generation(spark, root: str, gen: str) -> None:
         # r12 #3)
         action = "left untouched (a concurrent activation superseded it)"
         if current_generation(spark, root) == gen:
-            if prev and prev != gen:
+            # prev must itself still be servable (ADVICE r12 #3): with
+            # keep=1 the same concurrent gc that gutted THIS generation
+            # can have swept prev too, and restoring the pointer to a
+            # codeless generation would hand readers the exact stranded
+            # state this repair exists to prevent — fall through to the
+            # pointer-delete branch instead. Residual TOCTOU: a gc or
+            # activation landing between the ownership check above and
+            # the write below can still be clobbered — a microsecond
+            # window (two driver-side FS ops apart) on a local/HDFS
+            # rename-based pointer with no compare-and-swap primitive;
+            # the rotation chaos test bounds its blast radius to "one
+            # extra repairable FileNotFoundError".
+            if (
+                prev
+                and prev != gen
+                and has_committed_data(
+                    spark, f"{_gen_dir(root, prev)}/codes"
+                )
+            ):
                 atomic_write_text(spark, _pointer_path(root), prev)
                 action = f"restored to {prev!r}"
             else:
-                # first-ever activation (ADVICE r11 #2): there is no
-                # prev to restore, and leaving _current on the gutted
-                # generation would hand readers a servable-looking
-                # pointer with no codes — remove it so they fall back
-                # to "no current generation" (missing_ok callers idle,
-                # batch callers get the loud no-active-generation
-                # error)
+                # first-ever activation (ADVICE r11 #2) OR prev itself
+                # lost its codes: there is nothing servable to restore,
+                # and leaving _current on the gutted generation would
+                # hand readers a servable-looking pointer with no codes
+                # — remove it so they fall back to "no current
+                # generation" (missing_ok callers idle, batch callers
+                # get the loud no-active-generation error)
                 fs, _, jvm = hadoop_fs(spark, root)
                 fs.delete(
                     jvm.org.apache.hadoop.fs.Path(_pointer_path(root)),
                     False,
                 )
-                action = "removed (no previous generation)"
+                action = "removed (no servable previous generation)"
         raise FileNotFoundError(
             f"generation {gen!r} lost its committed codes between "
             "readiness check and activation (swept by concurrent gc); "
@@ -338,11 +358,21 @@ def refresh_generation(
     train_pred=None,
     retain: int | None = 2,
     grace_age_s: float = 0.0,
+    fold_tombstones: bool = True,
 ) -> str:
     """The rotation: retrain on ``corpus`` (optionally a
     ``train_pred`` sample), re-encode, write a NEW generation dir,
     and atomically swap serving to it. Returns the new generation
     name.
+
+    ``fold_tombstones`` (default on — VERDICT r12 ask #1): ids
+    tombstoned against the CURRENT generation are anti-joined out of
+    ``corpus`` before training and encoding, so the new generation
+    physically lacks the deleted vectors and starts with an empty
+    tombstone table — tombstones never outlive one rotation. The
+    anti-join is a broadcast of the takedown-sized id table against
+    the corpus scan; pass ``False`` only when the caller already
+    removed the ids from ``corpus`` itself.
 
     ``retain`` bounds disk (VERDICT r10 ask #2): after the swap,
     :func:`gc_generations` keeps the newest ``retain`` generations
@@ -353,6 +383,27 @@ def refresh_generation(
     its own schedule."""
     from ._cache import cache_scope
 
+    if fold_tombstones:
+        prev_gen = current_generation(spark, root)
+        tomb = (
+            generation_tombstones(spark, root, prev_gen, id_col)
+            if prev_gen
+            else None
+        )
+        if tomb is not None:
+            # EAGER collect (takedown-sized by the tombstone contract):
+            # a lazy read would be re-resolved inside the corpus-scale
+            # encode jobs minutes later, when a CONCURRENT rotation's
+            # gc may have swept prev_gen — failing the whole build for
+            # a table that was live when the fold was decided. The
+            # local relation also broadcasts with no extra scan.
+            rows = tomb.distinct().collect()
+            if rows:
+                corpus = corpus.join(
+                    F.broadcast(spark.createDataFrame(rows, tomb.schema)),
+                    id_col,
+                    "left_anti",
+                )
     gen = _next_gen_name(spark, root)
     # cache_scope: ivfpq_index tracked-persists the corpus-sized
     # coarse assignment so the codebook build and the encode share
@@ -375,6 +426,59 @@ def refresh_generation(
     if retain is not None:
         gc_generations(spark, root, keep=retain, grace_age_s=grace_age_s)
     return gen
+
+
+def tombstone_ids(
+    spark,
+    root: str,
+    ids_df: DataFrame,
+    id_col: str = "vec_id",
+    gen: str | None = None,
+) -> str:
+    """DELETE vectors from the serving index WITHOUT retraining
+    (VERDICT r12 ask #1: a takedown of 100 vectors previously cost a
+    full corpus-scale ``refresh_generation``).
+
+    Appends ``ids_df``'s ids to the generation's small ``tombstones``
+    table. Serving (:func:`serve_current` → ``pq.serve_pruned``)
+    anti-joins the ADC candidates against it BEFORE the shortlist —
+    a broadcast anti-join of a takedown-sized table, so delete cost
+    is independent of corpus size (the codes stay on disk; they just
+    can never reach a shortlist slot). The NEXT
+    :func:`refresh_generation` folds the tombstones into the retrain
+    (anti-joins the corpus before encoding), so they never accumulate
+    past one rotation: the new generation starts with an empty
+    tombstone table and physically lacks the deleted codes.
+
+    Returns the generation name the tombstones were attached to.
+    Deletes are generation-scoped on purpose — a rotation that lands
+    AFTER a tombstone write but trained BEFORE it would otherwise
+    resurrect the ids; callers that must survive that race re-issue
+    the tombstone (idempotent: serve distincts) or fold via
+    ``refresh_generation(corpus_minus_ids)``. Re-ADDING a tombstoned
+    id requires a refresh: ingest_batch appends codes, but the
+    id-level tombstone outranks them until the next rotation."""
+    gen = gen or current_generation(spark, root)
+    if gen is None:
+        raise FileNotFoundError(f"no active generation under {root}")
+    ids_df.select(F.col(id_col).alias(id_col)).write.mode("append").parquet(
+        f"{_gen_dir(root, gen)}/tombstones"
+    )
+    return gen
+
+
+def generation_tombstones(
+    spark, root: str, gen: str, id_col: str = "vec_id"
+) -> DataFrame | None:
+    """The generation's tombstone ids, or None when none were ever
+    written (committed-data check, same readiness rule as every other
+    artifact — a half-written tombstone append must not half-apply)."""
+    from ..sources.lake import has_committed_data
+
+    path = f"{_gen_dir(root, gen)}/tombstones"
+    if not has_committed_data(spark, path):
+        return None
+    return spark.read.parquet(path).select(id_col)
 
 
 def ingest_batch(
@@ -459,12 +563,20 @@ def serve_current(
     # generation skip both parquet re-reads
     from .serve_cache import cached_local_artifact
 
+    # tombstoned ids (if any) are anti-joined out of the ADC
+    # candidates before the shortlist — the incremental-delete path
+    # (VERDICT r12 ask #1). NOT cached like the quantizers: the
+    # tombstone table is append-mutable within a generation, so each
+    # serve re-lists it (a takedown must apply to the NEXT call, not
+    # after the next rotation); the listing is one driver-side FS
+    # status call on a takedown-sized dir.
     return serve_pruned(
         queries,
         f"{gdir}/codes",
         cached_local_artifact(spark, f"{gdir}/centroids", gen),
         cached_local_artifact(spark, f"{gdir}/codebooks", gen),
         corpus,
+        exclude_ids=generation_tombstones(spark, root, gen, corpus_id),
         k=k,
         n_probe=n_probe,
         shortlist=shortlist,
@@ -567,13 +679,35 @@ def _gen_age_s(
         # else (permissions, S3 throttling, gateway failures) must
         # stay loud — a blanket swallow would silently disable the
         # retention sweep fleet-wide (code-review r12 pass-3 #2)
-        jexc = e.java_exception
-        if jexc is not None and "FileNotFoundException" in (
-            jexc.getClass().getName()
-        ):
+        if _is_java_fnf(e.java_exception):
             return None  # swept by a concurrent gc mid-scan
         raise
     return _time.time() - newest / 1000.0
+
+
+def _is_java_fnf(jexc) -> bool:
+    """True iff the Py4J-wrapped Java exception IS a
+    ``java.io.FileNotFoundException`` — exact class-hierarchy walk,
+    not substring matching (VERDICT r12 ask #4: a hypothetical
+    ``NotAFileNotFoundException``-shaped name, or any exception whose
+    MESSAGE merely mentions the class, must not be treated as the
+    vanished-mid-scan signature). Subclasses count via the superclass
+    walk; the classes the FileSystem API actually throws for a
+    vanished path (LocalFileSystem and HDFS ``getFileStatus``/
+    ``listStatus``) are java.io.FileNotFoundException itself —
+    Hadoop's ``PathNotFoundException`` is a PathIOException shell-op
+    wrapper that never reaches this scan."""
+    if jexc is None:
+        return False
+    try:
+        cls = jexc.getClass()
+        while cls is not None:
+            if cls.getName() == "java.io.FileNotFoundException":
+                return True
+            cls = cls.getSuperclass()
+    except Exception:
+        return False
+    return False
 
 
 def gc_generations(

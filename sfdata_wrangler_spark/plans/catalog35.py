@@ -148,7 +148,21 @@ def _ivfpq_index_sql(train_pred: str = "TRUE") -> str:
 _IVFPQ_INDEX = _ivfpq_index_sql()
 
 
-def _ivfpq_search_sql(index_sql: str, query_pred: str = "vec_id < 3") -> str:
+def _ivfpq_search_sql(
+    index_sql: str,
+    query_pred: str = "vec_id < 3",
+    exclude_pred: str | None = None,
+) -> str:
+    """``exclude_pred`` (template over ``{col}``, e.g.
+    ``"({col} % 17) = 3"``): tombstoned corpus ids, removed from the
+    ADC candidates BEFORE the shortlist — the exact placement of
+    ``pq.ivfpq_topk(exclude_ids=...)``'s anti-join, so the oracle
+    replays incremental deletion against the same frozen index."""
+    ex = (
+        f" AND NOT ({exclude_pred.format(col='e.vec_id')})"
+        if exclude_pred
+        else ""
+    )
     return f"""
 WITH {index_sql},
 probes AS MATERIALIZED (
@@ -176,7 +190,7 @@ adc AS MATERIALIZED (
   FROM enc e
   JOIN lut l ON e.cid = l.cid AND e.subspace = l.subspace
             AND e.code = l.code
-  WHERE e.vec_id <> l.query_id
+  WHERE e.vec_id <> l.query_id{ex}
   GROUP BY 1, 2
 ),
 short AS MATERIALIZED (

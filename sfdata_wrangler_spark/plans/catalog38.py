@@ -254,3 +254,90 @@ def _register_rotated_serve() -> None:
 
 
 _register_rotated_serve()
+
+
+_TS_Q_LO, _TS_Q_HI = 12, 15  # disjoint from topk/s19/serve/rotated ranges
+_TS_MOD, _TS_RESIDUE = 17, 3  # planted tombstones: vec_id % 17 == 3
+
+
+def _register_tombstone_serve() -> None:
+    from .catalog35 import _ivfpq_search_sql
+    from .catalog37 import _fully_trained_index_sql
+
+    @_register(
+        "ann_tombstone_serve",
+        _ivfpq_search_sql(
+            _fully_trained_index_sql(),
+            query_pred=f"vec_id >= {_TS_Q_LO} AND vec_id < {_TS_Q_HI}",
+            exclude_pred=f"({{col}} % {_TS_MOD}) = {_TS_RESIDUE}",
+        ),
+    )
+    def ann_tombstone_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental ANN deletion, hash-verified end to end (VERDICT
+        r12 ask #1, operators/ann_refresh.tombstone_ids): rotate a
+        generation once, TOMBSTONE the planted id set (vec_id % 17 ==
+        3 — a takedown-sized parquet append, no retrain), then
+        serve_current — which anti-joins the ADC candidates against
+        the tombstones before the shortlist. The oracle replays the
+        identical frozen-index search with the same ids excluded at
+        the same (pre-shortlist) stage, so the hash certifies the
+        equivalence the deletion contract promises: serving with
+        tombstones == searching the same index with those vectors'
+        codes removed. Queries are never themselves tombstoned
+        (12..15 are not == 3 mod 17). Repeat calls in a session append
+        the same ids again — serve distincts, so the result is
+        call-idempotent."""
+        from ..operators.ann_refresh import (
+            current_generation,
+            refresh_generation,
+            serve_current,
+            tombstone_ids,
+        )
+        from ..plans.catalog35 import (
+            _K,
+            _KM_ITERS,
+            _KM_K,
+            _M,
+            _N_CODES,
+            _N_PROBE,
+            _SHORTLIST,
+            _SUB_DIM,
+        )
+        from ..sources.lake import scratch_tag_for_path, session_scratch
+
+        emb = _t(spark, sf_dir, "embeddings")
+        # own root — tombstoning emb_ivfpq_rotated_serve's generation
+        # would change THAT query's results
+        root = session_scratch(
+            spark, "ann_tombstone", scratch_tag_for_path(sf_dir)
+        )
+        if current_generation(spark, root) is None:
+            refresh_generation(
+                spark, root, emb,
+                km_k=_KM_K, km_iters=_KM_ITERS,
+                n_codes=_N_CODES, cb_iters=_KM_ITERS,
+                m=_M, sub_dim=_SUB_DIM,
+            )
+        tombstone_ids(
+            spark, root,
+            emb.where(
+                F.pmod(F.col("vec_id"), F.lit(_TS_MOD)) == _TS_RESIDUE
+            ).select("vec_id"),
+        )
+        queries = emb.where(
+            (F.col("vec_id") >= _TS_Q_LO) & (F.col("vec_id") < _TS_Q_HI)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        out = serve_current(
+            spark, root, queries, emb,
+            k=_K, n_probe=_N_PROBE, shortlist=_SHORTLIST,
+        )
+        return out.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("adc_d2").cast("bigint").alias("adc_d2"),
+            F.col("exact_d2").cast("bigint").alias("exact_d2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+
+_register_tombstone_serve()

@@ -260,19 +260,29 @@ def atomic_write_text(spark, path: str, text: str) -> None:
     # window is real but small, and a crash inside it leaves the OLD
     # artifacts intact plus a recoverable temp file, never a torn
     # write.
-    if not fs.rename(tmp, hpath):
+    # bounded retry around the fallback: two CONCURRENT writers can
+    # interleave exactly so that each delete is followed by the
+    # other's rename landing first, failing both of a single-shot
+    # delete+rename pair (observed by the r13 tombstone-mid-rotation
+    # chaos test: two activates racing the _current pointer). These
+    # are last-writer-wins control files, so retrying until one value
+    # lands is correct; after the attempts the loud torn-state error
+    # below still fires, with the new content preserved at the temp
+    # path for manual re-commit.
+    import time as _time
+
+    for attempt in range(4):
+        if fs.rename(tmp, hpath):
+            return
         if fs.exists(hpath):
             fs.delete(hpath, False)
-        if not fs.rename(tmp, hpath):
-            # double failure after the delete is the one genuinely
-            # torn state HDFS-class filesystems allow (no atomic
-            # replace primitive); the new content SURVIVES at the
-            # temp path for manual re-commit, so raise loudly with
-            # the recovery pointer instead of losing it too
-            raise IOError(
-                f"atomic text rename failed for {path}; new content "
-                f"preserved at {tmp}"
-            )
+        if fs.rename(tmp, hpath):
+            return
+        _time.sleep(0.01 * (attempt + 1))
+    raise IOError(
+        f"atomic text rename failed for {path}; new content "
+        f"preserved at {tmp}"
+    )
 
 
 def read_text(spark, path: str) -> str | None:

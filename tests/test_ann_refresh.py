@@ -732,3 +732,278 @@ def test_gc_ignores_unbuilt_claims_and_sorts_numerically(spark, tmp_path):
     assert set(deleted) == {"gen-0000", "gen-0001"}
     assert list_generations(spark, root) == ["gen-9999", "gen-10000"]
     assert serve_current(spark, root, qdf, corpus, **SERVE).count() > 0
+
+
+def test_gen_age_maps_only_real_java_fnf(spark, tmp_path, monkeypatch):
+    """VERDICT r12 ask #4: the vanished-mid-scan tolerance must key on
+    the exception's JAVA CLASS (java.io.FileNotFoundException or a
+    subclass), never on substring matching — an exception whose
+    MESSAGE mentions the class name, or a permission failure, must
+    re-raise so the retention sweep stays loud."""
+    from py4j.protocol import Py4JJavaError
+
+    from sfdata_wrangler_spark.operators import ann_refresh as ar
+
+    jvm = spark.sparkContext._jvm
+    # the exact class the FileSystem API throws for a vanished path
+    assert ar._is_java_fnf(jvm.java.io.FileNotFoundException("gone"))
+    # a PermissionError-shaped failure is NOT vanished, even when its
+    # message name-drops the class substring matching keyed on
+    assert not ar._is_java_fnf(
+        jvm.java.nio.file.AccessDeniedException(
+            "java.io.FileNotFoundException mentioned in message"
+        )
+    )
+    assert not ar._is_java_fnf(
+        jvm.java.io.IOException("java.io.FileNotFoundException")
+    )
+    assert not ar._is_java_fnf(None)
+
+    # end-to-end through _gen_age_s: FNF -> None, permission -> raise
+    def _fs_raising(exc):
+        class _FS:
+            def getFileStatus(self, p):
+                raise Py4JJavaError("op failed", exc)
+
+        return _FS()
+
+    monkeypatch.setattr(
+        ar,
+        "hadoop_fs",
+        lambda s, r: (
+            _fs_raising(jvm.java.nio.file.AccessDeniedException("denied")),
+            None,
+            jvm,
+        ),
+    )
+    with pytest.raises(Py4JJavaError):
+        ar._gen_age_s(spark, str(tmp_path), "gen-0000")
+    monkeypatch.setattr(
+        ar,
+        "hadoop_fs",
+        lambda s, r: (
+            _fs_raising(jvm.java.io.FileNotFoundException("gone")),
+            None,
+            jvm,
+        ),
+    )
+    assert ar._gen_age_s(spark, str(tmp_path), "gen-0000") is None
+
+
+def _serve_sorted(rows):
+    return sorted(
+        (r["query_id"], r["vec_id"], r["adc_d2"], r["exact_d2"], r["rank"])
+        for r in rows
+    )
+
+
+def test_tombstone_serve_equals_index_minus_codes(spark, tmp_path):
+    """VERDICT r12 ask #1, the deletion contract: serving with
+    tombstones is VALUE-IDENTICAL to serving the same frozen
+    generation with the tombstoned ids' codes physically removed —
+    the anti-join lands before the shortlist, so a deleted id can
+    neither occupy a slot nor displace a live candidate."""
+    from pyspark.sql import functions as F
+
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        _gen_dir,
+        generation_meta,
+        tombstone_ids,
+    )
+    from sfdata_wrangler_spark.operators.pq import serve_pruned
+
+    root = str(tmp_path / "tsroot")
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(_corpus_a(), schema)
+    refresh_generation(spark, root, corpus, **KW)
+    qdf = spark.createDataFrame(_queries(), ["query_id", "embedding"])
+
+    base = serve_current(spark, root, qdf, corpus, **SERVE).collect()
+    # victims drawn FROM the baseline results, so the delete must
+    # visibly change them (a vacuous exclusion would prove nothing)
+    victims = sorted({r["vec_id"] for r in base})[:3]
+    gen = tombstone_ids(
+        spark, root,
+        spark.createDataFrame([(int(v),) for v in victims], "vec_id long"),
+    )
+
+    got = serve_current(spark, root, qdf, corpus, **SERVE).collect()
+    got_ids = {r["vec_id"] for r in got}
+    assert not (got_ids & set(victims))
+    assert _serve_sorted(got) != _serve_sorted(base)
+    # still a COMPLETE answer: k rows per query
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == SERVE["k"] for v in by_q.values())
+
+    # the ground-truth twin: same generation artifacts, codes filtered
+    gdir = _gen_dir(root, gen)
+    meta = generation_meta(spark, root, gen)
+    filtered = str(tmp_path / "filtered_codes")
+    spark.read.parquet(f"{gdir}/codes").where(
+        ~F.col("vec_id").isin([int(v) for v in victims])
+    ).write.partitionBy("cid").parquet(filtered)
+    twin = serve_pruned(
+        qdf, filtered,
+        spark.read.parquet(f"{gdir}/centroids"),
+        spark.read.parquet(f"{gdir}/codebooks"),
+        corpus,
+        m=int(meta["m"]), sub_dim=int(meta["sub_dim"]), **SERVE,
+    ).collect()
+    assert _serve_sorted(got) == _serve_sorted(twin)
+
+    # idempotent under re-issue (appends accumulate, serve distincts)
+    tombstone_ids(
+        spark, root,
+        spark.createDataFrame([(int(v),) for v in victims], "vec_id long"),
+    )
+    again = serve_current(spark, root, qdf, corpus, **SERVE).collect()
+    assert _serve_sorted(again) == _serve_sorted(got)
+
+
+def test_refresh_folds_tombstones_and_clears_them(spark, tmp_path):
+    """Tombstones never outlive one rotation: the next
+    refresh_generation anti-joins them out of the corpus, so the new
+    generation physically lacks the deleted codes, starts with an
+    empty tombstone table, and is BITWISE the generation a retrain on
+    corpus-minus-rows produces (integer training is a pure function
+    of its input set)."""
+    from pyspark.sql import functions as F
+
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        _gen_dir,
+        generation_tombstones,
+        tombstone_ids,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(_corpus_a(), schema)
+    victims = [6, 7, 8]
+    qdf = spark.createDataFrame(_queries(), ["query_id", "embedding"])
+
+    root = str(tmp_path / "foldroot")
+    refresh_generation(spark, root, corpus, **KW)
+    tombstone_ids(
+        spark, root,
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"),
+    )
+    refresh_generation(spark, root, corpus, **KW)
+
+    gen2 = current_generation(spark, root)
+    codes2 = spark.read.parquet(f"{_gen_dir(root, gen2)}/codes")
+    assert codes2.where(F.col("vec_id").isin(victims)).count() == 0
+    assert generation_tombstones(spark, root, gen2) is None
+
+    # twin lake trained directly on corpus-minus-victims
+    twin_root = str(tmp_path / "twinroot")
+    refresh_generation(
+        spark, twin_root, corpus.where(~F.col("vec_id").isin(victims)), **KW
+    )
+    got = serve_current(spark, root, qdf, corpus, **SERVE).collect()
+    twin = serve_current(spark, twin_root, qdf, corpus, **SERVE).collect()
+    assert _serve_sorted(got) == _serve_sorted(twin)
+    assert not ({r["vec_id"] for r in got} & set(victims))
+
+
+def test_tombstone_mid_rotation_chaos(spark, tmp_path):
+    """Chaos extension for the deletion path (VERDICT r12 ask #1): a
+    tombstoner thread fires takedowns while two writers rotate
+    (retain=2, zero grace) and a reader serves. Asserted contract:
+
+    - reads stay complete (k rows per query) or error within the
+      documented keep=2 residual window — a tombstone landing
+      mid-serve must never produce a TORN (partial) answer;
+    - the documented resurrection race is bounded: a rotation that
+      TRAINED before a takedown can serve the victim again, so the
+      invariant is not "victims never appear" mid-chaos but "a
+      re-issued takedown after quiescence excludes them" — the
+      caller-re-issues rule from tombstone_ids' docstring;
+    - the final lake is servable and its pointer generation is built."""
+    import concurrent.futures as cf
+    import threading
+
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        is_built,
+        tombstone_ids,
+    )
+
+    root = str(tmp_path / "tschaos")
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(_corpus_a(), schema)
+    qdf = spark.createDataFrame(_queries()[:2], ["query_id", "embedding"])
+    victims = [6, 7, 8]
+    vdf = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+
+    done = threading.Event()
+    reads = {"ok": 0, "none": 0, "err": 0}
+    stones = {"ok": 0, "err": 0}
+    torn: list = []
+    qids = {q[0] for q in _queries()[:2]}
+
+    def reader():
+        while not done.is_set():
+            try:
+                got = serve_current(
+                    spark, root, qdf, corpus, missing_ok=True, **SERVE
+                )
+                if got is None:
+                    reads["none"] += 1
+                    continue
+                by_q = {}
+                for r in got.collect():
+                    by_q.setdefault(r["query_id"], []).append(r)
+                if set(by_q) != qids or any(
+                    len(v) != SERVE["k"] for v in by_q.values()
+                ):
+                    torn.append({k: len(v) for k, v in by_q.items()})
+                    continue
+                reads["ok"] += 1
+            except Exception:
+                reads["err"] += 1  # swept-mid-plan residual window
+
+    def tombstoner():
+        while not done.is_set():
+            try:
+                tombstone_ids(spark, root, vdf)
+                stones["ok"] += 1
+            except Exception:
+                # no active generation yet, or the target generation
+                # was swept mid-append — the takedown is re-issued by
+                # the next loop iteration (the documented rule)
+                stones["err"] += 1
+
+    def writer(_):
+        for _ in range(2):
+            refresh_generation(
+                spark, root, corpus, retain=2, grace_age_s=0.0, **KW
+            )
+
+    rt = threading.Thread(target=reader, daemon=True)
+    tt = threading.Thread(target=tombstoner, daemon=True)
+    rt.start()
+    tt.start()
+    try:
+        with cf.ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(writer, range(2)))
+    finally:
+        done.set()
+        rt.join(timeout=60)
+        tt.join(timeout=60)
+
+    assert torn == [], torn
+    assert reads["ok"] >= 1, reads
+    assert reads["err"] <= 4, reads
+    assert stones["ok"] >= 1, stones
+
+    cur = current_generation(spark, root)
+    assert cur is not None and is_built(spark, root, cur)
+    # quiescent re-issue: the takedown now sticks for every later serve
+    tombstone_ids(spark, root, vdf)
+    final = serve_current(spark, root, qdf, corpus, **SERVE).collect()
+    by_q = {}
+    for r in final:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == qids
+    assert all(len(v) == SERVE["k"] for v in by_q.values())
+    assert not ({r["vec_id"] for r in final} & set(victims))

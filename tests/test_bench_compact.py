@@ -65,13 +65,17 @@ def test_compact_line_carries_io_stamp():
     assert "io_mbps" not in parsed["run_context"]["after"]
 
 
-def test_run_context_io_probe_fields():
+def test_run_context_io_probe_fields(tmp_path):
     """The io probe reads the given dir's parquet and stamps
     throughput + the io_cold verdict; without a dir the context stays
-    io-free (scale_probe's call sites pass nothing)."""
+    io-free (scale_probe's call sites pass nothing). Probes a
+    synthesized >256 KB file rather than the box-local testdata
+    (ADVICE r12 #5: a checkout without /root/testdata must not fail
+    this test with a KeyError)."""
     from bench import _run_context
 
-    ctx = _run_context(io_probe_dir="/root/testdata/sf0.01")
+    (tmp_path / "probe.parquet").write_bytes(b"p" * (1 << 20))
+    ctx = _run_context(io_probe_dir=str(tmp_path))
     assert ctx["io_probe_mb"] > 0
     assert ctx["io_mbps"] > 0
     assert isinstance(ctx["io_cold"], bool)
