@@ -67,6 +67,8 @@ from .privacy import equivalence_classes, k_anonymity_report
 from .zorder import add_zorder_key, zorder_layout
 from .repetition import domain_cap, repetition_stats
 from .skew import (
+    default_knee_rows,
+    join_back_nullsafe,
     join_size_estimate,
     max_partition_rows,
     salted_agg,
@@ -239,6 +241,8 @@ __all__ = [
     "skew_report",
     "scale_skew_conf",
     "skew_conf_scope",
+    "default_knee_rows",
+    "join_back_nullsafe",
     "max_partition_rows",
     "choose_weight_strategy",
     "choose_sessionize_strategy",

@@ -146,6 +146,49 @@ def default_knee_rows(
     return int(rows_per_task) * int(tasks)
 
 
+def pipeline_skew_strategy(default: str = "plain") -> str:
+    """The engine-wide skew knob (VERDICT r12 ask #2): setting
+    ``SPARK_GRAFT_SKEW_STRATEGY=auto`` in the environment routes the
+    domain pipelines' sessionizations (Clipper linked trips, taxi trip
+    segmentation) and expansion weighting through their
+    ``strategy="auto"`` pre-flight pick — each logs the decision.
+    Unset (the default) returns ``default`` ("plain"/"window"
+    depending on the caller), keeping every plan byte-identical to
+    r12's: auto's extra pre-flight pass is opt-in because it is an
+    EAGER job the caller may not want on a known-uniform feed."""
+    import os
+
+    v = os.environ.get("SPARK_GRAFT_SKEW_STRATEGY", "").strip().lower()
+    return "auto" if v == "auto" else default
+
+
+def join_back_nullsafe(
+    fact: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    prefix: str,
+) -> DataFrame:
+    """Null-safe equi join-back of a per-group table onto the fact —
+    the shared step of every bucketed/agg skew-immune window
+    decomposition (sessionize_bucketed, calc_weights agg, the r13
+    clipper/taxi bucketed twins). Windows group NULL keys together,
+    so a plain equi-join here would silently drop null-keyed rows;
+    ``small``'s key columns are renamed with ``prefix`` for the join
+    and dropped after. Unlike a window partition, this join is
+    AQE-skew-splittable, which is exactly why the decompositions end
+    in it."""
+    keys = list(keys)
+    renamed = small.select(
+        *[F.col(k).alias(f"{prefix}{k}") for k in keys],
+        *[c for c in small.columns if c not in keys],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"{prefix}{k}"))
+        cond = eq if cond is None else cond & eq
+    return fact.join(renamed, cond).drop(*[f"{prefix}{k}" for k in keys])
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

@@ -28,7 +28,7 @@ def calc_weights(
     trip_stops: str = "TRIP_STOPS",
     out: str = "WEIGHT",
     strategy: str = "window",
-    knee_rows: int = 1_000_000,
+    knee_rows: int | None = None,
 ) -> DataFrame:
     """``strategy="window"`` (default) shuffles every row into its cell
     partition — fine when cells are balanced, but a hot cell (SURVEY §4:
@@ -73,16 +73,23 @@ def calc_weights(
 
 
 def choose_weight_strategy(
-    df: DataFrame, group: Sequence[str], knee_rows: int = 1_000_000
+    df: DataFrame, group: Sequence[str], knee_rows: int | None = None
 ) -> str:
     """The ``strategy="auto"`` pick, exposed for direct use and for
     pinning in tests: "agg" iff the hottest expansion cell exceeds
     ``knee_rows`` (measured knee ~1M rows per cell at local[32] —
     below it the window form's single shuffle wins, above it the hot
     cell's single-task sort dominates and only the map-side-combinable
-    agg form stays flat)."""
-    from .skew import max_partition_rows
+    agg form stays flat). ``knee_rows=None`` (the default since r13)
+    derives the knee from the session via
+    :func:`..skew.default_knee_rows` — 125k rows/task x (P // 4)
+    tasks, which reproduces the measured 1M at local[32] exactly and
+    scales with cluster parallelism (see its docstring for the
+    derivation and its assumptions)."""
+    from .skew import default_knee_rows, max_partition_rows
 
+    if knee_rows is None:
+        knee_rows = default_knee_rows(df.sparkSession)
     return "agg" if max_partition_rows(df, group) > knee_rows else "window"
 
 

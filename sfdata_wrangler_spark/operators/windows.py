@@ -83,7 +83,7 @@ def sessionize(
     session_col: str = "SESSION_ID",
     order_cols: Sequence[str] | None = None,
     strategy: str = "plain",
-    knee_rows: int = 1_000_000,
+    knee_rows: int | None = None,
     bucket_minutes: float = 1440.0,
 ) -> DataFrame:
     """Cumsum-of-breaks sessionization — the shared kernel of Clipper
@@ -144,15 +144,22 @@ def sessionize(
 
 
 def choose_sessionize_strategy(
-    df: DataFrame, entity_cols: Sequence[str], knee_rows: int = 1_000_000
+    df: DataFrame, entity_cols: Sequence[str], knee_rows: int | None = None
 ) -> str:
     """The ``sessionize(strategy="auto")`` pick, exposed for direct use
     and for pinning in tests: "bucketed" iff the hottest entity
     exceeds ``knee_rows`` (measured: a 4M-row hot user costs plain
     5.2× vs bucketed 2.7× growth, while below ~1M hot rows plain wins
-    0.78-0.94s vs 1.33-1.40s — ARCHITECTURE round-11 skew tables)."""
-    from .skew import max_partition_rows
+    0.78-0.94s vs 1.33-1.40s — ARCHITECTURE round-11 skew tables).
+    ``knee_rows=None`` (the default since r13) derives the knee from
+    the session via :func:`..skew.default_knee_rows` — 125k rows/task
+    × (P // 4) tasks, reproducing the measured 1M at local[32] and
+    scaling with cluster parallelism (derivation + assumptions in its
+    docstring)."""
+    from .skew import default_knee_rows, max_partition_rows
 
+    if knee_rows is None:
+        knee_rows = default_knee_rows(df.sparkSession)
     return (
         "bucketed"
         if max_partition_rows(df, entity_cols) > knee_rows

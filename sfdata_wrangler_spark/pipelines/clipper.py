@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.datetime_fns import dow_class, service_date_rollover
+from ..operators.skew import join_back_nullsafe
 
 _log = logging.getLogger(__name__)
 
@@ -202,7 +203,7 @@ def _infer_linked_trips_bucketed(
             for c in carry_cols
         ],
     )
-    d = _join_back(d, summ, [card_col, "__lt_bucket"], "__lt_k_")
+    d = join_back_nullsafe(d, summ, [card_col, "__lt_bucket"], "__lt_k_")
 
     first = F.col("__lt_rn") == 1
     prev_us = F.when(first, F.col("__lt_carry_us")).otherwise(
@@ -250,7 +251,7 @@ def _infer_linked_trips_bucketed(
             F.lit(0),
         ).alias("__lt_offset"),
     )
-    out = _join_back(out, off, [card_col, "__lt_bucket"], "__lt_o_")
+    out = join_back_nullsafe(out, off, [card_col, "__lt_bucket"], "__lt_o_")
     out = out.withColumn(
         "LINKED_TRIP_ID", F.col("__lt_local") + F.col("__lt_offset")
     )
@@ -260,7 +261,7 @@ def _infer_linked_trips_bucketed(
     per_trip = out.groupBy(card_col, "LINKED_TRIP_ID").agg(
         F.sum("TRANSFER").alias("__lt_ltrans")
     )
-    out = _join_back(
+    out = join_back_nullsafe(
         out,
         per_trip.select(
             card_col, "LINKED_TRIP_ID",
@@ -278,21 +279,3 @@ def _infer_linked_trips_bucketed(
     ]
     return out.select(*final)
 
-
-def _join_back(
-    fact: DataFrame, small: DataFrame, keys: list, prefix: str
-) -> DataFrame:
-    """Null-safe equi join-back of a per-group table onto the fact —
-    windows group NULL keys together, so a plain equi-join here would
-    silently drop null-keyed rows (the sessionize_bucketed join rule).
-    ``small``'s key columns are renamed with ``prefix`` and dropped
-    after the join."""
-    renamed = small.select(
-        *[F.col(k).alias(f"{prefix}{k}") for k in keys],
-        *[c for c in small.columns if c not in keys],
-    )
-    cond = None
-    for k in keys:
-        eq = F.col(k).eqNullSafe(F.col(f"{prefix}{k}"))
-        cond = eq if cond is None else cond & eq
-    return fact.join(renamed, cond).drop(*[f"{prefix}{k}" for k in keys])
