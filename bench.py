@@ -313,8 +313,11 @@ def _ivfpq_split(spark, sf_dir: str) -> tuple[float, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _measure(sf_dir: str) -> tuple[dict, dict]:
+    """One full measurement pass: every timed loop, both context
+    stamps, the contended/io_cold verdicts. Returns ``(result,
+    timings)``. Split from :func:`main` so a contended attempt can be
+    re-measured after a settle (VERDICT r12 ask #5)."""
     # io_probe only on the BEFORE side: the suite itself warms the
     # cache, so an after-side read would trivially measure warm
     ctx_before = _run_context(io_probe_dir=sf_dir)
@@ -500,6 +503,67 @@ def main() -> None:
     # measured-warm False (code-review r12 pass-2 #2: an unmeasured dir
     # must not present as measured-clean).
     result["io_cold"] = ctx_before.get("io_cold")
+    return result, timings
+
+
+def pick_cleaner(first: dict, second: dict) -> int:
+    """Which of two measurement attempts to commit (0 or 1): a clean
+    attempt beats a contended one; same verdict → the lower
+    comparable-r2 subtotal (contention only ever INFLATES timings, so
+    lower = less contaminated). Pure function, unit-tested."""
+    if first["contended"] != second["contended"]:
+        return 1 if first["contended"] else 0
+    return (
+        1
+        if second["value_comparable_r2"] < first["value_comparable_r2"]
+        else 0
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    result, timings = _measure(sf_dir)
+
+    # auto-requeue (VERDICT r12 ask #5): three consecutive driver
+    # snapshots were stamped contended, making the committed BENCH
+    # table unusable as the round-over-round record. When the verdict
+    # trips, settle briefly and measure ONCE more; commit the cleaner
+    # attempt with BOTH attempts stamped. Bounded: one retry, one
+    # settle — a persistently loud host stays contended honestly.
+    if result["contended"] and os.environ.get(
+        "SPARK_GRAFT_BENCH_REQUEUE", "1"
+    ) != "0":
+        settle = float(
+            os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "120")
+        )
+        print(
+            f"# contended on attempt 1 (load1="
+            f"{result['run_context']['before']['load1']}, cpu_probe="
+            f"{result['run_context']['before']['cpu_probe_sec']}) — "
+            f"settling {settle:.0f}s and re-measuring once",
+            file=sys.stderr,
+        )
+        time.sleep(settle)
+        result2, timings2 = _measure(sf_dir)
+        keep = pick_cleaner(result, result2)
+        other = (result2, result)[keep]
+        if keep == 1:
+            result, timings = result2, timings2
+        result["requeue"] = {
+            "attempt_kept": keep + 1,
+            "settle_sec": settle,
+            # the discarded attempt's verdict-relevant fields, so the
+            # committed artifact shows the environment never settled
+            # vs settled — both attempts stamped, per the ask
+            "other_attempt": {
+                "contended": other["contended"],
+                "io_cold": other.get("io_cold"),
+                "value": other["value"],
+                "value_comparable_r2": other["value_comparable_r2"],
+                "serve_warm": other["serve_warm"],
+                "run_context": other["run_context"],
+            },
+        }
 
     # Full detail first; COMPACT summary LAST. The driver records only
     # the final ~2000 chars of stdout and parses a JSON line out of it
@@ -513,7 +577,11 @@ def main() -> None:
     # (committed each round so BENCH history stays inspectable).
     try:
         detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_DETAIL_DIR",
+                os.path.dirname(os.path.abspath(__file__)),
+            ),
+            "BENCH_FULL_latest.json",
         )
         with open(detail_path, "w") as fh:
             json.dump(result, fh, indent=1)
@@ -572,6 +640,16 @@ def compact_line(result: dict, timings: dict) -> str:
         compact["run_context"]["before"]["io_mbps"] = result[
             "run_context"
         ]["before"]["io_mbps"]
+    if "requeue" in result:
+        # the auto-requeue happened: which attempt this line reports
+        # and whether the discarded one was also contended (the
+        # never-settled signature). Full detail in BENCH_FULL_latest.
+        compact["requeue"] = {
+            "attempt_kept": result["requeue"]["attempt_kept"],
+            "other_contended": result["requeue"]["other_attempt"][
+                "contended"
+            ],
+        }
     line = json.dumps(compact)
     if len(line) >= 1900:
         compact["queries"] = {

@@ -136,3 +136,118 @@ def test_compact_line_degrades_instead_of_failing():
     assert len(line) < 1900
     parsed = json.loads(line)
     assert "value" in parsed and "serve_warm" in parsed
+
+
+def test_pick_cleaner_prefers_clean_then_lower():
+    """VERDICT r12 ask #5: auto-requeue commits the cleaner attempt —
+    a clean verdict beats contended; same verdict falls back to the
+    lower comparable-r2 subtotal (contention only inflates)."""
+    from bench import pick_cleaner
+
+    def att(contended, v):
+        return {"contended": contended, "value_comparable_r2": v}
+
+    assert pick_cleaner(att(True, 5.0), att(False, 9.0)) == 1
+    assert pick_cleaner(att(False, 9.0), att(True, 5.0)) == 0
+    assert pick_cleaner(att(True, 8.0), att(True, 6.0)) == 1
+    assert pick_cleaner(att(True, 6.0), att(True, 8.0)) == 0
+    assert pick_cleaner(att(False, 6.0), att(False, 6.0)) == 0  # tie: first
+
+
+def test_compact_line_carries_requeue_marker():
+    from bench import compact_line
+
+    result, timings = _fake(34)
+    result["requeue"] = {
+        "attempt_kept": 2,
+        "settle_sec": 120.0,
+        "other_attempt": {
+            "contended": True,
+            "io_cold": None,
+            "value": 40.0,
+            "value_comparable_r2": 9.0,
+            "serve_warm": 2.2,
+            "run_context": result["run_context"],
+        },
+    }
+    parsed = json.loads(compact_line(result, timings))
+    assert parsed["requeue"] == {"attempt_kept": 2, "other_contended": True}
+    # absent when no requeue happened
+    del result["requeue"]
+    assert "requeue" not in json.loads(compact_line(result, timings))
+
+
+def test_main_requeues_once_on_contended(monkeypatch, capsys, tmp_path):
+    """End-to-end requeue flow with _measure stubbed: a contended
+    first attempt triggers exactly one settle + re-measure; the
+    cleaner (second) attempt is committed with the requeue marker and
+    the discarded attempt stamped alongside."""
+    import bench
+
+    ctx = {"cpu_probe_sec": 0.03, "load1": 0.2, "mc_probe_ratio": 1.1}
+
+    def fake_result(contended, v):
+        return {
+            "metric": "headline_queries_total_wall",
+            "value": v,
+            "sf": 0.1,
+            "value_comparable_r2": v,
+            "value_noop_sink": v,
+            "comparable_r2_mean_warm": v,
+            "comparable_r2_std_warm": 0.1,
+            "ivfpq_build": 1.0,
+            "ivfpq_query": 0.5,
+            "serve_warm": 1.2,
+            "contended": contended,
+            "io_cold": None,
+            "run_context": {"before": ctx, "after": ctx},
+        }
+
+    calls = []
+
+    def fake_measure(sf_dir):
+        calls.append(sf_dir)
+        contended = len(calls) == 1
+        return fake_result(contended, 9.0 if contended else 6.0), {
+            "q": 1.0, "emb_ivfpq_serve": 1.2,
+        }
+
+    slept = []
+    monkeypatch.setattr(bench, "_measure", fake_measure)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SETTLE_SEC", "120")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL_DIR", str(tmp_path))
+    bench.main()
+    assert len(calls) == 2 and slept == [120.0]
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(last)
+    assert parsed["contended"] is False
+    assert parsed["value_comparable_r2"] == 6.0
+    assert parsed["requeue"] == {"attempt_kept": 2, "other_contended": True}
+    detail = json.loads((tmp_path / "BENCH_FULL_latest.json").read_text())
+    assert detail["requeue"]["other_attempt"]["contended"] is True
+    assert detail["requeue"]["settle_sec"] == 120.0
+
+    # clean first attempt: no retry, no marker
+    calls.clear()
+    slept.clear()
+
+    def fake_measure_clean(sf_dir):
+        calls.append(sf_dir)
+        return fake_result(False, 6.0), {"q": 1.0, "emb_ivfpq_serve": 1.2}
+
+    monkeypatch.setattr(bench, "_measure", fake_measure_clean)
+    bench.main()
+    assert len(calls) == 1 and slept == []
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "requeue" not in json.loads(last)
+
+    # requeue disabled: contended commits as-is
+    calls.clear()
+    monkeypatch.setattr(bench, "_measure", fake_measure)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REQUEUE", "0")
+    bench.main()
+    assert len(calls) == 1 and slept == []
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(last)
+    assert parsed["contended"] is True and "requeue" not in parsed

@@ -72,8 +72,14 @@ def rows_equal(a, b, exact=True):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json-out" in argv:  # VERDICT r12 ask #3: committable summary
+        i = argv.index("--json-out")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -93,6 +99,7 @@ def main():
     qmap = entry_mod.queries()
     omap = entry_mod.oracle_sql()
     failures, passes = [], []
+    summary: dict[str, dict] = {}
     for name, fn in qmap.items():
         if only and name not in only:
             continue
@@ -106,18 +113,27 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
+            summary[name] = {"ok": False, "status": "spark-error"}
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
         if name not in omap:
             status = "rows-only OK" if len(sdf) > 0 else "rows-only EMPTY"
-            (passes if len(sdf) > 0 else failures).append((name, status))
-            print(f"{'ok  ' if len(sdf) > 0 else 'FAIL'} {name}: {status} "
+            ok = len(sdf) > 0
+            (passes if ok else failures).append((name, status))
+            summary[name] = {
+                "ok": ok,
+                "status": "rows-only" if ok else "rows-only-empty",
+                "rows": len(sdf),
+                "wall_s": round(time.time() - t0, 1),
+            }
+            print(f"{'ok  ' if ok else 'FAIL'} {name}: {status} "
                   f"rows={len(sdf)} [{time.time()-t0:.1f}s]")
             continue
         try:
             odf = con.sql(omap[name]).df()
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
+            summary[name] = {"ok": False, "status": "oracle-error"}
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             continue
         scols, srows = canon(sdf)
@@ -141,10 +157,42 @@ def main():
             status = f"VALUE MISMATCH at sorted-row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}"
         ok = status.startswith("OK")
         (passes if ok else failures).append((name, status))
+        summary[name] = {
+            "ok": ok,
+            "status": (
+                "exact" if status == "OK-exact"
+                else "close" if ok
+                else status.split("\n")[0][:120]
+            ),
+            "rows": len(srows),
+            "wall_s": round(time.time() - t0, 1),
+        }
         print(f"{'ok  ' if ok else 'FAIL'} {name}: {status} rows={len(srows)} "
               f"[{time.time()-t0:.1f}s]")
 
     print(f"\n{len(passes)} passed, {len(failures)} failed")
+    if json_out:
+        # VERDICT r12 ask #3: the committable per-round evidence that
+        # the FULL registry (not just the driver's 50-query rotation)
+        # was oracle-verified — one compact row per query
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "generated_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%S", time.gmtime()
+                    ),
+                    "passed": len(passes),
+                    "failed": len(failures),
+                    "queries": summary,
+                },
+                fh,
+                indent=0,
+                sort_keys=True,
+            )
+        print(f"summary written to {json_out}")
     if failures:
         sys.exit(1)
 

@@ -48,11 +48,20 @@ def main():
     from bench import _run_context, contended_verdict
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("queries", nargs="+")
+    ap.add_argument("queries", nargs="*")
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="/tmp/sfdata_sf10_flat")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--ivfpq-split",
+        action="store_true",
+        help="probe bench._ivfpq_split (one cold train+encode+persist "
+        "+ best-of-3 serve) at both scales instead of registered "
+        "queries (VERDICT r12 ask #6)",
+    )
     a = ap.parse_args()
+    if not a.queries and not a.ivfpq_split:
+        ap.error("pass query names or --ivfpq-split")
     ctx_before = _run_context()
 
     from sfdata_wrangler_spark.session import get_spark
@@ -60,6 +69,33 @@ def main():
 
     spark = get_spark()
     qm = query_map()
+    if a.ivfpq_split:
+        # VERDICT r12 ask #6: the build path (train+encode+persist) at
+        # two scales, through the SAME lifecycle split bench.py
+        # commits — one cold build into a throwaway dir + best-of-3
+        # serve, per scale dir.
+        from bench import _ivfpq_split
+
+        split = {}
+        for d in (a.small, a.big):
+            build, query = _ivfpq_split(spark, d)
+            split[d] = {"ivfpq_build_s": build, "ivfpq_query_s": query}
+            print(json.dumps({d: split[d]}))
+        ctx_after = _run_context()
+        print(json.dumps({
+            "ivfpq_split": split,
+            "build_ratio": round(
+                split[a.big]["ivfpq_build_s"]
+                / split[a.small]["ivfpq_build_s"], 2,
+            ),
+            "query_ratio": round(
+                split[a.big]["ivfpq_query_s"]
+                / split[a.small]["ivfpq_query_s"], 2,
+            ),
+            "run_context": {"before": ctx_before, "after": ctx_after},
+            "contended": contended_verdict(ctx_before, ctx_after),
+        }, indent=2))
+        return
     # per-query results nested under "queries" (ADVICE r11 #4: a
     # registered query named run_context/contended would silently
     # overwrite the reserved top-level keys in a flat dict)
