@@ -70,6 +70,8 @@ from .skew import (
     default_knee_rows,
     join_back_nullsafe,
     join_size_estimate,
+    pipeline_skew_strategy,
+    resolve_window_strategy,
     max_partition_rows,
     salted_agg,
     salted_join,
@@ -243,6 +245,8 @@ __all__ = [
     "skew_conf_scope",
     "default_knee_rows",
     "join_back_nullsafe",
+    "pipeline_skew_strategy",
+    "resolve_window_strategy",
     "max_partition_rows",
     "choose_weight_strategy",
     "choose_sessionize_strategy",

@@ -397,7 +397,23 @@ def refresh_generation(
             # gc may have swept prev_gen — failing the whole build for
             # a table that was live when the fold was decided. The
             # local relation also broadcasts with no extra scan.
-            rows = tomb.distinct().collect()
+            try:
+                rows = tomb.distinct().collect()
+            except Exception:
+                # check-then-read residual (code-review r13 #2): the
+                # generation can vanish between generation_tombstones'
+                # committed-data check and this collect. Re-check
+                # rather than string-match the wrapped exception: the
+                # table no longer having committed data IS the
+                # vanished signature (a concurrent rotation superseded
+                # us and owns the fold); anything else stays loud.
+                from ..sources.lake import has_committed_data
+
+                if has_committed_data(
+                    spark, f"{_gen_dir(root, prev_gen)}/tombstones"
+                ):
+                    raise
+                rows = []
             if rows:
                 corpus = corpus.join(
                     F.broadcast(spark.createDataFrame(rows, tomb.schema)),
@@ -454,10 +470,19 @@ def tombstone_ids(
     Deletes are generation-scoped on purpose — a rotation that lands
     AFTER a tombstone write but trained BEFORE it would otherwise
     resurrect the ids; callers that must survive that race re-issue
-    the tombstone (idempotent: serve distincts) or fold via
-    ``refresh_generation(corpus_minus_ids)``. Re-ADDING a tombstoned
-    id requires a refresh: ingest_batch appends codes, but the
-    id-level tombstone outranks them until the next rotation."""
+    the tombstone (idempotent: the anti-join is
+    duplicate-insensitive) or fold via
+    ``refresh_generation(corpus_minus_ids)``. The same re-issue rule
+    covers a tombstone write CONCURRENT with a reader or a fold
+    (code-review r13 #3): parquet append has no multi-append
+    atomicity, so a mid-commit append can be PARTIALLY visible — a
+    serve sees some of its ids transiently, and a refresh folding at
+    that instant bakes the partial view into the new generation. Any
+    takedown not strictly ordered before a rotation must be re-issued
+    after it; the mid-rotation chaos test enforces exactly this
+    contract. Re-ADDING a tombstoned id requires a refresh:
+    ingest_batch appends codes, but the id-level tombstone outranks
+    them until the next rotation."""
     gen = gen or current_generation(spark, root)
     if gen is None:
         raise FileNotFoundError(f"no active generation under {root}")

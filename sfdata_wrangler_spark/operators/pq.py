@@ -505,15 +505,15 @@ def ivfpq_topk(
         .agg(F.sum("lut_d2").alias("adc_d2"))
     )
     if exclude_ids is not None:
-        # distinct() first: tombstones accumulate by append, so the
-        # same id may appear twice; the anti-join itself would
-        # tolerate that, but a distinct keeps the broadcast table
-        # minimal. Applied pre-shortlist — see docstring.
+        # NO distinct(): left_anti is duplicate-insensitive, so
+        # re-appended tombstone ids change nothing, and a distinct
+        # would add the exclusion's only shuffle (of a takedown-sized
+        # table — cheap, but the plan-shape contract is "broadcast
+        # anti-join, zero added exchanges", pinned in
+        # test_plan_shapes). Applied pre-shortlist — see docstring.
         ex_col = exclude_ids.columns[0]
         adc = adc.join(
-            F.broadcast(
-                exclude_ids.select(F.col(ex_col).alias(corpus_id)).distinct()
-            ),
+            F.broadcast(exclude_ids.select(F.col(ex_col).alias(corpus_id))),
             corpus_id,
             "left_anti",
         )

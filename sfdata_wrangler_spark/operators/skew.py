@@ -10,6 +10,7 @@ sum/count.
 
 from __future__ import annotations
 
+import logging
 from contextlib import contextmanager
 from typing import Sequence
 
@@ -155,11 +156,65 @@ def pipeline_skew_strategy(default: str = "plain") -> str:
     Unset (the default) returns ``default`` ("plain"/"window"
     depending on the caller), keeping every plan byte-identical to
     r12's: auto's extra pre-flight pass is opt-in because it is an
-    EAGER job the caller may not want on a known-uniform feed."""
+    EAGER job the caller may not want on a known-uniform feed.
+
+    Only ``auto`` is accepted: the knob feeds callers with DIFFERENT
+    strategy vocabularies ("plain"/"bucketed" vs "window"/"agg"), so
+    forwarding a specific form would crash half of them. A set-but-
+    unrecognized value (e.g. ``bucketed``) logs a loud warning once
+    instead of silently running the default (code-review r13 #6: a
+    plausibly-configured knob must never be a silent no-op)."""
     import os
 
     v = os.environ.get("SPARK_GRAFT_SKEW_STRATEGY", "").strip().lower()
-    return "auto" if v == "auto" else default
+    if v == "auto":
+        return "auto"
+    if v and v not in _WARNED_SKEW_KNOB_VALUES:
+        _WARNED_SKEW_KNOB_VALUES.add(v)
+        logging.getLogger(__name__).warning(
+            "SPARK_GRAFT_SKEW_STRATEGY=%r is not recognized (only "
+            "'auto' is) — running the default %r strategies; pass "
+            "strategy= explicitly to pin a specific form", v, default,
+        )
+    return default
+
+
+_WARNED_SKEW_KNOB_VALUES: set = set()
+
+
+def resolve_window_strategy(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    strategy: str,
+    knee_rows: int | None,
+    log: logging.Logger,
+    label: str,
+) -> str:
+    """Shared ``strategy="auto"`` dispatch for the per-entity window
+    pipelines (clipper linked trips, taxi trip segmentation —
+    code-review r13 #8 deduplication): resolves the knee
+    (:func:`default_knee_rows` when None), runs the ONE
+    dimension-sized :func:`max_partition_rows` pre-flight, logs the
+    pick, and validates the strategy name. Returns "plain" or
+    "bucketed"."""
+    if strategy == "auto":
+        knee = (
+            knee_rows
+            if knee_rows is not None
+            else default_knee_rows(df.sparkSession)
+        )
+        hot = max_partition_rows(df, list(entity_cols))
+        strategy = "bucketed" if hot > knee else "plain"
+        log.info(
+            "%s auto pick: %s (hottest %s %d rows, knee %d)",
+            label, strategy, "/".join(entity_cols), hot, knee,
+        )
+    if strategy not in ("plain", "bucketed"):
+        raise ValueError(
+            f"strategy must be 'plain', 'bucketed' or 'auto', got "
+            f"{strategy!r}"
+        )
+    return strategy
 
 
 def join_back_nullsafe(
@@ -169,14 +224,15 @@ def join_back_nullsafe(
     prefix: str,
 ) -> DataFrame:
     """Null-safe equi join-back of a per-group table onto the fact —
-    the shared step of every bucketed/agg skew-immune window
-    decomposition (sessionize_bucketed, calc_weights agg, the r13
-    clipper/taxi bucketed twins). Windows group NULL keys together,
-    so a plain equi-join here would silently drop null-keyed rows;
-    ``small``'s key columns are renamed with ``prefix`` for the join
-    and dropped after. Unlike a window partition, this join is
-    AQE-skew-splittable, which is exactly why the decompositions end
-    in it."""
+    the shared step of the bucketed skew-immune window decompositions
+    (``windows.sessionize_bucketed`` and the r13 clipper/taxi bucketed
+    twins; ``calc_weights(strategy="agg")`` keeps its own inline
+    variant because its factor table is explicitly broadcast).
+    Windows group NULL keys together, so a plain equi-join here would
+    silently drop null-keyed rows; ``small``'s key columns are renamed
+    with ``prefix`` for the join and dropped after. Unlike a window
+    partition, this join is AQE-skew-splittable, which is exactly why
+    the decompositions end in it."""
     keys = list(keys)
     renamed = small.select(
         *[F.col(k).alias(f"{prefix}{k}") for k in keys],

@@ -306,17 +306,17 @@ def sessionize_bucketed(
     # silently drop them (code-review r11). The summary window's
     # nulls-first bucket ordering matches the plain form's nulls-first
     # timestamp ordering, so the merge algebra already agrees — only
-    # the join needed null safety.
+    # the join needed null safety (the shared skew.join_back_nullsafe
+    # construction since r13).
+    from .skew import join_back_nullsafe
+
     join_keys = entity + ["__sb_bucket"]
-    summ_k = summ.select(
-        *[F.col(c).alias(f"__sb_k_{c}") for c in join_keys],
-        "__sb_delta", "__sb_offset",
-    )
-    cond = None
-    for c in join_keys:
-        eq = F.col(c).eqNullSafe(F.col(f"__sb_k_{c}"))
-        cond = eq if cond is None else cond & eq
-    out = d.join(summ_k, cond).withColumn(
+    out = join_back_nullsafe(
+        d,
+        summ.select(*join_keys, "__sb_delta", "__sb_offset"),
+        join_keys,
+        "__sb_k_",
+    ).withColumn(
         session_col,
         (
             F.col("__sb_local") + F.col("__sb_offset") + F.col("__sb_delta")

@@ -58,28 +58,14 @@ def infer_linked_trips(
     tag times are non-null — the plain form tolerates violations by
     simply ordering on ``seq_col``, the bucketed form buckets by time
     and would split an out-of-order card inconsistently."""
-    if strategy == "auto":
-        from ..operators.skew import default_knee_rows, max_partition_rows
+    from ..operators.skew import resolve_window_strategy
 
-        knee = (
-            knee_rows
-            if knee_rows is not None
-            else default_knee_rows(df.sparkSession)
-        )
-        hot = max_partition_rows(df, [card_col])
-        strategy = "bucketed" if hot > knee else "plain"
-        _log.info(
-            "infer_linked_trips auto pick: %s (hottest card %d rows, "
-            "knee %d)", strategy, hot, knee,
-        )
+    strategy = resolve_window_strategy(
+        df, [card_col], strategy, knee_rows, _log, "infer_linked_trips"
+    )
     if strategy == "bucketed":
         return _infer_linked_trips_bucketed(
             df, card_col, ts_col, seq_col, carry_cols, bucket_minutes
-        )
-    if strategy != "plain":
-        raise ValueError(
-            f"strategy must be 'plain', 'bucketed' or 'auto', got "
-            f"{strategy!r}"
         )
     w = Window.partitionBy(card_col).orderBy(seq_col)
     us = F.unix_micros(F.col(ts_col))
@@ -186,21 +172,27 @@ def _infer_linked_trips_bucketed(
     # phase 2: per-bucket last-row state, lagged per card — the carry
     # each bucket's first row needs. max_by(..., seq) = the bucket's
     # last row in plain order.
+    # ONE max_by over a struct of every carried field (code-review r13
+    # #1, taxi's lesson applied here too): even if seq ever tied
+    # within a card, the carry is always a REAL row, never a mixture
+    # of independently tie-broken aggregates.
     summ = d.groupBy(card_col, "__lt_bucket").agg(
-        F.max_by("__lt_us", F.col(seq_col)).alias("__lt_last_us"),
-        *[
-            F.max_by(F.col(c), F.col(seq_col)).alias(f"__lt_last_{c}")
-            for c in carry_cols
-        ],
+        F.max_by(
+            F.struct(
+                F.col("__lt_us").alias("us"),
+                *[F.col(c).alias(f"c{i}") for i, c in enumerate(carry_cols)],
+            ),
+            F.col(seq_col),
+        ).alias("__lt_last")
     )
     wsum = Window.partitionBy(card_col).orderBy("__lt_bucket")
     summ = summ.select(
         card_col,
         "__lt_bucket",
-        F.lag("__lt_last_us").over(wsum).alias("__lt_carry_us"),
+        F.lag("__lt_last.us").over(wsum).alias("__lt_carry_us"),
         *[
-            F.lag(f"__lt_last_{c}").over(wsum).alias(f"__lt_carry_{c}")
-            for c in carry_cols
+            F.lag(f"__lt_last.c{i}").over(wsum).alias(f"__lt_carry_{c}")
+            for i, c in enumerate(carry_cols)
         ],
     )
     d = join_back_nullsafe(d, summ, [card_col, "__lt_bucket"], "__lt_k_")

@@ -66,28 +66,14 @@ def identify_gps_trips(
     accumulation ORDER differs between the forms — equal to within
     ulps, bitwise-equal whenever the addends are exactly
     representable (whole-second timestamps)."""
-    if strategy == "auto":
-        from ..operators.skew import default_knee_rows, max_partition_rows
+    from ..operators.skew import resolve_window_strategy
 
-        knee = (
-            knee_rows
-            if knee_rows is not None
-            else default_knee_rows(df.sparkSession)
-        )
-        hot = max_partition_rows(df, [cab_col])
-        strategy = "bucketed" if hot > knee else "plain"
-        _log.info(
-            "identify_gps_trips auto pick: %s (hottest cab %d rows, "
-            "knee %d)", strategy, hot, knee,
-        )
+    strategy = resolve_window_strategy(
+        df, [cab_col], strategy, knee_rows, _log, "identify_gps_trips"
+    )
     if strategy == "bucketed":
         return _identify_gps_trips_bucketed(
             df, cab_col, ts_col, x_col, y_col, status_col, bucket_minutes
-        )
-    if strategy != "plain":
-        raise ValueError(
-            f"strategy must be 'plain', 'bucketed' or 'auto', got "
-            f"{strategy!r}"
         )
     w = Window.partitionBy(cab_col).orderBy(ts_col)
     us = F.unix_micros(F.col(ts_col))
@@ -213,21 +199,33 @@ def _identify_gps_trips_bucketed(
         .withColumn("__tx_rn", F.row_number().over(wloc))
     )
 
-    # summary 1: last-row state per (cab, bucket), lagged per cab
+    # summary 1: last-row state per (cab, bucket), lagged per cab.
+    # ONE max_by over a struct of all four carried fields, not four
+    # independent max_bys (code-review r13 #1): under timestamp ties
+    # at a bucket's end, independent aggregates could each resolve the
+    # tie differently and synthesize a mixed-row carry (x from one
+    # ping, status from another) that matches no real ping. A single
+    # struct pick is still tie-nondeterministic — exactly like the
+    # plain form's ts-only ordering — but always a REAL row.
     wsum = Window.partitionBy(cab_col).orderBy("__tx_bucket")
     s1 = d.groupBy(cab_col, "__tx_bucket").agg(
-        F.max_by("__tx_us", F.col("__tx_us")).alias("__tx_l_us"),
-        F.max_by(F.col(x_col), F.col("__tx_us")).alias("__tx_l_x"),
-        F.max_by(F.col(y_col), F.col("__tx_us")).alias("__tx_l_y"),
-        F.max_by(F.col(status_col), F.col("__tx_us")).alias("__tx_l_st"),
+        F.max_by(
+            F.struct(
+                F.col("__tx_us").alias("us"),
+                F.col(x_col).alias("x"),
+                F.col(y_col).alias("y"),
+                F.col(status_col).alias("st"),
+            ),
+            F.col("__tx_us"),
+        ).alias("__tx_last")
     )
     s1 = s1.select(
         cab_col,
         "__tx_bucket",
-        F.lag("__tx_l_us").over(wsum).alias("__tx_c_us"),
-        F.lag("__tx_l_x").over(wsum).alias("__tx_c_x"),
-        F.lag("__tx_l_y").over(wsum).alias("__tx_c_y"),
-        F.lag("__tx_l_st").over(wsum).alias("__tx_c_st"),
+        F.lag("__tx_last.us").over(wsum).alias("__tx_c_us"),
+        F.lag("__tx_last.x").over(wsum).alias("__tx_c_x"),
+        F.lag("__tx_last.y").over(wsum).alias("__tx_c_y"),
+        F.lag("__tx_last.st").over(wsum).alias("__tx_c_st"),
     )
     d = join_back_nullsafe(d, s1, [cab_col, "__tx_bucket"], "__tx_k1_")
 

@@ -285,7 +285,8 @@ def _register_tombstone_serve() -> None:
         tombstones == searching the same index with those vectors'
         codes removed. Queries are never themselves tombstoned
         (12..15 are not == 3 mod 17). Repeat calls in a session append
-        the same ids again — serve distincts, so the result is
+        the same ids again — the anti-join is duplicate-insensitive,
+        so the result is
         call-idempotent."""
         from ..operators.ann_refresh import (
             current_generation,

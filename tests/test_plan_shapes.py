@@ -263,3 +263,41 @@ def test_curation_v4_bounded_exchanges_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_tombstone_exclusion_is_broadcast_anti_join(spark):
+    """The ANN deletion path (VERDICT r12 ask #1) must stay
+    shortlist-cheap at 100 TB: the tombstone exclusion lands as ONE
+    broadcast LEFT ANTI hash join on the ADC candidate stream — never
+    a shuffled anti-join of the corpus-sized code table, and never a
+    change to the number of exchanges the serve already pays."""
+    from pyspark.sql import functions as F
+
+    from sfdata_wrangler_spark.operators.pq import ivfpq_topk
+    from sfdata_wrangler_spark.plans.catalog import _t
+    from sfdata_wrangler_spark.plans.catalog35 import (
+        _K, _M, _N_PROBE, _SHORTLIST, _SUB_DIM, _ivfpq_parts,
+    )
+
+    emb, cents, cb, enc = _ivfpq_parts(spark, SF)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=_K, n_probe=_N_PROBE, shortlist=_SHORTLIST,
+              m=_M, sub_dim=_SUB_DIM)
+    tomb = emb.where(F.pmod("vec_id", F.lit(7)) == 3).select("vec_id")
+    base = ivfpq_topk(queries, enc, cents, cb, emb, **kw)
+    excl = ivfpq_topk(
+        queries, enc, cents, cb, emb, exclude_ids=tomb, **kw
+    )
+    p_base = base._jdf.queryExecution().executedPlan().toString()
+    p_excl = excl._jdf.queryExecution().executedPlan().toString()
+    anti_base = len(re.findall(r"BroadcastHashJoin .*LeftAnti", p_base))
+    anti_excl = len(re.findall(r"BroadcastHashJoin .*LeftAnti", p_excl))
+    assert anti_excl == anti_base + 1, (anti_base, anti_excl)
+    assert "SortMergeJoin LeftAnti" not in p_excl
+    # the exclusion adds NO shuffle (its broadcast exchange is the
+    # takedown-sized table): same hash-partitioning exchange count
+    assert p_excl.count("Exchange hashpartitioning") == p_base.count(
+        "Exchange hashpartitioning"
+    )

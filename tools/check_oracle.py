@@ -76,6 +76,8 @@ def main():
     json_out = None
     if "--json-out" in argv:  # VERDICT r12 ask #3: committable summary
         i = argv.index("--json-out")
+        if i + 1 >= len(argv):
+            sys.exit("usage: --json-out PATH (missing PATH)")
         json_out = argv[i + 1]
         del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

@@ -62,6 +62,11 @@ def main():
     a = ap.parse_args()
     if not a.queries and not a.ivfpq_split:
         ap.error("pass query names or --ivfpq-split")
+    if a.queries and a.ivfpq_split:
+        # the split branch returns before the query loop — refusing
+        # beats silently discarding the named queries (code-review r13)
+        ap.error("--ivfpq-split and query names are mutually exclusive; "
+                 "run two invocations")
     ctx_before = _run_context()
 
     from sfdata_wrangler_spark.session import get_spark
