@@ -843,10 +843,50 @@ def list_imbalance(
     return max(r["n_vecs"] for r in sizes) * len(sizes) / total
 
 
-def needs_refresh(spark, root: str, threshold: float = 3.0) -> bool:
-    """The drift trigger: True once the active generation's hot-cell
-    ratio exceeds ``threshold``. 3.0 (hot cell at 3x uniform) is a
-    conservative default — probe cost on the hot cell has tripled and
-    ADC error is usually already visible; deployments tune it against
-    their recall telemetry (emb_ivfpq_recall's measured twin)."""
-    return list_imbalance(spark, root) > threshold
+def tombstone_fraction(
+    spark, root: str, gen: str | None = None, id_col: str = "vec_id"
+) -> float:
+    """Deletion debt of a generation: tombstoned ids / indexed ids
+    (0.0 when no tombstones). Every serve pays the anti-join for
+    these ids, and every probed cell's candidate pool shrinks by its
+    tombstoned share — past a deployment's tolerance the right move
+    is a :func:`refresh_generation` (which folds them away). Cost:
+    two distinct-counts — one over the takedown-sized tombstone
+    table, one map-side-combinable pass over the code table's pruned
+    (cid, id) columns."""
+    gen = gen or current_generation(spark, root)
+    if gen is None:
+        raise FileNotFoundError(f"no active generation under {root}")
+    tomb = generation_tombstones(spark, root, gen, id_col)
+    if tomb is None:
+        return 0.0
+    n_tomb = tomb.distinct().count()
+    if n_tomb == 0:
+        return 0.0
+    codes = spark.read.parquet(f"{_gen_dir(root, gen)}/codes")
+    n_ids = codes.select(id_col).distinct().count()
+    return n_tomb / n_ids if n_ids else 0.0
+
+
+def needs_refresh(
+    spark,
+    root: str,
+    threshold: float = 3.0,
+    tombstone_threshold: float | None = 0.1,
+) -> bool:
+    """The rotation trigger: True once the active generation's
+    hot-cell ratio exceeds ``threshold`` (3.0 = hot cell at 3x
+    uniform, a conservative default — probe cost on the hot cell has
+    tripled and ADC error is usually already visible; deployments
+    tune it against their recall telemetry, emb_ivfpq_recall's
+    measured twin) OR its deletion debt exceeds
+    ``tombstone_threshold`` (default 10% of indexed ids tombstoned —
+    the per-serve anti-join and the shortlist thinning in affected
+    cells are pure waste a fold removes; ``None`` disables the
+    tombstone trigger)."""
+    if list_imbalance(spark, root) > threshold:
+        return True
+    return (
+        tombstone_threshold is not None
+        and tombstone_fraction(spark, root) > tombstone_threshold
+    )

@@ -1007,3 +1007,46 @@ def test_tombstone_mid_rotation_chaos(spark, tmp_path):
     assert set(by_q) == qids
     assert all(len(v) == SERVE["k"] for v in by_q.values())
     assert not ({r["vec_id"] for r in final} & set(victims))
+
+
+def test_tombstone_fraction_drives_needs_refresh(spark, tmp_path):
+    """Deletion debt as a rotation trigger: fraction is 0.0 with no
+    tombstones, counts DISTINCT ids (re-issued takedowns don't inflate
+    it), trips needs_refresh past the threshold, and resets to 0.0
+    after the fold-away refresh."""
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        tombstone_fraction,
+        tombstone_ids,
+    )
+
+    root = str(tmp_path / "tfroot")
+    corpus = spark.createDataFrame(
+        _corpus_a(), "vec_id long, embedding array<double>"
+    )
+    refresh_generation(spark, root, corpus, **KW)
+    assert tombstone_fraction(spark, root) == 0.0
+    balanced = list_imbalance(spark, root)
+    assert not needs_refresh(spark, root, threshold=balanced + 0.1)
+
+    victims = spark.createDataFrame(
+        [(v,) for v in range(10)], "vec_id long"
+    )
+    tombstone_ids(spark, root, victims)
+    tombstone_ids(spark, root, victims)  # re-issue: distinct-counted
+    frac = tombstone_fraction(spark, root)
+    assert frac == pytest.approx(10 / 60)
+    assert needs_refresh(
+        spark, root, threshold=balanced + 0.1, tombstone_threshold=0.1
+    )
+    assert not needs_refresh(
+        spark, root, threshold=balanced + 0.1, tombstone_threshold=0.5
+    )
+    assert not needs_refresh(
+        spark, root, threshold=balanced + 0.1, tombstone_threshold=None
+    )
+
+    refresh_generation(spark, root, corpus, **KW)
+    assert tombstone_fraction(spark, root) == 0.0
+    assert not needs_refresh(
+        spark, root, threshold=balanced + 0.1, tombstone_threshold=0.1
+    )
