@@ -257,3 +257,54 @@ def stream_ivfpq_serve_rotating(
     return query_stream.writeStream.foreachBatch(
         _serve_process(_search, corpus, corpus_path, result_sink)
     )
+
+
+def stream_tombstones(
+    id_stream: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    missing_ok: bool = False,
+):
+    """Apply a DELETION stream (takedown / GDPR queue) to the serving
+    generation: each micro-batch of ids is appended to the CURRENT
+    generation's tombstone table
+    (:func:`~..operators.ann_refresh.tombstone_ids`), so the next
+    serve call — batch or streaming — excludes them via the broadcast
+    pre-shortlist anti-join, at O(batch) cost per trigger and no
+    corpus-scale work ever.
+
+    The pointer is re-resolved per trigger: a takedown always lands
+    on the generation that is serving WHEN IT ARRIVES. Unlike the
+    serve streams, the default here is FAIL-LOUD, not idle-not-die
+    (``missing_ok=False``): silently dropping a deletion because no
+    generation is active yet is a compliance bug, while failing the
+    trigger leaves the checkpoint unadvanced so the batch REPLAYS on
+    restart — at-least-once takedown semantics, and re-applied ids
+    are free (the anti-join is duplicate-insensitive). Pass
+    ``missing_ok=True`` only for pipelines where the index is
+    strictly a derived cache that a later bootstrap rebuilds from an
+    already-cleaned corpus.
+
+    Rotation interplay (the tombstone_ids re-issue rule): a
+    refresh_generation that TRAINED before a takedown arrived but
+    activates after it will not contain the fold — the takedown
+    stream keeps deleting correctly only for ids it delivers AFTER
+    the swap. Deployments that rotate while the takedown stream runs
+    re-emit in-flight ids after each rotation (or quiesce rotations
+    around the queue's low-water mark); the mid-rotation chaos test
+    pins the re-issue contract.
+
+    Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
+    and ``.start()``s it.
+    """
+    from ..operators.ann_refresh import current_generation, tombstone_ids
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if missing_ok and current_generation(spark, root) is None:
+            return  # derived-cache mode: bootstrap owns pre-activation ids
+        tombstone_ids(spark, root, batch_df.select(id_col), id_col=id_col)
+
+    return id_stream.writeStream.foreachBatch(_process)

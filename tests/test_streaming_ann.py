@@ -179,3 +179,90 @@ def test_serve_pruned_idles_when_lake_missing(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         serve_pruned(queries, missing, cents, cb, emb,
                      k=3, n_probe=2, m=2, sub_dim=8)
+
+
+def test_stream_tombstones_applies_and_replays(spark, tmp_path):
+    """The takedown stream (r13): streamed ids land on the CURRENT
+    generation and the next serve excludes them exactly as a batch
+    tombstone_ids would; with no active generation the default is
+    FAIL-LOUD (checkpoint unadvanced -> the batch replays after a
+    generation exists — at-least-once deletion), while
+    missing_ok=True idles."""
+    from tests.test_ann_refresh import KW, SERVE, _corpus_a, _queries
+
+    from sfdata_wrangler_spark.operators.ann_refresh import (
+        generation_tombstones,
+        refresh_generation,
+        serve_current,
+        tombstone_ids,
+    )
+    from sfdata_wrangler_spark.streaming.ann_stream import stream_tombstones
+
+    root = str(tmp_path / "tsroot")
+    corpus = spark.createDataFrame(
+        _corpus_a(), "vec_id long, embedding array<double>"
+    )
+    qdf = spark.createDataFrame(_queries(), ["query_id", "embedding"])
+    victims = [6, 7, 8]
+
+    src = os.path.join(tmp_path, "takedowns")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(v,) for v in victims], "vec_id long"
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("vec_id long").parquet(src)
+    ckpt = os.path.join(tmp_path, "ckpt")
+
+    # no active generation yet: the trigger FAILS (not drops) and the
+    # checkpoint does not advance
+    q = (
+        stream_tombstones(stream, root)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass
+    assert q.exception() is not None
+
+    # after a rotation the SAME checkpoint replays the batch
+    refresh_generation(spark, root, corpus, **KW)
+    stream = spark.readStream.schema("vec_id long").parquet(src)
+    q = (
+        stream_tombstones(stream, root)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120) and q.exception() is None
+
+    got = serve_current(spark, root, qdf, corpus, **SERVE).collect()
+    assert not ({r["vec_id"] for r in got} & set(victims))
+    # streamed takedown == batch tombstone_ids (same table contents)
+    twin_root = str(tmp_path / "twinroot")
+    refresh_generation(spark, twin_root, corpus, **KW)
+    tombstone_ids(
+        spark, twin_root,
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"),
+    )
+    twin = serve_current(spark, twin_root, qdf, corpus, **SERVE).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, twin))
+    gen = __import__(
+        "sfdata_wrangler_spark.operators.ann_refresh",
+        fromlist=["current_generation"],
+    ).current_generation(spark, root)
+    tomb = generation_tombstones(spark, root, gen)
+    assert sorted(r["vec_id"] for r in tomb.distinct().collect()) == victims
+
+    # missing_ok=True idles on an empty root instead of failing
+    root2 = str(tmp_path / "emptyroot")
+    stream = spark.readStream.schema("vec_id long").parquet(src)
+    q = (
+        stream_tombstones(stream, root2, missing_ok=True)
+        .option("checkpointLocation", os.path.join(tmp_path, "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120) and q.exception() is None
