@@ -70,8 +70,9 @@ def _sorted_rows(df, key_cols):
     )
 
 
-def test_clipper_bucketed_equals_plain(spark):
-    tags = _clipper_fixture(spark)
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_clipper_bucketed_equals_plain(spark, seed):
+    tags = _clipper_fixture(spark, seed=seed)
     plain = infer_linked_trips(tags)
     # tiny bucket (3h) so many buckets + cross-bucket carries exercise
     bucketed = infer_linked_trips(
@@ -137,8 +138,9 @@ def _taxi_fixture(spark, n_cabs=4, hot_cab_pings=150, seed=11):
     )
 
 
-def test_taxi_bucketed_equals_plain(spark):
-    pings = _taxi_fixture(spark)
+@pytest.mark.parametrize("seed", [11, 29, 97])
+def test_taxi_bucketed_equals_plain(spark, seed):
+    pings = _taxi_fixture(spark, seed=seed)
     plain = identify_gps_trips(pings)
     bucketed = identify_gps_trips(
         pings, strategy="bucketed", bucket_minutes=30.0
