@@ -182,6 +182,20 @@ def pipeline_skew_strategy(default: str = "plain") -> str:
 _WARNED_SKEW_KNOB_VALUES: set = set()
 
 
+# Full-pipeline knee multiplier over default_knee_rows, MEASURED on
+# the committed 100x replicas (tools/pipeline_skew_probe.py, round
+# 13): the clipper/taxi bucketed twins carry lag state through 3-4
+# narrow fact passes where bare sessionize_bucketed needs 2, so their
+# overhead is ~23-25 s at 10M rows on local[32] while plain's
+# straggler excess is ~2.55 s per MILLION hot rows (hot-user replica:
+# plain 13.2/14.4 s at a 4M-row hot entity vs uniform 2.95/3.70 s) —
+# crossover hot ~= (23 - 3) / 2.55 ~= 8M rows = 8x the bare-operator
+# knee. The sharper model is hot* ∝ rows-per-slot (see
+# default_knee_rows' assumption note); this factor keeps the two
+# knees consistent under it.
+PIPELINE_KNEE_FACTOR = 8.0
+
+
 def resolve_window_strategy(
     df: DataFrame,
     entity_cols: Sequence[str],
@@ -189,11 +203,14 @@ def resolve_window_strategy(
     knee_rows: int | None,
     log: logging.Logger,
     label: str,
+    knee_factor: float = 1.0,
 ) -> str:
     """Shared ``strategy="auto"`` dispatch for the per-entity window
     pipelines (clipper linked trips, taxi trip segmentation —
     code-review r13 #8 deduplication): resolves the knee
-    (:func:`default_knee_rows` when None), runs the ONE
+    (:func:`default_knee_rows` x ``knee_factor`` when ``knee_rows``
+    is None — pipelines whose bucketed twin costs more than the bare
+    operator pass :data:`PIPELINE_KNEE_FACTOR`), runs the ONE
     dimension-sized :func:`max_partition_rows` pre-flight, logs the
     pick, and validates the strategy name. Returns "plain" or
     "bucketed"."""
@@ -201,7 +218,7 @@ def resolve_window_strategy(
         knee = (
             knee_rows
             if knee_rows is not None
-            else default_knee_rows(df.sparkSession)
+            else int(default_knee_rows(df.sparkSession) * knee_factor)
         )
         hot = max_partition_rows(df, list(entity_cols))
         strategy = "bucketed" if hot > knee else "plain"

@@ -50,18 +50,25 @@ def infer_linked_trips(
     "bucketed" (the skew-immune twin below) / "auto" (one
     dimension-sized pre-flight, ``skew.max_partition_rows`` over the
     card column, picks bucketed iff the hottest card exceeds
-    ``knee_rows`` — defaulting to ``skew.default_knee_rows`` of the
-    session — and LOGS the pick). Identical output by construction
+    ``knee_rows`` — defaulting to ``skew.default_knee_rows`` x
+    ``skew.PIPELINE_KNEE_FACTOR``: the FULL pipeline's bucketed twin
+    pays 3-4 narrow fact passes, so its measured crossover (~8M hot
+    rows at local[32], tools/pipeline_skew_probe.py) sits 8x above
+    the bare sessionize knee — and LOGS the pick). Identical output by construction
     (equivalence-tested) under the Clipper data contract the bucketed
     decomposition needs: per card, ``seq_col`` order agrees with
     ``ts_col`` order (sequence ids are assigned by tag-on time) and
     tag times are non-null — the plain form tolerates violations by
     simply ordering on ``seq_col``, the bucketed form buckets by time
     and would split an out-of-order card inconsistently."""
-    from ..operators.skew import resolve_window_strategy
+    from ..operators.skew import (
+        PIPELINE_KNEE_FACTOR,
+        resolve_window_strategy,
+    )
 
     strategy = resolve_window_strategy(
-        df, [card_col], strategy, knee_rows, _log, "infer_linked_trips"
+        df, [card_col], strategy, knee_rows, _log, "infer_linked_trips",
+        knee_factor=PIPELINE_KNEE_FACTOR,
     )
     if strategy == "bucketed":
         return _infer_linked_trips_bucketed(

@@ -59,17 +59,24 @@ def identify_gps_trips(
     / "auto" (VERDICT r12 ask #2: one dimension-sized pre-flight —
     ``skew.max_partition_rows`` over the cab column — picks bucketed
     iff the hottest cab exceeds ``knee_rows``, defaulting to
-    ``skew.default_knee_rows`` of the session, and LOGS the pick).
+    ``skew.default_knee_rows`` x ``skew.PIPELINE_KNEE_FACTOR`` (the
+    full pipeline's measured ~8M-hot-row crossover at local[32] —
+    tools/pipeline_skew_probe.py — 8x the bare-operator knee), and
+    LOGS the pick).
     Requires non-null timestamps for the bucketed form (a GPS ping
     without a time); trip ids and counts are exact integers in both
     forms, ``stationary_sec``/``trip_length`` are float sums whose
     accumulation ORDER differs between the forms — equal to within
     ulps, bitwise-equal whenever the addends are exactly
     representable (whole-second timestamps)."""
-    from ..operators.skew import resolve_window_strategy
+    from ..operators.skew import (
+        PIPELINE_KNEE_FACTOR,
+        resolve_window_strategy,
+    )
 
     strategy = resolve_window_strategy(
-        df, [cab_col], strategy, knee_rows, _log, "identify_gps_trips"
+        df, [cab_col], strategy, knee_rows, _log, "identify_gps_trips",
+        knee_factor=PIPELINE_KNEE_FACTOR,
     )
     if strategy == "bucketed":
         return _identify_gps_trips_bucketed(

@@ -229,11 +229,20 @@ HOT_REPLICA = "/tmp/sfdata_sf100_hotuser"
     "(tools/make_scale_replica.py --hot-user-frac 0.4)",
 )
 def test_auto_pick_on_committed_hot_replica(spark):
-    """The default (session-derived) knee lands the right pick on the
-    committed replicas: the 100x hot-user events table (user 777 =
-    4,000,047 rows > 1M knee at local[32]) picks the skew-immune form,
-    the pre-flight only — the fixture-level tests above pin output
-    equality; ARCHITECTURE pins the measured wall-clock story."""
+    """The default (session-derived) knees land the MEASURED-right
+    picks on the committed hot-user replica (user 777 = 4,000,047
+    rows): the bare sessionize operator picks bucketed (1M knee —
+    r11/r12 measured bucketed 4.15s vs plain 5.34s there), while the
+    FULL clipper/taxi pipelines pick plain (8x knee = 8M —
+    tools/pipeline_skew_probe.py measured their heavier twins at
+    ~23s vs plain 13-14s at this hot size; the crossover is ~8M).
+    Fixture-level tests above pin output equality; ARCHITECTURE pins
+    the wall-clock story."""
+    from sfdata_wrangler_spark.operators.skew import (
+        PIPELINE_KNEE_FACTOR,
+        default_knee_rows,
+        max_partition_rows,
+    )
     from sfdata_wrangler_spark.operators.windows import (
         choose_sessionize_strategy,
     )
@@ -241,3 +250,12 @@ def test_auto_pick_on_committed_hot_replica(spark):
 
     ev = _events(spark, HOT_REPLICA).select("user_id")
     assert choose_sessionize_strategy(ev, ["user_id"]) == "bucketed"
+    hot = max_partition_rows(ev, ["user_id"])
+    # the knees AT THE local[32] CALIBRATION POINT (the test session
+    # is local[4], whose smaller knees would pick bucketed for both —
+    # also correct for 4 slots, but not what the probe measured):
+    # bare operator 1M, full pipeline 8M
+    knee32 = default_knee_rows(spark, hot_entity_tasks=8)
+    assert knee32 == 1_000_000
+    assert hot > knee32  # bare-operator pick at local[32]: bucketed
+    assert hot <= knee32 * PIPELINE_KNEE_FACTOR  # pipeline: plain

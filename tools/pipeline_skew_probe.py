@@ -9,8 +9,11 @@ window) and the uniform replica of the same size (where plain should
 win and auto should pick it).
 
 Per (pipeline, strategy): one warm-up run excluded, then best-of-N
-foreground wall via count(). Prints one JSON line with the bench
-run-condition stamp.
+foreground wall via the NOOP SINK (bench.py's honest-full-plan rule:
+under count() Catalyst eliminates every window/lag column because
+none affects the row count — a first cut of this probe measured the
+hot-user clipper plain form at 0.48 s for 10M rows, i.e. nothing).
+Prints one JSON line with the bench run-condition stamp.
 
 Usage:
   python tools/pipeline_skew_probe.py [--dir /tmp/sfdata_sf100_hotuser]
@@ -79,18 +82,16 @@ def main():
     for name, fn in jobs:
         for strat in ("plain", "bucketed", "auto"):
             times = []
-            n = 0
             for i in range(a.runs + 1):  # warm-up excluded
                 spark.catalog.clearCache()
                 t0 = time.monotonic()
-                n = fn(strat).count()
+                fn(strat).write.format("noop").mode("overwrite").save()
                 dt = time.monotonic() - t0
                 if i > 0:
                     times.append(dt)
             out["results"][f"{name}_{strat}"] = {
                 "best_s": round(min(times), 2),
                 "all": [round(t, 2) for t in times],
-                "rows": n,
             }
             print(json.dumps({f"{name}_{strat}": out["results"][f"{name}_{strat}"]}),
                   file=sys.stderr)
