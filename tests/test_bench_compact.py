@@ -251,3 +251,54 @@ def test_main_requeues_once_on_contended(monkeypatch, capsys, tmp_path):
     last = capsys.readouterr().out.strip().splitlines()[-1]
     parsed = json.loads(last)
     assert parsed["contended"] is True and "requeue" not in parsed
+
+
+def test_requeue_prints_interim_record_before_settle(
+    monkeypatch, capsys, tmp_path
+):
+    """A harness that times bench out MID-RETRY must still capture a
+    parseable record: attempt 1's detail + compact lines are printed
+    (marked requeue_pending) BEFORE the settle, and a completed
+    attempt 2 prints later lines that win the last-JSON-line parse."""
+    import bench
+
+    ctx = {"cpu_probe_sec": 0.03, "load1": 0.2, "mc_probe_ratio": 1.1}
+
+    def result(contended, v):
+        return {
+            "metric": "headline_queries_total_wall", "value": v,
+            "sf": 0.1, "value_comparable_r2": v, "value_noop_sink": v,
+            "comparable_r2_mean_warm": v, "comparable_r2_std_warm": 0.1,
+            "ivfpq_build": 1.0, "ivfpq_query": 0.5, "serve_warm": 1.2,
+            "contended": contended, "io_cold": None,
+            "run_context": {"before": ctx, "after": ctx},
+        }
+
+    calls = []
+
+    def fake_measure(sf_dir):
+        calls.append(1)
+        first = len(calls) == 1
+        return result(first, 9.0 if first else 6.0), {
+            "q": 1.0, "emb_ivfpq_serve": 1.2,
+        }
+
+    monkeypatch.setattr(bench, "_measure", fake_measure)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL_DIR", str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_REQUEUE", raising=False)
+    bench.main()
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    # 4 JSON lines: interim detail+compact, final detail+compact
+    assert len(lines) == 4
+    assert lines[0]["requeue_pending"] is True  # interim detail
+    assert lines[1]["requeue_pending"] is True  # interim compact
+    assert lines[1]["contended"] is True
+    # the LAST line (what the driver parses) is the kept clean attempt
+    assert "requeue_pending" not in lines[3]
+    assert lines[3]["contended"] is False
+    assert lines[3]["requeue"] == {"attempt_kept": 2, "other_contended": True}
