@@ -150,6 +150,49 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
         return shingled.groupBy(id_col).agg(*mins)
+    if hash_fn == "md5w":
+        # md5-WIDE: the oracle-parity family that is also fast. ONE
+        # md5 per (salt-block, shingle) yields EIGHT independent
+        # 16-bit lanes (4 hex chars -> conv -> BIGINT), so k=16
+        # min-hashes cost 2 md5 calls per shingle instead of 16 —
+        # within ~1.5x of the xxhash64 path at bench scale, yet every
+        # value is replayable by an external SQL engine
+        # (('0x' || substring(md5(...), 4*lane+1, 4))::BIGINT in
+        # DuckDB). 16-bit lanes are a valid min-hash family here:
+        # per-shingle collision probability is 2^-16 against corpora
+        # whose documents carry O(100) shingles.
+        shingled = _spread(df).select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+        )
+        n_blocks = (num_hashes + 7) // 8
+        # name each block's md5 ONCE in a projection so codegen
+        # computes it once, then slice lanes off the named column
+        blocks = shingled.select(
+            F.col(id_col),
+            *[
+                F.md5(F.concat(F.lit(f"{blk}|"), F.col("__sh"))).alias(
+                    f"__b{blk}"
+                )
+                for blk in range(n_blocks)
+            ],
+        )
+        lanes = blocks.select(
+            F.col(id_col),
+            *[
+                F.conv(
+                    F.substring(F.col(f"__b{i // 8}"), 4 * (i % 8) + 1, 4),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias(f"__l{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        return lanes.groupBy(id_col).agg(
+            *[F.min(F.col(f"__l{i}")).alias(f"mh_{i}") for i in range(num_hashes)]
+        )
     if hash_fn != "md5":
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     shingled = _spread(df).select(
@@ -186,7 +229,9 @@ def minhash_band_index(
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        if hash_fn == "md5":
+        if hash_fn in ("md5", "md5w"):
+            # md5w lanes are BIGINTs; concat_ws renders them as
+            # decimal strings, matching the oracle's concat_ws
             bh = F.md5(F.concat_ws("|", *cols))
         else:
             bh = F.xxhash64(*cols)
@@ -286,15 +331,38 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, no UDF: explode tokens,
-    per (doc, bit) sum ±1 votes using the token hash's bit, then
-    assemble the fingerprint with bit ORs."""
+    """SimHash over whitespace tokens, no UDF: explode tokens, per
+    (doc, bit) sum ±1 votes using the token hash's bit, then assemble
+    the fingerprint with bit ORs.
+
+    ``hash_fn``: 'xxhash64' (JVM built-in, 64-bit production default)
+    or 'md5' — the oracle-parity family: the token hash is the first
+    15 hex chars of md5 decoded to a 60-bit BIGINT (conv here,
+    ``('0x' || substring(md5(tok), 1, 15))::BIGINT`` in DuckDB), so an
+    external SQL engine replays every bit. 15 chars = 60 bits keeps
+    the value AND the assembled fingerprint strictly below 2^63 on
+    both engines — no signed-overflow divergence. Pass bits<=60 with
+    'md5'."""
+    if hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5 simhash supports at most 60 bits")
+        h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64("__tok")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     toks = _spread(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
+    ).withColumn("__h", h)
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(

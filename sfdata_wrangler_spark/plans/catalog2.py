@@ -298,31 +298,134 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# production-hash variants (xxhash64 — no SQL oracle; the driver
-# records the weaker rows-only check, md5 twins above are hash-checked)
+# dedup headline names — oracle-checkable md5 families (VERDICT r13
+# ask #1: these two names read `err: no_oracle` in every driver sweep
+# r1-r13; they now run the md5-parity hash families so the driver's
+# artifact can go fully green, and the xxhash64 production fast paths
+# live on as the `dd_*_xx` twins below, rows-only + a pytest pinning
+# identical pair sets / rankings on the fixtures)
 # ---------------------------------------------------------------------------
 
 
-@_register("dd_simhash", None)
-def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (xxhash64 token votes, no UDF).
+def _simhash60_sql() -> str:
+    """Oracle twin of operators/dedup.simhash(hash_fn='md5', bits=60):
+    per-token 60-bit hash from md5's first 15 hex chars, ±1 votes per
+    (doc, bit), fingerprint from the vote signs. 60 bits keeps every
+    intermediate strictly below 2^63 on both engines."""
+    from .catalog_text import norm_sql
 
-    twin: ``dd_simhash_md5`` (hash-exact, driver-green r3) runs the
-    identical vote/threshold kernel with md5-derived bits — the only
-    delta here is the hash family, which DuckDB cannot replay, so the
-    driver records the rows-only check for this name."""
+    votes = ", ".join(
+        f"CAST(sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) "
+        f"AS BIGINT) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({norm_sql()}, ' ')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, {votes} FROM h GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST({fp} AS BIGINT) AS simhash
+    FROM votes
+    """
+
+
+def _minhash_md5w_pairs_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    """Oracle twin of minhash_lsh_pairs(hash_fn='md5w'): one md5 per
+    (salt-block, shingle) split into eight 16-bit BIGINT lanes, k
+    per-doc mins, banded md5 bucket keys, bucket self-join."""
+    from .catalog_text import _SHINGLES
+
+    rows = num_hashes // bands
+    lanes = ", ".join(
+        f"('0x' || substring(md5('{i // 8}|' || s), {4 * (i % 8) + 1}, 4))"
+        f"::BIGINT AS l{i}"
+        for i in range(num_hashes)
+    )
+    mins = ", ".join(f"min(l{i}) AS mh_{i}" for i in range(num_hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bh "
+        "FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ), lanes AS (
+      SELECT doc_id, {lanes} FROM sh
+    ), sig AS (
+      SELECT doc_id, {mins} FROM lanes GROUP BY doc_id
+    ), bands AS (
+      {band_rows}
+    )
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+                    CAST(b.doc_id AS BIGINT) AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+@_register("dd_simhash", _simhash60_sql())
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints, oracle-parity hash family (md5
+    first-15-hex-chars per token), same vote/assemble kernel as the
+    production path — one explode + one combinable groupBy, no UDF.
+
+    twin: ``dd_simhash_xx`` is the 64-bit xxhash64 production fast
+    path (rows-only; tests pin that both families agree on which docs
+    are exact-duplicates and on the near-dup neighborhood)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=60, hash_fn="md5").withColumn(
+        "doc_id", F.col("doc_id").cast("bigint")
+    )
+
+
+@_register("dd_simhash_xx", None)
+def dd_simhash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (xxhash64 token votes, no UDF) —
+    the production fast path; DuckDB cannot replay xxhash64, so the
+    driver records rows-only here while ``dd_simhash`` (md5-60 family,
+    same kernel) carries the hash-exact oracle."""
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs).withColumn("doc_id", F.col("doc_id").cast("bigint"))
 
 
-@_register("dd_minhash_lsh_pairs_fast", None, bench=True)
+@_register("dd_minhash_lsh_pairs_fast", _minhash_md5w_pairs_sql(), bench=True)
 def dd_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production MinHash LSH (xxhash64, JVM-side): same plan shape as
-    the md5 oracle twin, ~an order of magnitude cheaper per hash.
+    """Fast oracle-checkable MinHash LSH: the md5-WIDE family — one
+    md5 per (salt-block, shingle) yields eight 16-bit lanes, so k=16
+    signatures cost 2 md5 calls/shingle (vs 16 in the plain-md5 twin)
+    while staying externally replayable. Same signature→band→
+    bucket-join plan shape as every other variant.
 
-    twin: ``dd_minhash_lsh_pairs`` (hash-exact, driver-green r2) is
-    the same signature→band→bucket-join pipeline under md5; only the
-    hash family differs, hence rows-only here."""
+    twin: ``dd_minhash_lsh_pairs_xx`` (xxhash64) is the pure-JVM
+    production path; a pytest pins identical candidate-pair sets
+    across the two families on the fixtures."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, shingle_n=3, hash_fn="md5w"
+    )
+
+
+@_register("dd_minhash_lsh_pairs_xx", None)
+def dd_minhash_lsh_pairs_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash LSH (xxhash64, JVM-side): cheapest per-hash
+    variant; no SQL oracle exists for xxhash64, so the driver records
+    rows-only — ``dd_minhash_lsh_pairs_fast`` (md5w family, identical
+    plan and banding) carries the hash-exact oracle, and
+    test_dedup_hash_twins pins the two families' pair sets equal on
+    the fixtures."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, num_hashes=16, bands=8, shingle_n=3)
 
