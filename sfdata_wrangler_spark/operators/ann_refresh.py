@@ -219,6 +219,7 @@ def write_generation(
     codebooks: DataFrame,
     encoded: DataFrame,
     meta: dict,
+    id_col: str = "vec_id",
 ) -> str:
     """Persist one generation's artifacts (codes PARTITIONED BY cid —
     the layout serve_pruned's static prune needs). ``meta`` MUST
@@ -227,7 +228,16 @@ def write_generation(
     without it would pass the data-readiness check yet crash every
     consumer (code-review r10 #5). Writing does NOT activate: readers
     keep resolving the old pointer until :func:`activate_generation`
-    swaps it."""
+    swaps it.
+
+    ``meta['n_ids']`` is recorded automatically (VERDICT r13 ask #4):
+    one distinct-count over the just-written code table's id column —
+    a single compact-columnar scan per ROTATION — so
+    :func:`tombstone_fraction` reads the debt denominator from two
+    dimension-sized artifacts instead of re-scanning the corpus-scale
+    code table on every ``needs_refresh`` poll. Skipped when the
+    caller already set ``n_ids`` or the encoded schema lacks
+    ``id_col`` (then the poll-time fallback scan still applies)."""
     missing = [k for k in _META_REQUIRED if k not in meta]
     if missing:
         raise ValueError(f"generation meta missing {missing}")
@@ -237,6 +247,17 @@ def write_generation(
     encoded.write.mode("overwrite").partitionBy("cid").parquet(
         f"{gdir}/codes"
     )
+    if "n_ids" not in meta and id_col in encoded.columns:
+        meta = dict(meta)
+        # count from the WRITTEN parquet, not the encode lineage — the
+        # lineage would re-run the whole encode; the code table scan
+        # prunes to one column
+        meta["n_ids"] = (
+            spark.read.parquet(f"{gdir}/codes")
+            .select(id_col)
+            .distinct()
+            .count()
+        )
     atomic_write_text(
         spark, f"{gdir}/meta.json", json.dumps(meta, sort_keys=True)
     )
@@ -472,23 +493,46 @@ def tombstone_ids(
     resurrect the ids; callers that must survive that race re-issue
     the tombstone (idempotent: the anti-join is
     duplicate-insensitive) or fold via
-    ``refresh_generation(corpus_minus_ids)``. The same re-issue rule
-    covers a tombstone write CONCURRENT with a reader or a fold
-    (code-review r13 #3): parquet append has no multi-append
-    atomicity, so a mid-commit append can be PARTIALLY visible — a
-    serve sees some of its ids transiently, and a refresh folding at
-    that instant bakes the partial view into the new generation. Any
-    takedown not strictly ordered before a rotation must be re-issued
-    after it; the mid-rotation chaos test enforces exactly this
-    contract. Re-ADDING a tombstoned id requires a refresh:
-    ingest_batch appends codes, but the id-level tombstone outranks
-    them until the next rotation."""
+    ``refresh_generation(corpus_minus_ids)``. Each batch commits
+    ATOMICALLY (VERDICT r13 ask #2): the ids are written to a hidden
+    staging dir and the whole batch directory is renamed into
+    ``tombstones/batch-<nonce>`` in one FS op, so a reader or a fold
+    concurrent with the write sees the batch entirely or not at all —
+    never the partially-visible multi-file parquet append the r13
+    layout had. Same atomicity caveat as every rename commit in
+    sources/lake.py: real on POSIX/HDFS, advisory on bare S3. The
+    train-before/activate-after rotation race above is unchanged —
+    that one needs the re-issue (now automated by
+    streaming/ann_stream.stream_tombstones). Re-ADDING a tombstoned
+    id requires a refresh: ingest_batch appends codes, but the
+    id-level tombstone outranks them until the next rotation."""
+    import uuid
+
+    from ..sources.lake import hadoop_fs
+
     gen = gen or current_generation(spark, root)
     if gen is None:
         raise FileNotFoundError(f"no active generation under {root}")
-    ids_df.select(F.col(id_col).alias(id_col)).write.mode("append").parquet(
-        f"{_gen_dir(root, gen)}/tombstones"
-    )
+    gdir = _gen_dir(root, gen)
+    nonce = uuid.uuid4().hex[:12]
+    staged = f"{gdir}/.tombstones_staging/batch-{nonce}"
+    ids_df.select(F.col(id_col).alias(id_col)).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    fs, _, jvm = hadoop_fs(spark, root)
+    dest_parent = jvm.org.apache.hadoop.fs.Path(f"{gdir}/tombstones")
+    fs.mkdirs(dest_parent)
+    src = jvm.org.apache.hadoop.fs.Path(staged)
+    dest = jvm.org.apache.hadoop.fs.Path(dest_parent, f"batch-{nonce}")
+    if not fs.rename(src, dest):
+        # nonce names cannot collide, so a failed rename means the
+        # generation dir vanished mid-commit (swept by concurrent gc)
+        fs.delete(src, True)
+        raise FileNotFoundError(
+            f"tombstone batch commit failed: generation {gen!r} "
+            f"disappeared under {root} — re-issue against the current "
+            "generation"
+        )
     return gen
 
 
@@ -497,13 +541,20 @@ def generation_tombstones(
 ) -> DataFrame | None:
     """The generation's tombstone ids, or None when none were ever
     written (committed-data check, same readiness rule as every other
-    artifact — a half-written tombstone append must not half-apply)."""
+    artifact). Reads recursively: each takedown batch is its own
+    atomically-renamed ``batch-<nonce>`` subdirectory (see
+    :func:`tombstone_ids`), and flat part-files from pre-r14 lakes
+    are still picked up."""
     from ..sources.lake import has_committed_data
 
     path = f"{_gen_dir(root, gen)}/tombstones"
     if not has_committed_data(spark, path):
         return None
-    return spark.read.parquet(path).select(id_col)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(path)
+        .select(id_col)
+    )
 
 
 def ingest_batch(
@@ -515,7 +566,15 @@ def ingest_batch(
 ) -> None:
     """Append a vector batch to the CURRENT generation's code table,
     encoded against its frozen quantizers — the O(batch) path between
-    refreshes (the batch twin of streaming/ann_stream's ingest)."""
+    refreshes (the batch twin of streaming/ann_stream's ingest).
+
+    Also appends the batch's id count to the generation's tiny
+    ``ingest_counts`` table so :func:`tombstone_fraction`'s
+    denominator stays current without a code-table scan (VERDICT r13
+    ask #4). The counter is additive-only — a batch that RE-ingests
+    an existing id inflates it — so it is an upper bound; each
+    rotation reconciles exactly via the new generation's
+    ``meta['n_ids']``."""
     from .pq import ivfpq_encode
 
     gen = current_generation(spark, root)
@@ -531,6 +590,10 @@ def ingest_batch(
         id_col=id_col, vec_col=vec_col,
     )
     enc.write.mode("append").partitionBy("cid").parquet(f"{gdir}/codes")
+    n = batch.select(id_col).distinct().count()
+    spark.createDataFrame([(int(n),)], "n bigint").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{gdir}/ingest_counts")
 
 
 def serve_current(
@@ -850,10 +913,19 @@ def tombstone_fraction(
     (0.0 when no tombstones). Every serve pays the anti-join for
     these ids, and every probed cell's candidate pool shrinks by its
     tombstoned share — past a deployment's tolerance the right move
-    is a :func:`refresh_generation` (which folds them away). Cost:
-    two distinct-counts — one over the takedown-sized tombstone
-    table, one map-side-combinable pass over the code table's pruned
-    (cid, id) columns."""
+    is a :func:`refresh_generation` (which folds them away).
+
+    Cost (VERDICT r13 ask #4): one distinct-count over the
+    takedown-sized tombstone table, plus a DIMENSION-SIZED read of
+    the denominator — ``meta['n_ids']`` (recorded once per rotation
+    by :func:`write_generation`) + the sum of ``ingest_counts``
+    (one tiny row per :func:`ingest_batch`). Only a pre-r14
+    generation whose meta lacks ``n_ids`` falls back to the old
+    corpus-scale code-table scan, so a drift daemon's
+    ``needs_refresh`` poll no longer pays a corpus scan+shuffle just
+    to check whether debt crossed its trigger."""
+    from ..sources.lake import has_committed_data
+
     gen = gen or current_generation(spark, root)
     if gen is None:
         raise FileNotFoundError(f"no active generation under {root}")
@@ -863,8 +935,19 @@ def tombstone_fraction(
     n_tomb = tomb.distinct().count()
     if n_tomb == 0:
         return 0.0
-    codes = spark.read.parquet(f"{_gen_dir(root, gen)}/codes")
-    n_ids = codes.select(id_col).distinct().count()
+    gdir = _gen_dir(root, gen)
+    meta = generation_meta(spark, root, gen)
+    if "n_ids" in meta:
+        n_ids = int(meta["n_ids"])
+        ic = f"{gdir}/ingest_counts"
+        if has_committed_data(spark, ic):
+            ingested = (
+                spark.read.parquet(ic).agg(F.sum("n")).collect()[0][0]
+            )
+            n_ids += int(ingested or 0)
+    else:
+        codes = spark.read.parquet(f"{gdir}/codes")
+        n_ids = codes.select(id_col).distinct().count()
     return n_tomb / n_ids if n_ids else 0.0
 
 

@@ -204,28 +204,67 @@ def resolve_window_strategy(
     log: logging.Logger,
     label: str,
     knee_factor: float = 1.0,
+    ts_col: str | None = None,
 ) -> str:
     """Shared ``strategy="auto"`` dispatch for the per-entity window
     pipelines (clipper linked trips, taxi trip segmentation —
     code-review r13 #8 deduplication): resolves the knee
     (:func:`default_knee_rows` x ``knee_factor`` when ``knee_rows``
     is None — pipelines whose bucketed twin costs more than the bare
-    operator pass :data:`PIPELINE_KNEE_FACTOR`), runs the ONE
-    dimension-sized :func:`max_partition_rows` pre-flight, logs the
-    pick, and validates the strategy name. Returns "plain" or
-    "bucketed"."""
+    operator pass :data:`PIPELINE_KNEE_FACTOR`), runs ONE
+    dimension-sized pre-flight pass, logs the pick, and validates the
+    strategy name. Returns "plain" or "bucketed".
+
+    ``ts_col`` (ADVICE r13 #1): the bucketed twins bucket rows BY
+    TIME, so a null timestamp — which the plain window form tolerates
+    (nulls sort first within their entity) — would land in a
+    nulls-first bucket and change lag/session assignment versus
+    plain. When ``ts_col`` is given, the same pre-flight aggregation
+    that finds the hottest entity also counts null timestamps
+    (one extra map-side expression, still one dimension-sized job),
+    and auto falls back to "plain" on any null — mirroring
+    ``sessionize(strategy="auto")``'s rule that auto never routes an
+    input to a form with stricter preconditions than plain's. An
+    explicit ``strategy="bucketed"`` stays loud-by-contract: the
+    caller asserted the feed's invariants. Order-agreement contracts
+    that need a per-entity sort to check (clipper's seq/ts agreement)
+    remain the caller's responsibility — no dimension-sized probe can
+    see them."""
     if strategy == "auto":
         knee = (
             knee_rows
             if knee_rows is not None
             else int(default_knee_rows(df.sparkSession) * knee_factor)
         )
-        hot = max_partition_rows(df, list(entity_cols))
-        strategy = "bucketed" if hot > knee else "plain"
-        log.info(
-            "%s auto pick: %s (hottest %s %d rows, knee %d)",
-            label, strategy, "/".join(entity_cols), hot, knee,
-        )
+        per_key = [F.count(F.lit(1)).alias("__rws_n")]
+        if ts_col is not None:
+            per_key.append(
+                F.sum(
+                    F.when(F.col(ts_col).isNull(), 1).otherwise(0)
+                ).alias("__rws_nullts")
+            )
+        totals = [F.max("__rws_n").alias("__rws_hot")]
+        if ts_col is not None:
+            totals.append(F.sum("__rws_nullts").alias("__rws_nulls"))
+        row = (
+            df.groupBy(*list(entity_cols)).agg(*per_key).agg(*totals)
+        ).collect()[0]
+        hot = int(row["__rws_hot"] or 0)
+        nulls = int(row["__rws_nulls"] or 0) if ts_col is not None else 0
+        if nulls > 0:
+            strategy = "plain"
+            log.info(
+                "%s auto pick: plain (%d null %s rows — the bucketed "
+                "twin requires non-null timestamps; hottest %s %d "
+                "rows, knee %d)",
+                label, nulls, ts_col, "/".join(entity_cols), hot, knee,
+            )
+        else:
+            strategy = "bucketed" if hot > knee else "plain"
+            log.info(
+                "%s auto pick: %s (hottest %s %d rows, knee %d)",
+                label, strategy, "/".join(entity_cols), hot, knee,
+            )
     if strategy not in ("plain", "bucketed"):
         raise ValueError(
             f"strategy must be 'plain', 'bucketed' or 'auto', got "

@@ -68,7 +68,7 @@ def infer_linked_trips(
 
     strategy = resolve_window_strategy(
         df, [card_col], strategy, knee_rows, _log, "infer_linked_trips",
-        knee_factor=PIPELINE_KNEE_FACTOR,
+        knee_factor=PIPELINE_KNEE_FACTOR, ts_col=ts_col,
     )
     if strategy == "bucketed":
         return _infer_linked_trips_bucketed(

@@ -76,7 +76,7 @@ def identify_gps_trips(
 
     strategy = resolve_window_strategy(
         df, [cab_col], strategy, knee_rows, _log, "identify_gps_trips",
-        knee_factor=PIPELINE_KNEE_FACTOR,
+        knee_factor=PIPELINE_KNEE_FACTOR, ts_col=ts_col,
     )
     if strategy == "bucketed":
         return _identify_gps_trips_bucketed(

@@ -271,10 +271,36 @@ def atomic_write_text(spark, path: str, text: str) -> None:
     # path for manual re-commit.
     import time as _time
 
+    def _dest_holds_intended() -> bool:
+        # ADVICE r13 #3: each delete+failed-rename lap re-opens a
+        # readers-see-no-pointer window and can discard a concurrent
+        # writer's just-committed value. Before deleting (again),
+        # check whether the destination ALREADY carries the content
+        # we were asked to commit — ours, or an identical concurrent
+        # writer's (the common chaos-test collision: two activates of
+        # the same generation). Then this write is a no-op success
+        # and the destination is never touched.
+        try:
+            ins = fs.open(hpath)
+        except Exception:
+            return False
+        try:
+            buf = bytearray()
+            b = ins.read()
+            while b != -1:
+                buf.append(b)
+                b = ins.read()
+        finally:
+            ins.close()
+        return buf.decode("utf-8") == text
+
     for attempt in range(4):
         if fs.rename(tmp, hpath):
             return
         if fs.exists(hpath):
+            if _dest_holds_intended():
+                fs.delete(tmp, False)
+                return
             fs.delete(hpath, False)
         if fs.rename(tmp, hpath):
             return

@@ -264,6 +264,7 @@ def stream_tombstones(
     root: str,
     id_col: str = "vec_id",
     missing_ok: bool = False,
+    auto_reissue: bool = True,
 ):
     """Apply a DELETION stream (takedown / GDPR queue) to the serving
     generation: each micro-batch of ids is appended to the CURRENT
@@ -285,26 +286,83 @@ def stream_tombstones(
     strictly a derived cache that a later bootstrap rebuilds from an
     already-cleaned corpus.
 
-    Rotation interplay (the tombstone_ids re-issue rule): a
+    Rotation interplay — AUTOMATED re-issue (VERDICT r13 ask #3): a
     refresh_generation that TRAINED before a takedown arrived but
-    activates after it will not contain the fold — the takedown
-    stream keeps deleting correctly only for ids it delivers AFTER
-    the swap. Deployments that rotate while the takedown stream runs
-    re-emit in-flight ids after each rotation (or quiesce rotations
-    around the queue's low-water mark); the mid-rotation chaos test
-    pins the re-issue contract.
+    activated after it does not contain that takedown's fold — the id
+    sits only in the SUPERSEDED generation's tombstone table, and
+    without intervention the new generation would resurrect it. The
+    stream now closes that race itself: it records the generation it
+    last wrote to in a ``_takedown_lastgen`` control file under
+    ``root``; when a trigger finds the active generation CHANGED, it
+    first re-applies every retained non-current generation's
+    tombstone table onto the current one (idempotent — the anti-join
+    is duplicate-insensitive — and takedown-sized), THEN processes
+    the batch. The r13 "deployments must re-emit in-flight ids after
+    each rotation" manual rule is gone. Coverage is bounded by gc
+    retention: ``refresh_generation``'s default ``retain=2`` keeps
+    each superseded generation through one full rotation, which
+    covers the train→activate window; a deployment that sets
+    ``retain=None``/higher only widens it. Pass
+    ``auto_reissue=False`` to restore the manual contract (e.g. when
+    several takedown streams share one root and a single
+    re-issue owner is wanted).
+
+    The generation is resolved ONCE per trigger and passed through
+    (ADVICE r13 #2: resolve-then-re-resolve was a TOCTOU — a rotation
+    plus gc between the two raised FileNotFoundError through the
+    ``missing_ok=True`` promise); a generation vanishing mid-trigger
+    under ``missing_ok=True`` now idles the trigger instead of
+    killing the stream.
 
     Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
     and ``.start()``s it.
     """
-    from ..operators.ann_refresh import current_generation, tombstone_ids
+    from ..operators.ann_refresh import (
+        current_generation,
+        generation_tombstones,
+        list_generations,
+        tombstone_ids,
+    )
+    from ..sources.lake import atomic_write_text, read_text
+
+    lastgen_path = f"{root.rstrip('/')}/_takedown_lastgen"
+
+    def _reissue(spark, cur: str) -> None:
+        for g in list_generations(spark, root):
+            if g == cur:
+                continue
+            tomb = generation_tombstones(spark, root, g, id_col)
+            if tomb is not None:
+                tombstone_ids(
+                    spark, root, tomb.distinct(), id_col=id_col, gen=cur
+                )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if missing_ok and current_generation(spark, root) is None:
-            return  # derived-cache mode: bootstrap owns pre-activation ids
-        tombstone_ids(spark, root, batch_df.select(id_col), id_col=id_col)
+        cur = current_generation(spark, root)
+        if cur is None:
+            if missing_ok:
+                return  # derived-cache mode: bootstrap owns these ids
+            raise FileNotFoundError(f"no active generation under {root}")
+        try:
+            if auto_reissue:
+                last = read_text(spark, lastgen_path)
+                if last is not None and last != cur:
+                    _reissue(spark, cur)
+            tombstone_ids(
+                spark, root, batch_df.select(id_col), id_col=id_col, gen=cur
+            )
+        except FileNotFoundError:
+            # cur was swept mid-trigger (rotation + gc). Loud mode
+            # fails the trigger so the checkpoint replays the batch
+            # onto the new generation; derived-cache mode idles.
+            if not missing_ok:
+                raise
+            return
+        # AFTER the successful write: a failed trigger must replay
+        # with the OLD marker so the re-issue still happens
+        atomic_write_text(spark, lastgen_path, cur)
 
     return id_stream.writeStream.foreachBatch(_process)

@@ -259,3 +259,43 @@ def test_auto_pick_on_committed_hot_replica(spark):
     assert knee32 == 1_000_000
     assert hot > knee32  # bare-operator pick at local[32]: bucketed
     assert hot <= knee32 * PIPELINE_KNEE_FACTOR  # pipeline: plain
+
+
+def test_auto_falls_back_to_plain_on_null_timestamps(spark, caplog):
+    """ADVICE r13 #1: the bucketed twins require non-null timestamps
+    (nulls would land in a nulls-first bucket and change
+    TIMEDIFF/TRANSFER/trip segmentation vs plain). auto must detect
+    nulls in its pre-flight and stay plain EVEN past the knee, for
+    both domain pipelines; explicit strategy='bucketed' remains the
+    caller's loud assertion."""
+    tags = _clipper_fixture(spark).withColumn(
+        "TagOnTime",
+        F.when(F.col("TripSequenceID") == 2, F.lit(None)).otherwise(
+            F.col("TagOnTime")
+        ),
+    )
+    with caplog.at_level(
+        logging.INFO, logger="sfdata_wrangler_spark.pipelines.clipper"
+    ):
+        out = infer_linked_trips(
+            tags, strategy="auto", knee_rows=10, bucket_minutes=180.0
+        )
+    picks = [r.message for r in caplog.records if "auto pick" in r.message]
+    assert picks and all("plain" in m and "null" in m for m in picks), picks
+    plain = infer_linked_trips(tags)
+    key = ["ClipperCardID", "TripSequenceID"]
+    assert _sorted_rows(out, key) == _sorted_rows(plain, key)
+
+    pings = _taxi_fixture(spark)
+    pings = pings.withColumn(
+        "time",
+        F.when(F.rand(5) < 0.01, F.lit(None)).otherwise(F.col("time")),
+    )
+    caplog.clear()
+    with caplog.at_level(
+        logging.INFO, logger="sfdata_wrangler_spark.pipelines.taxi"
+    ):
+        out2 = identify_gps_trips(pings, strategy="auto", knee_rows=10)
+    picks = [r.message for r in caplog.records if "auto pick" in r.message]
+    assert picks and all("plain" in m and "null" in m for m in picks), picks
+    assert out2.count() == identify_gps_trips(pings).count()
