@@ -646,6 +646,15 @@ def compact_line(result: dict, timings: dict) -> str:
             for side in ("before", "after")
         },
     }
+    if "value_sf2" in result:
+        # secondary scale point subtotal (VERDICT r13 ask #6): carried
+        # in the committed BENCH_r{N} artifact so per-query
+        # regressions stay attributable to plan changes vs data
+        # volume round-over-round; per-query sf2 timings remain in
+        # BENCH_FULL_latest.json (the compact window can't fit both
+        # dicts)
+        compact["sf2"] = result["sf2"]
+        compact["value_sf2"] = result["value_sf2"]
     if "io_mbps" in result["run_context"]["before"]:
         compact["run_context"]["before"]["io_mbps"] = result[
             "run_context"

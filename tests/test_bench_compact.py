@@ -302,3 +302,21 @@ def test_requeue_prints_interim_record_before_settle(
     assert "requeue_pending" not in lines[3]
     assert lines[3]["contended"] is False
     assert lines[3]["requeue"] == {"attempt_kept": 2, "other_contended": True}
+
+
+def test_compact_line_carries_sf2_subtotal():
+    """VERDICT r13 ask #6: the secondary scale point's subtotal rides
+    the compact line (and hence the committed BENCH_r{N} artifact);
+    absent when the sf2 loop did not run (missing dir / same dir)."""
+    from bench import compact_line
+
+    result, timings = _fake(34)
+    line = compact_line(result, timings)
+    assert "value_sf2" not in json.loads(line)
+
+    result["sf2"] = 0.01
+    result["value_sf2"] = 23.456
+    parsed = json.loads(compact_line(result, timings))
+    assert parsed["sf2"] == 0.01
+    assert parsed["value_sf2"] == 23.456
+    assert len(compact_line(result, timings)) < 1900
