@@ -13,7 +13,12 @@ For each scale dir (default sf0.1's 20k embeddings and the committed
    corpus scales);
 3. times warm ``serve_current`` best-of-N before and after the
    tombstones land (``serve_sec`` / ``serve_tombstoned_sec`` — the
-   per-query overhead of the broadcast anti-join, also flat).
+   per-query overhead of the broadcast anti-join, also flat);
+4. times the ``needs_refresh`` deletion-debt poll both ways (VERDICT
+   r13 ask #4): ``fraction_sec`` reads the r14 meta['n_ids'] +
+   ingest_counts denominator (flat across scales), while
+   ``fraction_legacy_sec`` strips n_ids from meta and re-times the
+   pre-r14 corpus-scale code-table distinct-count for contrast.
 
 Prints one JSON line with the same run-condition stamp bench.py
 commits, so ARCHITECTURE tables classify the run by the same rule.
@@ -94,6 +99,39 @@ def _probe_scale(spark, sf_dir: str, n_ids: int, runs: int) -> dict:
         delete_sec = time.monotonic() - t0
 
         serve_tombstoned_sec = _serve_best()
+
+        # the debt-trigger poll, both denominators (best-of-runs):
+        # r14 path reads meta['n_ids'] (+ tiny ingest_counts); the
+        # legacy path distinct-counts the corpus-scale code table
+        import json as _json
+
+        from sfdata_wrangler_spark.operators.ann_refresh import (
+            current_generation,
+            tombstone_fraction,
+        )
+        from sfdata_wrangler_spark.sources.lake import (
+            atomic_write_text,
+            read_text,
+        )
+
+        def _fraction_best():
+            times = []
+            for _ in range(runs):
+                t0 = time.monotonic()
+                tombstone_fraction(spark, root)
+                times.append(time.monotonic() - t0)
+            return min(times)
+
+        fraction_sec = _fraction_best()
+        gen = current_generation(spark, root)
+        mpath = f"{root}/generations/{gen}/meta.json"
+        meta = _json.loads(read_text(spark, mpath))
+        n_ids_rec = meta.pop("n_ids")
+        atomic_write_text(spark, mpath, _json.dumps(meta, sort_keys=True))
+        fraction_legacy_sec = _fraction_best()
+        meta["n_ids"] = n_ids_rec
+        atomic_write_text(spark, mpath, _json.dumps(meta, sort_keys=True))
+
         return {
             "sf_dir": sf_dir,
             "n_corpus": n_corpus,
@@ -102,6 +140,8 @@ def _probe_scale(spark, sf_dir: str, n_ids: int, runs: int) -> dict:
             "delete_sec": round(delete_sec, 3),
             "serve_sec": round(serve_sec, 3),
             "serve_tombstoned_sec": round(serve_tombstoned_sec, 3),
+            "fraction_sec": round(fraction_sec, 3),
+            "fraction_legacy_sec": round(fraction_legacy_sec, 3),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -138,6 +178,15 @@ def main():
         out["build_ratio"] = round(
             scales[1]["build_sec"] / scales[0]["build_sec"], 2
         )
+        if scales[0].get("fraction_sec"):
+            out["fraction_ratio"] = round(
+                scales[1]["fraction_sec"] / scales[0]["fraction_sec"], 2
+            )
+            out["fraction_legacy_ratio"] = round(
+                scales[1]["fraction_legacy_sec"]
+                / scales[0]["fraction_legacy_sec"],
+                2,
+            )
     print(json.dumps(out))
 
 
