@@ -458,6 +458,7 @@ def refresh_generation(
                 "m": m, "sub_dim": sub_dim,
                 "n_codes": n_codes, "km_k": km_k,
             },
+            id_col=id_col,
         )
     activate_generation(spark, root, gen)
     if retain is not None:
@@ -524,9 +525,19 @@ def tombstone_ids(
     fs.mkdirs(dest_parent)
     src = jvm.org.apache.hadoop.fs.Path(staged)
     dest = jvm.org.apache.hadoop.fs.Path(dest_parent, f"batch-{nonce}")
-    if not fs.rename(src, dest):
-        # nonce names cannot collide, so a failed rename means the
-        # generation dir vanished mid-commit (swept by concurrent gc)
+    renamed = fs.rename(src, dest)
+    # a gc sweeping the generation mid-commit does NOT fail the rename:
+    # the staged parquet write and the mkdirs above RECREATE the swept
+    # dir, so the rename lands in a zombie that no reader will ever
+    # resolve (code-review r14 #2 — the takedown would be silently
+    # attached to a dead generation and the stream's checkpoint would
+    # advance past it). meta.json is the build marker gc can only have
+    # removed by sweeping; verify it AFTER the rename and fail loud so
+    # the caller re-issues against the live generation.
+    if renamed and not is_built(spark, root, gen):
+        fs.delete(dest, True)
+        renamed = False
+    if not renamed:
         fs.delete(src, True)
         raise FileNotFoundError(
             f"tombstone batch commit failed: generation {gen!r} "
@@ -584,13 +595,22 @@ def ingest_batch(
     gdir = _gen_dir(root, gen)
     cents = spark.read.parquet(f"{gdir}/centroids")
     cb = spark.read.parquet(f"{gdir}/codebooks")
-    enc = ivfpq_encode(
-        batch, cents, cb,
-        m=int(meta["m"]), sub_dim=int(meta["sub_dim"]),
-        id_col=id_col, vec_col=vec_col,
-    )
-    enc.write.mode("append").partitionBy("cid").parquet(f"{gdir}/codes")
-    n = batch.select(id_col).distinct().count()
+    # persist across the two actions (encode+append, count): without
+    # it the count would re-run the batch's entire source lineage a
+    # second time per micro-batch (code-review r14 #5)
+    batch = batch.persist()
+    try:
+        enc = ivfpq_encode(
+            batch, cents, cb,
+            m=int(meta["m"]), sub_dim=int(meta["sub_dim"]),
+            id_col=id_col, vec_col=vec_col,
+        )
+        enc.write.mode("append").partitionBy("cid").parquet(
+            f"{gdir}/codes"
+        )
+        n = batch.select(id_col).distinct().count()
+    finally:
+        batch.unpersist()
     spark.createDataFrame([(int(n),)], "n bigint").coalesce(1).write.mode(
         "append"
     ).parquet(f"{gdir}/ingest_counts")

@@ -236,21 +236,26 @@ def resolve_window_strategy(
             if knee_rows is not None
             else int(default_knee_rows(df.sparkSession) * knee_factor)
         )
-        per_key = [F.count(F.lit(1)).alias("__rws_n")]
-        if ts_col is not None:
-            per_key.append(
-                F.sum(
-                    F.when(F.col(ts_col).isNull(), 1).otherwise(0)
-                ).alias("__rws_nullts")
-            )
-        totals = [F.max("__rws_n").alias("__rws_hot")]
-        if ts_col is not None:
-            totals.append(F.sum("__rws_nullts").alias("__rws_nulls"))
-        row = (
-            df.groupBy(*list(entity_cols)).agg(*per_key).agg(*totals)
-        ).collect()[0]
-        hot = int(row["__rws_hot"] or 0)
-        nulls = int(row["__rws_nulls"] or 0) if ts_col is not None else 0
+        if ts_col is None:
+            hot, nulls = max_partition_rows(df, list(entity_cols)), 0
+        else:
+            # max_partition_rows' aggregation FUSED with the null-ts
+            # count — still one dimension-sized pre-flight job
+            row = (
+                df.groupBy(*list(entity_cols))
+                .agg(
+                    F.count(F.lit(1)).alias("__rws_n"),
+                    F.sum(
+                        F.when(F.col(ts_col).isNull(), 1).otherwise(0)
+                    ).alias("__rws_nullts"),
+                )
+                .agg(
+                    F.max("__rws_n").alias("__rws_hot"),
+                    F.sum("__rws_nullts").alias("__rws_nulls"),
+                )
+            ).collect()[0]
+            hot = int(row["__rws_hot"] or 0)
+            nulls = int(row["__rws_nulls"] or 0)
         if nulls > 0:
             strategy = "plain"
             log.info(

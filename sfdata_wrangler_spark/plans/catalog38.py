@@ -284,12 +284,13 @@ def _register_tombstone_serve() -> None:
         equivalence the deletion contract promises: serving with
         tombstones == searching the same index with those vectors'
         codes removed. Queries are never themselves tombstoned
-        (12..15 are not == 3 mod 17). Repeat calls in a session append
-        the same ids again — the anti-join is duplicate-insensitive,
-        so the result is
-        call-idempotent."""
+        (12..15 are not == 3 mod 17). Repeat calls in a session skip
+        the already-planted tombstone write (the anti-join is
+        duplicate-insensitive, so results are call-idempotent either
+        way — the guard only stops table growth)."""
         from ..operators.ann_refresh import (
             current_generation,
+            generation_tombstones,
             refresh_generation,
             serve_current,
             tombstone_ids,
@@ -319,12 +320,18 @@ def _register_tombstone_serve() -> None:
                 n_codes=_N_CODES, cb_iters=_KM_ITERS,
                 m=_M, sub_dim=_SUB_DIM,
             )
-        tombstone_ids(
-            spark, root,
-            emb.where(
-                F.pmod(F.col("vec_id"), F.lit(_TS_MOD)) == _TS_RESIDUE
-            ).select("vec_id"),
-        )
+        gen = current_generation(spark, root)
+        if generation_tombstones(spark, root, gen) is None:
+            # first call in the session plants the set; later calls
+            # would only re-append duplicates the anti-join ignores
+            # (code-review r14 #4 — table growth, not correctness)
+            tombstone_ids(
+                spark, root,
+                emb.where(
+                    F.pmod(F.col("vec_id"), F.lit(_TS_MOD)) == _TS_RESIDUE
+                ).select("vec_id"),
+                gen=gen,
+            )
         queries = emb.where(
             (F.col("vec_id") >= _TS_Q_LO) & (F.col("vec_id") < _TS_Q_HI)
         ).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -397,6 +404,7 @@ def _register_tombstone_recall() -> None:
         exclusion at the same pre-shortlist stage."""
         from ..operators.ann_refresh import (
             current_generation,
+            generation_tombstones,
             refresh_generation,
             serve_current,
             tombstone_ids,
@@ -428,12 +436,20 @@ def _register_tombstone_recall() -> None:
                 n_codes=_N_CODES, cb_iters=_KM_ITERS,
                 m=_M, sub_dim=_SUB_DIM,
             )
-        tombstone_ids(
-            spark, root,
-            emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0).select(
-                "vec_id"
-            ),
-        )
+        gen = current_generation(spark, root)
+        if generation_tombstones(spark, root, gen) is None:
+            # guard like the refresh above (code-review r14 #4): the
+            # anti-join is duplicate-insensitive so results never
+            # change, but re-appending a HALF-CORPUS batch per
+            # invocation would grow the table linearly across a
+            # session's bench/driver repetitions
+            tombstone_ids(
+                spark, root,
+                emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0).select(
+                    "vec_id"
+                ),
+                gen=gen,
+            )
         queries = emb.where(
             (F.col("vec_id") >= _TSR_Q_LO) & (F.col("vec_id") < _TSR_Q_HI)
         ).select(F.col("vec_id").alias("query_id"), "embedding")

@@ -294,10 +294,13 @@ def stream_tombstones(
     stream now closes that race itself: it records the generation it
     last wrote to in a ``_takedown_lastgen`` control file under
     ``root``; when a trigger finds the active generation CHANGED, it
-    first re-applies every retained non-current generation's
-    tombstone table onto the current one (idempotent — the anti-join
-    is duplicate-insensitive — and takedown-sized), THEN processes
-    the batch. The r13 "deployments must re-emit in-flight ids after
+    first re-applies the superseded generations' tombstones onto the
+    current one — RESTRICTED to ids still present in the current
+    generation's code table (a broadcast semi-join against one pruned
+    id-column scan, once per rotation): ids the fold already removed
+    must NOT be re-issued, or every historical takedown would stay
+    tombstoned forever and deletion debt would never clear — THEN
+    processes the batch. The r13 "deployments must re-emit in-flight ids after
     each rotation" manual rule is gone. Coverage is bounded by gc
     retention: ``refresh_generation``'s default ``retain=2`` keeps
     each superseded generation through one full rotation, which
@@ -328,13 +331,45 @@ def stream_tombstones(
     lastgen_path = f"{root.rstrip('/')}/_takedown_lastgen"
 
     def _reissue(spark, cur: str) -> None:
+        from pyspark.sql import functions as F
+
+        # Only re-apply tombstones the new generation's fold MISSED:
+        # an id the rotation folded away is physically absent from
+        # cur's code table, so re-issuing it would (a) keep every
+        # historical takedown alive forever — deletion debt never
+        # clears, and a drift daemon whose needs_refresh fired on
+        # tombstone_fraction would rotate in a loop (code-review r14
+        # #1) — and (b) re-delete ids a later refresh intentionally
+        # re-added. Intersecting with cur's indexed ids keeps exactly
+        # the in-flight set (tombstoned after the fold's read, hence
+        # still encoded in cur): a broadcast semi-join of the
+        # takedown-sized table against one pruned id-column scan of
+        # the code table, once per detected rotation — the same order
+        # of work the fold itself just paid.
+        gdir = f"{root.rstrip('/')}/generations/{cur}"
+        codes_ids = spark.read.parquet(f"{gdir}/codes").select(
+            F.col(id_col)
+        )
         for g in list_generations(spark, root):
             if g == cur:
                 continue
             tomb = generation_tombstones(spark, root, g, id_col)
-            if tomb is not None:
+            if tomb is None:
+                continue
+            missed = codes_ids.join(
+                F.broadcast(tomb.distinct()), id_col, "left_semi"
+            ).distinct()
+            # eager takedown-sized collect (same rationale as the
+            # fold's): one scan, and the write cannot re-resolve a
+            # corpus-scale lineage later
+            rows = missed.collect()
+            if rows:
                 tombstone_ids(
-                    spark, root, tomb.distinct(), id_col=id_col, gen=cur
+                    spark,
+                    root,
+                    spark.createDataFrame(rows, missed.schema),
+                    id_col=id_col,
+                    gen=cur,
                 )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

@@ -190,3 +190,75 @@ def test_tombstone_fraction_is_dimension_sized(spark, tmp_path):
     legacy.pop("n_ids")
     atomic_write_text(spark, mpath, json.dumps(legacy, sort_keys=True))
     assert tombstone_fraction(spark, root) == 2 / 66
+
+
+def test_reissue_skips_folded_tombstones_so_debt_clears(spark, tmp_path):
+    """code-review r14 #1: a FOLDING rotation removes the tombstoned
+    vectors from the new generation; the takedown stream's re-issue
+    must NOT copy those ids forward (debt would never clear and a
+    needs_refresh-driven daemon would rotate forever). Only ids still
+    present in the new generation's code table — the genuinely
+    in-flight set — are re-applied."""
+    from sfdata_wrangler_spark.streaming.ann_stream import stream_tombstones
+
+    root = str(tmp_path / "foldroot")
+    corpus = spark.createDataFrame(_corpus_a(), SCHEMA)
+    refresh_generation(spark, root, corpus, **KW)
+
+    src = os.path.join(tmp_path, "takedowns")
+    os.makedirs(src)
+    ckpt = os.path.join(tmp_path, "ckpt")
+
+    def run_trigger():
+        stream = spark.readStream.schema("vec_id long").parquet(src)
+        q = (
+            stream_tombstones(stream, root)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120) and q.exception() is None
+
+    spark.createDataFrame([(6,), (7,)], "vec_id long").write.mode(
+        "append"
+    ).parquet(src)
+    run_trigger()
+
+    # DEFAULT rotation folds the tombstones away
+    refresh_generation(spark, root, corpus, **KW)
+    gen_b = current_generation(spark, root)
+    assert generation_tombstones(spark, root, gen_b) is None
+
+    # next trigger (unrelated id) must re-apply NOTHING from gen A
+    spark.createDataFrame([(9,)], "vec_id long").write.mode(
+        "append"
+    ).parquet(src)
+    run_trigger()
+    tomb_b = generation_tombstones(spark, root, gen_b)
+    assert sorted(r["vec_id"] for r in tomb_b.distinct().collect()) == [9]
+    assert tombstone_fraction(spark, root) < 0.1  # debt cleared
+
+
+def test_tombstone_commit_fails_loud_on_swept_generation(spark, tmp_path):
+    """code-review r14 #2: the staged write + mkdirs RESURRECT a
+    gc-swept generation dir, so the rename itself succeeds into a
+    zombie no reader resolves. tombstone_ids must detect the missing
+    build marker after the rename and raise — a takedown silently
+    attached to a dead generation would advance the stream's
+    checkpoint past a dropped deletion."""
+    import shutil
+
+    import pytest
+
+    root = str(tmp_path / "zombieroot")
+    corpus = spark.createDataFrame(_corpus_a(), SCHEMA)
+    refresh_generation(spark, root, corpus, **KW)
+    gen = current_generation(spark, root)
+
+    # simulate gc sweeping the generation between resolve and write
+    shutil.rmtree(os.path.join(root, "generations", gen))
+    ids = spark.createDataFrame([(6,)], "vec_id long")
+    with pytest.raises(FileNotFoundError, match="re-issue"):
+        tombstone_ids(spark, root, ids, gen=gen)
+    # no committed batch in the zombie remnants
+    assert generation_tombstones(spark, root, gen) is None

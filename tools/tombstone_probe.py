@@ -178,10 +178,17 @@ def main():
         out["build_ratio"] = round(
             scales[1]["build_sec"] / scales[0]["build_sec"], 2
         )
-        if scales[0].get("fraction_sec"):
+        # membership + nonzero denominator, not truthiness: a
+        # sub-millisecond poll rounds to 0.0 exactly when the fast
+        # path is at its best (code-review r14 #7)
+        if "fraction_sec" in scales[0] and scales[0]["fraction_sec"] > 0:
             out["fraction_ratio"] = round(
                 scales[1]["fraction_sec"] / scales[0]["fraction_sec"], 2
             )
+        if (
+            "fraction_legacy_sec" in scales[0]
+            and scales[0]["fraction_legacy_sec"] > 0
+        ):
             out["fraction_legacy_ratio"] = round(
                 scales[1]["fraction_legacy_sec"]
                 / scales[0]["fraction_legacy_sec"],
