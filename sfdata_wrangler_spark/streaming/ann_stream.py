@@ -346,10 +346,18 @@ def stream_tombstones(
         # takedown-sized table against one pruned id-column scan of
         # the code table, once per detected rotation — the same order
         # of work the fold itself just paid.
+        from ..sources.lake import has_committed_data
+
         gdir = f"{root.rstrip('/')}/generations/{cur}"
-        codes_ids = spark.read.parquet(f"{gdir}/codes").select(
-            F.col(id_col)
-        )
+        codes_path = f"{gdir}/codes"
+        if not has_committed_data(spark, codes_path):
+            # cur swept mid-trigger: raise the exception _process's
+            # missing_ok contract understands (a bare parquet read
+            # would surface AnalysisException at plan time instead)
+            raise FileNotFoundError(
+                f"generation {cur!r} lost its codes mid-trigger"
+            )
+        codes_ids = spark.read.parquet(codes_path).select(F.col(id_col))
         for g in list_generations(spark, root):
             if g == cur:
                 continue
