@@ -247,17 +247,21 @@ def write_generation(
     encoded.write.mode("overwrite").partitionBy("cid").parquet(
         f"{gdir}/codes"
     )
-    if "n_ids" not in meta and id_col in encoded.columns:
-        meta = dict(meta)
-        # count from the WRITTEN parquet, not the encode lineage — the
-        # lineage would re-run the whole encode; the code table scan
-        # prunes to one column
-        meta["n_ids"] = (
-            spark.read.parquet(f"{gdir}/codes")
-            .select(id_col)
-            .distinct()
-            .count()
+    if id_col in encoded.columns:
+        # both trigger denominators, computed from the WRITTEN parquet
+        # (the encode lineage would re-run the whole encode) ONCE per
+        # rotation: the per-cell histogram feeds list_imbalance's
+        # artifact path, the distinct id count feeds
+        # tombstone_fraction — each a compact column-pruned scan
+        written = spark.read.parquet(f"{gdir}/codes")
+        written.groupBy("cid").agg(
+            F.count_distinct(F.col(id_col)).cast("bigint").alias("n_vecs")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{gdir}/cell_sizes"
         )
+        if "n_ids" not in meta:
+            meta = dict(meta)
+            meta["n_ids"] = written.select(id_col).distinct().count()
     atomic_write_text(
         spark, f"{gdir}/meta.json", json.dumps(meta, sort_keys=True)
     )
@@ -579,13 +583,15 @@ def ingest_batch(
     encoded against its frozen quantizers — the O(batch) path between
     refreshes (the batch twin of streaming/ann_stream's ingest).
 
-    Also appends the batch's id count to the generation's tiny
-    ``ingest_counts`` table so :func:`tombstone_fraction`'s
-    denominator stays current without a code-table scan (VERDICT r13
-    ask #4). The counter is additive-only — a batch that RE-ingests
-    an existing id inflates it — so it is an upper bound; each
-    rotation reconciles exactly via the new generation's
-    ``meta['n_ids']``."""
+    Also appends the batch's PER-CELL id counts to the generation's
+    tiny ``ingest_counts`` table: their sum keeps
+    :func:`tombstone_fraction`'s denominator current and their
+    per-cid rows keep :func:`list_imbalance`'s histogram current —
+    the whole ``needs_refresh`` poll stays free of code-table scans
+    (VERDICT r13 ask #4, both halves). The counters are
+    additive-only — a batch that RE-ingests an existing id inflates
+    them — so they are upper bounds; each rotation reconciles exactly
+    via the new generation's ``meta['n_ids']``/``cell_sizes``."""
     from .pq import ivfpq_encode
 
     gen = current_generation(spark, root)
@@ -608,12 +614,21 @@ def ingest_batch(
         enc.write.mode("append").partitionBy("cid").parquet(
             f"{gdir}/codes"
         )
-        n = batch.select(id_col).distinct().count()
+        # per-CELL batch deltas (batch-sized recompute of the encode
+        # over the persisted batch): their sum is the
+        # tombstone_fraction denominator delta, their per-cid rows
+        # keep list_imbalance's artifact path current
+        deltas = (
+            enc.groupBy("cid")
+            .agg(F.count_distinct(F.col(id_col)).cast("bigint").alias("n"))
+            .collect()
+        )
     finally:
         batch.unpersist()
-    spark.createDataFrame([(int(n),)], "n bigint").coalesce(1).write.mode(
-        "append"
-    ).parquet(f"{gdir}/ingest_counts")
+    spark.createDataFrame(
+        [(int(r["cid"]), int(r["n"])) for r in deltas],
+        "cid int, n bigint",
+    ).coalesce(1).write.mode("append").parquet(f"{gdir}/ingest_counts")
 
 
 def serve_current(
@@ -912,18 +927,42 @@ def list_imbalance(
     cell's corpus share divided by the uniform share (1.0 = perfectly
     balanced, L = everything in one cell). The cell histogram is the
     only thing collected — emb_ivfpq_stats' telemetry, reduced to the
-    single number a refresh trigger compares."""
+    single number a refresh trigger compares.
+
+    Cost (r14, the imbalance half of VERDICT r13 ask #4): reads the
+    DIMENSION-SIZED ``cell_sizes`` histogram :func:`write_generation`
+    records once per rotation, folded with :func:`ingest_batch`'s
+    per-cell delta rows — a ``needs_refresh`` poll touches two tiny
+    artifacts, never the corpus-scale code table. Pre-r14 generations
+    without the artifact keep the code-table scan fallback."""
+    from ..sources.lake import has_committed_data
+
     gen = gen or current_generation(spark, root)
     if gen is None:
         raise FileNotFoundError(f"no active generation under {root}")
-    codes = spark.read.parquet(f"{_gen_dir(root, gen)}/codes")
-    sizes = codes.groupBy("cid").agg(
-        F.countDistinct(id_col).alias("n_vecs")
-    ).collect()
-    total = sum(r["n_vecs"] for r in sizes)
+    gdir = _gen_dir(root, gen)
+    cs_path = f"{gdir}/cell_sizes"
+    if has_committed_data(spark, cs_path):
+        by_cid: dict = {}
+        for r in spark.read.parquet(cs_path).collect():
+            by_cid[r["cid"]] = by_cid.get(r["cid"], 0) + int(r["n_vecs"])
+        ic_path = f"{gdir}/ingest_counts"
+        if has_committed_data(spark, ic_path):
+            for r in spark.read.parquet(ic_path).collect():
+                by_cid[r["cid"]] = by_cid.get(r["cid"], 0) + int(r["n"])
+        sizes = list(by_cid.values())
+    else:
+        codes = spark.read.parquet(f"{gdir}/codes")
+        sizes = [
+            r["n_vecs"]
+            for r in codes.groupBy("cid")
+            .agg(F.countDistinct(id_col).alias("n_vecs"))
+            .collect()
+        ]
+    total = sum(sizes)
     if total == 0:
         return 1.0
-    return max(r["n_vecs"] for r in sizes) * len(sizes) / total
+    return max(sizes) * len(sizes) / total
 
 
 def tombstone_fraction(

@@ -262,3 +262,49 @@ def test_tombstone_commit_fails_loud_on_swept_generation(spark, tmp_path):
         tombstone_ids(spark, root, ids, gen=gen)
     # no committed batch in the zombie remnants
     assert generation_tombstones(spark, root, gen) is None
+
+
+def test_list_imbalance_artifact_matches_scan(spark, tmp_path):
+    """r14 extension of the O(1)-poll work: list_imbalance reads the
+    cell_sizes histogram + ingest deltas instead of scanning the code
+    table; the value must equal the scan path exactly, including
+    after an ingest batch, and the fallback must engage when the
+    artifact is absent (pre-r14 generation)."""
+    import shutil
+
+    from sfdata_wrangler_spark.operators.ann_refresh import list_imbalance
+
+    root = str(tmp_path / "imbroot")
+    corpus = spark.createDataFrame(_corpus_a(), SCHEMA)
+    refresh_generation(spark, root, corpus, **KW)
+    gen = current_generation(spark, root)
+    gdir = os.path.join(root, "generations", gen)
+    assert os.path.isdir(os.path.join(gdir, "cell_sizes"))
+
+    def scan_value():
+        from pyspark.sql import functions as F
+
+        sizes = [
+            r["n"]
+            for r in spark.read.parquet(os.path.join(gdir, "codes"))
+            .groupBy("cid")
+            .agg(F.countDistinct("vec_id").alias("n"))
+            .collect()
+        ]
+        return max(sizes) * len(sizes) / sum(sizes)
+
+    assert list_imbalance(spark, root) == scan_value()
+
+    # a hot ingest batch (single cluster) must move BOTH paths the
+    # same way
+    batch = spark.createDataFrame(
+        [(500 + i, [0.3] * 8) for i in range(40)], SCHEMA
+    )
+    ingest_batch(spark, root, batch)
+    after = list_imbalance(spark, root)
+    assert after == scan_value()
+    assert after > 1.0
+
+    # artifact removed (pre-r14 lake) -> scan fallback, same value
+    shutil.rmtree(os.path.join(gdir, "cell_sizes"))
+    assert list_imbalance(spark, root) == scan_value()

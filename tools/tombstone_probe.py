@@ -132,6 +132,31 @@ def _probe_scale(spark, sf_dir: str, n_ids: int, runs: int) -> dict:
         meta["n_ids"] = n_ids_rec
         atomic_write_text(spark, mpath, _json.dumps(meta, sort_keys=True))
 
+        # the imbalance half of the poll, both paths: artifact
+        # (cell_sizes + ingest deltas) vs the pre-r14 code-table scan
+        # (artifact renamed away for the contrast timing)
+        from sfdata_wrangler_spark.operators.ann_refresh import (
+            list_imbalance,
+        )
+        from sfdata_wrangler_spark.sources.lake import hadoop_fs
+
+        def _imbalance_best():
+            times = []
+            for _ in range(runs):
+                t0 = time.monotonic()
+                list_imbalance(spark, root)
+                times.append(time.monotonic() - t0)
+            return min(times)
+
+        imbalance_sec = _imbalance_best()
+        fs, _, jvm = hadoop_fs(spark, root)
+        Path = jvm.org.apache.hadoop.fs.Path
+        cs = Path(f"{root}/generations/{gen}/cell_sizes")
+        cs_hidden = Path(f"{root}/generations/{gen}/.cell_sizes_probe")
+        fs.rename(cs, cs_hidden)
+        imbalance_legacy_sec = _imbalance_best()
+        fs.rename(cs_hidden, cs)
+
         return {
             "sf_dir": sf_dir,
             "n_corpus": n_corpus,
@@ -142,6 +167,8 @@ def _probe_scale(spark, sf_dir: str, n_ids: int, runs: int) -> dict:
             "serve_tombstoned_sec": round(serve_tombstoned_sec, 3),
             "fraction_sec": round(fraction_sec, 3),
             "fraction_legacy_sec": round(fraction_legacy_sec, 3),
+            "imbalance_sec": round(imbalance_sec, 3),
+            "imbalance_legacy_sec": round(imbalance_legacy_sec, 3),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -194,6 +221,11 @@ def main():
                 / scales[0]["fraction_legacy_sec"],
                 2,
             )
+        for key in ("imbalance_sec", "imbalance_legacy_sec"):
+            if key in scales[0] and scales[0][key] > 0:
+                out[key.replace("_sec", "_ratio")] = round(
+                    scales[1][key] / scales[0][key], 2
+                )
     print(json.dumps(out))
 
 
