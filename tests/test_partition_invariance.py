@@ -19,6 +19,7 @@ SAMPLE = [
     "txt_stratified_sample",           # md5-threshold sampling
     "sk_qsketch_quantiles",            # sketch walk
     "dd_minhash_lsh_pairs",            # banded self-join
+    "dd_minhash_lsh_pairs_fast",       # r14 md5-wide family (conv lanes)
     "qc_pairwise_correlation",         # float from exact stats
     "txt_bpe_merges",                  # driver-side iterate
     "j19_interval_overlap_join",       # grid exactly-once emission
