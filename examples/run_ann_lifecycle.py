@@ -90,11 +90,16 @@ def main() -> None:
         print(f"[2] served {got.count()} result rows "
               f"({SERVE['k']} per query)")
 
-        # 3. ingest without retraining
+        # 3. ingest without retraining. From here on the LIVE corpus
+        # is original + ingested: the rerank side of every serve and
+        # the training corpus of every later rotation must be the
+        # union, or the between-rotation ingests silently fall out of
+        # the index at the next refresh.
         batch = emb.where(F.col("vec_id") < 10).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
         ingest_batch(spark, root, batch)
+        corpus = emb.select("vec_id", "embedding").unionByName(batch)
         print(f"[3] ingested {batch.count()} new vectors, O(batch); "
               f"imbalance now {list_imbalance(spark, root):.2f} "
               "(from the cell_sizes artifact, no code-table scan)")
@@ -102,7 +107,7 @@ def main() -> None:
         # 4. delete without retraining
         victims = emb.where(F.col("vec_id").between(5, 7)).select("vec_id")
         tombstone_ids(spark, root, victims)
-        got = serve_current(spark, root, queries, emb, **SERVE)
+        got = serve_current(spark, root, queries, corpus, **SERVE)
         served_ids = {r["vec_id"] for r in got.collect()}
         assert not served_ids & {5, 6, 7}
         print(f"[4] tombstoned ids 5-7; serve returns full top-k "
@@ -129,12 +134,16 @@ def main() -> None:
         print("[5] takedown stream applied id 8 (at-least-once; "
               "re-issues itself across rotations)")
 
-        # 6. drift poll + fold + retention
+        # 6. drift poll + fold + retention — retrain on the UNION so
+        # the step-3 ingests survive the rotation
         print(f"[6] needs_refresh -> {needs_refresh(spark, root)} "
               "(dimension-sized poll)")
-        gen2 = refresh_generation(spark, root, emb, retain=2, **KW)
-        got = serve_current(spark, root, queries, emb, **SERVE)
-        assert not {r["vec_id"] for r in got.collect()} & {5, 6, 7, 8}
+        gen2 = refresh_generation(spark, root, corpus, retain=2, **KW)
+        got = serve_current(spark, root, queries, corpus, **SERVE)
+        got_ids = {r["vec_id"] for r in got.collect()}
+        assert not got_ids & {5, 6, 7, 8}
+        meta2 = generation_meta(spark, root, gen2)
+        assert meta2["n_ids"] == n + 10 - 4  # union minus folded victims
         print(f"[6] rotated to {gen2}: tombstones folded away "
               f"(victims stay gone), retention keeps "
               f"{len(list_generations(spark, root))} generations; "

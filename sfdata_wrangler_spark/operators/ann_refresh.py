@@ -248,20 +248,35 @@ def write_generation(
         f"{gdir}/codes"
     )
     if id_col in encoded.columns:
-        # both trigger denominators, computed from the WRITTEN parquet
-        # (the encode lineage would re-run the whole encode) ONCE per
-        # rotation: the per-cell histogram feeds list_imbalance's
-        # artifact path, the distinct id count feeds
-        # tombstone_fraction — each a compact column-pruned scan
-        written = spark.read.parquet(f"{gdir}/codes")
-        written.groupBy("cid").agg(
-            F.count_distinct(F.col(id_col)).cast("bigint").alias("n_vecs")
+        # both trigger denominators from ONE compact column-pruned
+        # scan of the WRITTEN parquet (the encode lineage would
+        # re-run the whole encode): the per-cell histogram feeds
+        # list_imbalance's artifact path, and n_ids is its sum —
+        # exact because one encode assigns exactly one cid per id
+        # (a degenerate corpus with duplicate ids mapped to different
+        # cells makes it an upper bound, conservative for the debt
+        # trigger). meta records WHICH id column the artifacts were
+        # built over, so a poll with a different id_col falls back to
+        # the scan instead of silently reading the wrong counts.
+        sizes = (
+            spark.read.parquet(f"{gdir}/codes")
+            .groupBy("cid")
+            .agg(
+                F.count_distinct(F.col(id_col))
+                .cast("bigint")
+                .alias("n_vecs")
+            )
+            .collect()
+        )
+        spark.createDataFrame(
+            [(int(r["cid"]), int(r["n_vecs"])) for r in sizes],
+            "cid int, n_vecs bigint",
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{gdir}/cell_sizes"
         )
-        if "n_ids" not in meta:
-            meta = dict(meta)
-            meta["n_ids"] = written.select(id_col).distinct().count()
+        meta = dict(meta)
+        meta.setdefault("n_ids", sum(int(r["n_vecs"]) for r in sizes))
+        meta.setdefault("id_col", id_col)
     atomic_write_text(
         spark, f"{gdir}/meta.json", json.dumps(meta, sort_keys=True)
     )
@@ -601,30 +616,31 @@ def ingest_batch(
     gdir = _gen_dir(root, gen)
     cents = spark.read.parquet(f"{gdir}/centroids")
     cb = spark.read.parquet(f"{gdir}/codebooks")
-    # persist across the two actions (encode+append, count): without
-    # it the count would re-run the batch's entire source lineage a
-    # second time per micro-batch (code-review r14 #5)
-    batch = batch.persist()
+    # persist the ENCODED rows across the two actions (append,
+    # per-cell deltas): one encode per batch — caching enc rather
+    # than the raw batch both avoids re-running the batch's source
+    # lineage (code-review r14 #5) and avoids re-running the encode
+    # itself for the delta aggregation (r14 pass-2 #3); the code rows
+    # are also smaller than the raw vectors
+    enc = ivfpq_encode(
+        batch, cents, cb,
+        m=int(meta["m"]), sub_dim=int(meta["sub_dim"]),
+        id_col=id_col, vec_col=vec_col,
+    ).persist()
     try:
-        enc = ivfpq_encode(
-            batch, cents, cb,
-            m=int(meta["m"]), sub_dim=int(meta["sub_dim"]),
-            id_col=id_col, vec_col=vec_col,
-        )
         enc.write.mode("append").partitionBy("cid").parquet(
             f"{gdir}/codes"
         )
-        # per-CELL batch deltas (batch-sized recompute of the encode
-        # over the persisted batch): their sum is the
-        # tombstone_fraction denominator delta, their per-cid rows
-        # keep list_imbalance's artifact path current
+        # per-CELL batch deltas: their sum is the tombstone_fraction
+        # denominator delta, their per-cid rows keep list_imbalance's
+        # artifact path current
         deltas = (
             enc.groupBy("cid")
             .agg(F.count_distinct(F.col(id_col)).cast("bigint").alias("n"))
             .collect()
         )
     finally:
-        batch.unpersist()
+        enc.unpersist()
     spark.createDataFrame(
         [(int(r["cid"]), int(r["n"])) for r in deltas],
         "cid int, n bigint",
@@ -934,7 +950,13 @@ def list_imbalance(
     records once per rotation, folded with :func:`ingest_batch`'s
     per-cell delta rows — a ``needs_refresh`` poll touches two tiny
     artifacts, never the corpus-scale code table. Pre-r14 generations
-    without the artifact keep the code-table scan fallback."""
+    without the artifact — and polls whose ``id_col`` differs from
+    the one the artifacts were built over (``meta['id_col']``) — keep
+    the code-table scan fallback. CONTRACT: the artifacts track
+    appends made through :func:`ingest_batch` /
+    ``streaming.ann_stream.stream_generation_ingest``; writing into a
+    generation's ``codes`` dir through any other sink leaves them
+    stale and this trigger blind — use the lifecycle APIs."""
     from ..sources.lake import has_committed_data
 
     gen = gen or current_generation(spark, root)
@@ -942,7 +964,10 @@ def list_imbalance(
         raise FileNotFoundError(f"no active generation under {root}")
     gdir = _gen_dir(root, gen)
     cs_path = f"{gdir}/cell_sizes"
-    if has_committed_data(spark, cs_path):
+    meta = generation_meta(spark, root, gen)
+    if meta.get("id_col", "vec_id") == id_col and has_committed_data(
+        spark, cs_path
+    ):
         by_cid: dict = {}
         for r in spark.read.parquet(cs_path).collect():
             by_cid[r["cid"]] = by_cid.get(r["cid"], 0) + int(r["n_vecs"])
@@ -996,7 +1021,7 @@ def tombstone_fraction(
         return 0.0
     gdir = _gen_dir(root, gen)
     meta = generation_meta(spark, root, gen)
-    if "n_ids" in meta:
+    if "n_ids" in meta and meta.get("id_col", "vec_id") == id_col:
         n_ids = int(meta["n_ids"])
         ic = f"{gdir}/ingest_counts"
         if has_committed_data(spark, ic):

@@ -55,6 +55,14 @@ def stream_ivfpq_ingest(
     their lineage read a table that grows during the stream, the
     "frozen" quantizer would silently drift between batches,
     assigning inconsistent cids to identical vectors.
+
+    NOTE (code-review r14): this function is GENERATION-AGNOSTIC —
+    the caller's sink owns the destination. Pointing it at a managed
+    generation's ``codes`` dir bypasses the lifecycle bookkeeping
+    (``ingest_counts`` per-cell deltas), leaving ``list_imbalance``/
+    ``tombstone_fraction``'s dimension-sized artifacts stale and the
+    drift trigger blind to the streamed vectors. To ingest into a
+    managed generation, use :func:`stream_generation_ingest`.
     """
     from ..operators.pq import ivfpq_encode
 
@@ -72,6 +80,54 @@ def stream_ivfpq_ingest(
             vec_col=vec_col,
         )
         append_sink(codes, batch_id)
+
+    return stream_vecs.writeStream.foreachBatch(_process)
+
+
+def stream_generation_ingest(
+    stream_vecs: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    missing_ok: bool = False,
+):
+    """Generation-AWARE streaming ingest: each micro-batch goes
+    through :func:`..operators.ann_refresh.ingest_batch` against
+    whatever generation ``_current`` points at WHEN THE TRIGGER FIRES
+    — codes land under the serving generation and the drift-trigger
+    artifacts (per-cell ``ingest_counts`` deltas) stay current, so
+    ``needs_refresh`` keeps seeing streamed vectors without any
+    corpus rescan. This is the managed-lifecycle twin of
+    :func:`stream_ivfpq_ingest` (which hands codes to a caller-owned
+    sink and maintains no bookkeeping — fine for a standalone code
+    lake, blind-spot-inducing for a managed generation).
+
+    Per-trigger cost: the generation's quantizers are re-read each
+    trigger (two dimension-sized parquet reads) so a rotation between
+    triggers is picked up automatically — the same
+    resolve-per-trigger rule as :func:`stream_tombstones`.
+
+    ``missing_ok=False`` (default) fails the trigger when no
+    generation is active (checkpoint unadvanced → the batch replays
+    once one exists — at-least-once ingest); ``True`` idles.
+
+    Returns the ``DataStreamWriter`` — caller sets trigger/checkpoint
+    and ``.start()``s it.
+    """
+    from ..operators.ann_refresh import ingest_batch
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            ingest_batch(
+                spark, root, batch_df, id_col=id_col, vec_col=vec_col
+            )
+        except FileNotFoundError:
+            if missing_ok:
+                return
+            raise
 
     return stream_vecs.writeStream.foreachBatch(_process)
 
@@ -403,6 +459,24 @@ def stream_tombstones(
             # onto the new generation; derived-cache mode idles.
             if not missing_ok:
                 raise
+            return
+        except Exception:
+            # check-then-read residual (r14 pass-2 #2, the
+            # refresh_generation fold's rule): a sweep landing between
+            # a committed-data check and the read it guards surfaces
+            # AnalysisException/Py4JJavaError, not FileNotFoundError.
+            # Re-check rather than string-match: the generation no
+            # longer having committed codes IS the vanished signature;
+            # anything else stays loud.
+            from ..sources.lake import has_committed_data
+
+            gdir = f"{root.rstrip('/')}/generations/{cur}"
+            if has_committed_data(spark, f"{gdir}/codes"):
+                raise
+            if not missing_ok:
+                raise FileNotFoundError(
+                    f"generation {cur!r} swept mid-trigger under {root}"
+                )
             return
         # AFTER the successful write: a failed trigger must replay
         # with the OLD marker so the re-issue still happens

@@ -153,9 +153,15 @@ def _probe_scale(spark, sf_dir: str, n_ids: int, runs: int) -> dict:
         Path = jvm.org.apache.hadoop.fs.Path
         cs = Path(f"{root}/generations/{gen}/cell_sizes")
         cs_hidden = Path(f"{root}/generations/{gen}/.cell_sizes_probe")
-        fs.rename(cs, cs_hidden)
-        imbalance_legacy_sec = _imbalance_best()
-        fs.rename(cs_hidden, cs)
+        # rename reports failure as False (Hadoop semantics): a failed
+        # hide would time the ARTIFACT path as "legacy" and fabricate
+        # the published contrast — skip the legacy row instead
+        imbalance_legacy_sec = None
+        if fs.rename(cs, cs_hidden):
+            try:
+                imbalance_legacy_sec = _imbalance_best()
+            finally:
+                fs.rename(cs_hidden, cs)
 
         return {
             "sf_dir": sf_dir,
@@ -168,7 +174,11 @@ def _probe_scale(spark, sf_dir: str, n_ids: int, runs: int) -> dict:
             "fraction_sec": round(fraction_sec, 3),
             "fraction_legacy_sec": round(fraction_legacy_sec, 3),
             "imbalance_sec": round(imbalance_sec, 3),
-            "imbalance_legacy_sec": round(imbalance_legacy_sec, 3),
+            "imbalance_legacy_sec": (
+                round(imbalance_legacy_sec, 3)
+                if imbalance_legacy_sec is not None
+                else None
+            ),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -222,10 +232,9 @@ def main():
                 2,
             )
         for key in ("imbalance_sec", "imbalance_legacy_sec"):
-            if key in scales[0] and scales[0][key] > 0:
-                out[key.replace("_sec", "_ratio")] = round(
-                    scales[1][key] / scales[0][key], 2
-                )
+            small, big = scales[0].get(key), scales[1].get(key)
+            if small and big is not None:
+                out[key.replace("_sec", "_ratio")] = round(big / small, 2)
     print(json.dumps(out))
 
 
