@@ -308,3 +308,69 @@ def test_list_imbalance_artifact_matches_scan(spark, tmp_path):
     # artifact removed (pre-r14 lake) -> scan fallback, same value
     shutil.rmtree(os.path.join(gdir, "cell_sizes"))
     assert list_imbalance(spark, root) == scan_value()
+
+
+def test_stream_generation_ingest_keeps_artifacts_current(spark, tmp_path):
+    """code-review r14 pass-2 #1: the managed-lifecycle streaming
+    ingest routes micro-batches through ingest_batch, so streamed
+    vectors land under the current generation AND the drift-trigger
+    artifacts stay current — where stream_ivfpq_ingest with a raw
+    sink would leave them stale."""
+    from sfdata_wrangler_spark.operators.ann_refresh import list_imbalance
+    from sfdata_wrangler_spark.streaming.ann_stream import (
+        stream_generation_ingest,
+    )
+
+    root = str(tmp_path / "gingest")
+    corpus = spark.createDataFrame(_corpus_a(), SCHEMA)
+    refresh_generation(spark, root, corpus, **KW)
+    gen = current_generation(spark, root)
+    before = list_imbalance(spark, root)
+
+    src = os.path.join(tmp_path, "vecs")
+    os.makedirs(src)
+    # a hot single-cluster batch, big enough to move the histogram
+    spark.createDataFrame(
+        [(1000 + i, [0.3] * 8) for i in range(40)], SCHEMA
+    ).write.mode("append").parquet(src)
+    q = (
+        stream_generation_ingest(
+            spark.readStream.schema(SCHEMA).parquet(src), root
+        )
+        .option("checkpointLocation", os.path.join(tmp_path, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120) and q.exception() is None
+
+    # codes landed under the SAME generation; both artifacts moved
+    gdir = os.path.join(root, "generations", gen)
+    assert os.path.isdir(os.path.join(gdir, "ingest_counts"))
+    n_codes_ids = (
+        spark.read.parquet(os.path.join(gdir, "codes"))
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    assert n_codes_ids == 100  # 60 corpus + 40 streamed
+    after = list_imbalance(spark, root)
+    assert after > before
+    # and the debt denominator reflects the streamed ids too
+    tombstone_ids(
+        spark, root, spark.createDataFrame([(1,)], "vec_id long")
+    )
+    assert tombstone_fraction(spark, root) == 1 / 100
+
+    # missing_ok=True idles on an empty root instead of failing
+    root2 = str(tmp_path / "empty")
+    q = (
+        stream_generation_ingest(
+            spark.readStream.schema(SCHEMA).parquet(src),
+            root2,
+            missing_ok=True,
+        )
+        .option("checkpointLocation", os.path.join(tmp_path, "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120) and q.exception() is None
