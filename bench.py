@@ -288,10 +288,15 @@ def _ivfpq_split(spark, sf_dir: str) -> tuple[float, float]:
         t0 = time.time()
         emb, cents, cb, enc = _ivfpq_parts(spark, sf_dir)
         write_partitioned(
-            enc, os.path.join(root, "codes"), ("cid",), dynamic=False
+            enc, os.path.join(root, "codes"), ("cid",), dynamic=False,
+            cluster=True,
         )
-        cents.write.mode("overwrite").parquet(os.path.join(root, "cents"))
-        cb.write.mode("overwrite").parquet(os.path.join(root, "cb"))
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "cents")
+        )
+        cb.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "cb")
+        )
         build = time.time() - t0
         cents_r = spark.read.parquet(os.path.join(root, "cents"))
         cb_r = spark.read.parquet(os.path.join(root, "cb"))

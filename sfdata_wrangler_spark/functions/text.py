@@ -46,6 +46,22 @@ def token_count(col: Column) -> Column:
     ).cast("bigint")
 
 
+def token_count_from_tokens(col: Column) -> Column:
+    """:func:`token_count` over an ALREADY-split token array
+    (``split(normalize_text(text), ' ')``). An empty text normalizes
+    to the single-element array [''] — that case must count 0, same
+    as token_count's length-0 guard; every other array counts its
+    size. Bit-identical to token_count(text) by construction; lets a
+    pipeline that materialized the tokens skip the normalize regex."""
+    return (
+        F.when(
+            (F.size(col) == 1) & (F.element_at(col, 1) == ""), F.lit(0)
+        )
+        .otherwise(F.size(col))
+        .cast("bigint")
+    )
+
+
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are . , ; : ! or ?"""
     stripped = F.regexp_replace(col, r"[.,;:!?]", "")

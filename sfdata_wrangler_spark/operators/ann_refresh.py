@@ -242,11 +242,23 @@ def write_generation(
     if missing:
         raise ValueError(f"generation meta missing {missing}")
     gdir = _gen_dir(root, gen)
-    centroids.write.mode("overwrite").parquet(f"{gdir}/centroids")
-    codebooks.write.mode("overwrite").parquet(f"{gdir}/codebooks")
-    encoded.write.mode("overwrite").partitionBy("cid").parquet(
-        f"{gdir}/codes"
+    # dimension-sized tables (L*d and n_codes*d rows): one file each
+    # instead of one per upstream task — every serve opens these
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{gdir}/centroids"
     )
+    codebooks.coalesce(1).write.mode("overwrite").parquet(
+        f"{gdir}/codebooks"
+    )
+    # hash-cluster on cid before the partitioned write (guide §6 /
+    # r14): without it every encode task writes a file into every
+    # cell dir it holds rows for — tasks × n_cells small files that
+    # every later serve scan re-opens. One shuffle of the code rows
+    # (m ints per vector — tiny next to the raw corpus) buys
+    # cell-sized files.
+    encoded.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{gdir}/codes")
     if id_col in encoded.columns:
         # both trigger denominators from ONE compact column-pruned
         # scan of the WRITTEN parquet (the encode lineage would
@@ -628,9 +640,12 @@ def ingest_batch(
         id_col=id_col, vec_col=vec_col,
     ).persist()
     try:
-        enc.write.mode("append").partitionBy("cid").parquet(
-            f"{gdir}/codes"
-        )
+        # cluster the appended batch by cid (same rationale as
+        # write_generation's clustered write): one file per touched
+        # cell per batch instead of tasks × cells
+        enc.repartition(F.col("cid")).write.mode("append").partitionBy(
+            "cid"
+        ).parquet(f"{gdir}/codes")
         # per-CELL batch deltas: their sum is the tombstone_fraction
         # denominator delta, their per-cid rows keep list_imbalance's
         # artifact path current

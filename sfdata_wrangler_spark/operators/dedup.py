@@ -177,21 +177,33 @@ def minhash_signatures(
                 for blk in range(n_blocks)
             ],
         )
+        # min over the 4-char HEX lanes, decode AFTER the aggregate
+        # (r14, guide §1.2 per-task work): fixed-width lowercase hex
+        # is order-isomorphic to its numeric value, so
+        # min(conv(lane)) == conv(min(lane)) — moving the conv above
+        # the groupBy runs it k times per DOC instead of k times per
+        # exploded shingle row (~100x fewer NumberConverter calls at
+        # typical shingle counts). Values are bit-identical.
         lanes = blocks.select(
             F.col(id_col),
             *[
-                F.conv(
-                    F.substring(F.col(f"__b{i // 8}"), 4 * (i % 8) + 1, 4),
-                    16,
-                    10,
-                )
-                .cast("bigint")
-                .alias(f"__l{i}")
+                F.substring(
+                    F.col(f"__b{i // 8}"), 4 * (i % 8) + 1, 4
+                ).alias(f"__l{i}")
                 for i in range(num_hashes)
             ],
         )
-        return lanes.groupBy(id_col).agg(
-            *[F.min(F.col(f"__l{i}")).alias(f"mh_{i}") for i in range(num_hashes)]
+        mins = lanes.groupBy(id_col).agg(
+            *[F.min(F.col(f"__l{i}")).alias(f"__m{i}") for i in range(num_hashes)]
+        )
+        return mins.select(
+            F.col(id_col),
+            *[
+                F.conv(F.col(f"__m{i}"), 16, 10)
+                .cast("bigint")
+                .alias(f"mh_{i}")
+                for i in range(num_hashes)
+            ],
         )
     if hash_fn != "md5":
         raise ValueError(f"unknown hash_fn {hash_fn!r}")

@@ -71,30 +71,38 @@ def drop_boilerplate_lines(
         F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
     ).withColumn("__lh", F.md5(F.col("__line")))
 
-    freq = lines.groupBy("__lh").agg(
-        F.count_distinct(id_col).cast("bigint").alias("__nd")
+    # ONLY the boilerplate hashes (the Zipf head — far smaller than
+    # the full distinct-line table the old inner-join carried)
+    boiler = (
+        lines.groupBy("__lh")
+        .agg(F.count_distinct(id_col).cast("bigint").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__lh", F.lit(1).alias("__b"))
     )
 
-    kept = lines.join(freq, "__lh").where(F.col("__nd") < min_docs)
-    reassembled = kept.groupBy(id_col).agg(
+    # ONE groupBy(doc) computes totals, kept count and the in-order
+    # reassembly together (r14 optimization, guide §2.4): the old
+    # three-branch form (freq inner-join + reassembled groupBy +
+    # totals groupBy + final left join) evaluated the `lines` explode
+    # THREE times per action and shuffled the doc stream twice; this
+    # evaluates it twice (frequency pass + this one), drops a join
+    # and an exchange, and marks boilerplate with a left join against
+    # the boiler-only dim (collect_list skips the NULL structs, so
+    # the reassembly and the kept-count share one conditional).
+    marked = lines.join(boiler, "__lh", "left")
+    kept_struct = F.when(
+        F.col("__b").isNull(), F.struct("__pos", "__line")
+    )
+    return marked.groupBy(id_col).agg(
         F.concat_ws(
             sep,
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("__pos", "__line"))
-                ),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda x: x["__line"],
             ),
         ).alias("text"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-    )
-
-    totals = lines.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines")
-    )
-    return totals.join(reassembled, id_col, "left").select(
-        id_col,
-        F.coalesce("text", F.lit("")).alias("text"),
-        "n_lines",
-        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-    )
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count(F.when(F.col("__b").isNull(), F.lit(1)))
+        .cast("bigint")
+        .alias("n_kept"),
+    ).select(id_col, "text", "n_lines", "n_kept")

@@ -43,9 +43,14 @@ from ._cache import tracked_persist
 from ..functions.text import normalize_text
 
 
-def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _bigrams(
+    df: DataFrame, id_col: str, text_col: str, pretokenized: bool = False
+) -> DataFrame:
     """One row per adjacent token pair: (id, prev, cur)."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    if pretokenized:
+        toks = F.col(text_col)
+    else:
+        toks = F.split(normalize_text(F.col(text_col)), " ")
     pairs = F.when(
         F.size(toks) >= 2,
         F.arrays_zip(
@@ -64,6 +69,7 @@ def bigram_lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize_model: bool = False,
+    pretokenized: bool = False,
 ) -> DataFrame:
     """Score each document by mean add-one-smoothed bigram likelihood.
 
@@ -88,24 +94,36 @@ def bigram_lm_score(
     Turn it ON when the training corpus is expensive to re-scan
     (train ≠ docs reading remote storage at cluster scale) and the
     re-read is not already covered by an upstream checkpoint.
+
+    ``pretokenized=True`` (r14, guide §1.2): ``text_col`` holds the
+    ALREADY-split token array ``split(normalize_text(text), ' ')``
+    instead of raw text. The LM touches the corpus in three branches
+    (training counts, vocabulary, document bigrams); each one
+    re-evaluates normalize+split when handed raw text. A caller that
+    already materialized the tokens (pipe_curation_v3's checkpoint)
+    skips that regex work 3x. Scores are bit-identical — same token
+    stream by construction, including the [''] single-element array
+    an empty text normalizes to.
     """
     train = docs if train is None else train
 
-    train_bg = _bigrams(train, id_col, text_col)
+    train_bg = _bigrams(train, id_col, text_col, pretokenized)
     c2 = train_bg.groupBy("prev", "cur").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2")
     )
     if materialize_model:
         c2 = tracked_persist(c2)
     c1 = c2.groupBy("prev").agg(F.sum("c2").cast("bigint").alias("c1"))
-    vocab = (
-        train.select(
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
-        )
-        .agg(F.count_distinct("tok").cast("bigint").alias("v"))
+    vocab_toks = (
+        F.col(text_col)
+        if pretokenized
+        else F.split(normalize_text(F.col(text_col)), " ")
+    )
+    vocab = train.select(F.explode(vocab_toks).alias("tok")).agg(
+        F.count_distinct("tok").cast("bigint").alias("v")
     )
 
-    doc_bg = _bigrams(docs, id_col, text_col)
+    doc_bg = _bigrams(docs, id_col, text_col, pretokenized)
     scored = (
         doc_bg.join(c2, ["prev", "cur"], "left")
         .join(c1, "prev", "left")

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, token_count
+from ..functions.text import normalize_text
 from ..operators.linedup import drop_boilerplate_lines
 from ..operators.lm import bigram_lm_score
 from ..operators.packing import pack_context_windows
@@ -150,12 +150,25 @@ def pipe_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests, tools/plan_digest.py) must not trigger the pipeline job.
     from ..operators.checkpointing import cut_lineage
 
+    # The checkpoint stores the SPLIT TOKEN ARRAY, not the text (r14,
+    # guide §1.2): everything below `cleaned` consumes tokens only —
+    # the LM's three corpus branches and the packing token count —
+    # so materializing post-split skips the normalize regex + split
+    # 4x per action. Same bytes checkpointed (array vs string), same
+    # token stream by construction (empty text ⇒ [''], handled by
+    # token_count_from_tokens / the LM's size>=2 gate). Measured
+    # noop-sink A/B at sf0.1: 4.37/3.74 s → 3.63/3.26 s.
+    from ..functions.text import token_count_from_tokens
+
     cleaned = cut_lineage(
         drop_boilerplate_lines(ml, min_docs=2)
         .where(F.col("n_kept") > 0)
-        .select("doc_id", "text")
+        .select(
+            "doc_id",
+            F.split(normalize_text(F.col("text")), " ").alias("toks"),
+        )
     )
-    scores = bigram_lm_score(cleaned)
+    scores = bigram_lm_score(cleaned, text_col="toks", pretokenized=True)
     lmkept = cleaned.join(
         scores.where(F.col("mean_p_micro") >= _LM_T).select("doc_id"),
         "doc_id",
@@ -164,7 +177,7 @@ def pipe_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = temperature_sample(langd, "lang", _MIX_C)
     t = sampled.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        token_count(F.col("text")).alias("n_tokens"),
+        token_count_from_tokens(F.col("toks")).alias("n_tokens"),
     )
     packed = pack_context_windows(t, budget=_BUDGET, bucket_width=64)
     return packed.groupBy("window_id").agg(

@@ -515,7 +515,8 @@ def _register_s19() -> None:
         # the same session) as stale rows, and a probe into such a
         # cell would search dead codes
         write_partitioned(
-            enc, path, partition_cols=("cid",), dynamic=False
+            enc, path, partition_cols=("cid",), dynamic=False,
+            cluster=True,
         )
 
         queries = emb.where(
@@ -580,10 +581,15 @@ def _ivfpq_artifacts(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(marker):
         _emb, cents, cb, enc = _ivfpq_parts(spark, sf_dir)
         write_partitioned(
-            enc, os.path.join(root, "codes"), ("cid",), dynamic=False
+            enc, os.path.join(root, "codes"), ("cid",), dynamic=False,
+            cluster=True,
         )
-        cents.write.mode("overwrite").parquet(os.path.join(root, "cents"))
-        cb.write.mode("overwrite").parquet(os.path.join(root, "cb"))
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "cents")
+        )
+        cb.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "cb")
+        )
         with open(marker, "w") as fh:
             fh.write(f"m={_M} sub_dim={_SUB_DIM}\n")
     return root
