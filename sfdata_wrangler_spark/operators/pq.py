@@ -524,9 +524,33 @@ def ivfpq_topk(
         .select(query_id, corpus_id, "adc_d2")
     )
 
-    # exact rerank of the shortlist only
-    clf = _long_form(
-        corpus.select(corpus_id, vec_col), corpus_id, vec_col, m, sub_dim
+    # exact rerank of the shortlist only. The corpus joins the
+    # (broadcast) shortlist BEFORE the d-way long-form explode (r14,
+    # guide §3.3 — "if possible join first on the un-exploded key and
+    # explode after"): the old form exploded EVERY corpus vector ×d
+    # and discarded all but nq·shortlist of them at the join — a full
+    # corpus×d Generate stream feeding a ~100-row broadcast join.
+    # Joining first makes the rerank explode O(nq·shortlist·d)
+    # regardless of corpus size, with `short` referenced exactly once
+    # (a semi-join prefilter variant referenced it twice and
+    # duplicated the tombstone anti-join subtree in the plan).
+    hit = corpus.select(corpus_id, vec_col).join(
+        _qside(short), corpus_id
+    )
+    hlf = hit.select(
+        query_id,
+        corpus_id,
+        "adc_d2",
+        F.posexplode(vec_col).alias("__pos", "__x"),
+    ).select(
+        query_id,
+        corpus_id,
+        "adc_d2",
+        (F.col("__pos") / sub_dim).cast("int").alias("subspace"),
+        (F.col("__pos") % sub_dim).alias("dim"),
+        F.floor(F.col("__x").cast("double") * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("x_micro"),
     )
     qlf = _long_form(
         queries.select(query_id, vec_col), query_id, vec_col, m, sub_dim
@@ -535,8 +559,7 @@ def ivfpq_topk(
         query_id, "subspace", "dim", F.col("x_micro").alias("q_micro")
     )
     exact = (
-        clf.join(_qside(short), corpus_id)
-        .join(_qside(qx), [query_id, "subspace", "dim"])
+        hlf.join(_qside(qx), [query_id, "subspace", "dim"])
         .groupBy(query_id, corpus_id, "adc_d2")
         .agg(
             F.sum(

@@ -177,6 +177,21 @@ def pipe_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         url.alias("url"),
         *html_text_stats(html),
     )
+    # lineage cut BEFORE the gate (r14, guide §1.2/§7.2): pushing the
+    # density predicate into the scan inlines the 4-regex strip chain
+    # 5x per row (the gate references clean/anchor lengths, and
+    # FilterExec conditions get no codegen subexpression
+    # elimination), plus once more in the surviving Project — six
+    # chain evaluations where two suffice. Materializing `ex` (one
+    # doc-sized row of extracted text + two lengths) evaluates the
+    # chains once; the gate then filters plain columns. Measured
+    # noop-sink A/B at sf0.1: 1.65-1.86 s -> 1.03-1.14 s, outputs
+    # identical. Same localCheckpoint-vs-recompute trade v3's
+    # `cleaned` cut documents (cut_lineage keeps the reliable-
+    # checkpoint knob for cluster mode).
+    from ..operators.checkpointing import cut_lineage
+
+    ex = cut_lineage(ex)
     gated = ex.where(
         (F.col("n_chars") > 0) & (F.col("link_density") < 0.5)
     )
