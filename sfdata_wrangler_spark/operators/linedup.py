@@ -86,12 +86,25 @@ def drop_boilerplate_lines(
 
     # ONLY the boilerplate hashes (the Zipf head — far smaller than
     # the full distinct-line table the old inner-join carried)
-    boiler = (
-        lines.groupBy("__lh")
-        .agg(F.count_distinct(id_col).cast("bigint").alias("__nd"))
-        .where(F.col("__nd") >= min_docs)
-        .select("__lh", F.lit(1).alias("__b"))
-    )
+    if min_docs == 2:
+        # "in >= 2 distinct docs" ⇔ min(id) != max(id): one plain
+        # combinable aggregate = ONE exchange of the line stream,
+        # where the distinct-count rewrite plans two (Exchange on
+        # (hash, id), then on hash) — guide §2.3/§2.4; NULL-id
+        # handling identical (min/max and count_distinct both skip).
+        boiler = (
+            lines.groupBy("__lh")
+            .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+            .where(F.col("__mn") != F.col("__mx"))
+            .select("__lh", F.lit(1).alias("__b"))
+        )
+    else:
+        boiler = (
+            lines.groupBy("__lh")
+            .agg(F.count_distinct(id_col).cast("bigint").alias("__nd"))
+            .where(F.col("__nd") >= min_docs)
+            .select("__lh", F.lit(1).alias("__b"))
+        )
 
     # ONE groupBy(doc) computes totals, kept count and the in-order
     # reassembly together (r14 optimization, guide §2.4): the old

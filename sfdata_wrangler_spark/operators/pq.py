@@ -293,8 +293,17 @@ def ivfpq_index(
     n·L·d aggregation) and the residual stream feed BOTH outputs, so
     building them separately re-executes that work 2-3x per action;
     ``materialize`` (default on, tracked — release via
-    operators.release_operator_caches) persists the id-grain
-    assignment so the coarse aggregation runs once per build.
+    operators.release_operator_caches) persists the RESIDUAL LONG
+    FORM (corpus×d rows): the codebook branch and the encode branch
+    each consume it, and persisting only the id-grain assignment (the
+    r13 shape) still re-ran the corpus explode + assignment join +
+    centroid join once per branch — the plan showed the Generate
+    subtree inlined ~50x across the composed search. Interleaved A/B
+    (r14, sf0.1, full inline-build search): 4.26/4.61/4.62 s
+    assign-persist vs 3.81/3.83/4.50 s res-persist. The persist is
+    corpus-scale (MEMORY_AND_DISK — spills, never OOMs); it lives
+    only for the build's action window and is released with
+    release_operator_caches, the standard build-time trade.
 
     ``codebook_builder``: optional ``res_df -> codebooks_df`` hook
     replacing the default pseudo-label means — the public seam for
@@ -307,13 +316,13 @@ def ivfpq_index(
         corpus, centroids, m, sub_dim, id_col, vec_col
     )
     assign = _coarse_assign(dists, id_col)
-    if materialize:
-        from ._cache import tracked_persist
-
-        assign = tracked_persist(assign)
     res = _residual_lf(
         corpus, centroids, assign, m, sub_dim, id_col, vec_col
     )
+    if materialize:
+        from ._cache import tracked_persist
+
+        res = tracked_persist(res)
     if codebook_builder is not None:
         cb = codebook_builder(res)
     else:

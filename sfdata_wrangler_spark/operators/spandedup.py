@@ -85,12 +85,26 @@ def duplicate_spans(
     grams = positional_kgrams(docs, k, id_col, text_col)
     if materialize:
         grams = tracked_persist(grams)
-    dup = (
-        grams.groupBy("gram_hash")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .where(F.col("__nd") >= min_docs)
-        .select("gram_hash")
-    )
+    if min_docs == 2:
+        # "in >= 2 distinct docs" ⇔ min(id) != max(id): a plain
+        # combinable aggregate, so the gram stream pays ONE exchange
+        # (map-side partials per gram hash) instead of the two the
+        # distinct-count rewrite plans (Exchange on (hash, id), then
+        # Exchange on hash) — guide §2.3/§2.4. min/max and
+        # count_distinct skip NULL ids identically.
+        dup = (
+            grams.groupBy("gram_hash")
+            .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+            .where(F.col("__mn") != F.col("__mx"))
+            .select("gram_hash")
+        )
+    else:
+        dup = (
+            grams.groupBy("gram_hash")
+            .agg(F.countDistinct(id_col).alias("__nd"))
+            .where(F.col("__nd") >= min_docs)
+            .select("gram_hash")
+        )
     flagged = grams.join(dup, "gram_hash", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = flagged.select(
