@@ -70,6 +70,7 @@ def bigram_lm_score(
     text_col: str = "text",
     materialize_model: bool = False,
     pretokenized: bool = False,
+    materialize_tokens: bool = True,
 ) -> DataFrame:
     """Score each document by mean add-one-smoothed bigram likelihood.
 
@@ -104,8 +105,44 @@ def bigram_lm_score(
     skips that regex work 3x. Scores are bit-identical — same token
     stream by construction, including the [''] single-element array
     an empty text normalizes to.
+
+    ``materialize_tokens`` (default on; r14, guide §4/§5): when
+    handed RAW text, tokenize once into a tracked persist and run the
+    pretokenized path against it, so the three corpus branches share
+    one normalize-regex + split evaluation instead of re-running it
+    each (interleaved noop A/B at sf0.1, self-scored:
+    1.22/1.25/1.45 s → **0.76/0.83/0.87 s**). Token-stream-sized
+    cache (the linedup/spandedup materialize trade); released via
+    release_operator_caches / clearCache. No-op when ``pretokenized``
+    (the caller already materialized tokens). Unlike
+    ``materialize_model`` this persists BELOW every aggregation, so
+    nothing loses AQE coalescing (the r5 counter-finding does not
+    apply).
     """
     train = docs if train is None else train
+    if materialize_tokens and not pretokenized:
+        from ._cache import tracked_persist
+
+        def _tok(df: DataFrame) -> DataFrame:
+            return tracked_persist(
+                df.select(
+                    F.col(id_col),
+                    F.split(normalize_text(F.col(text_col)), " ").alias(
+                        "__toks"
+                    ),
+                )
+            )
+
+        docs_t = _tok(docs)
+        train_t = docs_t if train is docs else _tok(train)
+        return bigram_lm_score(
+            docs_t,
+            train=train_t,
+            id_col=id_col,
+            text_col="__toks",
+            materialize_model=materialize_model,
+            pretokenized=True,
+        )
 
     train_bg = _bigrams(train, id_col, text_col, pretokenized)
     c2 = train_bg.groupBy("prev", "cur").agg(
