@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.bpe import bpe_tokenize, bpe_train
+from ..operators.bpe import bpe_train
 from .catalog import _register, _t
 from .catalog_text import norm_sql
 
@@ -125,17 +125,27 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("txt_bpe_vocab", _VOCAB_ORACLE, bench=True)
 def txt_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token frequencies under the trained BPE segmentation:
-    tokenization is ONE equi-join of corpus words against the
-    (broadcast) word→tokens table — merges never re-run at corpus
-    scale — then a map-side-combinable count. Top-30 under a total
-    order."""
+    """Corpus token frequencies under the trained BPE segmentation.
+
+    r14 (guide §8 — decide on small rows): the segmentation table
+    already carries each word type's corpus frequency ``n``, so the
+    corpus-wide token count is Σ over word types of n × (token's
+    multiplicity in that word's segmentation) — a fold over the
+    ZIPF-SIZED type table, not a second corpus pass. The old form
+    re-exploded the whole corpus through bpe_tokenize and counted
+    rows; values are identical by construction (the tokenize join is
+    total over the same corpus the types were counted from) and
+    hash-checked against the unchanged corpus-scale oracle.
+    Interleaved noop A/B at sf0.1: 1.05/1.05/1.15/1.36 →
+    **0.68/0.71/0.73/0.76 s**. Per-document tokenization stays
+    available as operators/bpe.bpe_tokenize (pinned by test_bpe).
+    Top-30 under a total order."""
     docs = _t(spark, sf_dir, "documents")
     _, seg = bpe_train(docs, num_merges=_N_MERGES)
     return (
-        bpe_tokenize(docs, seg)
+        seg.select(F.col("n"), F.explode("tokens").alias("token"))
         .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(F.sum("n").cast("bigint").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(30)
     )
