@@ -25,6 +25,34 @@ rerank, the QC-panel workload), so ``value`` is not directly
 comparable to BENCH_r02's 6.489s; ``value_comparable_r2`` is the
 same-methodology subtotal over exactly the round-2 query set —
 compare THAT across rounds.
+
+Round-15 additions (VERDICT r14 asks #1/#2/#9 — all additive, the
+count() methodology and every existing key are unchanged):
+
+- per-query noop-sink timings are PROMOTED into the compact line as
+  ``noop_vals`` — a list of seconds aligned with the ``queries``
+  dict's key order (2 decimals; the full named dict stays in
+  BENCH_FULL_latest.json as ``queries_noop_sink``). Rationale: the
+  count() action prunes aggregate/projection work, so count-based
+  per-query numbers both hid real full-plan costs (emb_semdedup 0.30
+  count vs 1.92 noop) and charged txt_lm_score's persist fill as a
+  0.82x regression for a change that makes the full plan 35% cheaper.
+- an **sf1-class scale point** (``value_sf1``/``queries_sf1``): the
+  six heaviest headline queries re-timed against a deterministic
+  ``SPARK_GRAFT_SF1_FACTOR``x (default 10x) replica of the sf dir
+  built by tools/make_scale_replica.py into a throwaway tempdir. At
+  sf0.1 (~600k rows) task-scheduling overhead dominates and NO query
+  ran faster on 32 cores than on 8 (PERF_r14 scaling: every ratio
+  ≤1.17) — the sf1 point gives the driver's low-core rerun a scale
+  where parallelism pays, so 8v32 ratios become meaningful. The
+  replica is INPUT derivation (the timed queries still compute from
+  parquet), built once per invocation and deleted at exit.
+- a **low-core cross-check stamp** (``c8_comparable_r2`` /
+  ``suspect_freq_drift``): a fresh local[8] subprocess
+  (tools/lowcore_probe.py) re-times the comparable-r2 set; if 8 cores
+  beat the 32-core reading by >15% the run is flagged — the r14
+  frequency-drift regime's signature (the same tree read 25.98 s at 8
+  cores vs 31.78 s at 32) that the cpu/load/io/mc probes all miss.
 """
 
 from __future__ import annotations
@@ -51,6 +79,86 @@ R2_HEADLINE = [
     "dd_exact_groups",
     "emb_cosine_topk",
 ]
+
+# The six heaviest headline queries (VERDICT r14 ask #2) re-timed at
+# the sf1-class scale point — the set where 8v32 scaling ratios can
+# demonstrate the §2 parallelism properties sf0.1 cannot.
+SF1_QUERIES = [
+    "pipe_curation_v3",
+    "emb_ivfpq_topk",
+    "pipe_curation_v2",
+    "dd_dup_spans",
+    "pipe_curation_v4",
+    "dd_minhash_lsh_pairs_fast",
+]
+
+# process-lifetime replica dir (built once, shared by both requeue
+# attempts, removed at exit)
+_SF1_CACHE: dict[str, str] = {}
+
+
+def _sf1_dir(sf_dir: str, factor: int) -> str | None:
+    """Build (once per process) the ``factor``x deterministic scale
+    replica of ``sf_dir`` via tools/make_scale_replica.py and return
+    its path; None when the generator is unavailable. The replica is
+    derived input data — every timed query still computes from
+    parquet — and lives in a tempdir removed at process exit."""
+    key = f"{sf_dir}|{factor}"
+    if key in _SF1_CACHE:
+        return _SF1_CACHE[key]
+    import atexit
+    import contextlib
+    import shutil
+    import tempfile
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    try:
+        from make_scale_replica import build as _build_replica
+    except Exception as exc:  # duckdb missing etc. — skip, don't kill
+        print(f"# sf1 replica unavailable: {exc}", file=sys.stderr)
+        return None
+    root = tempfile.mkdtemp(prefix="bench_sf1_replica_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t0 = time.perf_counter()
+    # build() prints row counts; stdout must stay JSON-only
+    with contextlib.redirect_stdout(sys.stderr):
+        _build_replica(sf_dir, root, factor)
+    print(
+        f"# sf1 replica ({factor}x) built in "
+        f"{time.perf_counter() - t0:.1f}s at {root}",
+        file=sys.stderr,
+    )
+    _SF1_CACHE[key] = root
+    return root
+
+
+def _lowcore_probe(sf_dir: str, cpus: int = 8) -> dict | None:
+    """Run tools/lowcore_probe.py in a fresh subprocess (own JVM on
+    local[cpus]) and return its parsed JSON, or None on any failure —
+    an unmeasured probe must not kill the bench."""
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "lowcore_probe.py",
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, script, sf_dir, str(cpus)],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception as exc:
+        print(f"# lowcore probe failed: {exc}", file=sys.stderr)
+    return None
 
 
 def _io_probe(sf_dir: str, cap_bytes: int = 100 << 20) -> dict | None:
@@ -489,6 +597,58 @@ def _measure(sf_dir: str) -> tuple[dict, dict]:
         result["value_sf2"] = round(sum(timings2.values()), 3)
         result["queries_sf2"] = timings2
 
+    # sf1-class scale point (VERDICT r14 ask #2): the six heaviest
+    # queries against a deterministic 10x replica — the scale where
+    # 32-way parallelism pays and the driver's 8-core rerun yields
+    # meaningful scaling ratios (at sf0.1 every 8v32 ratio was ≤1.17:
+    # pure task-scheduling overhead). ONE timed rep per query — these
+    # run 10-60 s each, so scheduling noise is proportionally small,
+    # and the rep count bounds the added bench wall at both core
+    # counts. SPARK_GRAFT_SF1_FACTOR=0 disables.
+    sf1_factor = int(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
+    if sf1_factor > 1:
+        sf1_dir = _sf1_dir(sf_dir, sf1_factor)
+        if sf1_dir is not None:
+            timings1: dict[str, float] = {}
+            for name in SF1_QUERIES:
+                fn = bench_queries[name]
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, sf1_dir).count()
+                timings1[name] = round(time.time() - t0, 3)
+                print(
+                    f"# [sf1 {sf1_factor}x] {name}: {timings1[name]:.3f}s",
+                    file=sys.stderr,
+                )
+            result["sf1_factor"] = sf1_factor
+            result["value_sf1"] = round(sum(timings1.values()), 3)
+            result["queries_sf1"] = timings1
+
+    # low-core cross-check (VERDICT r14 ask #9): a fresh local[8]
+    # subprocess re-times the comparable-r2 set. 8 cores beating this
+    # run's 32-core subtotal by >15% is the frequency-drift signature
+    # none of the other probes see. Skipped when the bench itself runs
+    # at <=8 cores (the driver's low-core rerun) — the ratio would be
+    # self-comparison.
+    main_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result["c8_comparable_r2"] = None
+    result["suspect_freq_drift"] = None
+    if main_cpus > 8 and os.environ.get(
+        "SPARK_GRAFT_LOWCORE_PROBE", "1"
+    ) != "0":
+        lp = _lowcore_probe(sf_dir, 8)
+        if lp is not None:
+            result["c8_comparable_r2"] = lp["total"]
+            result["suspect_freq_drift"] = bool(
+                lp["total"] < 0.85 * result["value_comparable_r2"]
+            )
+            print(
+                f"# c8_comparable_r2={lp['total']:.3f}s vs 32-core "
+                f"{result['value_comparable_r2']:.3f}s "
+                f"suspect={result['suspect_freq_drift']}",
+                file=sys.stderr,
+            )
+
     # Run-condition stamp (VERDICT r7 #4) + contention verdict
     # (VERDICT r10 ask #8: the r10 driver snapshot ran at load1 5.83
     # and read 0.81x vs the clean 0.61x). Taken LAST — after every
@@ -622,7 +782,11 @@ def compact_line(result: dict, timings: dict) -> str:
         "metric": result["metric"],
         "value": result["value"],
         "unit": "sec",
-        "queries": dict(timings),
+        # 2-decimal per-query values in the COMPACT line only (full
+        # 3-decimal dict in BENCH_FULL_latest.json): the ~30 chars
+        # saved are what keeps queries_sf1 + noop_vals inside the
+        # 2000-char tail window
+        "queries": {q: round(s, 2) for q, s in timings.items()},
         "sf": result["sf"],
         "value_comparable_r2": result["value_comparable_r2"],
         "value_noop_sink": result["value_noop_sink"],
@@ -651,6 +815,17 @@ def compact_line(result: dict, timings: dict) -> str:
             for side in ("before", "after")
         },
     }
+    # per-query noop-sink seconds, aligned with the `queries` dict's
+    # key order (VERDICT r14 ask #1: promote the full-plan timings
+    # alongside count() — count() prunes aggregate work and both hid
+    # real costs and charged persist fills as regressions). A values
+    # ARRAY instead of a named dict: ~190 chars vs ~1 KB, which is
+    # what lets it fit the driver's 2000-char tail window; the named
+    # dict stays in BENCH_FULL_latest.json as queries_noop_sink.
+    compact["noop_vals"] = [
+        round(result.get("queries_noop_sink", {}).get(q, 0.0), 2)
+        for q in timings
+    ]
     if "value_sf2" in result:
         # secondary scale point subtotal (VERDICT r13 ask #6): carried
         # in the committed BENCH_r{N} artifact so per-query
@@ -660,6 +835,20 @@ def compact_line(result: dict, timings: dict) -> str:
         # dicts)
         compact["sf2"] = result["sf2"]
         compact["value_sf2"] = result["value_sf2"]
+    if "value_sf1" in result:
+        # sf1-class scale point (VERDICT r14 ask #2): per-query dict
+        # INCLUDED (6 entries) because the driver attributes 8v32
+        # scaling per query from the parsed compact lines of its two
+        # runs; 2-decimal values bound the cost
+        compact["sf1_factor"] = result["sf1_factor"]
+        compact["value_sf1"] = result["value_sf1"]
+        compact["queries_sf1"] = {
+            q: round(s, 2) for q, s in result["queries_sf1"].items()
+        }
+    # low-core cross-check stamp (VERDICT r14 ask #9): null = probe
+    # skipped/failed, distinct from a measured-clean False
+    compact["c8_comparable_r2"] = result.get("c8_comparable_r2")
+    compact["suspect_freq_drift"] = result.get("suspect_freq_drift")
     if "io_mbps" in result["run_context"]["before"]:
         compact["run_context"]["before"]["io_mbps"] = result[
             "run_context"
@@ -681,12 +870,22 @@ def compact_line(result: dict, timings: dict) -> str:
         # retry for what it was
         compact["requeue_pending"] = True
     line = json.dumps(compact)
-    if len(line) >= 1900:
+    # stepwise degradation, newest additions first (the window is
+    # 2000 chars — 1950 leaves newline slack; a raised assert would
+    # suppress the line entirely and reproduce the parsed=null failure
+    # this exists to prevent)
+    if len(line) >= 1950 and "queries_sf1" in compact:
+        del compact["queries_sf1"]  # value_sf1 stays
+        line = json.dumps(compact)
+    if len(line) >= 1950:
+        del compact["noop_vals"]
+        line = json.dumps(compact)
+    if len(line) >= 1950:
         compact["queries"] = {
             q: timings[q] for q in R2_HEADLINE if q in timings
         }
         line = json.dumps(compact)
-    if len(line) >= 1900:
+    if len(line) >= 1950:
         compact["queries"] = {}
         line = json.dumps(compact)
     return line

@@ -52,6 +52,24 @@ def get_spark(
         # Read-side partition sizing; at 100 TB this keeps scan tasks
         # at ~128MB regardless of file layout.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Per-file open-cost charge in split packing. Spark's 4 MB
+        # default FLOORS the scan split size (maxSplitBytes =
+        # max(openCost, bytes/defaultParallelism) capped by
+        # maxPartitionBytes), which on MB-scale local inputs collapses
+        # every scan — and the map work pipelined into it — to 1-2
+        # tasks regardless of core count (measured r15: the six
+        # heaviest queries ran 32-core:8-core at 0.8-1.2x on a 10x
+        # corpus because of exactly this). 64 KB reflects a local
+        # NVMe/page-cache open cost and lets bytes/parallelism set the
+        # split size instead; on object storage (real per-open
+        # latency) raise it via SPARK_GRAFT_OPEN_COST_BYTES — the
+        # split size then derives from data volume and cluster
+        # parallelism either way, which is the scale-adaptive shape
+        # the 4 MB constant was not.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(64 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # Executor python workers need the repo importable for
         # pandas-UDF stages regardless of the driver's cwd.

@@ -320,3 +320,84 @@ def test_compact_line_carries_sf2_subtotal():
     assert parsed["sf2"] == 0.01
     assert parsed["value_sf2"] == 23.456
     assert len(compact_line(result, timings)) < 1900
+
+
+def test_compact_line_carries_noop_vals_aligned():
+    """VERDICT r14 ask #1: per-query noop-sink timings ride the
+    compact line as a values array aligned with the queries dict's
+    key order (a named dict would blow the 2000-char tail window).
+    20 fake queries: the helper's names are ~7 chars longer than real
+    ones, so 34 of them overflow where the real fleet does not."""
+    from bench import compact_line
+
+    result, timings = _fake(20)
+    result["queries_noop_sink"] = {
+        q: v * 2 for q, v in timings.items()
+    }
+    parsed = json.loads(compact_line(result, timings))
+    assert len(parsed["noop_vals"]) == len(parsed["queries"])
+    # alignment: zip(queries.keys(), noop_vals) reconstructs the dict
+    for q, nv in zip(parsed["queries"], parsed["noop_vals"]):
+        assert nv == round(result["queries_noop_sink"][q], 2)
+
+
+def test_compact_line_carries_sf1_scale_point():
+    """VERDICT r14 ask #2: the sf1-class scale point (6 heavy queries
+    against the 10x replica) rides the compact line — per-query dict
+    included so the driver's 8v32 comparison can attribute scaling
+    per query; value_sf1 survives even if the dict must degrade."""
+    import bench
+    from bench import compact_line
+
+    result, timings = _fake(20)
+    assert "value_sf1" not in json.loads(compact_line(result, timings))
+
+    result["sf1_factor"] = 10
+    result["queries_sf1"] = {q: 33.123 for q in bench.SF1_QUERIES}
+    result["value_sf1"] = 198.738
+    parsed = json.loads(compact_line(result, timings))
+    assert parsed["sf1_factor"] == 10
+    assert parsed["value_sf1"] == 198.738
+    assert parsed["queries_sf1"] == {
+        q: 33.12 for q in bench.SF1_QUERIES
+    }
+
+
+def test_compact_line_carries_lowcore_stamp():
+    """VERDICT r14 ask #9: the local[8] cross-check stamp — null when
+    the probe was skipped/failed (distinct from measured False)."""
+    from bench import compact_line
+
+    result, timings = _fake(34)
+    parsed = json.loads(compact_line(result, timings))
+    assert parsed["c8_comparable_r2"] is None
+    assert parsed["suspect_freq_drift"] is None
+
+    result["c8_comparable_r2"] = 4.1
+    result["suspect_freq_drift"] = True
+    parsed = json.loads(compact_line(result, timings))
+    assert parsed["c8_comparable_r2"] == 4.1
+    assert parsed["suspect_freq_drift"] is True
+
+
+def test_compact_line_degrades_sf1_dict_first():
+    """Overflow drops queries_sf1 then noop_vals before ever touching
+    the (contract-critical) queries dict."""
+    import bench
+    from bench import compact_line
+
+    result, timings = _fake(20)
+    result["queries_noop_sink"] = {q: v * 2 for q, v in timings.items()}
+    result["sf1_factor"] = 10
+    result["queries_sf1"] = {
+        f"extremely_long_sf1_query_name_padding_{i:03d}": 12.345
+        for i in range(30)
+    }
+    result["value_sf1"] = 370.35
+    line = compact_line(result, timings)
+    assert len(line) < 1950
+    parsed = json.loads(line)
+    assert "queries_sf1" not in parsed     # dropped first
+    assert parsed["value_sf1"] == 370.35   # subtotal survives
+    assert len(parsed["noop_vals"]) == len(timings)  # noop survives
+    assert len(parsed["queries"]) == len(timings)

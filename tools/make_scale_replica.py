@@ -48,9 +48,29 @@ KEY_OFFSET = 100_000_000  # far above any key in sf<=1 testdata
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
-def _union(con, pieces, out_path):
+def _union(con, pieces, out_path, rows_per_group: int | None = None):
+    """UNION ALL the pieces into one parquet file. ``rows_per_group``
+    caps the parquet row-group size: a row group is Spark's atomic
+    scan-split unit, and the driver's own testdata is written as ONE
+    row group per file — which makes every scan (and every map stage
+    pipelined into it) structurally single-task no matter the core
+    count (measured r15: the 10x replica inherited the layout and the
+    six heaviest queries ran 32-core:8-core at 0.8-1.2x). The replica
+    targets ~64 row groups per table so a 32-way session can actually
+    parallelize the scan."""
     sql = " UNION ALL ".join(pieces)
-    con.execute(f"COPY ({sql}) TO '{out_path}' (FORMAT PARQUET)")
+    opts = "FORMAT PARQUET"
+    if rows_per_group:
+        opts += f", ROW_GROUP_SIZE {rows_per_group}"
+    con.execute(f"COPY ({sql}) TO '{out_path}' ({opts})")
+
+
+def _rpg(con, src_path: str, factor: int, target_groups: int = 64) -> int:
+    """rows-per-group so the replica lands near ``target_groups``."""
+    n = con.execute(
+        f"SELECT count(*) FROM '{src_path}'"
+    ).fetchone()[0] * factor
+    return max(1000, n // target_groups)
 
 
 HOT_MONTH_DATE = "TIMESTAMP '1995-06-15 00:00:00'"
@@ -81,14 +101,16 @@ def build(src: str, dst: str, factor: int, hot_cell_frac: float = 0.0,
                 f"n_chars + {len(pfx)} AS n_chars "
                 f"FROM '{src}/documents.parquet'"
             )
-    _union(con, doc, f"{dst}/documents.parquet")
+    _union(con, doc, f"{dst}/documents.parquet",
+           _rpg(con, f"{src}/documents.parquet", factor))
 
     emb = [
         f"SELECT vec_id + {i * KEY_OFFSET} AS vec_id, embedding, label "
         f"FROM '{src}/embeddings.parquet'"
         for i in range(factor)
     ]
-    _union(con, emb, f"{dst}/embeddings.parquet")
+    _union(con, emb, f"{dst}/embeddings.parquet",
+           _rpg(con, f"{src}/embeddings.parquet", factor))
 
     if hot_cell_frac > 0:
         # o_orderkey % 100 is uniform on TPC-H-ish keys; remapping the
@@ -112,7 +134,8 @@ def build(src: str, dst: str, factor: int, hot_cell_frac: float = 0.0,
         f"FROM '{src}/orders.parquet'"
         for i in range(factor)
     ]
-    _union(con, orders, f"{dst}/orders.parquet")
+    _union(con, orders, f"{dst}/orders.parquet",
+           _rpg(con, f"{src}/orders.parquet", factor))
 
     li = [
         f"SELECT l_orderkey + {i * KEY_OFFSET} AS l_orderkey, l_partkey, "
@@ -121,7 +144,8 @@ def build(src: str, dst: str, factor: int, hot_cell_frac: float = 0.0,
         f"FROM '{src}/lineitem.parquet'"
         for i in range(factor)
     ]
-    _union(con, li, f"{dst}/lineitem.parquet")
+    _union(con, li, f"{dst}/lineitem.parquet",
+           _rpg(con, f"{src}/lineitem.parquet", factor))
 
     if hot_user_frac > 0:
         # remap that share of events (deterministic, by event_id
@@ -140,7 +164,8 @@ def build(src: str, dst: str, factor: int, hot_cell_frac: float = 0.0,
         + f", event_type, value, props FROM '{src}/events.parquet'"
         for i in range(factor)
     ]
-    _union(con, ev, f"{dst}/events.parquet")
+    _union(con, ev, f"{dst}/events.parquet",
+           _rpg(con, f"{src}/events.parquet", factor))
 
     for t in DIMS + ["documents", "embeddings", "orders", "lineitem", "events"]:
         n = con.execute(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
