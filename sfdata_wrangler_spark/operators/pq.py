@@ -67,6 +67,132 @@ def _long_form(emb: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int):
     )
 
 
+# --------------------------------------------------------------------- #
+# Array-native coarse-quantizer kernels (r15, guide §1.2/§2.4).         #
+#                                                                       #
+# The r14 build still EXPLODED the corpus ×d twice per index build      #
+# (coarse-distance pass + residual fill) and ran the assignment as a    #
+# corpus×L×d join + n·L-key hash aggregate + an id-grain re-join. All   #
+# of that is a per-row computation: keep the vector as an ARRAY, micro- #
+# quantize with transform(), and compute every centroid distance with   #
+# an exact BIGINT zip_with/aggregate fold — integer addition is         #
+# associative and commutative, so Σ(x−c)² is BIT-IDENTICAL to the       #
+# long-form sum in any order. The assignment (argmin by the (d2, cid)   #
+# total order) becomes array_min over structs — a PURE PROJECTION:      #
+# zero joins, zero exchanges, zero Generates until the single residual  #
+# posexplode that feeds the (subspace, dim)-grain codebook/encode       #
+# aggregates. Contract: vectors and centroids carry DENSE dims          #
+# 0..m·sub_dim-1 (a missing dim would NULL the fold where the long     #
+# form silently summed fewer terms — every builder in this module       #
+# produces dense dims).                                                 #
+# --------------------------------------------------------------------- #
+
+
+def _micro_array(vec_col):
+    """array<double> -> array<bigint> micro units; per-element
+    arithmetic identical to :func:`_long_form`."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("bigint"),
+    )
+
+
+def _sq_l2(a, b):
+    """Exact BIGINT squared L2 between two micro arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _centroid_arrays(centroids: DataFrame, sub_dim: int) -> DataFrame:
+    """Long-form centroids (cid, subspace, dim, c_micro) -> (cid,
+    __c_arr) with the array ordered by the original coordinate
+    position subspace·sub_dim + dim. collect_list order is
+    nondeterministic; array_sort on (pos, value) structs restores it
+    deterministically (pos is unique per cid)."""
+    return centroids.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("subspace") * sub_dim + F.col("dim")).alias(
+                            "__p"
+                        ),
+                        F.col("c_micro").alias("__c"),
+                    )
+                )
+            ),
+            lambda s: s["__c"],
+        ).alias("__c_arr")
+    )
+
+
+def _centroids_one_row(centroids: DataFrame, sub_dim: int) -> DataFrame:
+    """ONE broadcast row holding every centroid as (cid, arr) structs,
+    sorted by cid — the shape that lets each vector compute its
+    assignment/probe list in a single projection."""
+    return _centroid_arrays(centroids, sub_dim).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("__c_arr")))
+        ).alias("__cents")
+    )
+
+
+def _assign_residuals(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cid, __r): each vector's argmin coarse cell — min by the
+    exact (d2, cid) total order, identical to
+    ``_coarse_assign(ivf_coarse_distances(...))`` — and its residual
+    micro array against that cell's centroid. One projection over a
+    1-row broadcast: no join keys, no aggregation, no explode."""
+    xm = vecs.select(
+        F.col(id_col), _micro_array(F.col(vec_col)).alias("__xm")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                _sq_l2(F.col("__xm"), c["__c_arr"]).alias("__d2"),
+                c["cid"].alias("cid"),
+                c["__c_arr"].alias("__arr"),
+            ),
+        )
+    )
+    return (
+        xm.crossJoin(F.broadcast(_centroids_one_row(centroids, sub_dim)))
+        .select(id_col, "__xm", best.alias("__b"))
+        .select(
+            id_col,
+            F.col("__b.cid").alias("cid"),
+            F.zip_with(
+                "__xm", "__b.__arr", lambda x, c: x - c
+            ).alias("__r"),
+        )
+    )
+
+
+def _res_long_form(res_arrays: DataFrame, sub_dim: int, id_col: str):
+    """(id, cid, __r array) -> the (id, cid, subspace, dim, r_micro)
+    long form the codebook/encode aggregates consume — the build's
+    ONE corpus-scale posexplode."""
+    return res_arrays.select(
+        id_col, "cid", F.posexplode("__r").alias("__pos", "r_micro")
+    ).select(
+        id_col,
+        "cid",
+        (F.col("__pos") / sub_dim).cast("int").alias("subspace"),
+        (F.col("__pos") % sub_dim).alias("dim"),
+        "r_micro",
+    )
+
+
 def pq_codebooks(
     emb: DataFrame,
     m: int = 8,
@@ -77,12 +203,17 @@ def pq_codebooks(
 ) -> DataFrame:
     """Label-mean codebooks: ``(code, subspace, dim, c_micro)`` where
     c_micro = integer-division mean of the micro coordinates of all
-    vectors sharing the label. Codebook-sized output (L·d rows)."""
-    lf = _long_form(emb.select(id_col, vec_col, label_col), id_col, vec_col, m, sub_dim)
-    labeled = lf.join(
-        emb.select(id_col, F.col(label_col).alias("code")), id_col
+    vectors sharing the label. Codebook-sized output (L·d rows).
+    The label rides the explode directly (r15) — no corpus-scale
+    re-join on id for a column the source row already carries."""
+    lf = _long_form(
+        emb.select(F.col(label_col).alias("code"), vec_col),
+        "code",
+        vec_col,
+        m,
+        sub_dim,
     )
-    return labeled.groupBy("code", "subspace", "dim").agg(
+    return lf.groupBy("code", "subspace", "dim").agg(
         F.expr("sum(x_micro) div count(1)").cast("bigint").alias("c_micro")
     )
 
@@ -190,14 +321,21 @@ def ivf_coarse_centroids(
     this CORPUS-SCALE aggregation to rebuild 512-odd rows.
     Broadcast-sized cache, released with release_operator_caches.
     Interleaved A/B of the composed inline-build search: never worse,
-    medians 3.69→3.53 s (sf0.1) / 2.95→2.80 s (sf0.01)."""
+    medians 3.69→3.53 s (sf0.1) / 2.95→2.80 s (sf0.01).
+
+    r15: the label rides the explode directly (``cid`` selected
+    alongside the posexplode) — the r14 form exploded (id, vec) and
+    then JOINED the corpus again on id just to attach the label, a
+    corpus-scale join for a column the source row already had. Same
+    rows, same means."""
     lf = _long_form(
-        corpus.select(id_col, vec_col), id_col, vec_col, m, sub_dim
+        corpus.select(F.col(label_col).alias("cid"), vec_col),
+        "cid",
+        vec_col,
+        m,
+        sub_dim,
     )
-    labeled = lf.join(
-        corpus.select(id_col, F.col(label_col).alias("cid")), id_col
-    )
-    out = labeled.groupBy("cid", "subspace", "dim").agg(
+    out = lf.groupBy("cid", "subspace", "dim").agg(
         F.expr("sum(x_micro) div count(1)").cast("bigint").alias("c_micro")
     )
     if materialize:
@@ -216,19 +354,22 @@ def ivf_coarse_distances(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact integer squared-L2 to EVERY coarse centroid:
-    ``(id, cid, d2)``. The standard IVF assignment cost n·L·d with
-    map-side partial aggregation — the shuffle carries only n·L
-    (id, cid) partials, and the centroid table broadcasts."""
-    lf = _long_form(vecs.select(id_col, vec_col), id_col, vec_col, m, sub_dim)
-    return (
-        lf.join(F.broadcast(centroids), ["subspace", "dim"])
-        .groupBy(id_col, "cid")
-        .agg(
-            F.sum(
-                (F.col("x_micro") - F.col("c_micro"))
-                * (F.col("x_micro") - F.col("c_micro"))
-            ).alias("d2")
-        )
+    ``(id, cid, d2)``. Array-native (r15, guide §1.2): the vector
+    stays an array, the L-row centroid-array dim broadcasts, and each
+    (id, cid) distance is one BIGINT zip_with fold — no corpus
+    explode, no n·L-key hash aggregate, no shuffle at all (the r14
+    form exploded ×d and aggregated n·L·d join rows into n·L
+    partials). Σ(x−c)² in integer arithmetic is order-free, so values
+    are bit-identical to the long-form sum."""
+    xm = vecs.select(
+        F.col(id_col), _micro_array(F.col(vec_col)).alias("__xm")
+    )
+    return xm.crossJoin(
+        F.broadcast(_centroid_arrays(centroids, sub_dim))
+    ).select(
+        id_col,
+        "cid",
+        _sq_l2(F.col("__xm"), F.col("__c_arr")).alias("d2"),
     )
 
 
@@ -250,16 +391,28 @@ def _residual_lf(
     """(id, cid, subspace, dim, r_micro): micro coordinates minus the
     ASSIGNED cell's centroid — the residual stream IVF-PQ quantizes
     (encoding residuals, not raw vectors, is what lets a small
-    codebook stay accurate across cells)."""
-    lf = _long_form(corpus.select(id_col, vec_col), id_col, vec_col, m, sub_dim)
-    return lf.join(assign, id_col).join(
-        F.broadcast(centroids), ["cid", "subspace", "dim"]
-    ).select(
+    codebook stay accurate across cells).
+
+    Array-native (r15): the id-grain assignment joins the UN-exploded
+    vectors (n rows of arrays instead of n·d long rows through the
+    join — guide §3.3 "join first on the un-exploded key and explode
+    after"), subtracts the broadcast centroid array with one zip_with,
+    and explodes once at the end. Values identical (same subtraction
+    per coordinate)."""
+    xm = corpus.select(
+        F.col(id_col), _micro_array(F.col(vec_col)).alias("__xm")
+    )
+    withc = xm.join(assign, id_col).join(
+        F.broadcast(_centroid_arrays(centroids, sub_dim)), "cid"
+    )
+    return _res_long_form(
+        withc.select(
+            id_col,
+            "cid",
+            F.zip_with("__xm", "__c_arr", lambda x, c: x - c).alias("__r"),
+        ),
+        sub_dim,
         id_col,
-        "cid",
-        "subspace",
-        "dim",
-        (F.col("x_micro") - F.col("c_micro")).alias("r_micro"),
     )
 
 
@@ -327,18 +480,27 @@ def ivfpq_index(
     share this function's materialized assignment lineage instead of
     re-deriving it from private helpers (code-review r9 pass-3 #6).
     A builder returning a driver-local frame (values_df) needs no
-    persist — it broadcasts."""
-    dists = ivf_coarse_distances(
-        corpus, centroids, m, sub_dim, id_col, vec_col
-    )
-    assign = _coarse_assign(dists, id_col)
-    res = _residual_lf(
-        corpus, centroids, assign, m, sub_dim, id_col, vec_col
-    )
+    persist — it broadcasts.
+
+    r15 (guide §1.2): the assignment + residual derivation is the
+    fused array-native kernel — argmin cell and residual array in one
+    projection over the un-exploded corpus, then ONE posexplode feeds
+    the (subspace, dim)-grain aggregates. The r14 form exploded the
+    corpus ×d twice per build (coarse-distance pass, residual fill)
+    and ran two corpus-scale joins; all of it is gone from the plan
+    (assignment values identical: exact BIGINT (d2, cid) argmin).
+    The persist target is the ARRAY form (id, cid, residual array):
+    same coordinate bytes as the r14 long-form persist in 1/d the
+    rows, and the fill is a pure projection — the consumers pay the
+    posexplode from cache instead (interleaved A/B at sf0.1:
+    long-form 2.50/2.59/3.12 s vs array 2.18/2.39/2.63 s full
+    build+write)."""
+    ra = _assign_residuals(corpus, centroids, sub_dim, id_col, vec_col)
     if materialize:
         from ._cache import tracked_persist
 
-        res = tracked_persist(res)
+        ra = tracked_persist(ra)
+    res = _res_long_form(ra, sub_dim, id_col)
     if codebook_builder is not None:
         cb = codebook_builder(res)
     else:
@@ -369,12 +531,10 @@ def ivfpq_codebooks(
     codebook drops in unchanged where hash parity isn't needed.
     Building codebooks AND codes? Use :func:`ivfpq_index` — it shares
     the coarse-assignment lineage instead of recomputing it."""
-    dists = ivf_coarse_distances(
-        corpus, centroids, m, sub_dim, id_col, vec_col
-    )
-    assign = _coarse_assign(dists, id_col)
-    res = _residual_lf(
-        corpus, centroids, assign, m, sub_dim, id_col, vec_col
+    res = _res_long_form(
+        _assign_residuals(corpus, centroids, sub_dim, id_col, vec_col),
+        sub_dim,
+        id_col,
     )
     return _codebooks_from_residuals(res, n_codes, id_col)
 
@@ -393,12 +553,10 @@ def ivfpq_encode(
     a 100 TB deployment writes PARTITIONED BY cid, so a query's scan
     prunes to its n_probe cells at the source. Prefer
     :func:`ivfpq_index` when also building the codebooks."""
-    dists = ivf_coarse_distances(
-        corpus, centroids, m, sub_dim, id_col, vec_col
-    )
-    assign = _coarse_assign(dists, id_col)
-    res = _residual_lf(
-        corpus, centroids, assign, m, sub_dim, id_col, vec_col
+    res = _res_long_form(
+        _assign_residuals(corpus, centroids, sub_dim, id_col, vec_col),
+        sub_dim,
+        id_col,
     )
     return _encode_from_residuals(res, codebooks, id_col)
 
@@ -418,15 +576,35 @@ def probed_cells(
     and callers that need the probe list FIRST (to statically prune a
     cid-partitioned code lake before searching, s19_ivfpq_lake) call
     it directly: one definition keeps the pruning filter and the
-    search's own probe tie-break identical by construction."""
-    qdists = ivf_coarse_distances(
-        queries, centroids, m, sub_dim, query_id, vec_col
+    search's own probe tie-break identical by construction.
+
+    Map-only (r15, guide §2.4): each query sorts the broadcast
+    centroid structs by the exact (d2, cid) order and slices its
+    n_probe nearest in ONE projection — the r14 form exploded ×d,
+    aggregated nq·L distances and ran a per-query window, i.e. an
+    exchange of the query batch per serve. array_sort on (d2, cid)
+    structs is the same total order as the old row_number window, so
+    the probe set is identical."""
+    xm = queries.select(
+        F.col(query_id), _micro_array(F.col(vec_col)).alias("__xm")
     )
-    wq = Window.partitionBy(query_id).orderBy("d2", "cid")
+    cells = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("__cents"),
+                lambda c: F.struct(
+                    _sq_l2(F.col("__xm"), c["__c_arr"]).alias("__d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
     return (
-        qdists.withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= n_probe)
-        .select(query_id, "cid")
+        xm.crossJoin(F.broadcast(_centroids_one_row(centroids, sub_dim)))
+        .select(query_id, F.explode(cells).alias("__pc"))
+        .select(query_id, F.col("__pc.cid").alias("cid"))
     )
 
 
@@ -550,48 +728,28 @@ def ivfpq_topk(
     )
 
     # exact rerank of the shortlist only. The corpus joins the
-    # (broadcast) shortlist BEFORE the d-way long-form explode (r14,
-    # guide §3.3 — "if possible join first on the un-exploded key and
-    # explode after"): the old form exploded EVERY corpus vector ×d
-    # and discarded all but nq·shortlist of them at the join — a full
-    # corpus×d Generate stream feeding a ~100-row broadcast join.
-    # Joining first makes the rerank explode O(nq·shortlist·d)
-    # regardless of corpus size, with `short` referenced exactly once
-    # (a semi-join prefilter variant referenced it twice and
-    # duplicated the tombstone anti-join subtree in the plan).
-    hit = corpus.select(corpus_id, vec_col).join(
-        _qside(short), corpus_id
+    # (broadcast) shortlist BEFORE anything touches coordinates (r14,
+    # guide §3.3), and the exact distance is ONE array fold per
+    # shortlist hit (r15): micro-quantize both vectors with
+    # transform() and fold Σ(q−x)² in exact BIGINT — the r14 form
+    # exploded the hits ×d AND the query batch ×d, joined the two
+    # streams on (query_id, subspace, dim) and re-aggregated
+    # nq·shortlist·d rows back to nq·shortlist. Integer addition is
+    # order-free, so exact_d2 is bit-identical. `short` stays
+    # referenced exactly once (a semi-join prefilter variant
+    # referenced it twice and duplicated the tombstone anti-join
+    # subtree in the plan).
+    hit = corpus.select(
+        F.col(corpus_id), _micro_array(F.col(vec_col)).alias("__xm")
+    ).join(_qside(short), corpus_id)
+    qx = queries.select(
+        F.col(query_id), _micro_array(F.col(vec_col)).alias("__qm")
     )
-    hlf = hit.select(
+    exact = hit.join(_qside(qx), query_id).select(
         query_id,
         corpus_id,
         "adc_d2",
-        F.posexplode(vec_col).alias("__pos", "__x"),
-    ).select(
-        query_id,
-        corpus_id,
-        "adc_d2",
-        (F.col("__pos") / sub_dim).cast("int").alias("subspace"),
-        (F.col("__pos") % sub_dim).alias("dim"),
-        F.floor(F.col("__x").cast("double") * 1e6 + 0.5)
-        .cast("bigint")
-        .alias("x_micro"),
-    )
-    qlf = _long_form(
-        queries.select(query_id, vec_col), query_id, vec_col, m, sub_dim
-    )
-    qx = qlf.select(
-        query_id, "subspace", "dim", F.col("x_micro").alias("q_micro")
-    )
-    exact = (
-        hlf.join(_qside(qx), [query_id, "subspace", "dim"])
-        .groupBy(query_id, corpus_id, "adc_d2")
-        .agg(
-            F.sum(
-                (F.col("q_micro") - F.col("x_micro"))
-                * (F.col("q_micro") - F.col("x_micro"))
-            ).alias("exact_d2")
-        )
+        _sq_l2(F.col("__qm"), F.col("__xm")).alias("exact_d2"),
     )
     wk = Window.partitionBy(query_id).orderBy("exact_d2", corpus_id)
     return (
