@@ -186,7 +186,20 @@ def pipe_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores.where(F.col("mean_p_micro") >= _LM_T).select("doc_id"),
         "doc_id",
     )
-    langd = lmkept.join(docs.select("doc_id", "lang"), "doc_id")
+    # Second lazy lineage cut (r15, guide §5/§3.3): below this point
+    # the tail has three branch points — the sampling rates aggregate,
+    # the packer's bucket-offset aggregate, and the packer's window —
+    # and Catalyst replays everything above each branch: the pre-AQE
+    # r14 plan printed the bigram-LM aggregation pipeline FOUR times
+    # (plans/r14/pipe_curation_v3_after.txt, zero ReusedExchange).
+    # Cutting at langd materializes three narrow columns (doc_id,
+    # n_tokens, lang — ints + a short string, token arrays never
+    # reach it) so every branch scans that instead of re-running the
+    # LM. Interleaved A/B at sf0.1 (4 reps, tools/r15_ab_v3_cut.py):
+    # count best 3.69 → 3.11 s, noop 3.42 → 2.93 s; output identical.
+    langd = cut_lineage(
+        lmkept.join(docs.select("doc_id", "lang"), "doc_id")
+    )
     sampled = temperature_sample(langd, "lang", _MIX_C)
     t = sampled.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "n_tokens"

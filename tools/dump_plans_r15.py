@@ -42,6 +42,11 @@ def main() -> None:
 
     fns = {n: s["fn"] for n, s in QUERIES.items() if s["bench"]}
     fns.update(BENCH_WORKLOADS)
+    # explicitly named non-bench queries are dumpable too (touched
+    # operators reach non-headline paths like txt_pack_windows)
+    for n in only:
+        if n not in fns and n in QUERIES:
+            fns[n] = QUERIES[n]["fn"]
     for name, fn in sorted(fns.items()):
         if only and name not in only:
             continue
